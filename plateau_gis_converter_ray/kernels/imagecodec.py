@@ -1,0 +1,154 @@
+"""Deterministic synthetic image codec + perceptual hash.
+
+The input table carries images as opaque ``bytes:binary`` with typed metadata
+(w, h, fmt) per BASELINE.json's ``input_hint``. Real image libs (PIL/opencv)
+are not in this container, so the codecs here are the clearly-documented
+deterministic stand-ins (SURVEY instructs: make the Ray-side plumbing real,
+stub the codec): ``raw`` (packed RGB), ``ppm`` (P6 header + raw) and ``rle``
+(byte run-length) — all lossless, so the decoded-pixel PSNR invariant is
+exactly satisfiable and verifiable. A ``jpeg``-like lossy path is stubbed via
+quantization (``fmt="quant"``) to exercise the PSNR>=40dB (not equality) gate.
+
+``phash64`` is an average-hash over an 8x8 block-mean downsample — the
+64-bit perceptual fingerprint used by the dedup stages (role analogue of the
+reference's bit-exact vertex dedup keys, geometry.rs:86,105-122).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "splitmix64",
+    "synth_pixels",
+    "encode_image",
+    "decode_image",
+    "phash64",
+    "psnr",
+    "FORMATS",
+]
+
+FORMATS = ("raw", "ppm", "rle", "quant")
+
+
+def splitmix64(x):
+    """Deterministic 64-bit mix (public splitmix64 constants), vectorized.
+
+    uint64 wraparound is intentional (mod-2^64 arithmetic).
+    """
+    with np.errstate(over="ignore"):
+        z = np.asarray(x).astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def synth_pixels(idx: int, w: int, h: int) -> np.ndarray:
+    """Deterministic (h, w, 3) uint8 image for row index ``idx``."""
+    s = splitmix64(np.uint64(idx))
+    f1 = 1.0 + float(s & np.uint64(7))
+    f2 = 1.0 + float((s >> np.uint64(3)) & np.uint64(7))
+    ph = float((s >> np.uint64(6)) & np.uint64(255)) / 40.0
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    base = (
+        127.5
+        + 60.0 * np.sin(2 * np.pi * f1 * xx / w + ph)
+        + 60.0 * np.cos(2 * np.pi * f2 * yy / h - ph)
+    )
+    r = base
+    g = np.flipud(base)
+    b = (xx + yy) * (255.0 / (w + h - 2 if w + h > 2 else 1))
+    img = np.stack([r, g, b], axis=-1)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def _rle_encode(flat: np.ndarray) -> bytes:
+    """Byte-wise run-length: pairs (count<=255, value)."""
+    if len(flat) == 0:
+        return b""
+    change = np.nonzero(np.diff(flat))[0] + 1
+    starts = np.concatenate([[0], change])
+    ends = np.concatenate([change, [len(flat)]])
+    out = bytearray()
+    for s, e in zip(starts, ends):
+        run = int(e - s)
+        v = int(flat[s])
+        while run > 255:
+            out.append(255)
+            out.append(v)
+            run -= 255
+        out.append(run)
+        out.append(v)
+    return bytes(out)
+
+
+def _rle_decode(data: bytes) -> np.ndarray:
+    arr = np.frombuffer(data, dtype=np.uint8).reshape(-1, 2)
+    return np.repeat(arr[:, 1], arr[:, 0])
+
+
+def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
+    h, w, _ = pixels.shape
+    if fmt == "raw":
+        return pixels.tobytes()
+    if fmt == "ppm":
+        return f"P6\n{w} {h}\n255\n".encode() + pixels.tobytes()
+    if fmt == "rle":
+        return _rle_encode(pixels.reshape(-1))
+    if fmt == "quant":
+        # lossy stub: 6-bit quantization -> PSNR ~= 46 dB, safely above the
+        # 40 dB invariant gate while still exercising the lossy path
+        q = (pixels.astype(np.uint16) >> 2) << 2
+        return (q + 2).clip(0, 255).astype(np.uint8).tobytes()
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+def decode_image(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
+    """Decode ``bytes`` back to (h, w, 3) uint8 pixels."""
+    if fmt in ("raw", "quant"):
+        return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+    if fmt == "ppm":
+        # parse the 3-field P6 header
+        nl = 0
+        pos = 0
+        while nl < 3:
+            pos = data.index(b"\n", pos) + 1
+            nl += 1
+        return np.frombuffer(data, dtype=np.uint8, offset=pos).reshape(h, w, 3)
+    if fmt == "rle":
+        return _rle_decode(data).reshape(h, w, 3)
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """Average-hash: 8x8 block-mean grayscale, bit=1 where above global mean.
+
+    Returns a signed int64 (two's complement) to fit the ``phash:int64``
+    column. Requires w and h divisible by 8 (the generator guarantees it).
+    """
+    h, w, _ = pixels.shape
+    gray = pixels.astype(np.float64).mean(axis=2)
+    small = gray.reshape(8, h // 8, 8, w // 8).mean(axis=(1, 3))
+    bits = (small > small.mean()).reshape(-1)
+    v = np.uint64(0)
+    for i, b in enumerate(bits):
+        if b:
+            v |= np.uint64(1) << np.uint64(i)
+    return int(np.int64(v))
+
+
+def phash64_batch(gray_small: np.ndarray) -> np.ndarray:
+    """Vectorized phash over a (n, 8, 8) stack of block-mean grayscales."""
+    n = gray_small.shape[0]
+    flat = gray_small.reshape(n, 64)
+    bits = flat > flat.mean(axis=1, keepdims=True)
+    weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))[None, :]
+    return (bits.astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64).astype(np.int64)
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB; inf for identical images."""
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(10.0 * np.log10(255.0**2 / mse))

@@ -1,0 +1,111 @@
+"""Image codec determinism + PSNR invariant; text kernels."""
+
+import numpy as np
+
+from plateau_gis_converter_ray.kernels.imagecodec import (
+    decode_image,
+    encode_image,
+    phash64,
+    phash64_batch,
+    psnr,
+    splitmix64,
+    synth_pixels,
+)
+from plateau_gis_converter_ray.kernels.text import (
+    char_ngram_hashes,
+    fingerprint64,
+    hamming64,
+    jaccard,
+    langid,
+    lsh_band_keys,
+    minhash_signature,
+    quality_stats,
+    simhash64,
+    token_count_bpeish,
+    token_count_ws,
+)
+
+
+def test_splitmix_deterministic():
+    a = splitmix64(np.arange(10, dtype=np.uint64))
+    b = splitmix64(np.arange(10, dtype=np.uint64))
+    np.testing.assert_array_equal(a, b)
+    assert len(np.unique(a)) == 10
+
+
+def test_codec_roundtrip_lossless():
+    for fmt in ("raw", "ppm", "rle"):
+        px = synth_pixels(1234, 32, 48)
+        data = encode_image(px, fmt)
+        out = decode_image(data, fmt, 32, 48)
+        np.testing.assert_array_equal(px, out)
+        assert psnr(px, out) == float("inf")
+
+
+def test_codec_lossy_psnr_gate():
+    px = synth_pixels(99, 64, 64)
+    out = decode_image(encode_image(px, "quant"), "quant", 64, 64)
+    p = psnr(px, out)
+    assert 40.0 <= p < float("inf")
+
+
+def test_phash_stable_and_batch_matches():
+    px1 = synth_pixels(7, 32, 32)
+    px2 = synth_pixels(8, 32, 32)
+    h1 = phash64(px1)
+    assert h1 == phash64(synth_pixels(7, 32, 32))
+    assert h1 != phash64(px2)
+    # batch path agrees with scalar path
+    def small(p):
+        g = p.astype(np.float64).mean(axis=2)
+        h, w = g.shape
+        return g.reshape(8, h // 8, 8, w // 8).mean(axis=(1, 3))
+    batch = phash64_batch(np.stack([small(px1), small(px2)]))
+    assert int(batch[0]) == h1
+    assert int(batch[1]) == phash64(px2)
+
+
+def test_ngram_minhash_jaccard():
+    t1 = "the quick brown fox jumps over the lazy dog"
+    t2 = "the quick brown fox jumped over the lazy dog"
+    t3 = "completely different content with other words"
+    h1, h2, h3 = (char_ngram_hashes(t) for t in (t1, t2, t3))
+    assert jaccard(h1, h2) > 0.6
+    assert jaccard(h1, h3) < 0.1
+    s1, s2, s3 = (minhash_signature(h) for h in (h1, h2, h3))
+    est12 = (s1 == s2).mean()
+    est13 = (s1 == s3).mean()
+    assert est12 > est13
+    # LSH: near-dups share at least one band bucket, far docs none
+    b1, b2, b3 = (lsh_band_keys(s) for s in (s1, s2, s3))
+    assert len(np.intersect1d(b1, b2)) >= 1
+    assert len(np.intersect1d(b1, b3)) == 0
+
+
+def test_simhash_hamming():
+    t1 = "the quick brown fox jumps over the lazy dog"
+    t2 = "the quick brown fox jumped over the lazy dog"
+    t3 = "完全に異なる日本語のテキストです"
+    d12 = int(hamming64(simhash64(t1), simhash64(t2)))
+    d13 = int(hamming64(simhash64(t1), simhash64(t3)))
+    assert d12 < d13
+    assert int(hamming64(simhash64(t1), simhash64(t1))) == 0
+
+
+def test_token_counts_quality_langid():
+    t = "Hello world, this is a test of the tokenizer 123!"
+    assert token_count_ws(t) == 10
+    assert token_count_bpeish(t) > token_count_ws(t)
+    q = quality_stats(t)
+    assert q["n_tokens"] == 10
+    assert 0 < q["alpha_ratio"] < 1
+    assert q["stopword_ratio"] > 0
+    assert langid("the cat sat on the mat and it is happy") == "en"
+    assert langid("der Hund ist nicht auf der Couch und das ist gut") == "de"
+    assert langid("これは日本語のテキストです") == "ja"
+
+
+def test_fingerprint_deterministic():
+    t = "some document text " * 20
+    assert fingerprint64(t) == fingerprint64(t)
+    assert fingerprint64(t) != fingerprint64(t + "x" * 50)
