@@ -1,44 +1,189 @@
 """Driver contract for the graft builder (Ray Data target).
 
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+initialised, local mode), runs each ``queries()[name](sf_dir)`` at sf=0.01
+and compares it against the matching ``oracle_sql()[name]`` via DuckDB
+(row-count + schema + order-insensitive value-hash).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (nor in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline (image table -> decode -> PIP join -> tiling) at
+    sf0.001; returns the merged per-(tile, municipality) aggregate Dataset."""
+    from plateau_gis_converter_ray.pipelines.flagship import (
+        flagship_result_ds,
+        run_flagship,
+    )
+
+    res = run_flagship(sf=0.001)
+    return flagship_result_ds(res["out_dir"])
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    return float(base.replace("sf", "")) if base.startswith("sf") else 0.01
+
+
+# ---- rows-only pipelines (non-SQL-expressible; exact kernels pytest-pinned)
+
+
+def _q_flagship_tiles(sf_dir: str):
+    from plateau_gis_converter_ray.pipelines.flagship import (
+        flagship_result_ds,
+        run_flagship,
+    )
+
+    res = run_flagship(sf=_sf_of(sf_dir))
+    return flagship_result_ds(res["out_dir"])
+
+
+def _q_image_decode_stats(sf_dir: str):
+    import ray.data
+
+    from plateau_gis_converter_ray.sources.images import ensure_image_table
+    from plateau_gis_converter_ray.stages.decode import ImageDecodeStats
+
+    path = ensure_image_table(_sf_of(sf_dir))
+    files = [
+        os.path.join(path, f) for f in sorted(os.listdir(path)) if f.endswith(".parquet")
+    ]
+    ds = ray.data.read_parquet(files)
+    ds = ds.map_batches(
+        ImageDecodeStats, batch_format="pyarrow", batch_size=1024, concurrency=(1, 4)
+    )
+    from ray.data.aggregate import Count, Sum
+
+    import numpy as np
+    import pyarrow as pa
+
+    def check(batch: pa.Table) -> pa.Table:
+        phash_match = (
+            batch.column("phash").to_numpy() == batch.column("phash_decoded").to_numpy()
+        )
+        lossless = np.array(
+            [f in ("raw", "ppm", "rle") for f in batch.column("fmt").to_pylist()]
+        )
+        psnr_ok = batch.column("psnr_db").to_numpy() >= 40.0
+        return pa.table(
+            {
+                "fmt": batch.column("fmt"),
+                "phash_ok": pa.array((phash_match | ~lossless).astype(np.int64)),
+                "psnr_ok": pa.array(psnr_ok.astype(np.int64)),
+                "one": pa.array(np.ones(len(phash_match), dtype=np.int64)),
+            }
+        )
+
+    ds = ds.map_batches(check, batch_format="pyarrow")
+    return ds.groupby("fmt").aggregate(
+        Count(alias_name="n"),
+        Sum("phash_ok", alias_name="n_phash_ok"),
+        Sum("psnr_ok", alias_name="n_psnr_ok"),
+    )
+
+
+def _q_phash_dedup(sf_dir: str):
+    from plateau_gis_converter_ray.sources.images import ensure_image_table
+    from plateau_gis_converter_ray.stages.dedup import phash_exact_dedup
+
+    path = ensure_image_table(_sf_of(sf_dir))
+    files = [
+        os.path.join(path, f) for f in sorted(os.listdir(path)) if f.endswith(".parquet")
+    ]
+    return phash_exact_dedup(files)
+
+
+def _q_minhash_pairs(sf_dir: str):
+    from plateau_gis_converter_ray.stages.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(sf_dir, jaccard_threshold=0.5)
+
+
+def _q_simhash_pairs(sf_dir: str):
+    from plateau_gis_converter_ray.stages.dedup import simhash_near_dup
+
+    return simhash_near_dup(sf_dir, max_hamming=8)
+
+
+def _q_doc_signatures(sf_dir: str):
+    import ray.data
+
+    from plateau_gis_converter_ray.stages.text import Signatures
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return ds.map_batches(
+        Signatures, batch_format="pyarrow", batch_size=1024, concurrency=(1, 4)
+    ).select_columns(["doc_id", "simhash", "fingerprint"])
+
+
+def _q_slice_3dt(sf_dir: str):
+    """Polygon slicing into 3DT tiles: municipality polygons -> per-tile
+    fragment counts (the cesiumtiles slicing flat_map, slice.rs:216-391)."""
+    import ray.data
+    import numpy as np
+    import pandas as pd
+
+    from plateau_gis_converter_ray.kernels.clip import ring_area, slice_polygon_3dt
+    from plateau_gis_converter_ray.sources.municipalities import municipality_polygons
+
+    polys = municipality_polygons()
+    ds = ray.data.from_items(
+        [{"pid": p["id"], "ring": p["rings"][0].tolist()} for p in polys]
+    )
+
+    def slice_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for pid, ring in zip(batch["pid"], batch["ring"]):
+            ring5 = np.array([[c[0], c[1], 0.0, 0.0, 0.0] for c in ring])
+            for (z, x, y), rings in slice_polygon_3dt(9, [ring5]):
+                if len(rings[0]):
+                    rows.append(
+                        {
+                            "pid": pid,
+                            "zoom": z,
+                            "tile_x": int(x),
+                            "tile_y": int(y),
+                            "n_vertices": int(len(rings[0])),
+                            "area_e9": int(round(ring_area(rings[0][:, :2]) * 1e9)),
+                        }
+                    )
+        return pd.DataFrame(rows)
+
+    return ds.map_batches(slice_batch, batch_format="pandas")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from plateau_gis_converter_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out = dict(QUERIES)
+    out.update(
+        {
+            "flagship_tiles": _q_flagship_tiles,
+            "image_decode_stats": _q_image_decode_stats,
+            "phash_dedup": _q_phash_dedup,
+            "minhash_lsh_pairs": _q_minhash_pairs,
+            "simhash_pairs": _q_simhash_pairs,
+            "doc_signatures": _q_doc_signatures,
+            "slice_3dt_tiles": _q_slice_3dt,
+        }
+    )
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from plateau_gis_converter_ray.pipelines.queries import ORACLES
+
+    return dict(ORACLES)

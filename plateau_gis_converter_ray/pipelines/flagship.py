@@ -1,0 +1,234 @@
+"""Flagship pipeline: image table -> decode -> geocode -> PIP join -> tiling.
+
+The Ray-Data-native re-expression of the reference's physical plan
+(SURVEY.md §3.1): parse(file-parallel) -> transform(row-parallel) ->
+slice(row-parallel) -> sort barrier -> grouped write, rebuilt as
+
+    read_parquet (column-pruned, file-partitioned)
+      -> map_batches(ImageDecodeStats, actor pool)     # the "parse" stage
+      -> map_batches(add_lnglat_hash)                   # projection analogue
+      -> map_batches(PIPAssign, actor pool, broadcast polygons)  # spatial join
+      -> map_batches(fanout_zooms)                      # slicing flat_map (1->N)
+      -> map_batches(partial tile aggregate)            # combiner: pre-shuffle
+      -> groupby(tile_id, muni).aggregate(sum, bbox)    # THE one shuffle
+      -> per-chunk parquet + manifest commit            # resumable output
+
+Skew note: the Tokyo-bay hotspot (30% of rows in a handful of tiles) is
+neutralized *before* the shuffle by the per-batch combiner — each tile
+contributes at most one row per batch to the exchange, so the groupby moves
+O(unique_tiles x batches) rows, not O(assignments). The salted-key path
+(stages.tiles.salt_column) exists for payload shuffles where full rows must
+co-locate (tile sink).
+
+Resume: input files are processed in chunks; each chunk's aggregate is a
+manifest-committed partition (state.manifest). A killed run reprocesses only
+uncommitted chunks; the final reduce merges chunk partials (sums and
+min/max merge associatively).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+
+from ..sources.images import ensure_image_table
+from ..sources.municipalities import municipality_polygons
+from ..stages.decode import ImageDecodeStats
+from ..stages.geocode import add_lnglat_hash, geocode_hash
+from ..stages.spatial_join import PIPAssign
+from ..stages.tiles import fanout_zooms
+from ..state.manifest import PartitionManifest, atomic_write_dir
+
+MIN_ZOOM = 7
+MAX_ZOOM = 12
+
+
+def _extent_m(row_idx: np.ndarray) -> np.ndarray:
+    """Deterministic per-image ground extent in meters: 10 m .. ~327 km.
+
+    Plays the role of the reference's per-feature approx extent that the
+    geometric-error rule compares against (cesiumtiles/slice.rs:132-148);
+    bigger "features" surface at lower zooms.
+    """
+    from ..kernels.imagecodec import splitmix64
+
+    s = splitmix64(row_idx.astype(np.uint64) ^ np.uint64(0xE87))
+    return 10.0 * np.power(2.0, (s % np.uint64(16)).astype(np.float64))
+
+
+def _fanout_stage(batch: pa.Table) -> pa.Table:
+    ext = _extent_m(batch.column("row_idx").to_numpy())
+    return fanout_zooms(
+        batch,
+        MIN_ZOOM,
+        MAX_ZOOM,
+        keep=["image_id", "muni_id", "lng", "lat"],
+        extent_m=ext,
+    )
+
+
+def _partial_tile_agg(batch: pa.Table) -> pa.Table:
+    """Combiner: per-batch (tile, muni) counts + bbox partials (pre-shuffle)."""
+    tid = batch.column("tile_id").to_numpy()
+    zoom = batch.column("zoom").to_numpy()
+    tx = batch.column("tile_x").to_numpy()
+    ty = batch.column("tile_y").to_numpy()
+    muni = batch.column("muni_id").to_numpy(zero_copy_only=False)
+    muni = np.where(muni == None, "__none__", muni).astype(object)  # noqa: E711
+    lng = batch.column("lng").to_numpy()
+    lat = batch.column("lat").to_numpy()
+
+    # group within batch by (tile_id, muni)
+    muni_codes, muni_uniq = pa.array(muni).dictionary_encode().indices.to_numpy(
+        zero_copy_only=False
+    ), pa.array(muni).dictionary_encode().dictionary.to_pylist()
+    key = tid.astype(np.int64) * np.int64(len(muni_uniq) + 1) + muni_codes.astype(
+        np.int64
+    )
+    order = np.argsort(key, kind="stable")
+    sk = key[order]
+    boundaries = np.concatenate([[0], np.nonzero(np.diff(sk))[0] + 1])
+    first = order[boundaries]
+    counts = np.diff(np.concatenate([boundaries, [len(sk)]]))
+
+    lng_min = np.minimum.reduceat(lng[order], boundaries)
+    lng_max = np.maximum.reduceat(lng[order], boundaries)
+    lat_min = np.minimum.reduceat(lat[order], boundaries)
+    lat_max = np.maximum.reduceat(lat[order], boundaries)
+
+    return pa.table(
+        {
+            "tile_id": pa.array(tid[first], pa.int64()),
+            "zoom": pa.array(zoom[first], pa.int32()),
+            "tile_x": pa.array(tx[first], pa.int64()),
+            "tile_y": pa.array(ty[first], pa.int64()),
+            "muni_id": pa.array([muni[i] for i in first], pa.string()),
+            "cnt": pa.array(counts, pa.int64()),
+            "lng_min": pa.array(lng_min),
+            "lng_max": pa.array(lng_max),
+            "lat_min": pa.array(lat_min),
+            "lat_max": pa.array(lat_max),
+        }
+    )
+
+
+def tile_aggregate_ds(files: list[str], decode_concurrency=(1, 8)):
+    """Build the lazy Dataset of per-(tile, muni) aggregates for input files."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Max, Min, Sum
+
+    polys_ref = ray.put(municipality_polygons())
+
+    ds = ray.data.read_parquet(files)
+    ds = ds.map_batches(
+        ImageDecodeStats,
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=decode_concurrency,
+        num_cpus=1,
+    )
+    ds = ds.map_batches(add_lnglat_hash, batch_format="pyarrow")
+    ds = ds.map_batches(
+        PIPAssign,
+        fn_constructor_args=(polys_ref,),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=decode_concurrency,
+        num_cpus=1,
+    )
+    ds = ds.map_batches(_fanout_stage, batch_format="pyarrow", batch_size=8192)
+    ds = ds.map_batches(_partial_tile_agg, batch_format="pyarrow", batch_size=65536)
+    agg = ds.groupby(["tile_id", "muni_id"]).aggregate(
+        Sum("cnt", alias_name="n_assignments"),
+        Min("zoom", alias_name="zoom"),
+        Min("tile_x", alias_name="tile_x"),
+        Min("tile_y", alias_name="tile_y"),
+        Min("lng_min", alias_name="lng_min"),
+        Max("lng_max", alias_name="lng_max"),
+        Min("lat_min", alias_name="lat_min"),
+        Max("lat_max", alias_name="lat_max"),
+    )
+    return agg
+
+
+def run_flagship(
+    sf: float = 0.001,
+    out_dir: str | None = None,
+    n_chunks: int = 4,
+    resume: bool = True,
+) -> dict:
+    """Run the flagship job chunk-resumably; returns metrics + result path."""
+    table_dir = ensure_image_table(sf)
+    files = sorted(
+        os.path.join(table_dir, f)
+        for f in os.listdir(table_dir)
+        if f.endswith(".parquet")
+    )
+    out_dir = out_dir or f"/tmp/plateau_ray_out/flagship_sf{sf:g}"
+    manifest = PartitionManifest(out_dir, {"sf": sf, "zooms": [MIN_ZOOM, MAX_ZOOM]})
+    done = manifest.completed_keys() if resume else set()
+
+    chunks = [files[i::n_chunks] for i in range(n_chunks)]
+    t0 = time.perf_counter()
+    n_rows = 0
+    for ci, chunk_files in enumerate(chunks):
+        key = f"chunk{ci:04d}"
+        if key in done or not chunk_files:
+            continue
+        agg = tile_aggregate_ds(chunk_files)
+
+        part_dir = manifest.partition_dir(key)
+
+        def write(tmp, agg=agg):
+            agg.write_parquet(tmp)
+
+        atomic_write_dir(part_dir, write)
+        import pyarrow.dataset as pads
+
+        part = pads.dataset(part_dir).to_table()
+        rows = int(pa.compute.sum(part.column("n_assignments")).as_py() or 0)
+        n_rows += rows
+        manifest.commit_partition(
+            key,
+            rows,
+            checksum=int(np.uint64(rows * 2654435761 % (1 << 63))),
+            lineage={"files": [os.path.basename(f) for f in chunk_files]},
+        )
+    elapsed = time.perf_counter() - t0
+    return {
+        "out_dir": out_dir,
+        "elapsed_s": elapsed,
+        "assignments": n_rows,
+        "assignments_per_s": n_rows / elapsed if elapsed > 0 else 0.0,
+        "chunks": n_chunks,
+    }
+
+
+def flagship_result_ds(out_dir: str):
+    """Read back the merged flagship aggregate (final associative reduce)."""
+    import ray.data
+
+    parts = [
+        os.path.join(out_dir, d, f)
+        for d in sorted(os.listdir(out_dir))
+        if d.startswith("part=")
+        for f in sorted(os.listdir(os.path.join(out_dir, d)))
+        if f.endswith(".parquet")
+    ]
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = ray.data.read_parquet(parts)
+    return ds.groupby(["tile_id", "muni_id"]).aggregate(
+        Sum("n_assignments", alias_name="n_assignments"),
+        Min("zoom", alias_name="zoom"),
+        Min("tile_x", alias_name="tile_x"),
+        Min("tile_y", alias_name="tile_y"),
+        Min("lng_min", alias_name="lng_min"),
+        Max("lng_max", alias_name="lng_max"),
+        Min("lat_min", alias_name="lat_min"),
+        Max("lat_max", alias_name="lat_max"),
+    )

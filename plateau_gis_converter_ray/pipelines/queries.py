@@ -1,0 +1,686 @@
+"""Query registry: every operator pipeline + its DuckDB oracle SQL.
+
+Each entry is a callable ``(sf_dir) -> Dataset | DataFrame | pa.Table``; for
+SQL-expressible semantics ``ORACLES[name]`` holds the ANSI-SQL equivalent the
+driver runs on the same parquet (order-insensitive value-hash compare).
+
+Determinism contract with the oracle:
+- integer-scaled aggregates (2-decimal money -> cents) so distributed float
+  summation order can't flip bits;
+- libm-free arithmetic where possible; where tan/ln appear (WebMercator) the
+  values sit far from tile boundaries for the synthetic points;
+- ties broken on integer ids in both implementations.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..kernels import scheme3dt
+from ..kernels.hilbert import zxy_to_id
+from ..stages.geocode import GEOCODE_SQL, add_lnglat_arith
+from ..stages.spatial_join import mesh_assign_arith
+from ..stages.tiles import assign_webmercator
+
+# ---------------------------------------------------------------------------
+# helpers
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _geo_sql(id_expr: str) -> str:
+    lng = GEOCODE_SQL["lng"].format(id=id_expr)
+    lat = GEOCODE_SQL["lat"].format(id=id_expr)
+    return lng, lat
+
+
+# ---------------------------------------------------------------------------
+# 1. WebMercator square-scheme tiling (MVT path: mvt/slice.rs:48-52 + tile xy)
+
+
+def q_tile_wm_z12(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_id"])
+    ds = ds.map_batches(lambda b: add_lnglat_arith(b, "event_id"), batch_format="pyarrow")
+    ds = ds.map_batches(lambda b: assign_webmercator(b, 12), batch_format="pyarrow")
+    from ray.data.aggregate import Count
+
+    return ds.groupby(["tile_x", "tile_y"]).aggregate(Count(alias_name="n"))
+
+
+def _sql_tile_wm_z12() -> str:
+    lng, lat = _geo_sql("event_id")
+    return f"""
+WITH pts AS (
+  SELECT {lng} AS lng, {lat} AS lat FROM events
+)
+SELECT CAST(FLOOR((lng + 180.0) / 360.0 * 4096) AS BIGINT) AS tile_x,
+       CAST(FLOOR(((-(DEGREES(LN(TAN(RADIANS(90.0 + lat) / 2.0)))) + 180.0) / 360.0) * 4096) AS BIGINT) AS tile_y,
+       COUNT(*) AS n
+FROM pts GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2. Non-square 3D-Tiles scheme tiling (scheme.rs:32-38)
+
+
+def q_tile_3dt_z7(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_id"])
+    ds = ds.map_batches(lambda b: add_lnglat_arith(b, "event_id"), batch_format="pyarrow")
+
+    def assign(batch: pa.Table) -> pa.Table:
+        lng = batch.column("lng").to_numpy()
+        lat = batch.column("lat").to_numpy()
+        x, y = scheme3dt.zxy_from_lng_lat(7, lng, lat)
+        return pa.table(
+            {"tile_x": pa.array(x, pa.int64()), "tile_y": pa.array(y, pa.int64())}
+        )
+
+    ds = ds.map_batches(assign, batch_format="pyarrow")
+    from ray.data.aggregate import Count
+
+    return ds.groupby(["tile_x", "tile_y"]).aggregate(Count(alias_name="n"))
+
+
+def _sql_tile_3dt_z7() -> str:
+    lng, lat = _geo_sql("event_id")
+    # x_step CASE table generated from the fixture-pinned kernel (z=7)
+    cases = " ".join(
+        f"WHEN {y} THEN {int(scheme3dt.x_step(7, y))}" for y in range(64)
+    )
+    return f"""
+WITH pts AS (
+  SELECT {lng} AS lng, {lat} AS lat FROM events
+), t AS (
+  SELECT CAST(FLOOR((90.0 - lat) / 180.0 * 64) AS BIGINT) AS y,
+         CAST(FLOOR((180.0 + lng) / 360.0 * 128) AS BIGINT) AS x
+  FROM pts
+), s AS (
+  SELECT x, y, (CASE y {cases} END) AS xs FROM t
+)
+SELECT (x - (x % xs)) AS tile_x, y AS tile_y, COUNT(*) AS n
+FROM s GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3. Mesh PIP join (rectangular municipality mesh; SQL-exact)
+
+
+def q_pip_mesh(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    ds = ds.map_batches(lambda b: add_lnglat_arith(b, "event_id"), batch_format="pyarrow")
+    ds = ds.map_batches(mesh_assign_arith, batch_format="pyarrow")
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        v = np.round(batch.column("value").to_numpy() * 100).astype(np.int64)
+        return batch.append_column("value_c", pa.array(v))
+
+    ds = ds.map_batches(to_cents, batch_format="pyarrow")
+    from ray.data.aggregate import Count, Sum
+
+    return ds.groupby("mesh_id").aggregate(
+        Count(alias_name="n"), Sum("value_c", alias_name="sum_value_c")
+    )
+
+
+def _sql_pip_mesh() -> str:
+    lng, lat = _geo_sql("event_id")
+    return f"""
+WITH pts AS (
+  SELECT value, {lng} AS lng, {lat} AS lat FROM events
+)
+SELECT 'mesh_' ||
+       CAST(LEAST(CAST(FLOOR((lng - 122.0) / 24.0 * 24) AS BIGINT), 23) AS VARCHAR)
+       || '_' ||
+       CAST(LEAST(CAST(FLOOR((lat - 24.0) / 22.0 * 22) AS BIGINT), 21) AS VARCHAR)
+       AS mesh_id,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+FROM pts GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# 4. Point kNN: brute force + cell-ring variant (same oracle)
+
+
+def q_knn_points(sf_dir: str):
+    from ..stages.knn import knn_points_brute
+
+    return knn_points_brute(sf_dir)
+
+
+def q_knn_points_cellring(sf_dir: str):
+    from ..stages.knn import knn_points_cellring
+
+    return knn_points_cellring(sf_dir)
+
+
+def _sql_knn_points() -> str:
+    lng, lat = _geo_sql("event_id")
+    return f"""
+WITH q AS (
+  SELECT qid, 122.0 + (qid * 17) % 24 AS qx, 24.0 + (qid * 13) % 22 AS qy
+  FROM (SELECT UNNEST(RANGE(0, 16)) AS qid)
+), pts AS (
+  SELECT event_id, {lng} AS lng, {lat} AS lat FROM events
+), d AS (
+  SELECT event_id, qid,
+         (lng - qx) * (lng - qx) + (lat - qy) * (lat - qy) AS d2,
+         ROW_NUMBER() OVER (PARTITION BY event_id
+                            ORDER BY (lng - qx) * (lng - qx) + (lat - qy) * (lat - qy), qid) AS rn
+  FROM pts, q
+)
+SELECT event_id, qid AS nearest_qid FROM d WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# 5. Q1-style pricing summary (integer-scaled; the groupby-agg workhorse)
+
+
+def q_pricing_summary(sf_dir: str):
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+    def scale(batch: pa.Table) -> pa.Table:
+        qty = batch.column("l_quantity").to_numpy()
+        ep = batch.column("l_extendedprice").to_numpy()
+        disc = batch.column("l_discount").to_numpy()
+        tax = batch.column("l_tax").to_numpy()
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "qty_i": pa.array(np.round(qty).astype(np.int64)),
+                "base_c": pa.array(np.round(ep * 100).astype(np.int64)),
+                "disc_s": pa.array(np.round(ep * (1 - disc) * 10000).astype(np.int64)),
+                "charge_s": pa.array(
+                    np.round(ep * (1 - disc) * (1 + tax) * 1000000).astype(np.int64)
+                ),
+            }
+        )
+
+    ds = ds.map_batches(scale, batch_format="pyarrow")
+    from ray.data.aggregate import Count, Sum
+
+    return ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("qty_i", alias_name="sum_qty"),
+        Sum("base_c", alias_name="sum_base_price_c"),
+        Sum("disc_s", alias_name="sum_disc_price_s"),
+        Sum("charge_s", alias_name="sum_charge_s"),
+        Count(alias_name="count_order"),
+    )
+
+
+_SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_c,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS sum_disc_price_s,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT)) AS BIGINT) AS sum_charge_s,
+       COUNT(*) AS count_order
+FROM lineitem GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# 6. Q3-style: broadcast-join + groupby + top-k  (shuffle-free dim join)
+
+
+def q_top_orders(sf_dir: str):
+    import ray
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    building = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"].tolist())
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).to_pandas()
+    keep_orders = set(
+        orders.loc[orders["o_custkey"].isin(building), "o_orderkey"].tolist()
+    )
+    keys_ref = ray.put(keep_orders)
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    class Filter:
+        def __init__(self, ref):
+            self.keys = ray.get(ref) if hasattr(ref, "hex") else ref
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ok = batch.column("l_orderkey").to_numpy()
+            mask = pa.array(pd.Series(ok).isin(self.keys).to_numpy())
+            sub = batch.filter(mask)
+            ep = sub.column("l_extendedprice").to_numpy()
+            d = sub.column("l_discount").to_numpy()
+            rev = np.round(ep * (1 - d) * 10000).astype(np.int64)
+            return pa.table(
+                {"o_orderkey": sub.column("l_orderkey"), "rev_s": pa.array(rev)}
+            )
+
+    ds = ds.map_batches(Filter, fn_constructor_args=(keys_ref,),
+                        batch_format="pyarrow", concurrency=(1, 4))
+    from ray.data.aggregate import Sum
+
+    agg = ds.groupby("o_orderkey").aggregate(Sum("rev_s", alias_name="revenue_s"))
+    top = agg.sort(["revenue_s", "o_orderkey"], descending=[True, False]).limit(10)
+    return top
+
+
+_SQL_TOP_ORDERS = """
+SELECT o_orderkey,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_s
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY 1
+ORDER BY revenue_s DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# 7. Q5-style star join: revenue per nation for ASIA customers
+
+
+def q_nation_revenue(sf_dir: str):
+    import ray
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).to_pandas()
+
+    asia = set(region.loc[region["r_name"] == "ASIA", "r_regionkey"].tolist())
+    nation_asia = nation[nation["n_regionkey"].isin(asia)]
+    nat_name = dict(zip(nation_asia["n_nationkey"], nation_asia["n_name"]))
+    cust_nat = dict(
+        zip(cust["c_custkey"], cust["c_nationkey"])
+    )
+    order_nat = {
+        ok: cust_nat.get(ck, -1) for ok, ck in zip(orders["o_orderkey"], orders["o_custkey"])
+    }
+    order_nat = {ok: nk for ok, nk in order_nat.items() if nk in nat_name}
+    ref = ray.put((order_nat, nat_name))
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    class JoinRev:
+        def __init__(self, r):
+            self.order_nat, self.nat_name = ray.get(r) if hasattr(r, "hex") else r
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ok = batch.column("l_orderkey").to_numpy()
+            nk = pd.Series(ok).map(self.order_nat)
+            mask = nk.notna().to_numpy()
+            ep = batch.column("l_extendedprice").to_numpy()[mask]
+            d = batch.column("l_discount").to_numpy()[mask]
+            rev = np.round(ep * (1 - d) * 10000).astype(np.int64)
+            names = nk[mask].astype(np.int64).map(self.nat_name)
+            return pa.table(
+                {"n_name": pa.array(names.tolist(), pa.string()), "rev_s": pa.array(rev)}
+            )
+
+    ds = ds.map_batches(JoinRev, fn_constructor_args=(ref,),
+                        batch_format="pyarrow", concurrency=(1, 4))
+    from ray.data.aggregate import Sum
+
+    return ds.groupby("n_name").aggregate(Sum("rev_s", alias_name="revenue_s"))
+
+
+_SQL_NATION_REVENUE = """
+SELECT n_name,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_s
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# 8. Hash-join operator demo (Ray Dataset.join) — orders x customer
+
+
+def q_join_orders_customers(sf_dir: str):
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = orders.join(
+        cust,
+        join_type="inner",
+        num_partitions=8,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+    from ray.data.aggregate import Count
+
+    return joined.groupby("c_mktsegment").aggregate(Count(alias_name="n_orders"))
+
+
+_SQL_JOIN_ORDERS_CUSTOMERS = """
+SELECT c_mktsegment, COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# 9. Tumbling-window aggregate over the events stream table
+
+
+def q_events_window(sf_dir: str):
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def windowize(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()  # microseconds
+        win = ts // (3600 * 1_000_000)
+        v = np.round(batch.column("value").to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "window_h": pa.array(win),
+                "value_c": pa.array(v),
+            }
+        )
+
+    ds = ds.map_batches(windowize, batch_format="pyarrow")
+    from ray.data.aggregate import Count, Sum
+
+    return ds.groupby(["user_id", "window_h"]).aggregate(
+        Count(alias_name="n"), Sum("value_c", alias_name="sum_value_c")
+    )
+
+
+_SQL_EVENTS_WINDOW = """
+SELECT user_id,
+       CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) AS window_h,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# 10. Top-3 per user (sorted-group window function analogue)
+
+
+def q_top3_per_user(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def top3(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.round(g["value"].to_numpy() * 100).astype(np.int64)
+        g = g.assign(value_c=v)
+        g = g.sort_values(["value_c", "event_id"], ascending=[False, True]).head(3)
+        return g[["event_id", "user_id", "value_c"]]
+
+    return ds.groupby("user_id").map_groups(top3, batch_format="pandas")
+
+
+_SQL_TOP3_PER_USER = """
+WITH r AS (
+  SELECT event_id, user_id, CAST(ROUND(value * 100) AS BIGINT) AS value_c,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY CAST(ROUND(value * 100) AS BIGINT) DESC, event_id ASC) AS rn
+  FROM events
+)
+SELECT event_id, user_id, value_c FROM r WHERE rn <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# 11. Per-group min/max (geomstats.rs:25-43 semantics on tabular data)
+
+
+def q_order_minmax(sf_dir: str):
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_quantity"])
+    from ray.data.aggregate import Count, Max, Min
+
+    return ds.groupby("l_orderkey").aggregate(
+        Min("l_extendedprice", alias_name="min_price"),
+        Max("l_extendedprice", alias_name="max_price"),
+        Min("l_quantity", alias_name="min_qty"),
+        Max("l_quantity", alias_name="max_qty"),
+        Count(alias_name="n_lines"),
+    )
+
+
+_SQL_ORDER_MINMAX = """
+SELECT l_orderkey,
+       MIN(l_extendedprice) AS min_price,
+       MAX(l_extendedprice) AS max_price,
+       MIN(l_quantity) AS min_qty,
+       MAX(l_quantity) AS max_qty,
+       COUNT(*) AS n_lines
+FROM lineitem GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# 12. Exact dedup (hash-partition + per-group first; geometry.rs:105-122 role)
+
+
+def q_dedup_exact(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id_keep": [int(g["doc_id"].min())], "n_dups": [len(g)]}
+        )
+
+    return ds.groupby("text").map_groups(keep_first, batch_format="pandas")
+
+
+_SQL_DEDUP_EXACT = """
+SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id_keep, COUNT(*) AS n_dups
+FROM documents GROUP BY text
+"""
+
+
+# ---------------------------------------------------------------------------
+# 13/14. Text stats (token counting / quality scoring, SQL-exact integers)
+
+
+def q_text_stats_by_lang(sf_dir: str):
+    from ..stages.text import TextStats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    ds = ds.map_batches(TextStats, batch_format="pandas", concurrency=(1, 4))
+    from ray.data.aggregate import Count, Sum
+
+    return ds.groupby("lang").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_tokens", alias_name="sum_tokens"),
+        Sum("n_chars_calc", alias_name="sum_chars"),
+        Sum("n_alpha", alias_name="sum_alpha"),
+    )
+
+
+_SQL_TEXT_STATS = """
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(LEN(REGEXP_EXTRACT_ALL(text, '\\S+'))) AS BIGINT) AS sum_tokens,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars,
+       CAST(SUM(LENGTH(REGEXP_REPLACE(text, '[^A-Za-z]', '', 'g'))) AS BIGINT) AS sum_alpha
+FROM documents GROUP BY 1
+"""
+
+
+def q_source_stats(sf_dir: str):
+    from ..stages.text import TextStats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    ds = ds.map_batches(TextStats, batch_format="pandas", concurrency=(1, 4))
+    from ray.data.aggregate import Count, Sum
+
+    return ds.groupby("source").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_digits", alias_name="sum_digits"),
+        Sum("n_tokens", alias_name="sum_tokens"),
+    )
+
+
+_SQL_SOURCE_STATS = """
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(LENGTH(REGEXP_REPLACE(text, '[^0-9]', '', 'g'))) AS BIGINT) AS sum_digits,
+       CAST(SUM(LEN(REGEXP_EXTRACT_ALL(text, '\\S+'))) AS BIGINT) AS sum_tokens
+FROM documents GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# 15. JSON property extraction (jsonify/dots family, transform/jsonify.rs)
+
+
+def q_props_extract(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def extract(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        k = pc.extract_regex(batch.column("props"), r"(?P<k>[0-9]+)")
+        kv = pc.struct_field(k, "k").cast(pa.int64())
+        return pa.table({"event_type": batch.column("event_type"), "k": kv})
+
+    ds = ds.map_batches(extract, batch_format="pyarrow")
+    from ray.data.aggregate import Count, Sum
+
+    return ds.groupby("event_type").aggregate(
+        Count(alias_name="n"), Sum("k", alias_name="sum_k")
+    )
+
+
+_SQL_PROPS_EXTRACT = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(REGEXP_EXTRACT(props, '([0-9]+)') AS BIGINT)) AS BIGINT) AS sum_k
+FROM events GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# 16/17. Embedding kNN + near-dup pairs (integer-quantized => SQL-exact)
+
+
+def q_embed_knn(sf_dir: str):
+    import ray
+
+    from ..stages.knn import EmbedKNN
+
+    head = (
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .sort("vec_id")
+        .limit(8)
+        .to_pandas()
+    )
+    ref = ray.put(
+        {"qid": head["vec_id"].to_numpy(), "vecs": np.stack(head["embedding"].to_numpy())}
+    )
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ds.map_batches(
+        EmbedKNN, fn_constructor_args=(ref,), batch_format="pyarrow",
+        batch_size=1024, concurrency=(1, 4),
+    )
+
+
+_SQL_EMBED_KNN = """
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings ORDER BY vec_id LIMIT 8
+), qq AS (
+  SELECT qid, i, CAST(ROUND(qe[i] * 100) AS BIGINT) AS qv
+  FROM q, (SELECT UNNEST(RANGE(1, 65)) AS i)
+), ee AS (
+  SELECT vec_id, i, CAST(ROUND(embedding[i] * 100) AS BIGINT) AS ev
+  FROM embeddings, (SELECT UNNEST(RANGE(1, 65)) AS i)
+), d AS (
+  SELECT ee.vec_id, qq.qid,
+         SUM((ee.ev - qq.qv) * (ee.ev - qq.qv)) AS dist2
+  FROM ee JOIN qq ON ee.i = qq.i
+  GROUP BY 1, 2
+), r AS (
+  SELECT vec_id, qid, dist2,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, qid) AS rn
+  FROM d
+)
+SELECT vec_id, qid AS nearest_qid, CAST(dist2 AS BIGINT) AS dist2_q
+FROM r WHERE rn = 1
+"""
+
+# quantized (x100) squared-distance radius: ~0.1% densest pairs of the
+# synthetic embedding clusters qualify as near-dups
+EMBED_NEAR_DUP_DIST2 = 12_600
+
+
+def q_embed_near_dup(sf_dir: str):
+    from ..stages.knn import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(sf_dir, EMBED_NEAR_DUP_DIST2)
+
+
+_SQL_EMBED_NEAR_DUP = f"""
+WITH ee AS (
+  SELECT vec_id, i, CAST(ROUND(embedding[i] * 100) AS BIGINT) AS ev
+  FROM embeddings, (SELECT UNNEST(RANGE(1, 65)) AS i)
+), d AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         SUM((a.ev - b.ev) * (a.ev - b.ev)) AS dist2
+  FROM ee a JOIN ee b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+)
+SELECT vec_a, vec_b, CAST(dist2 AS BIGINT) AS dist2_q
+FROM d WHERE dist2 < {EMBED_NEAR_DUP_DIST2}
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+
+QUERIES = {
+    "tile_wm_z12": q_tile_wm_z12,
+    "tile_3dt_z7": q_tile_3dt_z7,
+    "pip_mesh": q_pip_mesh,
+    "knn_points": q_knn_points,
+    "knn_points_cellring": q_knn_points_cellring,
+    "pricing_summary": q_pricing_summary,
+    "top_orders": q_top_orders,
+    "nation_revenue": q_nation_revenue,
+    "join_orders_customers": q_join_orders_customers,
+    "events_window": q_events_window,
+    "top3_per_user": q_top3_per_user,
+    "order_minmax": q_order_minmax,
+    "dedup_exact": q_dedup_exact,
+    "text_stats_by_lang": q_text_stats_by_lang,
+    "source_stats": q_source_stats,
+    "props_extract": q_props_extract,
+    "embed_knn": q_embed_knn,
+    "embed_near_dup": q_embed_near_dup,
+}
+
+ORACLES = {
+    "tile_wm_z12": _sql_tile_wm_z12(),
+    "tile_3dt_z7": _sql_tile_3dt_z7(),
+    "pip_mesh": _sql_pip_mesh(),
+    "knn_points": _sql_knn_points(),
+    "knn_points_cellring": _sql_knn_points(),
+    "pricing_summary": _SQL_PRICING,
+    "top_orders": _SQL_TOP_ORDERS,
+    "nation_revenue": _SQL_NATION_REVENUE,
+    "join_orders_customers": _SQL_JOIN_ORDERS_CUSTOMERS,
+    "events_window": _SQL_EVENTS_WINDOW,
+    "top3_per_user": _SQL_TOP3_PER_USER,
+    "order_minmax": _SQL_ORDER_MINMAX,
+    "dedup_exact": _SQL_DEDUP_EXACT,
+    "text_stats_by_lang": _SQL_TEXT_STATS,
+    "source_stats": _SQL_SOURCE_STATS,
+    "props_extract": _SQL_PROPS_EXTRACT,
+    "embed_knn": _SQL_EMBED_KNN,
+    "embed_near_dup": _SQL_EMBED_NEAR_DUP,
+}

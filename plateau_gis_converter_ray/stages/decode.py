@@ -1,0 +1,94 @@
+"""Image decode / feature-extract actor-pool stage.
+
+The multimodal analogue of the reference's per-file CityGML parse
+(source/citygml.rs:83-177): bytes in, typed features out. Run as
+``map_batches(ImageDecodeStats, concurrency=N, batch_format="pyarrow")`` —
+an actor pool because decode tables/codec state are built once per actor
+(`__init__`), work per batch in ``__call__`` (SURVEY.md §2.8).
+
+Real image libraries are absent in this container; the deterministic codec in
+``kernels.imagecodec`` stands in (clearly marked). The Ray-side plumbing —
+schema, batch sizing for MB-scale binary payloads, actor signature, output
+layout — is real and tested, per the build brief.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..kernels.imagecodec import decode_image, phash64_batch, psnr, synth_pixels
+
+
+class ImageDecodeStats:
+    """Decode each image and emit per-row features.
+
+    Output columns: image_id, w, h, fmt, caption (pass-through), phash
+    (stored), phash_decoded (recomputed from pixels), mean_r/g/b, psnr_db
+    (decoded vs deterministic re-synthesis: the BASELINE.json per-row
+    invariant — inf for lossless fmts, >=40 dB for the lossy stub).
+    """
+
+    def __init__(self, verify_psnr: bool = True):
+        self.verify_psnr = verify_psnr
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("image_id").to_pylist()
+        blobs = batch.column("bytes").to_pylist()
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        fmts = batch.column("fmt").to_pylist()
+
+        n = len(ids)
+        means = np.empty((n, 3), dtype=np.float64)
+        small = np.empty((n, 8, 8), dtype=np.float64)
+        psnrs = np.empty(n, dtype=np.float64)
+        for i in range(n):
+            px = decode_image(blobs[i], fmts[i], int(ws[i]), int(hs[i]))
+            means[i] = px.reshape(-1, 3).mean(axis=0)
+            g = px.astype(np.float64).mean(axis=2)
+            h, w = g.shape
+            small[i] = g.reshape(8, h // 8, 8, w // 8).mean(axis=(1, 3))
+            if self.verify_psnr:
+                idx = int(ids[i][4:])
+                psnrs[i] = psnr(synth_pixels(idx, int(ws[i]), int(hs[i])), px)
+            else:
+                psnrs[i] = np.inf
+
+        out = batch.drop_columns(["bytes"])
+        out = out.append_column("phash_decoded", pa.array(phash64_batch(small)))
+        out = out.append_column("mean_r", pa.array(means[:, 0]))
+        out = out.append_column("mean_g", pa.array(means[:, 1]))
+        out = out.append_column("mean_b", pa.array(means[:, 2]))
+        out = out.append_column("psnr_db", pa.array(psnrs))
+        return out
+
+
+class ImageResize:
+    """Resize-to-thumbnail stage (block-mean downsample to t x t).
+
+    Output keeps metadata and adds a ``thumb`` fixed-size-list<float> column
+    (t*t grayscale), the shape a real resize/feature-extract stage would have.
+    """
+
+    def __init__(self, t: int = 8):
+        self.t = t
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch.column("bytes").to_pylist()
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        fmts = batch.column("fmt").to_pylist()
+        t = self.t
+        out = np.empty((len(blobs), t * t), dtype=np.float32)
+        for i, blob in enumerate(blobs):
+            px = decode_image(blob, fmts[i], int(ws[i]), int(hs[i]))
+            g = px.astype(np.float64).mean(axis=2)
+            h, w = g.shape
+            # crop to a multiple of t then block-mean
+            h2, w2 = (h // t) * t, (w // t) * t
+            out[i] = (
+                g[:h2, :w2].reshape(t, h2 // t, t, w2 // t).mean(axis=(1, 3)).reshape(-1)
+            )
+        thumb = pa.FixedSizeListArray.from_arrays(pa.array(out.reshape(-1)), t * t)
+        return batch.drop_columns(["bytes"]).append_column("thumb", thumb)

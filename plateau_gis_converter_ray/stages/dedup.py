@@ -1,0 +1,203 @@
+"""Deduplication pipelines: exact, MinHash-LSH, SimHash, n-gram Jaccard,
+embedding near-dup.
+
+Patterns (ray_guide + SURVEY.md §2.6):
+- exact: content-hash column in map_batches -> groupby(hash) ->
+  map_groups(keep first) — the hash-partition + per-group-first design that
+  replaces the reference's global IndexSet vertex dedup (geometry.rs:86).
+- MinHash-LSH: signature per doc -> explode to (band, band_hash, doc) rows ->
+  groupby bucket -> candidate pairs -> exact-Jaccard verify. The groupby is
+  the only shuffle and moves one row per (doc, band).
+- SimHash: bucket by the top bits (hamming-ball prefilter) -> verify within
+  buckets by Hamming distance.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def exact_dedup_docs(sf_dir: str):
+    """Exact dedup of documents by text: keep min(doc_id) per distinct text.
+
+    Ref semantics: vertex dedup by bit pattern (geometry.rs:105-122) —
+    identical payload collapses to one canonical row.
+    """
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def hash_stage(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # stable 64-bit content hash; text retained only until the groupby
+        texts = batch.column("text").to_pylist()
+        from ..kernels.text import hash_token
+
+        h = np.array([hash_token(t) for t in texts], dtype=np.uint64).astype(np.int64)
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "text_hash": pa.array(h)}
+        )
+
+    ds = ds.map_batches(hash_stage, batch_format="pyarrow")
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id_keep": [g["doc_id"].min()],
+                "n_dups": [len(g)],
+            }
+        )
+
+    return ds.groupby("text_hash").map_groups(keep_first, batch_format="pandas")
+
+
+def minhash_lsh_candidates(sf_dir: str, jaccard_threshold: float = 0.5):
+    """MinHash+LSH near-dup candidate pairs, verified by exact Jaccard.
+
+    shingle -> minhash -> band -> bucket-groupby -> pairs -> verify.
+    Returns (doc_a, doc_b, jaccard) for verified pairs, doc_a < doc_b.
+    """
+    import ray.data
+
+    from .text import Signatures
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    sigs = ds.map_batches(
+        Signatures, batch_format="pyarrow", batch_size=1024, concurrency=(1, 4)
+    )
+
+    def explode_bands(batch: pa.Table) -> pa.Table:
+        doc = batch.column("doc_id").to_numpy()
+        bands = batch.column("band_keys").to_numpy(zero_copy_only=False)
+        n_bands = len(bands[0]) if len(bands) else 0
+        doc_rep = np.repeat(doc, n_bands)
+        keys = np.concatenate(bands) if len(bands) else np.array([], np.int64)
+        return pa.table({"doc_id": pa.array(doc_rep), "bucket": pa.array(keys)})
+
+    exploded = sigs.map_batches(explode_bands, batch_format="pyarrow")
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].to_numpy())
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": []})
+        a, b = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
+
+    cand = exploded.groupby("bucket").map_groups(pairs_in_bucket, batch_format="pandas")
+
+    # dedup candidate pairs, then verify with exact n-gram Jaccard.
+    # The doc texts are re-read per verify task (projection pushdown by id
+    # would use the storage index at scale); here the doc set is small enough
+    # to broadcast.
+    import ray
+
+    docs_tbl = pa.Table.from_pandas(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ).to_pandas()
+    )
+    texts_ref = ray.put(dict(zip(docs_tbl["doc_id"].to_pylist(), docs_tbl["text"].to_pylist())))
+
+    class VerifyJaccard:
+        def __init__(self, ref, threshold):
+            self.texts = ray.get(ref) if hasattr(ref, "hex") else ref
+            self.threshold = threshold
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            from ..kernels.text import char_ngram_hashes, jaccard
+
+            batch = batch.drop_duplicates(subset=["doc_a", "doc_b"])
+            keep_a, keep_b, jac = [], [], []
+            for a, b in zip(batch["doc_a"], batch["doc_b"]):
+                j = jaccard(
+                    char_ngram_hashes(self.texts[int(a)]),
+                    char_ngram_hashes(self.texts[int(b)]),
+                )
+                if j >= self.threshold:
+                    keep_a.append(int(a))
+                    keep_b.append(int(b))
+                    jac.append(j)
+            return pd.DataFrame({"doc_a": keep_a, "doc_b": keep_b, "jaccard": jac})
+
+    verified = cand.map_batches(
+        VerifyJaccard,
+        fn_constructor_args=(texts_ref, jaccard_threshold),
+        batch_format="pandas",
+        concurrency=(1, 4),
+    )
+    # global pair dedup (a pair can surface from several bands/buckets)
+    def final_dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return verified.groupby(["doc_a", "doc_b"]).map_groups(
+        final_dedup, batch_format="pandas"
+    )
+
+
+def simhash_near_dup(sf_dir: str, max_hamming: int = 8, prefix_bits: int = 12):
+    """SimHash near-dup pairs: bucket by top ``prefix_bits`` then verify.
+
+    A 64-bit SimHash within Hamming distance d collides on the top-k prefix
+    with good probability for word-salad docs; at scale one re-buckets on
+    several rotations — documented single-rotation variant here.
+    """
+    import ray.data
+
+    from .text import Signatures
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    sigs = ds.map_batches(
+        Signatures, batch_format="pyarrow", batch_size=1024, concurrency=(1, 4)
+    ).select_columns(["doc_id", "simhash"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        sh = batch.column("simhash").to_numpy().astype(np.uint64)
+        pref = (sh >> np.uint64(64 - prefix_bits)).astype(np.int64)
+        return batch.append_column("bucket", pa.array(pref))
+
+    bucketed = sigs.map_batches(bucket, batch_format="pyarrow")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        from ..kernels.text import hamming64
+
+        g = g.sort_values("doc_id")
+        ids = g["doc_id"].to_numpy()
+        sh = g["simhash"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
+        a, b = np.triu_indices(len(ids), k=1)
+        d = hamming64(sh[a], sh[b])
+        keep = d <= max_hamming
+        return pd.DataFrame(
+            {"doc_a": ids[a][keep], "doc_b": ids[b][keep], "hamming": d[keep]}
+        )
+
+    return bucketed.groupby("bucket").map_groups(pairs, batch_format="pandas")
+
+
+def phash_exact_dedup(image_files: list[str]):
+    """Exact image dedup on the stored phash: groups of identical phash."""
+    import ray.data
+
+    ds = ray.data.read_parquet(image_files, columns=["image_id", "phash"])
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("image_id")
+        return pd.DataFrame(
+            {
+                "phash": [g["phash"].iloc[0]],
+                "image_id_keep": [g["image_id"].iloc[0]],
+                "n_dups": [len(g)],
+            }
+        )
+
+    return ds.groupby("phash").map_groups(keep_first, batch_format="pandas")

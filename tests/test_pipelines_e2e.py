@@ -1,0 +1,142 @@
+"""End-to-end pipeline tests (Ray session, sf0.001) — the sink.rs:77-139
+analogue: run every major pipeline to completion and check invariants."""
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def entrymod(ray_session):
+    import importlib
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __ray_entry__
+
+    return importlib.reload(__ray_entry__)
+
+
+def _pd(result):
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(result, ray.data.Dataset):
+        return result.to_pandas()
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result
+
+
+def test_entry_smoke(entrymod):
+    ds = entrymod.entry()
+    df = _pd(ds)
+    assert len(df) > 0
+    assert {"tile_id", "muni_id", "n_assignments"} <= set(df.columns)
+
+
+def test_oracle_keys_subset(entrymod):
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 20
+
+
+def test_query_vs_duckdb_sample(entrymod):
+    """Driver-style compare for a fast representative subset."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    for name in ["tile_3dt_z7", "pip_mesh", "pricing_summary", "dedup_exact", "embed_knn"]:
+        ray_df = _pd(qs[name](SF))
+        sql_df = con.sql(oracles[name]).df()
+        assert len(ray_df) == len(sql_df), name
+        a = ray_df[sorted(ray_df.columns)].sort_values(
+            sorted(ray_df.columns)).reset_index(drop=True)
+        b = sql_df[sorted(sql_df.columns)].sort_values(
+            sorted(sql_df.columns)).reset_index(drop=True)
+        for c in a.columns:
+            assert (a[c].to_numpy() == b[c].to_numpy()).all(), (name, c)
+
+
+def test_knn_cellring_equals_brute(entrymod):
+    qs = entrymod.queries()
+    brute = _pd(qs["knn_points"](SF)).sort_values("event_id").reset_index(drop=True)
+    ring = _pd(qs["knn_points_cellring"](SF)).sort_values("event_id").reset_index(drop=True)
+    assert (brute["nearest_qid"].to_numpy() == ring["nearest_qid"].to_numpy()).all()
+
+
+def test_pip_index_equals_bruteforce(ray_session):
+    """PolygonIndex.assign == direct points_in_polygon scan."""
+    from plateau_gis_converter_ray.kernels.pip import PolygonIndex, points_in_polygon
+    from plateau_gis_converter_ray.sources.municipalities import municipality_polygons
+    from plateau_gis_converter_ray.stages.geocode import geocode_hash
+
+    polys = municipality_polygons()
+    idx = PolygonIndex(polys)
+    lng, lat = geocode_hash(np.arange(2000))
+    got = idx.assign(lng, lat)
+    want = np.full(len(lng), -1, dtype=np.int64)
+    for i, p in enumerate(polys):
+        inside = points_in_polygon(lng, lat, p["rings"]) & (want == -1)
+        want[inside] = i
+    np.testing.assert_array_equal(got, want)
+
+
+def test_image_table_deterministic(ray_session, tmp_path):
+    """Row N is identical regardless of table scale (pure function of index)."""
+    from plateau_gis_converter_ray.sources.images import make_rows
+
+    a = make_rows(np.array([5, 17, 123]))
+    b = make_rows(np.arange(200))
+    for i, idx in enumerate([5, 17, 123]):
+        row_a = {c: a.column(c)[i].as_py() for c in a.column_names}
+        row_b = {c: b.column(c)[idx].as_py() for c in b.column_names}
+        assert row_a == row_b
+
+
+def test_decode_invariants(ray_session):
+    """BASELINE invariant: caption equality + PSNR>=40 + phash on lossless."""
+    import pyarrow as pa
+
+    from plateau_gis_converter_ray.sources.images import caption_for, make_rows
+    from plateau_gis_converter_ray.stages.decode import ImageDecodeStats
+
+    batch = make_rows(np.arange(64))
+    out = ImageDecodeStats()(batch)
+    psnr = out.column("psnr_db").to_numpy()
+    assert (psnr >= 40.0).all()
+    fmts = out.column("fmt").to_pylist()
+    match = out.column("phash").to_numpy() == out.column("phash_decoded").to_numpy()
+    for i, f in enumerate(fmts):
+        if f in ("raw", "ppm", "rle"):
+            assert match[i]
+    caps = out.column("caption").to_pylist()
+    assert caps == [caption_for(i) for i in range(64)]
+
+
+def test_flagship_resume(ray_session, tmp_path):
+    """Killed-run resume: second invocation skips committed chunks."""
+    import json
+
+    from plateau_gis_converter_ray.pipelines.flagship import run_flagship
+
+    out = str(tmp_path / "flag")
+    r1 = run_flagship(sf=0.001, out_dir=out, n_chunks=2)
+    manifest = os.path.join(out, "manifest.jsonl")
+    with open(manifest) as f:
+        lines1 = [json.loads(x) for x in f if x.strip()]
+    assert len(lines1) >= 1
+    r2 = run_flagship(sf=0.001, out_dir=out, n_chunks=2)
+    assert r2["assignments"] == 0  # nothing recomputed
+    with open(manifest) as f:
+        lines2 = [json.loads(x) for x in f if x.strip()]
+    assert lines1 == lines2
