@@ -43,23 +43,37 @@ def splitmix64(x):
         return z ^ (z >> np.uint64(31))
 
 
+_GRIDS: dict = {}  # (w, h) -> (xx/w, yy/h, b_channel) cache; few size combos
+
+
+def _grids(w: int, h: int):
+    key = (w, h)
+    g = _GRIDS.get(key)
+    if g is None:
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+        b = (xx + yy) * (255.0 / (w + h - 2 if w + h > 2 else 1))
+        g = _GRIDS[key] = (xx / w, yy / h, b.astype(np.uint8))
+    return g
+
+
 def synth_pixels(idx: int, w: int, h: int) -> np.ndarray:
     """Deterministic (h, w, 3) uint8 image for row index ``idx``."""
     s = splitmix64(np.uint64(idx))
     f1 = 1.0 + float(s & np.uint64(7))
     f2 = 1.0 + float((s >> np.uint64(3)) & np.uint64(7))
     ph = float((s >> np.uint64(6)) & np.uint64(255)) / 40.0
-    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    xxw, yyh, b8 = _grids(w, h)
     base = (
         127.5
-        + 60.0 * np.sin(2 * np.pi * f1 * xx / w + ph)
-        + 60.0 * np.cos(2 * np.pi * f2 * yy / h - ph)
+        + 60.0 * np.sin((2 * np.pi * f1) * xxw + ph)
+        + 60.0 * np.cos((2 * np.pi * f2) * yyh - ph)
     )
-    r = base
-    g = np.flipud(base)
-    b = (xx + yy) * (255.0 / (w + h - 2 if w + h > 2 else 1))
-    img = np.stack([r, g, b], axis=-1)
-    return np.clip(img, 0, 255).astype(np.uint8)
+    img = np.empty((h, w, 3), dtype=np.uint8)
+    np.clip(base, 0, 255, out=base)
+    img[:, :, 0] = base
+    img[:, :, 1] = base[::-1]
+    img[:, :, 2] = b8
+    return img
 
 
 def _rle_encode(flat: np.ndarray) -> bytes:

@@ -115,19 +115,43 @@ def _partial_tile_agg(batch: pa.Table) -> pa.Table:
     )
 
 
+def _merge_partials(batch) -> "object":
+    """Associative merge of partial tile aggregates (pandas)."""
+    return batch.groupby(["tile_id", "muni_id"], as_index=False).agg(
+        n_assignments=("n_assignments", "sum"),
+        zoom=("zoom", "min"),
+        tile_x=("tile_x", "min"),
+        tile_y=("tile_y", "min"),
+        lng_min=("lng_min", "min"),
+        lng_max=("lng_max", "max"),
+        lat_min=("lat_min", "min"),
+        lat_max=("lat_max", "max"),
+    )
+
+
 def tile_aggregate_ds(files: list[str], decode_concurrency=(1, 8)):
-    """Build the lazy Dataset of per-(tile, muni) aggregates for input files."""
+    """Build the lazy Dataset of per-(tile, muni) aggregates for input files.
+
+    The shuffle at the end is a *tree merge* over the (small) partial
+    aggregates rather than ``groupby().aggregate``: the per-batch combiner
+    already collapsed each batch to one row per (tile, muni), so the exchange
+    volume is O(unique_tiles x blocks). Two merge levels (fan-in ~blocks/8,
+    then 1) keep the reduce associative and log-depth — at 100 TB the same
+    tree gains a level instead of a single-task tail.
+    """
     import ray
     import ray.data
-    from ray.data.aggregate import Max, Min, Sum
 
+    max_pool = decode_concurrency[1] if isinstance(decode_concurrency, tuple) else decode_concurrency
     polys_ref = ray.put(municipality_polygons())
 
-    ds = ray.data.read_parquet(files)
+    ds = ray.data.read_parquet(
+        files, override_num_blocks=max(4 * max_pool, len(files))
+    )
     ds = ds.map_batches(
         ImageDecodeStats,
         batch_format="pyarrow",
-        batch_size=1024,
+        batch_size=2048,
         concurrency=decode_concurrency,
         num_cpus=1,
     )
@@ -136,23 +160,31 @@ def tile_aggregate_ds(files: list[str], decode_concurrency=(1, 8)):
         PIPAssign,
         fn_constructor_args=(polys_ref,),
         batch_format="pyarrow",
-        batch_size=4096,
-        concurrency=decode_concurrency,
+        batch_size=8192,
+        concurrency=(1, max(2, max_pool // 2)),
         num_cpus=1,
     )
-    ds = ds.map_batches(_fanout_stage, batch_format="pyarrow", batch_size=8192)
+    ds = ds.map_batches(_fanout_stage, batch_format="pyarrow", batch_size=16384)
     ds = ds.map_batches(_partial_tile_agg, batch_format="pyarrow", batch_size=65536)
-    agg = ds.groupby(["tile_id", "muni_id"]).aggregate(
-        Sum("cnt", alias_name="n_assignments"),
-        Min("zoom", alias_name="zoom"),
-        Min("tile_x", alias_name="tile_x"),
-        Min("tile_y", alias_name="tile_y"),
-        Min("lng_min", alias_name="lng_min"),
-        Max("lng_max", alias_name="lng_max"),
-        Min("lat_min", alias_name="lat_min"),
-        Max("lat_max", alias_name="lat_max"),
+
+    # rename partial columns to the final names, then tree-merge
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            [
+                "tile_id", "zoom", "tile_x", "tile_y", "muni_id",
+                "n_assignments", "lng_min", "lng_max", "lat_min", "lat_max",
+            ]
+        )
+
+    ds = ds.map_batches(rename, batch_format="pyarrow")
+    ds = ds.map_batches(_merge_partials, batch_format="pandas", batch_size=None)
+    ds = ds.repartition(8).map_batches(
+        _merge_partials, batch_format="pandas", batch_size=None
     )
-    return agg
+    ds = ds.repartition(1).map_batches(
+        _merge_partials, batch_format="pandas", batch_size=None
+    )
+    return ds
 
 
 def run_flagship(
@@ -219,16 +251,7 @@ def flagship_result_ds(out_dir: str):
         for f in sorted(os.listdir(os.path.join(out_dir, d)))
         if f.endswith(".parquet")
     ]
-    from ray.data.aggregate import Max, Min, Sum
-
     ds = ray.data.read_parquet(parts)
-    return ds.groupby(["tile_id", "muni_id"]).aggregate(
-        Sum("n_assignments", alias_name="n_assignments"),
-        Min("zoom", alias_name="zoom"),
-        Min("tile_x", alias_name="tile_x"),
-        Min("tile_y", alias_name="tile_y"),
-        Min("lng_min", alias_name="lng_min"),
-        Max("lng_max", alias_name="lng_max"),
-        Min("lat_min", alias_name="lat_min"),
-        Max("lat_max", alias_name="lat_max"),
+    return ds.repartition(1).map_batches(
+        _merge_partials, batch_format="pandas", batch_size=None
     )

@@ -1,0 +1,111 @@
+"""Grouped / partitioned writers — the sink patterns of SURVEY.md §2.7.
+
+- :func:`write_per_group` — one file per group key (the geojson/shapefile/
+  kml "file per typename" pattern, geojson/mod.rs:106-152), realized as
+  ``groupby(key).map_groups(write)`` so each group writes in parallel, plus
+  a manifest line per group for resume.
+- :func:`write_tiles` — one payload file per (z, x, y) under ``z/x/y.*``
+  (the 3dtiles/mvt layout, cesiumtiles/mod.rs:262-340), fed by the salted
+  tile shuffle; encodes with the MVT command-stream encoder.
+- :class:`SingleWriterActor` — serialization point for one-file formats
+  (gpkg's single sqlite transaction, czml/kml single documents;
+  gpkg/mod.rs:210-251): batches stream through ONE actor that appends in
+  arrival order.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+
+from ..state.manifest import PartitionManifest, atomic_write_dir
+
+
+def write_per_group(ds, key: str, out_dir: str, fmt: str = "jsonl"):
+    """Write one file per distinct ``key`` value; returns the manifest.
+
+    Each group writes atomically (temp dir + rename) and commits a manifest
+    line, so reruns skip completed groups upstream of the shuffle.
+    """
+    manifest = PartitionManifest(out_dir)
+    done = manifest.completed_keys()
+
+    def write_group(g: pd.DataFrame) -> pd.DataFrame:
+        k = str(g[key].iloc[0])
+        if k in done:
+            return pd.DataFrame({"key": [k], "rows": [0], "skipped": [True]})
+        part_dir = manifest.partition_dir(k)
+
+        def do_write(tmp):
+            path = os.path.join(tmp, f"data.{fmt}")
+            if fmt == "jsonl":
+                g.to_json(path, orient="records", lines=True)
+            elif fmt == "parquet":
+                g.to_parquet(path, index=False)
+            elif fmt == "csv":
+                g.to_csv(path, index=False)
+            else:
+                raise ValueError(f"unknown fmt {fmt}")
+
+        atomic_write_dir(part_dir, do_write)
+        manifest.commit_partition(k, len(g), checksum=int(abs(hash((k, len(g))))))
+        return pd.DataFrame({"key": [k], "rows": [len(g)], "skipped": [False]})
+
+    return ds.groupby(key).map_groups(write_group, batch_format="pandas")
+
+
+def write_tiles(ds, out_dir: str, extent: int = 1 << 12):
+    """Write one MVT-encoded payload per tile: groupby(tile key) ->
+    map_groups(encode + write z/x/y file). Expects columns zoom, tile_x,
+    tile_y and per-row ring payloads as list columns ``ring_xy`` (flat
+    [x0,y0,x1,y1,...] tile-local coords in [0,1])."""
+    from .mvt import encode_tile_dict
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_tile(g: pd.DataFrame) -> pd.DataFrame:
+        z = int(g["zoom"].iloc[0])
+        x = int(g["tile_x"].iloc[0])
+        y = int(g["tile_y"].iloc[0])
+        rings = []
+        for flat in g["ring_xy"]:
+            arr = np.asarray(flat, dtype=np.float64).reshape(-1, 2)
+            rings.append((True, arr))
+        tile = encode_tile_dict(rings, extent)
+        path_dir = os.path.join(out_dir, str(z), str(x))
+        os.makedirs(path_dir, exist_ok=True)
+        tmp = os.path.join(path_dir, f".tmp_{y}.json")
+        with open(tmp, "w") as f:
+            json.dump(tile, f, separators=(",", ":"))
+        os.replace(tmp, os.path.join(path_dir, f"{y}.json"))
+        return pd.DataFrame(
+            {"zoom": [z], "tile_x": [x], "tile_y": [y], "n_features": [len(g)]}
+        )
+
+    return ds.groupby(["zoom", "tile_x", "tile_y"]).map_groups(
+        write_tile, batch_format="pandas"
+    )
+
+
+class SingleWriterActor:
+    """One-file-format writer: exactly one actor appends all batches.
+
+    Use as ``ds.map_batches(SingleWriterActor, fn_constructor_args=(path,),
+    concurrency=1)`` — concurrency=1 IS the serialization contract.
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        self.fh = open(path, "a")
+        self.rows = 0
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        for rec in batch.to_dict(orient="records"):
+            self.fh.write(json.dumps(rec, separators=(",", ":"), default=str) + "\n")
+        self.fh.flush()
+        self.rows += len(batch)
+        return pd.DataFrame({"written": [len(batch)]})

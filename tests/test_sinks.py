@@ -1,0 +1,175 @@
+"""Sink-layer tests: fixtures from nusamai-mvt geometry.rs:82-90 and
+tag.rs:152-228; quadtree assembly semantics from tiling/tree.rs."""
+
+import math
+
+import numpy as np
+
+from plateau_gis_converter_ray.sinks.mvt import (
+    GeometryEncoder,
+    TagsEncoder,
+    encode_tile_dict,
+    zigzag,
+)
+from plateau_gis_converter_ray.sinks.tileset import (
+    TileContent,
+    TileTree,
+    tileset_from_aggregate,
+)
+
+
+def test_zigzag_fixture():
+    # geometry.rs:82-90
+    cases = [(0, 0), (-1, 1), (1, 2), (-2, 3), (2, 4), (4096, 8192), (-4096, 8191)]
+    for v, expected in cases:
+        assert int(zigzag(v)) == expected, v
+
+
+def test_geometry_encoder():
+    enc = GeometryEncoder()
+    enc.add_ring(np.array([[2, 2], [6, 2], [6, 6], [2, 6]]))
+    buf = enc.into_list()
+    # MoveTo(1 pt): cmd 9, zz(2), zz(2); LineTo(3): cmd (3<<3)|2=26; Close: 15
+    assert buf[0] == 9
+    assert buf[1] == int(zigzag(2)) and buf[2] == int(zigzag(2))
+    assert buf[3] == (3 << 3) | 2
+    assert buf[-1] == 15
+    # duplicate-point drop (geometry.rs:53)
+    enc2 = GeometryEncoder()
+    enc2.add_ring(np.array([[0, 0], [4, 0], [4, 0], [4, 4], [0, 4]]))
+    assert enc2.into_list()[3] == (3 << 3) | 2  # dup collapsed -> 3 linetos
+
+
+def test_tags_encoder_fixture():
+    # tag.rs:152-228
+    e = TagsEncoder()
+    V = TagsEncoder.value_of
+    assert e.add("k0", V("v0")) == (0, 0)
+    assert e.add("k0", V("v0")) == (0, 0)
+    assert e.add("k1", V("v0")) == (1, 0)
+    assert e.add("k1", V("v1")) == (1, 1)
+    assert e.add("k0", V("v0")) == (0, 0)
+    assert e.add("k0", V("v2")) == (0, 2)
+    assert e.add("k1", V("v2")) == (1, 2)
+    assert e.add("k2", V("v0")) == (2, 0)
+    assert e.add("k1", V("v1")) == (1, 1)
+    assert e.add("k1", V(10)) == (1, 3)          # i32 10 -> Uint
+    assert e.add("k2", V(10.5)) == (2, 4)        # f64 -> Double
+    assert e.add("k3", V(10)) == (3, 3)          # u32 10 -> same Uint
+    assert e.add("k3", V(-10)) == (3, 5)         # -> SInt
+    assert e.add("k3", V(True)) == (3, 6)
+    assert e.add("k3", V(1)) == (3, 7)
+    assert e.add("k2", V(np.float32(10.5))) == (2, 8)  # f32 distinct from f64
+    assert e.add("k4", V(10.5)) == (4, 4)
+    assert e.add("k3", V(-10)) == (3, 5)
+    assert e.add("k3", V(10)) == (3, 3)
+    keys, values = e.into_keys_and_values()
+    assert keys == ["k0", "k1", "k2", "k3", "k4"]
+    assert values[:4] == [
+        ("string", "v0"), ("string", "v1"), ("string", "v2"), ("uint", 10),
+    ]
+    assert values[4] == ("double", 10.5)
+    assert values[5] == ("sint", -10)
+    assert values[6] == ("bool", True)
+    assert values[7] == ("uint", 1)
+    assert values[8] == ("float", 10.5)
+
+
+def test_encode_tile_dict():
+    rings = [(True, np.array([[0.1, 0.1], [0.9, 0.1], [0.9, 0.9], [0.1, 0.9]]))]
+    tile = encode_tile_dict(rings, 1 << 12, attrs=[{"name": "a", "height": 3}])
+    assert tile["extent"] == 4096
+    assert tile["geometry"][0] == 9
+    assert tile["keys"] == ["name", "height"]
+    assert tile["feature_tags"] == [[0, 0, 1, 1]]
+
+
+def test_tile_tree_assembly():
+    tree = TileTree()
+    tree.add_content(TileContent((3, 2, 1), "3/2/1.bin", 10, 20, 30, 40, 0, 5))
+    tree.add_content(TileContent((3, 4, 1), "3/4/1.bin", 21, 25, 30, 42, 0, 9))
+    ts = tree.into_tileset()
+    root = ts["root"]
+    # bbox bubbles to the root (tree.rs:71-97)
+    assert root["boundingVolume"]["region"][0] == math.radians(10)
+    assert root["boundingVolume"]["region"][2] == math.radians(25)
+    assert root["boundingVolume"]["region"][5] == 9
+    # z=3 contents hang under z0->z1->z2->z3 chain
+    def depth_of(node, d=0):
+        kids = node.get("children", [])
+        return d if not kids else max(depth_of(k, d + 1) for k in kids)
+    assert depth_of(root) == 3
+    assert root["geometricError"] == 1e100  # z=0 (scheme.rs:89-90)
+
+
+def test_tileset_from_aggregate(tmp_path):
+    rows = [
+        {"zoom": 2, "tile_x": 3, "tile_y": 1, "lng_min": 135.0, "lng_max": 140.0,
+         "lat_min": 33.0, "lat_max": 36.0},
+        {"zoom": 3, "tile_x": 6, "tile_y": 2, "lng_min": 90.0, "lng_max": 100.0,
+         "lat_min": 10.0, "lat_max": 20.0},
+    ]
+    out = tmp_path / "tileset.json"
+    ts = tileset_from_aggregate(rows, str(out))
+    assert out.exists()
+    assert ts["root"]["boundingVolume"]["region"][0] == math.radians(90.0)
+
+
+def test_grouped_writer(ray_session, tmp_path):
+    import ray.data
+
+    from plateau_gis_converter_ray.sinks.grouped import write_per_group
+
+    ds = ray.data.from_items(
+        [{"typ": t, "v": i} for i, t in enumerate(["a", "b", "a", "c", "b", "a"])]
+    )
+    out = str(tmp_path / "groups")
+    res = write_per_group(ds, "typ", out).to_pandas()
+    assert len(res) == 3
+    assert sorted(res["key"]) == ["a", "b", "c"]
+    import os
+    assert os.path.exists(os.path.join(out, "part=a", "data.jsonl"))
+    # rerun: all groups skipped
+    res2 = write_per_group(ds, "typ", out).to_pandas()
+    assert res2["skipped"].all()
+
+
+def test_single_writer(ray_session, tmp_path):
+    import ray.data
+
+    from plateau_gis_converter_ray.sinks.grouped import SingleWriterActor
+
+    path = str(tmp_path / "one.jsonl")
+    ds = ray.data.range(100)
+    out = ds.map_batches(
+        SingleWriterActor,
+        fn_constructor_args=(path,),
+        batch_format="pandas",
+        concurrency=1,
+    )
+    total = out.to_pandas()["written"].sum()
+    assert total == 100
+    with open(path) as f:
+        assert len(f.readlines()) == 100
+
+
+def test_write_tiles(ray_session, tmp_path):
+    import ray.data
+
+    from plateau_gis_converter_ray.sinks.grouped import write_tiles
+
+    rows = []
+    for z, x, y in [(2, 1, 1), (2, 1, 1), (2, 2, 0)]:
+        rows.append(
+            {
+                "zoom": z, "tile_x": x, "tile_y": y,
+                "ring_xy": [0.1, 0.1, 0.9, 0.1, 0.9, 0.9, 0.1, 0.9],
+            }
+        )
+    ds = ray.data.from_items(rows)
+    res = write_tiles(ds, str(tmp_path / "tiles")).to_pandas()
+    assert len(res) == 2
+    import os
+    assert os.path.exists(str(tmp_path / "tiles" / "2" / "1" / "1.json"))
+    got = res.set_index(["tile_x", "tile_y"])["n_features"]
+    assert got[(1, 1)] == 2 and got[(2, 0)] == 1
