@@ -165,6 +165,82 @@ def _q_slice_3dt(sf_dir: str):
     return ds.map_batches(slice_batch, batch_format="pandas")
 
 
+def _q_slice_mvt(sf_dir: str):
+    """MVT polygon slicing: municipality polygons -> normalized-mercator ->
+    buffered clip at z=8 -> per-tile ring stats (mvt/slice.rs:95-270)."""
+    import ray.data
+    import numpy as np
+    import pandas as pd
+
+    from plateau_gis_converter_ray.kernels.clip import slice_polygon_mvt
+    from plateau_gis_converter_ray.kernels.webmercator import lnglat_to_web_mercator
+    from plateau_gis_converter_ray.sources.municipalities import municipality_polygons
+
+    polys = municipality_polygons()
+    ds = ray.data.from_items(
+        [{"pid": p["id"], "ring": p["rings"][0].tolist()} for p in polys]
+    )
+    extent = 1 << 12
+    buffer = extent * 5 // 256  # buffer_pixels=5 (mvt/mod.rs:206-207)
+
+    def slice_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for pid, ring in zip(batch["pid"], batch["ring"]):
+            arr = np.array([list(p) for p in ring], dtype=np.float64)
+            mx, my = lnglat_to_web_mercator(arr[:, 0], arr[:, 1])
+            # reference keeps CW (area>0 in y-down) exteriors (mvt/slice.rs:55)
+            merc = np.stack([mx, my], axis=1)
+            out = {}
+            slice_polygon_mvt(8, extent, buffer, [merc], out)
+            for (z, x, y), rings in out.items():
+                n_ext = sum(1 for is_ext, _ in rings if is_ext)
+                n_pts = sum(len(r) for _, r in rings)
+                if rings:
+                    rows.append(
+                        {"pid": pid, "zoom": z, "tile_x": int(x), "tile_y": int(y),
+                         "n_rings": len(rings), "n_ext": n_ext, "n_points": n_pts}
+                    )
+        return pd.DataFrame(rows)
+
+    return ds.map_batches(slice_batch, batch_format="pandas")
+
+
+def _q_project_jpr9(sf_dir: str):
+    """CRS chain: geocode -> geoid shift -> JPR zone IX ETMerc (rows-only;
+    the ETMerc math itself is pinned to PROJ fixtures in pytest)."""
+    import ray.data
+    import numpy as np
+    import pyarrow as pa
+
+    from plateau_gis_converter_ray.stages.geocode import add_lnglat_arith
+    from plateau_gis_converter_ray.stages.projection import ProjectionStage
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    ds = ds.map_batches(lambda b: add_lnglat_arith(b, "event_id"), batch_format="pyarrow")
+    ds = ds.map_batches(
+        ProjectionStage,
+        fn_constructor_kwargs={"output": "jpr", "jpr_zone": 9},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+    def round_mm(batch: pa.Table) -> pa.Table:
+        x = np.round(batch.column("jpr_x").to_numpy() * 1000).astype(np.int64)
+        y = np.round(batch.column("jpr_y").to_numpy() * 1000).astype(np.int64)
+        return pa.table(
+            {"event_id": batch.column("event_id"),
+             "jpr_x_mm": pa.array(x), "jpr_y_mm": pa.array(y)}
+        )
+
+    return ds.map_batches(round_mm, batch_format="pyarrow")
+
+
+def _q_ivf_self_knn(sf_dir: str):
+    from plateau_gis_converter_ray.stages.knn import ivf_self_knn
+
+    return ivf_self_knn(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from plateau_gis_converter_ray.pipelines.queries import QUERIES
 
@@ -178,6 +254,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "simhash_pairs": _q_simhash_pairs,
             "doc_signatures": _q_doc_signatures,
             "slice_3dt_tiles": _q_slice_3dt,
+            "slice_mvt_tiles": _q_slice_mvt,
+            "project_jpr9": _q_project_jpr9,
+            "ivf_self_knn": _q_ivf_self_knn,
         }
     )
     return out

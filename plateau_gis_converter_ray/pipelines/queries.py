@@ -640,6 +640,157 @@ FROM d WHERE dist2 < {EMBED_NEAR_DUP_DIST2}
 """
 
 
+
+# ---------------------------------------------------------------------------
+# 18. Session windows over the events log (streaming semantics, SURVEY §2.9)
+
+
+def q_sessionize(sf_dir: str):
+    """Per-user session windows with a 30-min inactivity gap: groupby(user)
+    .map_groups over ts-sorted rows — the ordered-log pattern (ray guide)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        us = g["ts"].astype("int64").to_numpy()  # microseconds
+        gap = np.concatenate([[True], np.diff(us) > 30 * 60 * 1_000_000])
+        sid = np.cumsum(gap)
+        out = (
+            pd.DataFrame({"user_id": g["user_id"].to_numpy(), "session_idx": sid, "us": us})
+            .groupby(["user_id", "session_idx"], as_index=False)
+            .agg(n_events=("us", "size"), start_us=("us", "min"), end_us=("us", "max"))
+        )
+        return out
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+_SQL_SESSIONIZE = """
+WITH t AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 30 * 60 * 1000000
+              OR LAG(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+), s AS (
+  SELECT user_id, us,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us
+                             ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM t
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       COUNT(*) AS n_events,
+       CAST(MIN(us) AS BIGINT) AS start_us, CAST(MAX(us) AS BIGINT) AS end_us
+FROM s GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# 19. Two-pass centroid recentre (the PLY global-centroid pattern, §2.4)
+
+
+def q_centroid_recentre(sf_dir: str):
+    """Pass 1: exact integer global centroid; pass 2: per-row recentre.
+    Mirrors sink/ply/mod.rs:165-200's accumulate-then-transform shape."""
+    ds = _read(sf_dir, "events", ["event_id"])
+
+    def with_k(batch: pa.Table) -> pa.Table:
+        ids = batch.column("event_id").to_numpy().astype(np.int64)
+        return batch.append_column("k", pa.array((ids * 9973) % 240000))
+
+    ks = ds.map_batches(with_k, batch_format="pyarrow")
+    sum_k = ks.sum("k")
+    n = ks.count()
+    mean_lng = 122.0 + (sum_k / n) / 10000.0
+
+    def recentre(batch: pa.Table) -> pa.Table:
+        ids = batch.column("event_id").to_numpy().astype(np.int64)
+        lng = 122.0 + ((ids * 9973) % 240000) / 10000.0
+        return pa.table(
+            {"event_id": batch.column("event_id"), "lng_centred": pa.array(lng - mean_lng)}
+        )
+
+    return ds.map_batches(recentre, batch_format="pyarrow")
+
+
+_SQL_CENTROID = """
+WITH k AS (
+  SELECT event_id, (event_id * 9973) % 240000 AS kk,
+         (122.0 + (((event_id * 9973) % 240000) / 10000.0)) AS lng
+  FROM events
+), m AS (SELECT 122.0 + ((SUM(kk) / COUNT(*)) / 10000.0) AS mean_lng FROM k)
+SELECT event_id, lng - (SELECT mean_lng FROM m) AS lng_centred FROM k
+"""
+
+
+# ---------------------------------------------------------------------------
+# 20. Codelist resolution (SURVEY §2.1: broadcast dictionary lookup)
+
+
+def q_codelist(sf_dir: str):
+    import ray
+
+    from ..stages.codelist import LANG_CODELIST, CodeResolver
+
+    ref = ray.put(LANG_CODELIST)
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    ds = ds.map_batches(
+        CodeResolver, fn_constructor_args=(ref,), batch_format="pandas",
+        concurrency=(1, 4),
+    )
+    from ray.data.aggregate import Count
+
+    return ds.groupby("lang_label").aggregate(Count(alias_name="n_docs"))
+
+
+_SQL_CODELIST = """
+SELECT CASE lang
+         WHEN 'en' THEN 'English' WHEN 'de' THEN 'German'
+         WHEN 'fr' THEN 'French' WHEN 'es' THEN 'Spanish'
+         WHEN 'zh' THEN 'Chinese' WHEN 'ja' THEN 'Japanese'
+         ELSE lang END AS lang_label,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# 21. Extended mesh PIP join with bbox aggregates (gpkg bbox pattern, §2.5)
+
+
+def q_pip_mesh_bbox(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_id"])
+    ds = ds.map_batches(lambda b: add_lnglat_arith(b, "event_id"), batch_format="pyarrow")
+    ds = ds.map_batches(mesh_assign_arith, batch_format="pyarrow")
+    from ray.data.aggregate import Count, Max, Min
+
+    return ds.groupby("mesh_id").aggregate(
+        Count(alias_name="n"),
+        Min("lng", alias_name="lng_min"),
+        Max("lng", alias_name="lng_max"),
+        Min("lat", alias_name="lat_min"),
+        Max("lat", alias_name="lat_max"),
+    )
+
+
+def _sql_pip_mesh_bbox() -> str:
+    lng, lat = _geo_sql("event_id")
+    return f"""
+WITH pts AS (
+  SELECT {lng} AS lng, {lat} AS lat FROM events
+)
+SELECT 'mesh_' ||
+       CAST(LEAST(CAST(FLOOR((lng - 122.0) / 24.0 * 24) AS BIGINT), 23) AS VARCHAR)
+       || '_' ||
+       CAST(LEAST(CAST(FLOOR((lat - 24.0) / 22.0 * 22) AS BIGINT), 21) AS VARCHAR)
+       AS mesh_id,
+       COUNT(*) AS n,
+       MIN(lng) AS lng_min, MAX(lng) AS lng_max,
+       MIN(lat) AS lat_min, MAX(lat) AS lat_max
+FROM pts GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -662,6 +813,10 @@ QUERIES = {
     "props_extract": q_props_extract,
     "embed_knn": q_embed_knn,
     "embed_near_dup": q_embed_near_dup,
+    "sessionize": q_sessionize,
+    "centroid_recentre": q_centroid_recentre,
+    "codelist_resolve": q_codelist,
+    "pip_mesh_bbox": q_pip_mesh_bbox,
 }
 
 ORACLES = {
@@ -683,4 +838,8 @@ ORACLES = {
     "props_extract": _SQL_PROPS_EXTRACT,
     "embed_knn": _SQL_EMBED_KNN,
     "embed_near_dup": _SQL_EMBED_NEAR_DUP,
+    "sessionize": _SQL_SESSIONIZE,
+    "centroid_recentre": _SQL_CENTROID,
+    "codelist_resolve": _SQL_CODELIST,
+    "pip_mesh_bbox": _sql_pip_mesh_bbox(),
 }

@@ -1,0 +1,72 @@
+"""Stage tests: IVF ANN recall vs brute force, codelist resolver,
+projection stage chain, salted shuffle keys."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_ivf_recall_vs_brute(ray_session):
+    from plateau_gis_converter_ray.stages.knn import brute_self_knn_pd, ivf_self_knn
+
+    ivf = ivf_self_knn(SF).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    brute = brute_self_knn_pd(SF).sort_values("vec_id").reset_index(drop=True)
+    assert len(ivf) == len(brute)
+    # recall@1 of the IVF approximation must be high on clustered data
+    recall = (ivf["ann_id"].to_numpy() == brute["nn_id"].to_numpy()).mean()
+    assert recall >= 0.9, recall
+    # approximate distances can never beat the exact minimum
+    assert (ivf["dist2_q"].to_numpy() >= brute["dist2_q"].to_numpy()).all()
+
+
+def test_code_resolver():
+    from plateau_gis_converter_ray.stages.codelist import CodeResolver
+
+    r = CodeResolver()
+    df = pd.DataFrame({"lang": ["en", "zh", "xx"]})
+    out = r(df)
+    assert out["lang_label"].tolist() == ["English", "Chinese", "xx"]
+
+
+def test_projection_stage_chain():
+    import pyarrow as pa
+
+    from plateau_gis_converter_ray.kernels.projection import (
+        GeoidGrid,
+        jpr_zone_projection,
+    )
+    from plateau_gis_converter_ray.stages.projection import ProjectionStage
+
+    batch = pa.table({"lng": [139.8, 139.9], "lat": [35.9, 36.1]})
+    # jpr output equals kernel-composed chain
+    st = ProjectionStage(output="jpr", jpr_zone=9)
+    out = st(batch)
+    g = GeoidGrid()
+    lng = np.array([139.8, 139.9])
+    lat = np.array([35.9, 36.1])
+    _, _, h = g.jgd2011_to_wgs84(lng, lat, np.zeros(2))
+    x, y, _ = jpr_zone_projection(9).forward(lng, lat, h)
+    np.testing.assert_array_equal(out.column("jpr_x").to_numpy(), x)
+    np.testing.assert_array_equal(out.column("jpr_y").to_numpy(), y)
+    # ecef output has 3 coordinate columns
+    out2 = ProjectionStage(output="ecef")(batch)
+    assert {"ecef_x", "ecef_y", "ecef_z"} <= set(out2.column_names)
+    # swap_axes: feeding (lat, lng) named as (lng, lat) recovers the same
+    swapped = pa.table({"lng": [35.9, 36.1], "lat": [139.8, 139.9]})
+    out3 = ProjectionStage(output="jpr", jpr_zone=9, swap_axes=True)(swapped)
+    np.testing.assert_array_equal(out3.column("jpr_x").to_numpy(), x)
+    with pytest.raises(ValueError):
+        ProjectionStage(output="nope")
+
+
+def test_salt_column():
+    from plateau_gis_converter_ray.stages.tiles import salt_column
+
+    keys = np.array([5, 5, 5, 7, 9, 5], dtype=np.int64)
+    hot = np.array([5], dtype=np.int64)
+    row_idx = np.arange(6)
+    salt = salt_column(keys, hot, n_salts=2, row_idx=row_idx)
+    assert (salt[keys != 5] == 0).all()
+    assert set(salt[keys == 5]) == {0, 1}
