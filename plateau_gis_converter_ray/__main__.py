@@ -1,0 +1,115 @@
+"""CLI — the nusamai main.rs lifecycle (main.rs:111-292) on Ray Data.
+
+    python -m plateau_gis_converter_ray convert INPUT.parquet OUT_DIR \\
+        --sink noop|parquet|grouped|tiles [--param k=v ...] [--num-cpus N]
+
+Lifecycle, mirroring the reference:
+  1. resolve sink provider from the registry, validate typed params
+     (main.rs:134-158);
+  2. sink.make_requirements() -> derive the transform chain *before any data
+     flows* (main.rs:160-164, 242-251);
+  3. read source (column-pruned parquet; the CityGML-source analogue);
+  4. apply the derived chain as fused map_batches stages;
+  5. run the sink; print wall time (main.rs:291).
+
+The CLI owns the Ray session (library code never calls ray.init).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="plateau_gis_converter_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    conv = sub.add_parser("convert", help="run source -> derived chain -> sink")
+    conv.add_argument("input", help="parquet file/dir (the tabular source)")
+    conv.add_argument("output", help="output directory")
+    conv.add_argument("--sink", default="noop")
+    conv.add_argument("--param", action="append", default=[], metavar="K=V")
+    conv.add_argument("--columns", default=None, help="comma-separated read pruning")
+    conv.add_argument("--num-cpus", type=int, default=8)
+    conv.add_argument("--dump-chain", action="store_true",
+                      help="print the derived chain and exit (schema-first)")
+
+    ls = sub.add_parser("sinks", help="list builtin sinks and their parameters")
+
+    args = p.parse_args(argv)
+
+    from plateau_gis_converter_ray.pipelines.build import (
+        BUILTIN_SINKS,
+        apply_chain,
+        build_transform_chain,
+    )
+
+    if args.cmd == "sinks":
+        for name, s in BUILTIN_SINKS.items():
+            params = ", ".join(
+                f"{q.name}:{q.type}{'*' if q.required else ''}" for q in s.parameters
+            )
+            print(f"{name:10s} {s.description}  [{params}]")
+        return 0
+
+    if args.sink not in BUILTIN_SINKS:
+        print(f"unknown sink {args.sink!r}; available: {sorted(BUILTIN_SINKS)}",
+              file=sys.stderr)
+        return 2
+    provider = BUILTIN_SINKS[args.sink]
+
+    raw_params = {}
+    for kv in args.param:
+        k, _, v = kv.partition("=")
+        if v.isdigit():
+            v = int(v)
+        elif v in ("true", "false"):
+            v = v == "true"
+        raw_params[k] = v
+    try:
+        params = provider.validate_params(raw_params)
+    except ValueError as e:
+        print(f"parameter error: {e}", file=sys.stderr)
+        return 2
+
+    req = provider.make_requirements(params)
+    chain = build_transform_chain(req)
+    if args.dump_chain:
+        print(json.dumps({"sink": args.sink, "chain": chain}, indent=2))
+        return 0
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=args.num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    t0 = time.perf_counter()
+    try:
+        import ray.data
+
+        columns = args.columns.split(",") if args.columns else None
+        ds = ray.data.read_parquet(args.input, columns=columns)
+        ds = apply_chain(ds, chain)
+        result = provider.run(ds, params, args.output)
+        if hasattr(result, "to_pandas"):
+            result = {"rows": len(result.to_pandas())}
+        elapsed = time.perf_counter() - t0
+        print(json.dumps({"sink": args.sink, "elapsed_s": round(elapsed, 3),
+                          "result": result}))
+        return 0
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

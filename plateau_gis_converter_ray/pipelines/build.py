@@ -1,0 +1,264 @@
+"""Requirements-driven pipeline assembly — the reference's physical-plan spine.
+
+In the reference the *sink* declares ``DataRequirements`` and the transformer
+chain is derived from them before any data flows (sink/mod.rs:53-82 consumed
+at main.rs:160-164,242-251; chain order fixed in
+transformer/builder.rs:106-187: projection -> geomstats -> appearance ->
+rename -> lod-filter -> flatten -> mergedown -> key-value). Here:
+
+- :class:`DataRequirements` — the declarative needs a sink states;
+- :class:`SinkProvider` — registry entry with typed, validated parameters
+  (the parameters/mod.rs:30-120 analogue);
+- :func:`build_transform_chain` — composes the ``map_batches`` stage list
+  from requirements in the reference's fixed order;
+- :data:`BUILTIN_SINKS` — the BUILTIN_SINKS registry (nusamai/src/lib.rs:7-19).
+
+The CLI (``python -m plateau_gis_converter_ray``) wires source -> derived
+chain -> sink exactly like main.rs:111-292.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from collections.abc import Callable
+from typing import Any
+
+
+@dataclasses.dataclass
+class DataRequirements:
+    """What a sink needs from the upstream transformer (sink/mod.rs:53-82)."""
+
+    # CRS the sink wants coordinates in
+    output_crs: str = "lnglat"  # lnglat | webmercator | ecef | jpr
+    jpr_zone: int = 9
+    # which LOD policy (lods.rs:30-93): None = keep all
+    lod_filter: str | None = None  # "highest" | "lowest" | None
+    # rename rules applied before write (attrname.rs)
+    rename_rules: dict[str, str] | None = None
+    shorten_names: bool = False
+    # serialize nested attributes to JSON text (jsonify.rs)
+    jsonify: bool = False
+    # flatten nested attrs to dotted keys (dots.rs)
+    dot_notation: bool = False
+    # inject per-row min/max stats over this list column (geomstats.rs)
+    geom_stats_col: str | None = None
+    # tile assignment fan-out
+    tile_scheme: str | None = None  # "3dt" | "webmercator" | None
+    min_zoom: int = 7
+    max_zoom: int = 12
+
+
+@dataclasses.dataclass
+class Parameter:
+    """Typed, validated sink parameter (parameters/mod.rs:30-120)."""
+
+    name: str
+    type: str  # "string" | "boolean" | "integer" | "path"
+    required: bool = False
+    default: Any = None
+
+    def validate(self, value: Any) -> Any:
+        if value is None:
+            if self.required:
+                raise ValueError(f"parameter {self.name!r} is required")
+            return self.default
+        if self.type == "integer" and not isinstance(value, int):
+            raise ValueError(f"parameter {self.name!r} must be int")
+        if self.type == "boolean" and not isinstance(value, bool):
+            raise ValueError(f"parameter {self.name!r} must be bool")
+        if self.type in ("string", "path") and not isinstance(value, str):
+            raise ValueError(f"parameter {self.name!r} must be str")
+        return value
+
+
+@dataclasses.dataclass
+class SinkProvider:
+    name: str
+    description: str
+    parameters: list[Parameter]
+    make_requirements: Callable[[dict], DataRequirements]
+    run: Callable[..., Any]  # (ds, params, out_dir) -> result
+
+    def validate_params(self, raw: dict) -> dict:
+        known = {p.name for p in self.parameters}
+        for k in raw:
+            if k not in known:
+                raise ValueError(f"unknown parameter {k!r} for sink {self.name!r}")
+        return {p.name: p.validate(raw.get(p.name)) for p in self.parameters}
+
+
+def build_transform_chain(req: DataRequirements) -> list[tuple[str, dict]]:
+    """Derive the stage list from requirements, in the reference's fixed
+    chain order (builder.rs:106-187). Returns (stage_name, kwargs) pairs the
+    runner maps to map_batches calls."""
+    chain: list[tuple[str, dict]] = []
+    # 1. projection (always first, like NusamaiTransformBuilder)
+    chain.append(
+        ("projection", {"output": req.output_crs, "jpr_zone": req.jpr_zone})
+    )
+    # 2. geomstats
+    if req.geom_stats_col:
+        chain.append(("geom_stats", {"list_col": req.geom_stats_col}))
+    # 3. (appearance has no tabular analogue: decode stage plays that role)
+    # 4. rename
+    if req.rename_rules or req.shorten_names:
+        chain.append(
+            ("rename", {"rules": req.rename_rules or {}, "shorten": req.shorten_names})
+        )
+    # 5. lod filter
+    if req.lod_filter:
+        chain.append(("lod_filter", {"mode": req.lod_filter}))
+    # 6/7. flatten / mergedown are data-model dependent; CLI datasets are flat
+    # 8. key-value style serializations
+    if req.jsonify:
+        chain.append(("jsonify", {}))
+    if req.dot_notation:
+        chain.append(("dots", {}))
+    if req.tile_scheme:
+        chain.append(
+            (
+                "tiles",
+                {
+                    "scheme": req.tile_scheme,
+                    "min_zoom": req.min_zoom,
+                    "max_zoom": req.max_zoom,
+                },
+            )
+        )
+    return chain
+
+
+def apply_chain(ds, chain: list[tuple[str, dict]]):
+    """Materialize the declarative chain onto a Dataset as map_batches calls.
+
+    Stateless stages are plain functions (fused by Ray Data); the projection
+    stage is an actor pool (geoid grid state)."""
+    import pyarrow as pa
+
+    from ..stages.projection import ProjectionStage
+    from ..stages.tiles import assign_webmercator, fanout_zooms
+    from ..stages.transforms import (
+        FieldRenamer,
+        dot_flatten,
+        filter_highest_lod,
+        geom_stats,
+        jsonify,
+    )
+
+    for name, kw in chain:
+        if name == "projection":
+            if kw.get("output", "lnglat") == "lnglat" and "height" not in (
+                ds.schema().names if hasattr(ds, "schema") else []
+            ):
+                # identity CRS on height-less data: skip the actor pool
+                continue
+            ds = ds.map_batches(
+                ProjectionStage,
+                fn_constructor_kwargs=kw,
+                batch_format="pyarrow",
+                concurrency=(1, 8),
+            )
+        elif name == "geom_stats":
+            col = kw["list_col"]
+            ds = ds.map_batches(
+                lambda b, col=col: geom_stats(b, col), batch_format="pyarrow"
+            )
+        elif name == "rename":
+            renamer = FieldRenamer(rules=kw.get("rules") or {})
+            ds = ds.map_batches(renamer, batch_format="pyarrow")
+        elif name == "lod_filter":
+            lowest = kw.get("mode") == "lowest"
+            ds = ds.map_batches(
+                lambda b, lowest=lowest: filter_highest_lod(b, lowest=lowest),
+                batch_format="pyarrow",
+            )
+        elif name == "jsonify":
+            ds = ds.map_batches(lambda b: jsonify(b), batch_format="pyarrow")
+        elif name == "dots":
+            ds = ds.map_batches(lambda b: dot_flatten(b), batch_format="pyarrow")
+        elif name == "tiles":
+            if kw["scheme"] == "webmercator":
+                z = kw["max_zoom"]
+                ds = ds.map_batches(
+                    lambda b, z=z: assign_webmercator(b, z), batch_format="pyarrow"
+                )
+            else:
+                mn, mx = kw["min_zoom"], kw["max_zoom"]
+
+                def fan(b: pa.Table, mn=mn, mx=mx) -> pa.Table:
+                    keep = [c for c in b.column_names if c not in
+                            ("zoom", "tile_x", "tile_y", "tile_id")]
+                    return fanout_zooms(b, mn, mx, keep=keep)
+
+                ds = ds.map_batches(fan, batch_format="pyarrow")
+        else:
+            raise ValueError(f"unknown stage {name!r}")
+    return ds
+
+
+# ---------------------------------------------------------------------------
+# builtin sinks (lib.rs:7-19 analogue)
+
+
+def _parquet_run(ds, params, out_dir):
+    ds.write_parquet(out_dir)
+    return {"out_dir": out_dir}
+
+
+def _grouped_run(ds, params, out_dir):
+    from ..sinks.grouped import write_per_group
+
+    return write_per_group(ds, params["group_by"], out_dir, fmt=params["format"])
+
+
+def _tiles_run(ds, params, out_dir):
+    from ..sinks.grouped import write_tiles
+
+    return write_tiles(ds, out_dir)
+
+
+def _noop_run(ds, params, out_dir):
+    # noop sink: count rows (sink/noop/mod.rs:62-85)
+    return {"num_rows": ds.count()}
+
+
+BUILTIN_SINKS: dict[str, SinkProvider] = {
+    "parquet": SinkProvider(
+        name="parquet",
+        description="partitioned parquet output (the serde-sink analogue)",
+        parameters=[Parameter("compression", "string", default="snappy")],
+        make_requirements=lambda p: DataRequirements(),
+        run=_parquet_run,
+    ),
+    "grouped": SinkProvider(
+        name="grouped",
+        description="one file per group key (geojson/shapefile/kml pattern)",
+        parameters=[
+            Parameter("group_by", "string", required=True),
+            Parameter("format", "string", default="jsonl"),
+        ],
+        make_requirements=lambda p: DataRequirements(jsonify=True),
+        run=_grouped_run,
+    ),
+    "tiles": SinkProvider(
+        name="tiles",
+        description="z/x/y tile payloads (3dtiles/mvt pattern)",
+        parameters=[
+            Parameter("min_zoom", "integer", default=7),
+            Parameter("max_zoom", "integer", default=12),
+        ],
+        make_requirements=lambda p: DataRequirements(
+            tile_scheme="3dt",
+            min_zoom=p.get("min_zoom") or 7,
+            max_zoom=p.get("max_zoom") or 12,
+        ),
+        run=_tiles_run,
+    ),
+    "noop": SinkProvider(
+        name="noop",
+        description="count rows (smoke-test sink)",
+        parameters=[],
+        make_requirements=lambda p: DataRequirements(),
+        run=_noop_run,
+    ),
+}

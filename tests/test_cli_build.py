@@ -1,0 +1,78 @@
+"""Requirements-driven assembly + CLI lifecycle (main.rs:111-292 analogue)."""
+
+import json
+import subprocess
+import sys
+
+import pytest
+
+from plateau_gis_converter_ray.pipelines.build import (
+    BUILTIN_SINKS,
+    DataRequirements,
+    Parameter,
+    build_transform_chain,
+)
+
+
+def test_chain_order_follows_builder():
+    """Chain order is fixed like NusamaiTransformBuilder (builder.rs:106-187):
+    projection -> geomstats -> rename -> lod -> jsonify -> dots -> tiles."""
+    req = DataRequirements(
+        output_crs="webmercator",
+        geom_stats_col="heights",
+        rename_rules={"*:a": "b"},
+        lod_filter="highest",
+        jsonify=True,
+        dot_notation=True,
+        tile_scheme="3dt",
+    )
+    names = [n for n, _ in build_transform_chain(req)]
+    assert names == [
+        "projection", "geom_stats", "rename", "lod_filter", "jsonify", "dots", "tiles",
+    ]
+
+
+def test_sink_registry_and_params():
+    assert set(BUILTIN_SINKS) >= {"parquet", "grouped", "tiles", "noop"}
+    g = BUILTIN_SINKS["grouped"]
+    with pytest.raises(ValueError):
+        g.validate_params({})  # group_by required
+    with pytest.raises(ValueError):
+        g.validate_params({"group_by": "x", "bogus": 1})  # unknown param
+    p = g.validate_params({"group_by": "lang"})
+    assert p == {"group_by": "lang", "format": "jsonl"}
+    with pytest.raises(ValueError):
+        Parameter("n", "integer").validate("notint")
+
+
+def test_requirements_drive_chain():
+    # sink's declared needs materialize as stages (sink/mod.rs:53-82 pattern)
+    req = BUILTIN_SINKS["tiles"].make_requirements({"min_zoom": 8, "max_zoom": 10})
+    chain = build_transform_chain(req)
+    tiles = dict(chain)["tiles"]
+    assert tiles == {"scheme": "3dt", "min_zoom": 8, "max_zoom": 10}
+    assert not any(n == "jsonify" for n, _ in chain)
+    req2 = BUILTIN_SINKS["grouped"].make_requirements({"group_by": "x"})
+    assert any(n == "jsonify" for n, _ in build_transform_chain(req2))
+
+
+def test_cli_black_box(tmp_path):
+    """CLI smoke (the assert_cmd analogue, main.rs:294-314): separate process
+    so the CLI owns its own Ray session."""
+    out = subprocess.run(
+        [sys.executable, "-m", "plateau_gis_converter_ray", "convert",
+         "/root/testdata/sf0.001/nation.parquet", str(tmp_path / "o"),
+         "--sink", "noop", "--num-cpus", "2"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120,
+    )
+    assert out.returncode == 0, out.stderr[-500:]
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rec["result"]["num_rows"] == 25
+
+    bad = subprocess.run(
+        [sys.executable, "-m", "plateau_gis_converter_ray", "convert",
+         "x", "y", "--sink", "nope"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=60,
+    )
+    assert bad.returncode == 2
+    assert "unknown sink" in bad.stderr
