@@ -241,6 +241,41 @@ def _q_ivf_self_knn(sf_dir: str):
     return ivf_self_knn(sf_dir)
 
 
+def _q_image_thumbs(sf_dir: str):
+    """Multimodal resize stage: bytes -> t x t grayscale thumbs (actor pool);
+    aggregate mean thumb intensity by (w, h) source size (rows-only)."""
+    import ray.data
+    import numpy as np
+    import pyarrow as pa
+
+    from plateau_gis_converter_ray.sources.images import ensure_image_table
+    from plateau_gis_converter_ray.stages.decode import ImageResize
+
+    path = ensure_image_table(_sf_of(sf_dir))
+    files = [
+        os.path.join(path, f) for f in sorted(os.listdir(path)) if f.endswith(".parquet")
+    ]
+    ds = ray.data.read_parquet(files, columns=["image_id", "bytes", "w", "h", "fmt"])
+    ds = ds.map_batches(
+        ImageResize, batch_format="pyarrow", batch_size=1024, concurrency=(1, 4)
+    )
+
+    def agg(batch: pa.Table) -> pa.Table:
+        thumbs = batch.column("thumb").to_numpy(zero_copy_only=False)
+        means = np.array([int(round(float(np.mean(t)) * 100)) for t in thumbs])
+        return pa.table(
+            {"w": batch.column("w"), "h": batch.column("h"),
+             "thumb_mean_c": pa.array(means)}
+        )
+
+    ds = ds.map_batches(agg, batch_format="pyarrow")
+    from ray.data.aggregate import Count, Sum
+
+    return ds.groupby(["w", "h"]).aggregate(
+        Count(alias_name="n"), Sum("thumb_mean_c", alias_name="sum_thumb_mean_c")
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from plateau_gis_converter_ray.pipelines.queries import QUERIES
 
@@ -257,6 +292,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "slice_mvt_tiles": _q_slice_mvt,
             "project_jpr9": _q_project_jpr9,
             "ivf_self_knn": _q_ivf_self_knn,
+            "image_thumbs": _q_image_thumbs,
         }
     )
     return out

@@ -164,7 +164,9 @@ def apply_chain(ds, chain: list[tuple[str, dict]]):
                 lambda b, col=col: geom_stats(b, col), batch_format="pyarrow"
             )
         elif name == "rename":
-            renamer = FieldRenamer(rules=kw.get("rules") or {})
+            renamer = FieldRenamer(
+                rules=kw.get("rules") or {}, auto_shorten=bool(kw.get("shorten"))
+            )
             ds = ds.map_batches(renamer, batch_format="pyarrow")
         elif name == "lod_filter":
             lowest = kw.get("mode") == "lowest"

@@ -45,6 +45,11 @@ from ..state.manifest import PartitionManifest, atomic_write_dir
 MIN_ZOOM = 7
 MAX_ZOOM = 12
 
+# bump when the output schema/semantics change: keyed into the default
+# out_dir so a stale /tmp cache from older code can never be "resumed" into
+# a result with mismatched columns
+PIPELINE_VERSION = "v2"
+
 
 def _extent_m(row_idx: np.ndarray) -> np.ndarray:
     """Deterministic per-image ground extent in meters: 10 m .. ~327 km.
@@ -200,7 +205,7 @@ def run_flagship(
         for f in os.listdir(table_dir)
         if f.endswith(".parquet")
     )
-    out_dir = out_dir or f"/tmp/plateau_ray_out/flagship_sf{sf:g}"
+    out_dir = out_dir or f"/tmp/plateau_ray_out/flagship_{PIPELINE_VERSION}_sf{sf:g}"
     manifest = PartitionManifest(out_dir, {"sf": sf, "zooms": [MIN_ZOOM, MAX_ZOOM]})
     done = manifest.completed_keys() if resume else set()
 

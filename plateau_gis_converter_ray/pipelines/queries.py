@@ -791,6 +791,22 @@ FROM pts GROUP BY 1
 """
 
 
+
+# ---------------------------------------------------------------------------
+# 22. Distinct / unique operator (ds.unique — a shuffle)
+
+
+def q_distinct_users(sf_dir: str):
+    import pyarrow as pa
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    vals = sorted(ds.unique("user_id"))
+    return pa.table({"user_id": pa.array(vals, pa.int64())})
+
+
+_SQL_DISTINCT_USERS = "SELECT DISTINCT user_id FROM events"
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -817,6 +833,7 @@ QUERIES = {
     "centroid_recentre": q_centroid_recentre,
     "codelist_resolve": q_codelist,
     "pip_mesh_bbox": q_pip_mesh_bbox,
+    "distinct_users": q_distinct_users,
 }
 
 ORACLES = {
@@ -842,4 +859,5 @@ ORACLES = {
     "centroid_recentre": _SQL_CENTROID,
     "codelist_resolve": _SQL_CODELIST,
     "pip_mesh_bbox": _sql_pip_mesh_bbox(),
+    "distinct_users": _SQL_DISTINCT_USERS,
 }

@@ -57,11 +57,25 @@ def write_per_group(ds, key: str, out_dir: str, fmt: str = "jsonl"):
     return ds.groupby(key).map_groups(write_group, batch_format="pandas")
 
 
-def write_tiles(ds, out_dir: str, extent: int = 1 << 12):
+MAX_TILE_BYTES = 500_000  # compressed cap (mvt/mod.rs:308-336)
+MIN_DETAIL = 9  # extent degrades 2^12 -> 2^9 before giving up
+FEATURE_WARN = 200_000  # per-tile feature-count skew guard (mvt/mod.rs:296-301)
+
+
+def write_tiles(ds, out_dir: str, extent: int = 1 << 12,
+                max_bytes: int = MAX_TILE_BYTES):
     """Write one MVT-encoded payload per tile: groupby(tile key) ->
     map_groups(encode + write z/x/y file). Expects columns zoom, tile_x,
     tile_y and per-row ring payloads as list columns ``ring_xy`` (flat
-    [x0,y0,x1,y1,...] tile-local coords in [0,1])."""
+    [x0,y0,x1,y1,...] tile-local coords in [0,1]).
+
+    Mirrors the reference's detail-degradation retry (mvt/mod.rs:308-336):
+    if the zlib-compressed payload exceeds ``max_bytes`` the tile is
+    re-encoded at successively halved extents down to 2^9. Tiles with more
+    than ``FEATURE_WARN`` features are flagged (the skew detector,
+    mvt/mod.rs:296-301)."""
+    import zlib
+
     from .mvt import encode_tile_dict
 
     os.makedirs(out_dir, exist_ok=True)
@@ -74,15 +88,30 @@ def write_tiles(ds, out_dir: str, extent: int = 1 << 12):
         for flat in g["ring_xy"]:
             arr = np.asarray(flat, dtype=np.float64).reshape(-1, 2)
             rings.append((True, arr))
-        tile = encode_tile_dict(rings, extent)
+
+        detail = extent.bit_length() - 1
+        while True:
+            tile = encode_tile_dict(rings, 1 << detail)
+            payload = json.dumps(tile, separators=(",", ":")).encode()
+            compressed = zlib.compress(payload)
+            if len(compressed) <= max_bytes or detail <= MIN_DETAIL:
+                break
+            detail -= 1  # degrade detail and retry (mvt/mod.rs:318-333)
+
         path_dir = os.path.join(out_dir, str(z), str(x))
         os.makedirs(path_dir, exist_ok=True)
         tmp = os.path.join(path_dir, f".tmp_{y}.json")
         with open(tmp, "w") as f:
-            json.dump(tile, f, separators=(",", ":"))
+            f.write(payload.decode())
         os.replace(tmp, os.path.join(path_dir, f"{y}.json"))
         return pd.DataFrame(
-            {"zoom": [z], "tile_x": [x], "tile_y": [y], "n_features": [len(g)]}
+            {
+                "zoom": [z], "tile_x": [x], "tile_y": [y],
+                "n_features": [len(g)],
+                "detail": [detail],
+                "compressed_bytes": [len(compressed)],
+                "skew_warn": [len(g) > FEATURE_WARN],
+            }
         )
 
     return ds.groupby(["zoom", "tile_x", "tile_y"]).map_groups(

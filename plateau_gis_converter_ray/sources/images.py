@@ -96,8 +96,11 @@ def rows_for_sf(sf: float) -> int:
     return max(1, int(round(600_000 * sf)))
 
 
+GENERATOR_VERSION = "v2"  # bump when layout/content rules change
+
+
 def image_table_path(sf: float, base: str = "/tmp/plateau_ray_data") -> str:
-    return os.path.join(base, f"images_sf{sf:g}")
+    return os.path.join(base, f"images_{GENERATOR_VERSION}_sf{sf:g}")
 
 
 def ensure_image_table(sf: float, base: str = "/tmp/plateau_ray_data") -> str:
@@ -119,8 +122,12 @@ def ensure_image_table(sf: float, base: str = "/tmp/plateau_ray_data") -> str:
     def gen(batch: pa.Table) -> pa.Table:
         return make_rows(batch.column("id").to_numpy())
 
+    # one ~2048-row file per block: enough files that downstream reads
+    # parallelize across the whole CPU budget (a 3-file table caps the read
+    # stage at 3 tasks)
+    n_blocks = max(8, (n + 2047) // 2048)
     (
-        ray.data.range(n)
+        ray.data.range(n, override_num_blocks=n_blocks)
         .map_batches(gen, batch_format="pyarrow", batch_size=2048)
         .write_parquet(path)
     )

@@ -17,6 +17,31 @@ import numpy as np
 import pyarrow as pa
 
 
+def shorten_field_name(name: str, taken: set[str] | None = None) -> str:
+    """Deterministic Shapefile 10-char field shortening.
+
+    The reference ships a curated PLATEAU dictionary (shp_field_dict.json,
+    attrname.rs:37-48) we don't copy; the *mechanism* — wildcard-applied
+    <=10-char names with collision-free assignment — is reproduced with a
+    deterministic abbreviator: keep if short, else drop inner vowels then
+    truncate, salting the tail digit on collision.
+    """
+    if len(name) <= 10:
+        return name
+    head, rest = name[0], name[1:]
+    squeezed = head + "".join(c for c in rest if c.lower() not in "aeiou")
+    cand = squeezed[:10] if len(squeezed) >= 10 else (squeezed + name[1:])[:10]
+    if taken is not None:
+        base = cand
+        i = 0
+        while cand in taken:
+            i += 1
+            suffix = str(i)
+            cand = base[: 10 - len(suffix)] + suffix
+        taken.add(cand)
+    return cand
+
+
 class FieldRenamer:
     """EditFieldNamesTransform semantics (transform/attrname.rs:62-138).
 
@@ -30,9 +55,11 @@ class FieldRenamer:
     """
 
     def __init__(self, rules: dict[str, str] | None = None,
-                 shorten: dict[str, str] | None = None):
+                 shorten: dict[str, str] | None = None,
+                 auto_shorten: bool = False):
         self.exact: dict[str, str] = {}
         self.general: dict[str, str] = {}
+        self.auto_shorten = auto_shorten
         if shorten:
             for k, v in shorten.items():
                 if len(v) > 10:
@@ -59,7 +86,11 @@ class FieldRenamer:
         return key
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return batch.rename_columns([self.rename(c) for c in batch.column_names])
+        names = [self.rename(c) for c in batch.column_names]
+        if self.auto_shorten:
+            taken: set[str] = set()
+            names = [shorten_field_name(n, taken) for n in names]
+        return batch.rename_columns(names)
 
 
 def jsonify(batch: pa.Table, objects_only: bool = True) -> pa.Table:

@@ -173,3 +173,41 @@ def test_write_tiles(ray_session, tmp_path):
     assert os.path.exists(str(tmp_path / "tiles" / "2" / "1" / "1.json"))
     got = res.set_index(["tile_x", "tile_y"])["n_features"]
     assert got[(1, 1)] == 2 and got[(2, 0)] == 1
+
+
+def test_shorten_field_name():
+    from plateau_gis_converter_ray.stages.transforms import shorten_field_name
+
+    assert shorten_field_name("short") == "short"
+    assert len(shorten_field_name("acousticRating")) <= 10
+    taken = set()
+    a = shorten_field_name("measuredHeightAboveGround", taken)
+    b = shorten_field_name("measuredHeightAboveGrid", taken)
+    assert a != b and len(a) <= 10 and len(b) <= 10
+    # deterministic
+    assert shorten_field_name("acousticRating") == shorten_field_name("acousticRating")
+
+
+def test_write_tiles_detail_degradation(ray_session, tmp_path):
+    """Oversized tile payload degrades extent 2^12 -> lower (mvt/mod.rs:308-336)."""
+    import numpy as np
+    import ray.data
+
+    from plateau_gis_converter_ray.sinks.grouped import write_tiles
+
+    rng = np.random.default_rng(0)
+    rows = []
+    # one tile with a huge ring set -> payload > 2000 bytes cap
+    for i in range(300):
+        pts = rng.random((40, 2))
+        rows.append({"zoom": 3, "tile_x": 1, "tile_y": 1,
+                     "ring_xy": pts.reshape(-1).tolist()})
+    rows.append({"zoom": 3, "tile_x": 2, "tile_y": 1,
+                 "ring_xy": [0.1, 0.1, 0.9, 0.1, 0.9, 0.9]})
+    ds = ray.data.from_items(rows)
+    res = write_tiles(ds, str(tmp_path / "t"), max_bytes=2000).to_pandas()
+    big = res[res["tile_x"] == 1].iloc[0]
+    small = res[res["tile_x"] == 2].iloc[0]
+    assert big["detail"] == 9  # degraded to the floor
+    assert small["detail"] == 12  # untouched
+    assert not bool(big["skew_warn"])
