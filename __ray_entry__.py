@@ -276,6 +276,32 @@ def _q_image_thumbs(sf_dir: str):
     )
 
 
+def _q_raster_vector_clip(sf_dir: str):
+    """Raster<->vector: clip municipality polygons against each image's
+    georeferenced footprint, rasterize onto its pixel grid, emit coverage +
+    masked-pixel stats (rows-only; geometry kernels pytest-pinned)."""
+    import ray
+    import ray.data
+
+    from plateau_gis_converter_ray.sources.images import ensure_image_table
+    from plateau_gis_converter_ray.sources.municipalities import municipality_polygons
+    from plateau_gis_converter_ray.stages.raster import RasterVectorClip
+
+    path = ensure_image_table(_sf_of(sf_dir))
+    files = [
+        os.path.join(path, f) for f in sorted(os.listdir(path)) if f.endswith(".parquet")
+    ]
+    ds = ray.data.read_parquet(files, columns=["image_id", "bytes", "w", "h", "fmt"])
+    polys_ref = ray.put(municipality_polygons())
+    return ds.map_batches(
+        RasterVectorClip,
+        fn_constructor_args=(polys_ref,),
+        batch_format="pyarrow",
+        batch_size=512,
+        concurrency=(1, 4),
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from plateau_gis_converter_ray.pipelines.queries import QUERIES
 
@@ -293,6 +319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "project_jpr9": _q_project_jpr9,
             "ivf_self_knn": _q_ivf_self_knn,
             "image_thumbs": _q_image_thumbs,
+            "raster_vector_clip": _q_raster_vector_clip,
         }
     )
     return out

@@ -236,12 +236,33 @@ def run_flagship(
             lineage={"files": [os.path.basename(f) for f in chunk_files]},
         )
     elapsed = time.perf_counter() - t0
+
+    # final driver-side metadata reduce: fold the (small) per-tile aggregate
+    # into tileset.json (tree.rs:70-208 role; cesiumtiles/mod.rs:429-452)
+    tileset_path = os.path.join(out_dir, "tileset.json")
+    if not os.path.exists(tileset_path):
+        import pyarrow.dataset as pads
+
+        from ..sinks.tileset import tileset_from_aggregate
+
+        part_files = [
+            os.path.join(out_dir, d, f)
+            for d in sorted(os.listdir(out_dir))
+            if d.startswith("part=")
+            for f in sorted(os.listdir(os.path.join(out_dir, d)))
+            if f.endswith(".parquet")
+        ]
+        if part_files:
+            rows = pads.dataset(part_files).to_table().to_pylist()
+            tileset_from_aggregate(rows, tileset_path)
+
     return {
         "out_dir": out_dir,
         "elapsed_s": elapsed,
         "assignments": n_rows,
         "assignments_per_s": n_rows / elapsed if elapsed > 0 else 0.0,
         "chunks": n_chunks,
+        "tileset": tileset_path,
     }
 
 

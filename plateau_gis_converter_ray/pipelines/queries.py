@@ -807,6 +807,55 @@ def q_distinct_users(sf_dir: str):
 _SQL_DISTINCT_USERS = "SELECT DISTINCT user_id FROM events"
 
 
+
+# ---------------------------------------------------------------------------
+# 23. Top-k kNN (k=3) — generalizes the top-1 join
+
+
+def q_knn_points_top3(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_id"])
+    ds = ds.map_batches(lambda b: add_lnglat_arith(b, "event_id"), batch_format="pyarrow")
+    qids = np.arange(16, dtype=np.int64)
+    qx = 122.0 + (qids * 17) % 24
+    qy = 24.0 + (qids * 13) % 22
+
+    def top3(batch: pa.Table) -> pa.Table:
+        lng = batch.column("lng").to_numpy()
+        lat = batch.column("lat").to_numpy()
+        d2 = (lng[:, None] - qx[None, :]) ** 2 + (lat[:, None] - qy[None, :]) ** 2
+        # stable rank by (distance, qid): qids are already ascending columns
+        order = np.argsort(d2, axis=1, kind="stable")[:, :3]
+        n = len(lng)
+        eid = batch.column("event_id").to_numpy()
+        return pa.table(
+            {
+                "event_id": pa.array(np.repeat(eid, 3)),
+                "rank": pa.array(np.tile(np.arange(1, 4, dtype=np.int64), n)),
+                "qid": pa.array(order.reshape(-1).astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(top3, batch_format="pyarrow")
+
+
+def _sql_knn_points_top3() -> str:
+    lng, lat = _geo_sql("event_id")
+    return f"""
+WITH q AS (
+  SELECT qid, 122.0 + (qid * 17) % 24 AS qx, 24.0 + (qid * 13) % 22 AS qy
+  FROM (SELECT UNNEST(RANGE(0, 16)) AS qid)
+), pts AS (
+  SELECT event_id, {lng} AS lng, {lat} AS lat FROM events
+), d AS (
+  SELECT event_id, qid,
+         ROW_NUMBER() OVER (PARTITION BY event_id
+                            ORDER BY (lng - qx) * (lng - qx) + (lat - qy) * (lat - qy), qid) AS rn
+  FROM pts, q
+)
+SELECT event_id, rn AS rank, qid FROM d WHERE rn <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -834,6 +883,7 @@ QUERIES = {
     "codelist_resolve": q_codelist,
     "pip_mesh_bbox": q_pip_mesh_bbox,
     "distinct_users": q_distinct_users,
+    "knn_points_top3": q_knn_points_top3,
 }
 
 ORACLES = {
@@ -860,4 +910,5 @@ ORACLES = {
     "codelist_resolve": _SQL_CODELIST,
     "pip_mesh_bbox": _sql_pip_mesh_bbox(),
     "distinct_users": _SQL_DISTINCT_USERS,
+    "knn_points_top3": _sql_knn_points_top3(),
 }

@@ -140,3 +140,41 @@ def test_flagship_resume(ray_session, tmp_path):
     with open(manifest) as f:
         lines2 = [json.loads(x) for x in f if x.strip()]
     assert lines1 == lines2
+
+
+def test_mvt_pipeline_e2e(ray_session, tmp_path):
+    """polygons -> mvt slice -> tile shuffle -> z/x/y files (sink.rs e2e role)."""
+    import json
+    import os
+
+    from plateau_gis_converter_ray.pipelines.mvt_pipeline import run_mvt_pipeline
+    from plateau_gis_converter_ray.sources.municipalities import municipality_polygons
+
+    polys = municipality_polygons(16)
+    out = str(tmp_path / "mvt")
+    report = run_mvt_pipeline(polys, out, min_zoom=6, max_zoom=8).to_pandas()
+    assert len(report) > 10
+    assert (report["detail"] <= 12).all()
+    # every reported tile has a written payload with a decodable command stream
+    r = report.iloc[0]
+    path = os.path.join(out, str(r["zoom"]), str(r["tile_x"]), f"{r['tile_y']}.json")
+    with open(path) as f:
+        tile = json.load(f)
+    assert tile["geometry"][0] == 9  # starts with MoveTo(1)
+    assert tile["extent"] == 1 << int(r["detail"])
+
+
+def test_flagship_writes_tileset(ray_session, tmp_path):
+    import json
+
+    from plateau_gis_converter_ray.pipelines.flagship import run_flagship
+
+    out = str(tmp_path / "flag_ts")
+    res = run_flagship(sf=0.001, out_dir=out, n_chunks=2)
+    with open(res["tileset"]) as f:
+        ts = json.load(f)
+    assert ts["asset"]["version"] == "1.1"
+    region = ts["root"]["boundingVolume"]["region"]
+    # Japan bbox in radians
+    import math
+    assert math.radians(122.0) <= region[0] <= region[2] <= math.radians(146.01)

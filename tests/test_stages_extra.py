@@ -70,3 +70,44 @@ def test_salt_column():
     salt = salt_column(keys, hot, n_salts=2, row_idx=row_idx)
     assert (salt[keys != 5] == 0).all()
     assert set(salt[keys == 5]) == {0, 1}
+
+
+def test_raster_vector_clip_coverage():
+    """Controlled geometry: a polygon covering the full footprint -> 100%
+    coverage and masked mean == full-image mean; a distant polygon -> null."""
+    import pyarrow as pa
+
+    from plateau_gis_converter_ray.kernels.imagecodec import (
+        decode_image,
+        encode_image,
+        synth_pixels,
+    )
+    from plateau_gis_converter_ray.sources.images import make_rows
+    from plateau_gis_converter_ray.stages.geocode import geocode_hash, image_row_index
+    from plateau_gis_converter_ray.stages.raster import RasterVectorClip, footprint_of
+    from plateau_gis_converter_ray.pipelines.flagship import _extent_m
+
+    batch = make_rows(np.arange(4)).select(["image_id", "bytes", "w", "h", "fmt"])
+    idx = image_row_index(batch.column("image_id"))
+    lng, lat = geocode_hash(idx)
+    ext = _extent_m(idx)
+    w0, e0, s0, n0 = footprint_of(lng, lat, ext)
+
+    # polygon = huge box containing footprint 0 entirely
+    big = np.array(
+        [[w0[0] - 1, s0[0] - 1], [e0[0] + 1, s0[0] - 1],
+         [e0[0] + 1, n0[0] + 1], [w0[0] - 1, n0[0] + 1]]
+    )
+    far = big + 500.0  # way outside
+    st = RasterVectorClip([
+        {"id": "cover", "rings": [big]},
+        {"id": "far", "rings": [far]},
+    ])
+    out = st(batch)
+    row0 = {c: out.column(c)[0].as_py() for c in out.column_names}
+    assert row0["muni_id"] == "cover"
+    assert row0["covered_pixels"] == row0["total_pixels"]
+    px = synth_pixels(0, int(batch.column("w")[0].as_py()), int(batch.column("h")[0].as_py()))
+    import numpy as _np
+    expect = int(round(float(px.astype(_np.float64).mean(axis=2).mean()) * 100))
+    assert row0["masked_mean_c"] == expect
