@@ -111,3 +111,45 @@ def test_raster_vector_clip_coverage():
     import numpy as _np
     expect = int(round(float(px.astype(_np.float64).mean(axis=2).mean()) * 100))
     assert row0["masked_mean_c"] == expect
+
+
+def test_combiner_neutralizes_hotspot_skew():
+    """The per-batch partial aggregate bounds shuffle rows per tile to the
+    batch count — the Tokyo-bay hotspot (~30% of points in a handful of
+    tiles) cannot create a hot shuffle key (SURVEY §7.4 skew strategy)."""
+    import pyarrow as pa
+
+    from plateau_gis_converter_ray.pipelines.flagship import (
+        _fanout_stage,
+        _partial_tile_agg,
+    )
+    from plateau_gis_converter_ray.stages.geocode import add_lnglat_hash
+    from plateau_gis_converter_ray.stages.spatial_join import PIPAssign
+    from plateau_gis_converter_ray.sources.municipalities import municipality_polygons
+
+    ids = pa.array([f"img_{i:012d}" for i in range(5000)])
+    batch = pa.table({"image_id": ids})
+    batch = add_lnglat_hash(batch)
+    batch = PIPAssign(municipality_polygons())(batch)
+    fanned = _fanout_stage(batch)
+    partial = _partial_tile_agg(fanned)
+    # hotspot check: some tile holds a large share of raw assignments...
+    counts = partial.column("cnt").to_numpy()
+    assert counts.max() > len(fanned) * 0.02
+    # ...but the exchange sees one row per (tile, muni) per batch; the hot
+    # low-zoom tiles compress hard (max_zoom singleton tiles dominate counts)
+    assert len(partial) < len(fanned)
+    import numpy as np
+    zoom_f = fanned.column("zoom").to_numpy()
+    zoom_p = partial.column("zoom").to_numpy()
+    assert (zoom_p <= 8).sum() < (zoom_f <= 8).sum() / 5
+    import numpy as np
+    key = [
+        (t, m)
+        for t, m in zip(
+            partial.column("tile_id").to_pylist(), partial.column("muni_id").to_pylist()
+        )
+    ]
+    assert len(set(key)) == len(key)  # unique keys within the combiner output
+    # combiner is lossless: sums equal the raw fan-out count
+    assert int(counts.sum()) == len(fanned)
