@@ -58,21 +58,32 @@ def _grids(w: int, h: int):
 
 def synth_pixels(idx: int, w: int, h: int) -> np.ndarray:
     """Deterministic (h, w, 3) uint8 image for row index ``idx``."""
-    s = splitmix64(np.uint64(idx))
-    f1 = 1.0 + float(s & np.uint64(7))
-    f2 = 1.0 + float((s >> np.uint64(3)) & np.uint64(7))
-    ph = float((s >> np.uint64(6)) & np.uint64(255)) / 40.0
+    return synth_pixels_batch(np.array([idx], dtype=np.int64), w, h)[0]
+
+
+def synth_pixels_batch(indices: np.ndarray, w: int, h: int) -> np.ndarray:
+    """Vectorized synthesis: (n, h, w, 3) uint8 for same-size rows.
+
+    Bit-identical per row to the scalar path (same IEEE expressions,
+    broadcast over the batch dimension) — the decode stage groups rows by
+    (w, h) and synthesizes each group in one shot.
+    """
+    s = splitmix64(np.asarray(indices).astype(np.uint64))
+    f1 = 1.0 + (s & np.uint64(7)).astype(np.float64)
+    f2 = 1.0 + ((s >> np.uint64(3)) & np.uint64(7)).astype(np.float64)
+    ph = ((s >> np.uint64(6)) & np.uint64(255)).astype(np.float64) / 40.0
     xxw, yyh, b8 = _grids(w, h)
     base = (
         127.5
-        + 60.0 * np.sin((2 * np.pi * f1) * xxw + ph)
-        + 60.0 * np.cos((2 * np.pi * f2) * yyh - ph)
+        + 60.0 * np.sin((2 * np.pi) * f1[:, None, None] * xxw[None] + ph[:, None, None])
+        + 60.0 * np.cos((2 * np.pi) * f2[:, None, None] * yyh[None] - ph[:, None, None])
     )
-    img = np.empty((h, w, 3), dtype=np.uint8)
     np.clip(base, 0, 255, out=base)
-    img[:, :, 0] = base
-    img[:, :, 1] = base[::-1]
-    img[:, :, 2] = b8
+    n = len(s)
+    img = np.empty((n, h, w, 3), dtype=np.uint8)
+    img[..., 0] = base
+    img[..., 1] = base[:, ::-1]
+    img[..., 2] = b8[None]
     return img
 
 

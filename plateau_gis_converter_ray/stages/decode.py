@@ -33,6 +33,8 @@ class ImageDecodeStats:
         self.verify_psnr = verify_psnr
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..kernels.imagecodec import synth_pixels_batch
+
         ids = batch.column("image_id").to_pylist()
         blobs = batch.column("bytes").to_pylist()
         ws = batch.column("w").to_numpy()
@@ -43,17 +45,34 @@ class ImageDecodeStats:
         means = np.empty((n, 3), dtype=np.float64)
         small = np.empty((n, 8, 8), dtype=np.float64)
         psnrs = np.empty(n, dtype=np.float64)
+
+        # group rows by (fmt, w, h): decode into one (g, h, w, 3) stack per
+        # group, then every stat (means, 8x8 block means, PSNR re-synthesis)
+        # runs vectorized over the stack instead of per image
+        groups: dict[tuple, list[int]] = {}
         for i in range(n):
-            px = decode_image(blobs[i], fmts[i], int(ws[i]), int(hs[i]))
-            means[i] = px.reshape(-1, 3).mean(axis=0)
-            g = px.astype(np.float64).mean(axis=2)
-            h, w = g.shape
-            small[i] = g.reshape(8, h // 8, 8, w // 8).mean(axis=(1, 3))
+            groups.setdefault((fmts[i], int(ws[i]), int(hs[i])), []).append(i)
+
+        idx_all = np.array([int(s[4:]) for s in ids], dtype=np.int64)
+        for (fmt, w, h), rows in groups.items():
+            stack = np.stack(
+                [decode_image(blobs[i], fmt, w, h) for i in rows]
+            )  # (g, h, w, 3)
+            rows_np = np.array(rows)
+            means[rows_np] = stack.reshape(len(rows), -1, 3).mean(axis=1)
+            gray = stack.astype(np.float64).mean(axis=3)
+            small[rows_np] = gray.reshape(len(rows), 8, h // 8, 8, w // 8).mean(
+                axis=(2, 4)
+            )
             if self.verify_psnr:
-                idx = int(ids[i][4:])
-                psnrs[i] = psnr(synth_pixels(idx, int(ws[i]), int(hs[i])), px)
+                ref = synth_pixels_batch(idx_all[rows_np], w, h)
+                mse = ((stack.astype(np.float64) - ref) ** 2).mean(axis=(1, 2, 3))
+                with np.errstate(divide="ignore"):
+                    psnrs[rows_np] = np.where(
+                        mse == 0, np.inf, 10.0 * np.log10(255.0**2 / np.maximum(mse, 1e-300))
+                    )
             else:
-                psnrs[i] = np.inf
+                psnrs[rows_np] = np.inf
 
         out = batch.drop_columns(["bytes"])
         out = out.append_column("phash_decoded", pa.array(phash64_batch(small)))
