@@ -83,12 +83,15 @@ def run_bench() -> dict:
     total_assignments = int(agg.sum("n_assignments"))
     headline = time.perf_counter() - t0
 
-    # per-query timings (sf_dir tables)
+    # per-query timings (sf_dir tables); skipped in scaling legs
+    query_secs = {}
+    bench_queries = (
+        [] if os.environ.get("GRAFT_BENCH_QUERIES") == "0" else BENCH_QUERIES
+    )
     import __ray_entry__ as entrymod
 
     qs = entrymod.queries()
-    query_secs = {}
-    for name in BENCH_QUERIES:
+    for name in bench_queries:
         t0 = time.perf_counter()
         res = qs[name](SF_DIR)
         # consume: count() streams without materializing on the driver
@@ -112,8 +115,20 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
+    """8 vs 32 CPUs in fresh processes; legs ALTERNATE and each level keeps
+    its minimum over GRAFT_SCALING_REPS rounds — the sandbox host is
+    multi-tenant with ~2x throughput swings between minutes, and the min is
+    the standard noise-robust estimator for identical deterministic work."""
+
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_BENCH_QUERIES="0",
+            # bigger workload per leg so per-session fixed costs (~seconds)
+            # don't dominate the 32-cpu numerator
+            GRAFT_BENCH_REPEAT=os.environ.get("GRAFT_SCALING_WORK", "8"),
+        )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
@@ -123,9 +138,14 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
+    reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
     lo, hi = 8, 32
-    r_lo = run(lo)
-    r_hi = run(hi)
+    lo_runs, hi_runs = [], []
+    for _ in range(reps):
+        lo_runs.append(run(lo))
+        hi_runs.append(run(hi))
+    r_lo = min(lo_runs, key=lambda r: r["value"])
+    r_hi = min(hi_runs, key=lambda r: r["value"])
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
     return {
@@ -134,6 +154,8 @@ def run_scaling() -> dict:
         "unit": "ratio",
         "sec_8": t_lo,
         "sec_32": t_hi,
+        "sec_8_all": [r["value"] for r in lo_runs],
+        "sec_32_all": [r["value"] for r in hi_runs],
         "assignments_per_s_8": r_lo["assignments_per_s"],
         "assignments_per_s_32": r_hi["assignments_per_s"],
         "sf": r_lo["sf"],

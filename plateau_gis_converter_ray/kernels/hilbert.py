@@ -16,6 +16,7 @@ def zxy_to_id(z: int, x, y):
 
     ``x``/``y`` may be scalars or arrays; returns uint64 of the same shape.
     """
+    scalar_in = np.isscalar(x) and np.isscalar(y)
     x = np.atleast_1d(np.asarray(x)).astype(_U64)
     y = np.atleast_1d(np.asarray(y)).astype(_U64)
     acc = np.full(np.broadcast(x, y).shape, ((1 << (2 * z)) - 1) // 3, dtype=_U64)
@@ -35,7 +36,7 @@ def zxy_to_id(z: int, x, y):
             tx = np.where(swap, fy, fx)
             ty = np.where(swap, fx, fy)
             acc = acc + s * s * ((_U64(3) * rx) ^ ry)
-    return acc if acc.shape != (1,) else _U64(acc[0])
+    return _U64(acc[0]) if (scalar_in and acc.shape == (1,)) else acc
 
 
 def id_to_zxy(tile_id: int):

@@ -92,6 +92,11 @@ def build_transform_chain(req: DataRequirements) -> list[tuple[str, dict]]:
     chain order (builder.rs:106-187). Returns (stage_name, kwargs) pairs the
     runner maps to map_batches calls."""
     chain: list[tuple[str, dict]] = []
+    if req.tile_scheme and req.output_crs != "lnglat":
+        # tile assignment consumes lng/lat (the reference's slicers run on
+        # geographic coords; projection to other CRS happens in the payload
+        # path, not the key path)
+        raise ValueError("tile_scheme requires output_crs='lnglat'")
     # 1. projection (always first, like NusamaiTransformBuilder)
     chain.append(
         ("projection", {"output": req.output_crs, "jpr_zone": req.jpr_zone})
@@ -264,3 +269,93 @@ BUILTIN_SINKS: dict[str, SinkProvider] = {
         run=_noop_run,
     ),
 }
+
+
+def derive_schema(schema: "object", chain: list[tuple[str, dict]]):
+    """Pure schema transform: pa.Schema -> pa.Schema for the derived chain.
+
+    The reference finalizes the schema BEFORE any data flows — every
+    Transform implements transform_schema in lock-step with transform
+    (transformer/mod.rs:30-35, applied at main.rs:242-251). This is that
+    contract for the tabular chain; tests assert the streamed output schema
+    equals this precomputation.
+    """
+    import pyarrow as pa
+
+    from ..stages.transforms import FieldRenamer, shorten_field_name
+
+    for name, kw in chain:
+        fields = list(schema)
+        if name == "projection":
+            out = kw.get("output", "lnglat")
+            has_height = "height" in schema.names
+            if out == "lnglat" and not has_height:
+                continue  # identity skip, mirrors apply_chain
+            drop = {"lng", "lat", "height"}
+            fields = [f for f in fields if f.name not in drop]
+            added = {
+                "lnglat": [("lng", pa.float64()), ("lat", pa.float64()), ("height", pa.float64())],
+                "webmercator": [("mx", pa.float64()), ("my", pa.float64()), ("height", pa.float64())],
+                "ecef": [("ecef_x", pa.float64()), ("ecef_y", pa.float64()), ("ecef_z", pa.float64())],
+                "jpr": [("jpr_x", pa.float64()), ("jpr_y", pa.float64()), ("height", pa.float64())],
+            }[out]
+            schema = pa.schema(fields + [pa.field(n, t) for n, t in added])
+        elif name == "geom_stats":
+            schema = pa.schema(
+                fields
+                + [pa.field("minHeight", pa.float64()), pa.field("maxHeight", pa.float64())]
+            )
+        elif name == "rename":
+            renamer = FieldRenamer(rules=kw.get("rules") or {})
+            names = [renamer.rename(f.name) for f in fields]
+            if kw.get("shorten"):
+                taken: set[str] = set()
+                names = [shorten_field_name(n, taken) for n in names]
+            schema = pa.schema(
+                [pa.field(n, f.type) for n, f in zip(names, fields)]
+            )
+        elif name == "lod_filter":
+            schema = pa.schema(fields + [pa.field("lod_kept", pa.int64())])
+        elif name == "jsonify":
+            new_fields = []
+            for f in fields:
+                nested = pa.types.is_struct(f.type) or pa.types.is_map(f.type)
+                new_fields.append(
+                    pa.field(f.name, pa.string()) if nested else f
+                )
+            schema = pa.schema(new_fields)
+        elif name == "dots":
+            new_fields = []
+
+            def flatten_field(f, prefix=""):
+                if pa.types.is_struct(f.type):
+                    for i in range(f.type.num_fields):
+                        sub = f.type.field(i)
+                        yield from flatten_field(sub, f"{prefix}{f.name}.")
+                else:
+                    yield pa.field(f"{prefix}{f.name}", f.type)
+
+            for f in fields:
+                new_fields.extend(flatten_field(f))
+            schema = pa.schema(new_fields)
+        elif name == "tiles":
+            if kw["scheme"] == "webmercator":
+                schema = pa.schema(
+                    fields
+                    + [
+                        pa.field("tile_x", pa.int32()),
+                        pa.field("tile_y", pa.int32()),
+                        pa.field("tile_id", pa.int64()),
+                    ]
+                )
+            else:
+                schema = pa.schema(
+                    fields
+                    + [
+                        pa.field("zoom", pa.int32()),
+                        pa.field("tile_x", pa.int64()),
+                        pa.field("tile_y", pa.int64()),
+                        pa.field("tile_id", pa.int64()),
+                    ]
+                )
+    return schema

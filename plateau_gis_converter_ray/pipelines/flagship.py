@@ -134,16 +134,40 @@ def _merge_partials(batch) -> "object":
     )
 
 
+_PIP_CACHE: dict = {}  # per-worker-process polygon index cache (actor-state role)
+
+
+def _pip_assign_cached(batch: pa.Table, polys_ref) -> pa.Table:
+    """PIP join as a stateless task with a once-per-worker cached index.
+
+    Same amortization as the actor pool (the index is built once per worker
+    process from the broadcast ``ray.put`` ref), but as a plain function it
+    FUSES with the read and the rest of the chain — no intermediate
+    object-store materialization of the decoded blocks.
+    """
+    import ray
+
+    key = polys_ref.hex() if hasattr(polys_ref, "hex") else id(polys_ref)
+    stage = _PIP_CACHE.get(key)
+    if stage is None:
+        polys = ray.get(polys_ref) if hasattr(polys_ref, "hex") else polys_ref
+        stage = _PIP_CACHE[key] = PIPAssign(polys)
+    return stage(batch)
+
+
 def tile_aggregate_ds(files: list[str], decode_concurrency=(1, 8)):
     """Build the lazy Dataset of per-(tile, muni) aggregates for input files.
 
-    The shuffle at the end is a *tree merge* over the (small) partial
-    aggregates rather than ``groupby().aggregate``: the per-batch combiner
-    already collapsed each batch to one row per (tile, muni), so the exchange
-    volume is O(unique_tiles x blocks). Two merge levels (fan-in ~blocks/8,
-    then 1) keep the reduce associative and log-depth — at 100 TB the same
-    tree gains a level instead of a single-task tail.
+    The whole row path — read -> decode -> geocode -> PIP join -> zoom
+    fan-out -> combiner — is ONE fused task chain (all stateless functions;
+    per-worker state lives in module caches fed by broadcast refs), so image
+    bytes never hit the object store between stages. The only exchange is
+    the tree merge over the tiny combiner output: two merge levels (fan-in
+    ~blocks/8, then 1) keep the reduce associative and log-depth — at 100 TB
+    the same tree gains a level instead of a single-task tail.
     """
+    import functools
+
     import ray
     import ray.data
 
@@ -153,21 +177,13 @@ def tile_aggregate_ds(files: list[str], decode_concurrency=(1, 8)):
     ds = ray.data.read_parquet(
         files, override_num_blocks=max(4 * max_pool, len(files))
     )
-    ds = ds.map_batches(
-        ImageDecodeStats,
-        batch_format="pyarrow",
-        batch_size=2048,
-        concurrency=decode_concurrency,
-        num_cpus=1,
-    )
+    decode = ImageDecodeStats()  # stateless apart from cached synth grids
+    ds = ds.map_batches(decode, batch_format="pyarrow", batch_size=2048)
     ds = ds.map_batches(add_lnglat_hash, batch_format="pyarrow")
     ds = ds.map_batches(
-        PIPAssign,
-        fn_constructor_args=(polys_ref,),
+        functools.partial(_pip_assign_cached, polys_ref=polys_ref),
         batch_format="pyarrow",
         batch_size=8192,
-        concurrency=(1, max(2, max_pool // 2)),
-        num_cpus=1,
     )
     ds = ds.map_batches(_fanout_stage, batch_format="pyarrow", batch_size=16384)
     ds = ds.map_batches(_partial_tile_agg, batch_format="pyarrow", batch_size=65536)
@@ -183,13 +199,23 @@ def tile_aggregate_ds(files: list[str], decode_concurrency=(1, 8)):
 
     ds = ds.map_batches(rename, batch_format="pyarrow")
     ds = ds.map_batches(_merge_partials, batch_format="pandas", batch_size=None)
-    ds = ds.repartition(8).map_batches(
-        _merge_partials, batch_format="pandas", batch_size=None
-    )
-    ds = ds.repartition(1).map_batches(
-        _merge_partials, batch_format="pandas", batch_size=None
-    )
+    # tree-merge depth: one level suffices while the combiner output is
+    # small (<~1M rows); at 100 TB add intermediate levels (repartition(k)
+    # -> merge) so no single task sees the full partial set
+    for fan_in in _merge_fan_ins(len(files)):
+        ds = ds.repartition(fan_in).map_batches(
+            _merge_partials, batch_format="pandas", batch_size=None
+        )
     return ds
+
+
+def _merge_fan_ins(n_files: int) -> list[int]:
+    """Merge-level fan-ins by input size: log-depth at scale, flat when small."""
+    if n_files > 512:
+        return [64, 8, 1]
+    if n_files > 64:
+        return [8, 1]
+    return [1]
 
 
 def run_flagship(

@@ -18,7 +18,7 @@ def test_chain_order_follows_builder():
     """Chain order is fixed like NusamaiTransformBuilder (builder.rs:106-187):
     projection -> geomstats -> rename -> lod -> jsonify -> dots -> tiles."""
     req = DataRequirements(
-        output_crs="webmercator",
+        output_crs="lnglat",
         geom_stats_col="heights",
         rename_rules={"*:a": "b"},
         lod_filter="highest",

@@ -1,0 +1,102 @@
+"""SQLite single-writer sink (gpkg architecture) + schema-first contract."""
+
+import sqlite3
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def test_sqlite_writer_per_type_tables(ray_session, tmp_path):
+    import ray.data
+
+    from plateau_gis_converter_ray.sinks.sqlite import SQLiteWriter, finalize_contents
+
+    db = str(tmp_path / "out.db")
+    ds = ray.data.from_items(
+        [
+            {"typ": ["Building", "Road"][i % 2], "fid": i,
+             "lng": 139.0 + i * 0.01, "lat": 35.0 + i * 0.01,
+             "attrs": {"height": i}}
+            for i in range(50)
+        ]
+    )
+    out = ds.map_batches(
+        SQLiteWriter,
+        fn_constructor_args=(db, "typ"),
+        batch_format="pandas",
+        concurrency=1,  # the single-tx serialization point (gpkg/mod.rs:210-251)
+    )
+    assert out.to_pandas()["written"].sum() == 50
+    contents = finalize_contents(db)
+    assert set(contents) == {"Building", "Road"}
+    assert contents["Building"]["rows"] == 25
+    con = sqlite3.connect(db)
+    # nested attrs stringified (gpkg/attributes.rs role)
+    v = con.execute('SELECT attrs FROM "Building" LIMIT 1').fetchone()[0]
+    assert v.startswith("{") and "height" in v
+    # bbox recorded in contents metadata (update_bbox role)
+    row = con.execute(
+        "SELECT min_x, max_x FROM contents WHERE table_name='Road'"
+    ).fetchone()
+    assert 139.0 <= row[0] <= row[1] <= 139.5
+
+
+def test_derive_schema_matches_pipeline(ray_session):
+    """The schema is finalized before any data flows (main.rs:242-251):
+    derive_schema(chain) must equal the streamed output schema exactly."""
+    import ray.data
+
+    from plateau_gis_converter_ray.pipelines.build import (
+        DataRequirements,
+        apply_chain,
+        build_transform_chain,
+        derive_schema,
+    )
+
+    with pytest.raises(ValueError):
+        # tile assignment consumes lng/lat: non-lnglat CRS is rejected
+        build_transform_chain(
+            DataRequirements(output_crs="webmercator", tile_scheme="3dt")
+        )
+
+    req = DataRequirements(
+        output_crs="lnglat",
+        rename_rules={"*:name": "title"},
+        jsonify=True,
+        tile_scheme="3dt",
+        min_zoom=6,
+        max_zoom=8,
+    )
+    chain = build_transform_chain(req)
+
+    rows = [
+        {
+            "gml:name": f"bldg{i}",
+            "lng": 135.0 + i * 0.1,
+            "lat": 34.0 + i * 0.1,
+            "height": float(i),
+            "props": {"a": i},
+        }
+        for i in range(20)
+    ]
+    ds = ray.data.from_items(rows)
+    in_schema = ds.schema().base_schema
+    expected = derive_schema(in_schema, chain)
+    out = apply_chain(ds, chain)
+    got = out.schema().base_schema
+    assert got.names == expected.names
+    for name in got.names:
+        assert got.field(name).type == expected.field(name).type, name
+
+
+def test_derive_schema_identity_projection():
+    import pyarrow as pa
+
+    from plateau_gis_converter_ray.pipelines.build import derive_schema
+
+    schema = pa.schema([("lng", pa.float64()), ("lat", pa.float64()), ("v", pa.int64())])
+    out = derive_schema(schema, [("projection", {"output": "lnglat"})])
+    assert out == schema  # height-less lnglat chain is the identity
+    out2 = derive_schema(schema, [("projection", {"output": "ecef"})])
+    assert set(out2.names) == {"v", "ecef_x", "ecef_y", "ecef_z"}
