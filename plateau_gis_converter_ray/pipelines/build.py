@@ -229,6 +229,22 @@ def _noop_run(ds, params, out_dir):
     return {"num_rows": ds.count()}
 
 
+def _sqlite_run(ds, params, out_dir):
+    import os
+
+    from ..sinks.sqlite import SQLiteWriter, finalize_contents
+
+    db = os.path.join(out_dir, "output.db")
+    written = ds.map_batches(
+        SQLiteWriter,
+        fn_constructor_args=(db, params.get("table_col")),
+        batch_format="pandas",
+        concurrency=1,  # the single-transaction contract (gpkg/mod.rs:210-251)
+    ).to_pandas()["written"].sum()
+    contents = finalize_contents(db)
+    return {"db": db, "written": int(written), "tables": list(contents)}
+
+
 BUILTIN_SINKS: dict[str, SinkProvider] = {
     "parquet": SinkProvider(
         name="parquet",
@@ -267,6 +283,13 @@ BUILTIN_SINKS: dict[str, SinkProvider] = {
         parameters=[],
         make_requirements=lambda p: DataRequirements(),
         run=_noop_run,
+    ),
+    "sqlite": SinkProvider(
+        name="sqlite",
+        description="single-file sqlite database (the gpkg-sink architecture)",
+        parameters=[Parameter("table_col", "string", default=None)],
+        make_requirements=lambda p: DataRequirements(jsonify=True),
+        run=_sqlite_run,
     ),
 }
 

@@ -856,6 +856,124 @@ SELECT event_id, rn AS rank, qid FROM d WHERE rn <= 3
 """
 
 
+
+# ---------------------------------------------------------------------------
+# 24. Anti-join: customers with no orders (broadcast key-set filter)
+
+
+def q_customers_without_orders(sf_dir: str):
+    """Anti-join via broadcast key set (the semi/anti pattern from the Ray
+    guide): customers with no URGENT-priority order. No shuffle — the key
+    set ships once."""
+    import ray
+
+    op = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"]).to_pandas()
+    okeys = set(op.loc[op["o_orderpriority"] == "1-URGENT", "o_custkey"].tolist())
+    ref = ray.put(okeys)
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    class AntiFilter:
+        def __init__(self, r):
+            import ray as _ray
+
+            self.keys = _ray.get(r) if hasattr(r, "hex") else r
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ck = batch.column("c_custkey").to_numpy()
+            mask = ~pd.Series(ck).isin(self.keys).to_numpy()
+            return batch.filter(pa.array(mask))
+
+    return ds.map_batches(
+        AntiFilter, fn_constructor_args=(ref,), batch_format="pyarrow",
+        concurrency=(1, 2),
+    )
+
+
+_SQL_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE c_custkey NOT IN (
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# 25. As-of join: each event matched to the user's latest prior order
+#     (merge_asof per sorted group — the range-join pattern)
+
+
+def q_asof_latest_order(sf_dir: str):
+    """For each event, the most recent order of customer (user_id + 1) with
+    o_orderdate <= ts; ties on date -> highest o_orderkey. Bucketed by user
+    and resolved with sorted merge_asof per group (as-of join pattern)."""
+    import ray
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).to_pandas()
+    orders["date_us"] = orders["o_orderdate"].astype("int64")
+    by_cust = {
+        int(ck): g.sort_values(["date_us", "o_orderkey"])[
+            ["o_orderkey", "date_us"]
+        ].to_numpy()
+        for ck, g in orders.groupby("o_custkey")
+    }
+    ref = ray.put(by_cust)
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    class AsOf:
+        def __init__(self, r):
+            import ray as _ray
+
+            self.by_cust = _ray.get(r) if hasattr(r, "hex") else r
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            ts = batch["ts"].astype("int64").to_numpy()
+            users = batch["user_id"].to_numpy()
+            out_key = np.full(len(ts), -1, dtype=np.int64)
+            for cust in np.unique(users):
+                tbl = self.by_cust.get(int(cust) + 1)
+                sel = users == cust
+                if tbl is None:
+                    continue
+                # rightmost order with date_us <= ts  (ties resolved by the
+                # (date, orderkey) sort: last = max orderkey at that date)
+                pos = np.searchsorted(tbl[:, 1], ts[sel], side="right") - 1
+                keys = np.where(pos >= 0, tbl[np.clip(pos, 0, None), 0], -1)
+                out_key[sel] = keys
+            return pd.DataFrame(
+                {
+                    "event_id": batch["event_id"],
+                    "user_id": batch["user_id"],
+                    "o_orderkey_asof": out_key,
+                }
+            )
+
+    return ds.map_batches(
+        AsOf, fn_constructor_args=(ref,), batch_format="pandas",
+        batch_size=4096, concurrency=(1, 4),
+    )
+
+
+_SQL_ASOF = """
+WITH j AS (
+  SELECT e.event_id, e.user_id, o.o_orderkey,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.event_id
+           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+         ) AS rn
+  FROM events e
+  JOIN orders o
+    ON o.o_custkey = e.user_id + 1 AND o.o_orderdate <= e.ts
+)
+SELECT e.event_id, e.user_id,
+       COALESCE(j.o_orderkey, -1) AS o_orderkey_asof
+FROM events e LEFT JOIN (SELECT * FROM j WHERE rn = 1) j USING (event_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -884,6 +1002,8 @@ QUERIES = {
     "pip_mesh_bbox": q_pip_mesh_bbox,
     "distinct_users": q_distinct_users,
     "knn_points_top3": q_knn_points_top3,
+    "customers_without_orders": q_customers_without_orders,
+    "asof_latest_order": q_asof_latest_order,
 }
 
 ORACLES = {
@@ -911,4 +1031,6 @@ ORACLES = {
     "pip_mesh_bbox": _sql_pip_mesh_bbox(),
     "distinct_users": _SQL_DISTINCT_USERS,
     "knn_points_top3": _sql_knn_points_top3(),
+    "customers_without_orders": _SQL_CUSTOMERS_WITHOUT_ORDERS,
+    "asof_latest_order": _SQL_ASOF,
 }

@@ -47,6 +47,29 @@ def write_per_group(ds, key: str, out_dir: str, fmt: str = "jsonl"):
                 g.to_parquet(path, index=False)
             elif fmt == "csv":
                 g.to_csv(path, index=False)
+            elif fmt == "geojson":
+                # one FeatureCollection per group (geojson/mod.rs:106-152):
+                # rows with lng/lat become Point features, other columns
+                # become properties
+                feats = []
+                for rec in g.to_dict(orient="records"):
+                    lng = rec.pop("lng", None)
+                    lat = rec.pop("lat", None)
+                    geom = (
+                        {"type": "Point", "coordinates": [lng, lat]}
+                        if lng is not None and lat is not None
+                        else None
+                    )
+                    feats.append(
+                        {"type": "Feature", "geometry": geom,
+                         "properties": {kk: vv for kk, vv in rec.items()
+                                        if kk != key}}
+                    )
+                with open(path, "w") as f:
+                    json.dump(
+                        {"type": "FeatureCollection", "features": feats},
+                        f, separators=(",", ":"), default=str,
+                    )
             else:
                 raise ValueError(f"unknown fmt {fmt}")
 

@@ -211,3 +211,27 @@ def test_write_tiles_detail_degradation(ray_session, tmp_path):
     assert big["detail"] == 9  # degraded to the floor
     assert small["detail"] == 12  # untouched
     assert not bool(big["skew_warn"])
+
+
+def test_geojson_group_format(ray_session, tmp_path):
+    import json
+    import os
+
+    import ray.data
+
+    from plateau_gis_converter_ray.sinks.grouped import write_per_group
+
+    ds = ray.data.from_items(
+        [{"typ": "Building", "fid": i, "lng": 139.0 + i, "lat": 35.0} for i in range(3)]
+    )
+    out = str(tmp_path / "gj")
+    write_per_group(ds, "typ", out, fmt="geojson").to_pandas()
+    with open(os.path.join(out, "part=Building", "data.geojson")) as f:
+        fc = json.load(f)
+    assert fc["type"] == "FeatureCollection"
+    assert len(fc["features"]) == 3
+    ft = fc["features"][0]
+    assert ft["geometry"]["type"] == "Point"
+    assert ft["geometry"]["coordinates"][0] == 139.0
+    assert ft["properties"]["fid"] == 0
+    assert "lng" not in ft["properties"]
