@@ -40,6 +40,42 @@ def _geo_sql(id_expr: str) -> str:
     return lng, lat
 
 
+
+def tree_group_agg(ds, group_cols: list[str], agg_spec: dict, levels=(8, 1)):
+    """Generic combiner + log-depth tree merge group-aggregate.
+
+    ``agg_spec``: out_col -> (src_col, op) with op in sum|min|max|count.
+    Exact for integer/min/max aggregates (the determinism contract); avoids
+    Ray's Aggregate operator fixed costs the same way the flagship does.
+    """
+    first = {}
+    again = {}
+    for out, (col, op) in agg_spec.items():
+        if op == "count":
+            first[out] = (col if col else group_cols[0], "size")
+            again[out] = (out, "sum")
+        else:
+            first[out] = (col, op)
+            again[out] = (out, "sum" if op == "sum" else op)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(group_cols, as_index=False).agg(
+            **{k: v for k, v in first.items()}
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(group_cols, as_index=False).agg(
+            **{k: v for k, v in again.items()}
+        )
+
+    ds = ds.map_batches(partial, batch_format="pandas", batch_size=None)
+    for fan in levels:
+        ds = ds.repartition(fan).map_batches(
+            merge, batch_format="pandas", batch_size=None
+        )
+    return ds
+
+
 # ---------------------------------------------------------------------------
 # 1. WebMercator square-scheme tiling (MVT path: mvt/slice.rs:48-52 + tile xy)
 
@@ -48,9 +84,8 @@ def q_tile_wm_z12(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_id"])
     ds = ds.map_batches(lambda b: add_lnglat_arith(b, "event_id"), batch_format="pyarrow")
     ds = ds.map_batches(lambda b: assign_webmercator(b, 12), batch_format="pyarrow")
-    from ray.data.aggregate import Count
-
-    return ds.groupby(["tile_x", "tile_y"]).aggregate(Count(alias_name="n"))
+    ds = ds.select_columns(["tile_x", "tile_y"])
+    return tree_group_agg(ds, ["tile_x", "tile_y"], {"n": (None, "count")})
 
 
 def _sql_tile_wm_z12() -> str:
@@ -83,9 +118,7 @@ def q_tile_3dt_z7(sf_dir: str):
         )
 
     ds = ds.map_batches(assign, batch_format="pyarrow")
-    from ray.data.aggregate import Count
-
-    return ds.groupby(["tile_x", "tile_y"]).aggregate(Count(alias_name="n"))
+    return tree_group_agg(ds, ["tile_x", "tile_y"], {"n": (None, "count")})
 
 
 def _sql_tile_3dt_z7() -> str:
@@ -123,10 +156,10 @@ def q_pip_mesh(sf_dir: str):
         return batch.append_column("value_c", pa.array(v))
 
     ds = ds.map_batches(to_cents, batch_format="pyarrow")
-    from ray.data.aggregate import Count, Sum
-
-    return ds.groupby("mesh_id").aggregate(
-        Count(alias_name="n"), Sum("value_c", alias_name="sum_value_c")
+    ds = ds.select_columns(["mesh_id", "value_c"])
+    return tree_group_agg(
+        ds, ["mesh_id"],
+        {"n": (None, "count"), "sum_value_c": ("value_c", "sum")},
     )
 
 
@@ -395,10 +428,9 @@ def q_events_window(sf_dir: str):
         )
 
     ds = ds.map_batches(windowize, batch_format="pyarrow")
-    from ray.data.aggregate import Count, Sum
-
-    return ds.groupby(["user_id", "window_h"]).aggregate(
-        Count(alias_name="n"), Sum("value_c", alias_name="sum_value_c")
+    return tree_group_agg(
+        ds, ["user_id", "window_h"],
+        {"n": (None, "count"), "sum_value_c": ("value_c", "sum")},
     )
 
 
@@ -444,14 +476,15 @@ SELECT event_id, user_id, value_c FROM r WHERE rn <= 3
 
 def q_order_minmax(sf_dir: str):
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_quantity"])
-    from ray.data.aggregate import Count, Max, Min
-
-    return ds.groupby("l_orderkey").aggregate(
-        Min("l_extendedprice", alias_name="min_price"),
-        Max("l_extendedprice", alias_name="max_price"),
-        Min("l_quantity", alias_name="min_qty"),
-        Max("l_quantity", alias_name="max_qty"),
-        Count(alias_name="n_lines"),
+    return tree_group_agg(
+        ds, ["l_orderkey"],
+        {
+            "min_price": ("l_extendedprice", "min"),
+            "max_price": ("l_extendedprice", "max"),
+            "min_qty": ("l_quantity", "min"),
+            "max_qty": ("l_quantity", "max"),
+            "n_lines": (None, "count"),
+        },
     )
 
 
