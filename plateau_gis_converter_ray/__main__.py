@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -36,6 +37,10 @@ def main(argv=None):
     conv.add_argument("--num-cpus", type=int, default=8)
     conv.add_argument("--dump-chain", action="store_true",
                       help="print the derived chain and exit (schema-first)")
+    conv.add_argument("--dump-schema", action="store_true",
+                      help="print the derived OUTPUT schema and exit without "
+                           "running (the reference's schema-dump, "
+                           "main.rs:253-257: schema finalized before data flows)")
 
     ls = sub.add_parser("sinks", help="list builtin sinks and their parameters")
 
@@ -79,6 +84,36 @@ def main(argv=None):
     chain = build_transform_chain(req)
     if args.dump_chain:
         print(json.dumps({"sink": args.sink, "chain": chain}, indent=2))
+        return 0
+    if args.dump_schema:
+        # pure schema path: pyarrow metadata read + derive_schema, no Ray
+        import pyarrow.parquet as pq
+
+        from plateau_gis_converter_ray.pipelines.build import derive_schema
+
+        in_schema = pq.read_schema(
+            args.input
+            if args.input.endswith(".parquet")
+            else next(
+                os.path.join(args.input, f)
+                for f in sorted(os.listdir(args.input))
+                if f.endswith(".parquet")
+            )
+        )
+        if args.columns:
+            keep = args.columns.split(",")
+            import pyarrow as pa
+
+            in_schema = pa.schema([f for f in in_schema if f.name in keep])
+        out_schema = derive_schema(in_schema, chain)
+        print(json.dumps(
+            {
+                "sink": args.sink,
+                "input_schema": {f.name: str(f.type) for f in in_schema},
+                "output_schema": {f.name: str(f.type) for f in out_schema},
+            },
+            indent=2,
+        ))
         return 0
 
     import ray

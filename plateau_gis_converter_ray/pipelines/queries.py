@@ -1007,6 +1007,40 @@ FROM events e LEFT JOIN (SELECT * FROM j WHERE rn = 1) j USING (event_id)
 """
 
 
+
+# ---------------------------------------------------------------------------
+# 26. Running total per user (ordered-group running aggregate)
+
+
+def q_running_total(sf_dir: str):
+    """Cumulative per-user value over time — sorted-group iteration with
+    carried state (the streaming running-aggregate shape)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        v = np.round(g["value"].to_numpy() * 100).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": g["user_id"].to_numpy(),
+                "running_c": np.cumsum(v),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(running, batch_format="pandas")
+
+
+_SQL_RUNNING_TOTAL = """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING
+       ) AS BIGINT) AS running_c
+FROM events
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -1037,6 +1071,7 @@ QUERIES = {
     "knn_points_top3": q_knn_points_top3,
     "customers_without_orders": q_customers_without_orders,
     "asof_latest_order": q_asof_latest_order,
+    "running_total": q_running_total,
 }
 
 ORACLES = {
@@ -1066,4 +1101,5 @@ ORACLES = {
     "knn_points_top3": _sql_knn_points_top3(),
     "customers_without_orders": _SQL_CUSTOMERS_WITHOUT_ORDERS,
     "asof_latest_order": _SQL_ASOF,
+    "running_total": _SQL_RUNNING_TOTAL,
 }
