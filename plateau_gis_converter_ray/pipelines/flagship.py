@@ -5,13 +5,12 @@ The Ray-Data-native re-expression of the reference's physical plan
 slice(row-parallel) -> sort barrier -> grouped write, rebuilt as
 
     read_parquet (column-pruned, file-partitioned)
-      -> map_batches(ImageDecodeStats, actor pool)     # the "parse" stage
-      -> map_batches(add_lnglat_hash)                   # projection analogue
-      -> map_batches(PIPAssign, actor pool, broadcast polygons)  # spatial join
-      -> map_batches(fanout_zooms)                      # slicing flat_map (1->N)
-      -> map_batches(partial tile aggregate)            # combiner: pre-shuffle
-      -> groupby(tile_id, muni).aggregate(sum, bbox)    # THE one shuffle
+      -> decode -> geocode -> PIP join -> fanout -> combiner
+         (ONE fused task chain: stateless fns + broadcast-ref worker caches;
+          image bytes never hit the object store between stages)
+      -> tree merge (log-depth, adaptive)               # THE one exchange
       -> per-chunk parquet + manifest commit            # resumable output
+      -> tileset.json quadtree reduce (driver-side)
 
 Skew note: the Tokyo-bay hotspot (30% of rows in a handful of tiles) is
 neutralized *before* the shuffle by the per-batch combiner — each tile
@@ -48,7 +47,7 @@ MAX_ZOOM = 12
 # bump when the output schema/semantics change: keyed into the default
 # out_dir so a stale /tmp cache from older code can never be "resumed" into
 # a result with mismatched columns
-PIPELINE_VERSION = "v2"
+PIPELINE_VERSION = "v3"
 
 
 def _extent_m(row_idx: np.ndarray) -> np.ndarray:

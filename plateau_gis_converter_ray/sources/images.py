@@ -65,12 +65,15 @@ def make_rows(indices: np.ndarray) -> pa.Table:
     fmts = []
     caps = []
     hashes = []
-    seeds = splitmix64(indices.astype(np.uint64))
-    for i, s in zip(indices.tolist(), seeds.tolist()):
+    sources = source_index(indices)
+    seeds = splitmix64(sources.astype(np.uint64))
+    for i, src_i, s in zip(indices.tolist(), sources.tolist(), seeds.tolist()):
+        # size/fmt/pixels derive from the SOURCE index so duplicate rows are
+        # bit-exact copies of their source image
         w = _SIZES[s % 3]
         h = _SIZES[(s >> 2) % 3]
         fmt = FORMATS[(s >> 4) & 3]
-        px = synth_pixels(i, w, h)
+        px = synth_pixels(src_i, w, h)
         ids.append(f"img_{i:012d}")
         blobs.append(encode_image(px, fmt))
         ws.append(w)
@@ -96,7 +99,18 @@ def rows_for_sf(sf: float) -> int:
     return max(1, int(round(600_000 * sf)))
 
 
-GENERATOR_VERSION = "v2"  # bump when layout/content rules change
+GENERATOR_VERSION = "v3"  # bump when layout/content rules change
+
+
+def source_index(idx):
+    """Pixel-source row for ``idx``: every idx % 10 == 9 row duplicates the
+    pixels (and phash) of idx-1 — the planted exact-duplicate fraction (~10%)
+    the dedup operators are graded on (FIXTURES.md §1). Captions stay unique
+    per row (duplicate images with distinct captions, like real crawls).
+    Vectorized: accepts scalars or int arrays.
+    """
+    idx = np.asarray(idx)
+    return np.where(idx % 10 == 9, idx - 1, idx)
 
 
 def image_table_path(sf: float, base: str = "/tmp/plateau_ray_data") -> str:

@@ -66,5 +66,15 @@ def municipality_polygons(n: int = 48) -> list[dict]:
         ring = np.stack(
             [cx + radii * np.cos(angles), cy + radii * np.sin(angles)], axis=1
         )
-        out.append({"id": f"muni_{i:03d}", "rings": [ring]})
+        rings = [ring]
+        # every 8th municipality gets a hole (an enclave — lakes/exclaves in
+        # real PLATEAU boundaries; PIP must exclude points inside it)
+        if i % 8 == 3:
+            hole_r = radii.min() * 0.35
+            hole = np.stack(
+                [cx + hole_r * np.cos(angles), cy + hole_r * np.sin(angles)],
+                axis=1,
+            )
+            rings.append(hole)
+        out.append({"id": f"muni_{i:03d}", "rings": rings})
     return out

@@ -53,7 +53,11 @@ class ImageDecodeStats:
         for i in range(n):
             groups.setdefault((fmts[i], int(ws[i]), int(hs[i])), []).append(i)
 
-        idx_all = np.array([int(s[4:]) for s in ids], dtype=np.int64)
+        from ..sources.images import source_index
+
+        # PSNR re-synthesis targets the pixel SOURCE row (planted duplicates
+        # carry their source's pixels; sources/images.py::source_index)
+        idx_all = source_index(np.array([int(s[4:]) for s in ids], dtype=np.int64))
         for (fmt, w, h), rows in groups.items():
             stack = np.stack(
                 [decode_image(blobs[i], fmt, w, h) for i in rows]

@@ -178,3 +178,43 @@ def test_flagship_writes_tileset(ray_session, tmp_path):
     # Japan bbox in radians
     import math
     assert math.radians(122.0) <= region[0] <= region[2] <= math.radians(146.01)
+
+
+def test_planted_duplicates(ray_session):
+    """FIXTURES.md §1: ~10% of rows are bit-exact duplicates of idx-1 with
+    distinct captions; the phash dedup finds exactly those groups."""
+    from plateau_gis_converter_ray.sources.images import make_rows, source_index
+
+    batch = make_rows(np.arange(100))
+    blobs = batch.column("bytes").to_pylist()
+    hashes = batch.column("phash").to_pylist()
+    caps = batch.column("caption").to_pylist()
+    for i in range(100):
+        src = int(source_index(i))
+        if src != i:
+            assert blobs[i] == blobs[src]
+            assert hashes[i] == hashes[src]
+            assert caps[i] != caps[src]
+    dup_rows = sum(1 for i in range(100) if int(source_index(i)) != i)
+    assert dup_rows == 10
+
+
+def test_hole_polygon_pip(ray_session):
+    """Points inside a municipality's hole are NOT assigned to it."""
+    from plateau_gis_converter_ray.kernels.pip import points_in_polygon
+    from plateau_gis_converter_ray.sources.municipalities import municipality_polygons
+
+    polys = municipality_polygons()
+    holed = [p for p in polys if len(p["rings"]) > 1]
+    assert len(holed) >= 4
+    p = holed[0]
+    # centroid of the hole is inside exterior but outside the polygon
+    hole_c = p["rings"][1].mean(axis=0)
+    inside = points_in_polygon(
+        np.array([hole_c[0]]), np.array([hole_c[1]]), p["rings"]
+    )
+    assert not inside[0]
+    in_ext_only = points_in_polygon(
+        np.array([hole_c[0]]), np.array([hole_c[1]]), [p["rings"][0]]
+    )
+    assert in_ext_only[0]
