@@ -132,12 +132,15 @@ def minhash_lsh_candidates(sf_dir: str, jaccard_threshold: float = 0.5):
         batch_format="pandas",
         concurrency=(1, 4),
     )
-    # global pair dedup (a pair can surface from several bands/buckets)
-    def final_dedup(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
 
-    return verified.groupby(["doc_a", "doc_b"]).map_groups(
-        final_dedup, batch_format="pandas"
+    # global pair dedup (a pair can surface from several bands/buckets):
+    # the verified pair set is tiny — single-partition drop_duplicates
+    # (at 10^12 scale this becomes one more tree_group_agg level)
+    def final_dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(subset=["doc_a", "doc_b"]).reset_index(drop=True)
+
+    return verified.repartition(1).map_batches(
+        final_dedup, batch_format="pandas", batch_size=None
     )
 
 

@@ -69,16 +69,37 @@ class Signatures:
         self.ngram = ngram
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..kernels.imagecodec import splitmix64
+
         texts = batch.column("text").to_pylist()
-        sigs = np.empty((len(texts), self.num_perm), dtype=np.uint64)
-        bandkeys = np.empty((len(texts), self.bands), dtype=np.uint64)
-        simhashes = np.empty(len(texts), dtype=np.int64)
-        fps = np.empty(len(texts), dtype=np.int64)
+        n = len(texts)
+        sigs = np.empty((n, self.num_perm), dtype=np.uint64)
+        bandkeys = np.empty((n, self.bands), dtype=np.uint64)
+        simhashes = np.empty(n, dtype=np.int64)
+        fps = np.empty(n, dtype=np.int64)
+
+        # MinHash vectorized across the whole batch: concatenate all docs'
+        # shingle hashes, apply the xor-permutations ONCE over the flat
+        # array, then per-doc segmented min via minimum.reduceat — identical
+        # values to the per-doc path (same hash exprs, order-free min).
+        shingles = [char_ngram_hashes(t, self.ngram) for t in texts]
+        lengths = np.array([len(s) for s in shingles], dtype=np.int64)
+        flat = (
+            np.concatenate(shingles) if n else np.array([], dtype=np.uint64)
+        )
+        offsets = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+        seeds = splitmix64(np.arange(1, self.num_perm + 1, dtype=np.uint64))
+        maxv = np.iinfo(np.uint64).max
+        for p in range(self.num_perm):
+            perm = splitmix64(flat ^ seeds[p])
+            if len(flat):
+                col = np.minimum.reduceat(perm, np.clip(offsets, 0, len(flat) - 1))
+                col = np.where(lengths > 0, col, maxv)
+            else:
+                col = np.full(n, maxv, dtype=np.uint64)
+            sigs[:, p] = col
         for i, t in enumerate(texts):
-            h = char_ngram_hashes(t, self.ngram)
-            sig = minhash_signature(h, self.num_perm)
-            sigs[i] = sig
-            bandkeys[i] = lsh_band_keys(sig, self.bands)
+            bandkeys[i] = lsh_band_keys(sigs[i], self.bands)
             simhashes[i] = simhash64(t)
             fps[i] = fingerprint64(t)
         out = batch.drop_columns(["text"])
