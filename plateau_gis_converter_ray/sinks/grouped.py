@@ -70,6 +70,46 @@ def write_per_group(ds, key: str, out_dir: str, fmt: str = "jsonl"):
                         {"type": "FeatureCollection", "features": feats},
                         f, separators=(",", ":"), default=str,
                     )
+            elif fmt == "kml":
+                # Placemarks with ExtendedData (sink/kml/mod.rs:68-283 shape)
+                parts = ['<?xml version="1.0" encoding="UTF-8"?>',
+                         '<kml xmlns="http://www.opengis.net/kml/2.2"><Document>']
+                for rec in g.to_dict(orient="records"):
+                    lng = rec.pop("lng", None)
+                    lat = rec.pop("lat", None)
+                    data = "".join(
+                        f'<Data name="{kk}"><value>{vv}</value></Data>'
+                        for kk, vv in rec.items() if kk != key
+                    )
+                    pt = (
+                        f"<Point><coordinates>{lng},{lat}</coordinates></Point>"
+                        if lng is not None and lat is not None else ""
+                    )
+                    parts.append(
+                        f"<Placemark><ExtendedData>{data}</ExtendedData>{pt}</Placemark>"
+                    )
+                parts.append("</Document></kml>")
+                with open(path, "w") as f:
+                    f.write("".join(parts))
+            elif fmt == "czml":
+                # CZML packet array with a document packet first
+                # (sink/czml/mod.rs:68-391 shape)
+                packets = [{"id": "document", "version": "1.0"}]
+                for rec in g.to_dict(orient="records"):
+                    lng = rec.pop("lng", None)
+                    lat = rec.pop("lat", None)
+                    pkt = {
+                        "id": str(rec.get("fid", rec.get("id", len(packets)))),
+                        "properties": {kk: vv for kk, vv in rec.items()
+                                       if kk != key},
+                    }
+                    if lng is not None and lat is not None:
+                        pkt["position"] = {
+                            "cartographicDegrees": [lng, lat, 0.0]
+                        }
+                    packets.append(pkt)
+                with open(path, "w") as f:
+                    json.dump(packets, f, separators=(",", ":"), default=str)
             else:
                 raise ValueError(f"unknown fmt {fmt}")
 

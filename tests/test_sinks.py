@@ -235,3 +235,31 @@ def test_geojson_group_format(ray_session, tmp_path):
     assert ft["geometry"]["coordinates"][0] == 139.0
     assert ft["properties"]["fid"] == 0
     assert "lng" not in ft["properties"]
+
+
+def test_kml_czml_group_formats(ray_session, tmp_path):
+    import json
+    import os
+
+    import ray.data
+
+    from plateau_gis_converter_ray.sinks.grouped import write_per_group
+
+    ds = ray.data.from_items(
+        [{"typ": "Building", "fid": i, "lng": 139.5, "lat": 35.5, "height": i}
+         for i in range(2)]
+    )
+    out1 = str(tmp_path / "kml")
+    write_per_group(ds, "typ", out1, fmt="kml").to_pandas()
+    kml = open(os.path.join(out1, "part=Building", "data.kml")).read()
+    assert kml.startswith('<?xml') and "<Placemark>" in kml
+    assert "<coordinates>139.5,35.5</coordinates>" in kml
+    assert '<Data name="height">' in kml
+
+    out2 = str(tmp_path / "czml")
+    write_per_group(ds, "typ", out2, fmt="czml").to_pandas()
+    with open(os.path.join(out2, "part=Building", "data.czml")) as f:
+        packets = json.load(f)
+    assert packets[0]["id"] == "document"
+    assert packets[1]["position"]["cartographicDegrees"][:2] == [139.5, 35.5]
+    assert packets[1]["properties"]["height"] == 0
