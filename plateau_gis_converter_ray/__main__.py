@@ -32,6 +32,12 @@ def main(argv=None):
     conv.add_argument("input", help="parquet file/dir (the tabular source)")
     conv.add_argument("output", help="output directory")
     conv.add_argument("--sink", default="noop")
+    conv.add_argument("--source", default="parquet",
+                      help="source provider (see BUILTIN_SOURCES)")
+    conv.add_argument("--rules", default=None,
+                      help="JSON file of rename rules (exact + '*:wildcard' "
+                           "keys), the --rules mapping-rules file of "
+                           "main.rs:166-179")
     conv.add_argument("--param", action="append", default=[], metavar="K=V")
     conv.add_argument("--columns", default=None, help="comma-separated read pruning")
     conv.add_argument("--num-cpus", type=int, default=8)
@@ -43,14 +49,21 @@ def main(argv=None):
                            "main.rs:253-257: schema finalized before data flows)")
 
     ls = sub.add_parser("sinks", help="list builtin sinks and their parameters")
+    sub.add_parser("sources", help="list builtin source providers")
 
     args = p.parse_args(argv)
 
     from plateau_gis_converter_ray.pipelines.build import (
         BUILTIN_SINKS,
+        BUILTIN_SOURCES,
         apply_chain,
         build_transform_chain,
     )
+
+    if args.cmd == "sources":
+        for name, s in BUILTIN_SOURCES.items():
+            print(f"{name:10s} {s.description}")
+        return 0
 
     if args.cmd == "sinks":
         for name, s in BUILTIN_SINKS.items():
@@ -81,6 +94,9 @@ def main(argv=None):
         return 2
 
     req = provider.make_requirements(params)
+    if args.rules:
+        with open(args.rules) as f:
+            req.rename_rules = {**(req.rename_rules or {}), **json.load(f)}
     chain = build_transform_chain(req)
     if args.dump_chain:
         print(json.dumps({"sink": args.sink, "chain": chain}, indent=2))
@@ -133,7 +149,10 @@ def main(argv=None):
         import ray.data
 
         columns = args.columns.split(",") if args.columns else None
-        ds = ray.data.read_parquet(args.input, columns=columns)
+        if args.source not in BUILTIN_SOURCES:
+            print(f"unknown source {args.source!r}", file=sys.stderr)
+            return 2
+        ds = BUILTIN_SOURCES[args.source].open(args.input, columns)
         ds = apply_chain(ds, chain)
         result = provider.run(ds, params, args.output)
         if hasattr(result, "to_pandas"):

@@ -382,3 +382,48 @@ def derive_schema(schema: "object", chain: list[tuple[str, dict]]):
                     ]
                 )
     return schema
+
+
+# ---------------------------------------------------------------------------
+# source providers (source/mod.rs:15-31 analogue)
+
+
+def _parquet_source(path: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(path, columns=columns)
+
+
+def _jsonl_source(path: str, columns=None):
+    import ray.data
+
+    ds = ray.data.read_json(path)
+    return ds.select_columns(columns) if columns else ds
+
+
+def _images_source(path: str, columns=None):
+    """The synthetic Lance-shaped image table; ``path`` is 'sf<scale>'."""
+    from ..sources.images import ensure_image_table, read_images
+
+    sf = float(path.replace("sf", "")) if path.startswith("sf") else 0.001
+    return read_images(ensure_image_table(sf), columns=columns)
+
+
+@dataclasses.dataclass
+class SourceProvider:
+    name: str
+    description: str
+    open: Callable[..., Any]  # (path, columns) -> Dataset
+
+
+BUILTIN_SOURCES: dict[str, SourceProvider] = {
+    "parquet": SourceProvider(
+        "parquet", "parquet file/directory (column-pruned read)", _parquet_source
+    ),
+    "jsonl": SourceProvider("jsonl", "JSON-lines file/directory", _jsonl_source),
+    "images": SourceProvider(
+        "images",
+        "deterministic synthetic image table; path is e.g. 'sf0.001'",
+        _images_source,
+    ),
+}
