@@ -151,10 +151,16 @@ def write_tiles(ds, out_dir: str, extent: int = 1 << 12,
         for flat in g["ring_xy"]:
             arr = np.asarray(flat, dtype=np.float64).reshape(-1, 2)
             rings.append((True, arr))
+        # per-feature attribute tags through the dedup tables (the
+        # MetadataEncoder role, cesiumtiles/metadata/mod.rs:23-63): one tag
+        # set per ring row from the id column when present
+        attrs = (
+            [{"pid": str(p)} for p in g["pid"]] if "pid" in g.columns else None
+        )
 
         detail = extent.bit_length() - 1
         while True:
-            tile = encode_tile_dict(rings, 1 << detail)
+            tile = encode_tile_dict(rings, 1 << detail, attrs=attrs)
             payload = json.dumps(tile, separators=(",", ":")).encode()
             compressed = zlib.compress(payload)
             if len(compressed) <= max_bytes or detail <= MIN_DETAIL:

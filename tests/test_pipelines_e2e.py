@@ -218,3 +218,33 @@ def test_hole_polygon_pip(ray_session):
         np.array([hole_c[0]]), np.array([hole_c[1]]), [p["rings"][0]]
     )
     assert in_ext_only[0]
+
+
+def test_flagship_golden_counts(ray_session, tmp_path):
+    """Golden-count pin (the load_examples.rs:107-135 pattern): exact counts
+    and a content hash of the flagship result at sf0.001, so any future
+    change to tiling/join/geocode semantics is caught as a diff, not noise.
+    (Recompute intentionally if semantics change: generator v3, pipeline v3.)"""
+    import hashlib
+
+    from plateau_gis_converter_ray.pipelines.flagship import (
+        flagship_result_ds,
+        run_flagship,
+    )
+
+    res = run_flagship(sf=0.001, out_dir=str(tmp_path / "golden"), n_chunks=2)
+    assert res["assignments"] == 1720
+    df = flagship_result_ds(res["out_dir"]).to_pandas()
+    cols = sorted(df.columns)
+    df = df[cols].sort_values(cols).reset_index(drop=True)
+    assert len(df) == 1211
+    assert int(df["tile_id"].sum()) == 11856403911
+    assert df["muni_id"].nunique() == 40
+    assert df["zoom"].value_counts().sort_index().to_dict() == {
+        7: 69, 8: 105, 9: 148, 10: 190, 11: 228, 12: 471,
+    }
+    h = hashlib.sha256()
+    h.update(df["tile_id"].to_numpy().tobytes())
+    h.update(df["n_assignments"].to_numpy().tobytes())
+    h.update("".join(df["muni_id"]).encode())
+    assert h.hexdigest()[:16] == "efab57ea2bc6009b"
