@@ -77,6 +77,45 @@ def lsh_band_keys(sig: np.ndarray, bands: int = 16) -> np.ndarray:
     return splitmix64(acc ^ np.arange(bands, dtype=np.uint64))
 
 
+def simhash64_batch(texts: list[str]) -> np.ndarray:
+    """Vectorized SimHash for a batch of docs (bit-identical to
+    :func:`simhash64`): all token hashes concatenated, per-bit sign votes
+    accumulated with segmented add.reduceat."""
+    tok_lists = [_WORD.findall(t.lower()) for t in texts]
+    lengths = np.array([len(ts) for ts in tok_lists], dtype=np.int64)
+    out = np.zeros(len(texts), dtype=np.int64)
+    if lengths.sum() == 0:
+        return out
+    cache: dict[str, int] = {}
+    flat = np.empty(int(lengths.sum()), dtype=np.uint64)
+    pos = 0
+    for ts in tok_lists:
+        for t in ts:
+            h = cache.get(t)
+            if h is None:
+                h = cache[t] = hash_token(t)
+            flat[pos] = h
+            pos += 1
+    with np.errstate(over="ignore"):
+        mixed = splitmix64(flat)
+        shifts = np.arange(64, dtype=np.uint64)
+        bits = (
+            ((mixed[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32)
+            * 2
+            - 1
+        )
+    offsets = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+    nonempty = lengths > 0
+    safe_off = np.clip(offsets, 0, len(flat) - 1)
+    votes = np.add.reduceat(bits, safe_off, axis=0)  # (n_docs, 64)
+    packed = (
+        (votes > 0).astype(np.uint64)
+        * (np.uint64(1) << np.arange(64, dtype=np.uint64))[None, :]
+    ).sum(axis=1, dtype=np.uint64)
+    out = np.where(nonempty, packed.astype(np.int64), 0)
+    return out
+
+
 def simhash64(text: str) -> int:
     """64-bit SimHash over word tokens (charikar-style sign aggregation)."""
     toks = _WORD.findall(text.lower())

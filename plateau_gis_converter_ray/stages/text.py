@@ -98,9 +98,11 @@ class Signatures:
             else:
                 col = np.full(n, maxv, dtype=np.uint64)
             sigs[:, p] = col
+        from ..kernels.text import simhash64_batch
+
+        simhashes[:] = simhash64_batch(texts)
         for i, t in enumerate(texts):
             bandkeys[i] = lsh_band_keys(sigs[i], self.bands)
-            simhashes[i] = simhash64(t)
             fps[i] = fingerprint64(t)
         out = batch.drop_columns(["text"])
         out = out.append_column(
