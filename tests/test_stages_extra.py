@@ -153,3 +153,22 @@ def test_combiner_neutralizes_hotspot_skew():
     assert len(set(key)) == len(key)  # unique keys within the combiner output
     # combiner is lossless: sums equal the raw fan-out count
     assert int(counts.sum()) == len(fanned)
+
+
+def test_stream_bucket_actors(ray_session):
+    """Incremental bucket-actor state equals the batch recomputation, and
+    per-key arrival order is certified by the actors themselves."""
+    import pandas as pd
+
+    from plateau_gis_converter_ray.stages.streaming import stream_running_totals
+
+    got = stream_running_totals("/root/testdata/sf0.001", n_buckets=3)
+    want = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    want["value_c"] = (want["value"] * 100).round().astype("int64")
+    ref = (
+        want.groupby("user_id", as_index=False)
+        .agg(total_c=("value_c", "sum"), n=("value_c", "size"))
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert got.equals(ref[["user_id", "total_c", "n"]])
