@@ -144,12 +144,16 @@ def minhash_lsh_candidates(sf_dir: str, jaccard_threshold: float = 0.5):
     )
 
 
-def simhash_near_dup(sf_dir: str, max_hamming: int = 8, prefix_bits: int = 12):
-    """SimHash near-dup pairs: bucket by top ``prefix_bits`` then verify.
+def simhash_near_dup(sf_dir: str, max_hamming: int = 8, prefix_bits: int = 12,
+                     n_rotations: int = 4):
+    """SimHash near-dup pairs: multi-rotation prefix bucketing + verify.
 
-    A 64-bit SimHash within Hamming distance d collides on the top-k prefix
-    with good probability for word-salad docs; at scale one re-buckets on
-    several rotations — documented single-rotation variant here.
+    A 64-bit SimHash within Hamming distance d collides on SOME rotated
+    ``prefix_bits`` prefix with probability rising in ``n_rotations``
+    (the standard multi-table SimHash LSH): each doc fans out to one
+    (rotation, prefix) bucket per rotation, candidate pairs are verified by
+    exact Hamming distance, and duplicates across rotations collapse in the
+    final dedup. n_rotations=1 reproduces the single-table variant.
     """
     import ray.data
 
@@ -162,10 +166,27 @@ def simhash_near_dup(sf_dir: str, max_hamming: int = 8, prefix_bits: int = 12):
         Signatures, batch_format="pyarrow", batch_size=1024, concurrency=(1, 4)
     ).select_columns(["doc_id", "simhash"])
 
+    rot_step = max(1, 64 // max(n_rotations, 1))
+
     def bucket(batch: pa.Table) -> pa.Table:
         sh = batch.column("simhash").to_numpy().astype(np.uint64)
-        pref = (sh >> np.uint64(64 - prefix_bits)).astype(np.int64)
-        return batch.append_column("bucket", pa.array(pref))
+        doc = batch.column("doc_id").to_numpy()
+        parts = []
+        with np.errstate(over="ignore"):
+            for r in range(n_rotations):
+                s = np.uint64((r * rot_step) % 64)
+                rot = (sh << s) | (sh >> np.uint64(64) - s) if s else sh
+                pref = (rot >> np.uint64(64 - prefix_bits)).astype(np.int64)
+                parts.append(
+                    pa.table(
+                        {
+                            "doc_id": pa.array(doc),
+                            "simhash": batch.column("simhash"),
+                            "bucket": pa.array(pref + (r << np.int64(prefix_bits + 1))),
+                        }
+                    )
+                )
+        return pa.concat_tables(parts)
 
     bucketed = sigs.map_batches(bucket, batch_format="pyarrow")
 
@@ -184,7 +205,14 @@ def simhash_near_dup(sf_dir: str, max_hamming: int = 8, prefix_bits: int = 12):
             {"doc_a": ids[a][keep], "doc_b": ids[b][keep], "hamming": d[keep]}
         )
 
-    return bucketed.groupby("bucket").map_groups(pairs, batch_format="pandas")
+    cand = bucketed.groupby("bucket").map_groups(pairs, batch_format="pandas")
+
+    def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(subset=["doc_a", "doc_b"]).reset_index(drop=True)
+
+    return cand.repartition(1).map_batches(
+        dedup_pairs, batch_format="pandas", batch_size=None
+    )
 
 
 def phash_exact_dedup(image_files: list[str]):

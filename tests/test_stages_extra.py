@@ -172,3 +172,17 @@ def test_stream_bucket_actors(ray_session):
         .reset_index(drop=True)
     )
     assert got.equals(ref[["user_id", "total_c", "n"]])
+
+
+def test_simhash_multirotation_superset(ray_session):
+    """Multi-rotation SimHash LSH finds at least the single-table pairs,
+    and every reported pair satisfies the Hamming bound."""
+    from plateau_gis_converter_ray.stages.dedup import simhash_near_dup
+
+    single = simhash_near_dup(SF, max_hamming=8, n_rotations=1).to_pandas()
+    multi = simhash_near_dup(SF, max_hamming=8, n_rotations=4).to_pandas()
+    s1 = set(zip(single["doc_a"], single["doc_b"]))
+    s4 = set(zip(multi["doc_a"], multi["doc_b"]))
+    assert s1 <= s4
+    assert len(s4) >= len(s1)
+    assert (multi["hamming"] <= 8).all()
