@@ -1041,6 +1041,107 @@ FROM events
 """
 
 
+
+# ---------------------------------------------------------------------------
+# 27. Embedding-cosine near-dup (integer-exact cross-multiplication)
+
+
+COSINE_NUM, COSINE_DEN = 2, 5  # threshold tau = 2/5 = 0.4
+
+
+def q_embed_near_dup_cosine(sf_dir: str):
+    """Pairs with cosine(a, b) > 0.4 over quantized embeddings, decided in
+    pure integer arithmetic: dot > 0 and den^2*dot^2 > num^2*|a|^2*|b|^2 —
+    no float accumulation anywhere, so Ray and DuckDB agree bit-for-bit."""
+    import ray
+    import ray.data
+
+    from ..stages.knn import quantize
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    all_pd = ds.to_pandas()
+    ids = all_pd["vec_id"].to_numpy().astype(np.int64)
+    vecs = quantize(np.stack(all_pd["embedding"].to_numpy()))
+    ref = ray.put({"ids": ids, "vecs": vecs, "sq": (vecs * vecs).sum(axis=1)})
+
+    class CosPairs:
+        def __init__(self, r):
+            import ray as _ray
+
+            d = _ray.get(r) if hasattr(r, "hex") else r
+            self.ids, self.vecs, self.sq = d["ids"], d["vecs"], d["sq"]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            emb = np.stack(batch.column("embedding").to_numpy(zero_copy_only=False))
+            a_ids = batch.column("vec_id").to_numpy().astype(np.int64)
+            v = quantize(emb)
+            v_sq = (v * v).sum(axis=1)
+            dot = v @ self.vecs.T  # (n, m) int64
+            lhs = (COSINE_DEN * COSINE_DEN) * dot * dot
+            rhs = (COSINE_NUM * COSINE_NUM) * v_sq[:, None] * self.sq[None, :]
+            hit = (dot > 0) & (lhs > rhs) & (a_ids[:, None] < self.ids[None, :])
+            ai, bj = np.nonzero(hit)
+            return pa.table(
+                {
+                    "vec_a": pa.array(a_ids[ai]),
+                    "vec_b": pa.array(self.ids[bj]),
+                    "dot_q": pa.array(dot[ai, bj]),
+                }
+            )
+
+    return ds.map_batches(
+        CosPairs, fn_constructor_args=(ref,), batch_format="pyarrow",
+        batch_size=1024, concurrency=(1, 4),
+    )
+
+
+_SQL_EMBED_COSINE = f"""
+WITH ee AS (
+  SELECT vec_id, i, CAST(ROUND(embedding[i] * 100) AS BIGINT) AS ev
+  FROM embeddings, (SELECT UNNEST(RANGE(1, 65)) AS i)
+), nrm AS (
+  SELECT vec_id, SUM(ev * ev) AS sq FROM ee GROUP BY 1
+), d AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.ev * b.ev) AS dot
+  FROM ee a JOIN ee b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+)
+SELECT vec_a, vec_b, CAST(dot AS BIGINT) AS dot_q
+FROM d JOIN nrm na ON na.vec_id = vec_a JOIN nrm nb ON nb.vec_id = vec_b
+WHERE dot > 0 AND {COSINE_DEN * COSINE_DEN} * dot * dot >
+      {COSINE_NUM * COSINE_NUM} * na.sq * nb.sq
+"""
+
+
+# ---------------------------------------------------------------------------
+# 28. BPE-ish token counting (letter runs / digit runs / single punct)
+
+
+def q_token_bpeish(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def count(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["n_bpeish"] = (
+            batch["text"].str.count(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]").astype("int64")
+        )
+        return batch[["source", "n_bpeish"]]
+
+    ds = ds.map_batches(count, batch_format="pandas")
+    return tree_group_agg(
+        ds, ["source"],
+        {"n_docs": (None, "count"), "sum_bpeish": ("n_bpeish", "sum")},
+    )
+
+
+_SQL_TOKEN_BPEISH = """
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]'))) AS BIGINT) AS sum_bpeish
+FROM documents GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -1072,6 +1173,8 @@ QUERIES = {
     "customers_without_orders": q_customers_without_orders,
     "asof_latest_order": q_asof_latest_order,
     "running_total": q_running_total,
+    "embed_near_dup_cosine": q_embed_near_dup_cosine,
+    "token_bpeish": q_token_bpeish,
 }
 
 ORACLES = {
@@ -1102,4 +1205,6 @@ ORACLES = {
     "customers_without_orders": _SQL_CUSTOMERS_WITHOUT_ORDERS,
     "asof_latest_order": _SQL_ASOF,
     "running_total": _SQL_RUNNING_TOTAL,
+    "embed_near_dup_cosine": _SQL_EMBED_COSINE,
+    "token_bpeish": _SQL_TOKEN_BPEISH,
 }
