@@ -111,11 +111,25 @@ class TagsEncoder:
 def encode_tile_dict(tile_rings: list[tuple[bool, np.ndarray]], extent: int,
                      attrs: list[dict] | None = None) -> dict:
     """Encode one tile's rings (+ per-feature attrs) to the deterministic
-    pre-protobuf dict: geometry command stream + tag tables + extent."""
+    pre-protobuf dict: geometry command stream + tag tables + an
+    insertion-ordered deduplicated vertex table with per-ring indices (the
+    3D-Tiles writer's per-tile IndexSet vertex dedup,
+    sink/cesiumtiles/mod.rs:312,382-397 — identical quantized points
+    collapse to one table entry)."""
     genc = GeometryEncoder()
+    vtable: dict[tuple[int, int], int] = {}
+    ring_indices: list[list[int]] = []
     for _is_ext, ring in tile_rings:
         q = np.round(ring[:, :2] * extent).astype(np.int64)
         genc.add_ring(q)
+        idxs = []
+        for x, y in q.tolist():
+            key = (x, y)
+            vi = vtable.get(key)
+            if vi is None:
+                vi = vtable[key] = len(vtable)
+            idxs.append(vi)
+        ring_indices.append(idxs)
     tags = TagsEncoder()
     feature_tags = []
     for attr in attrs or []:
@@ -131,4 +145,6 @@ def encode_tile_dict(tile_rings: list[tuple[bool, np.ndarray]], extent: int,
         "keys": keys,
         "values": values,
         "feature_tags": feature_tags,
+        "vertices": [list(k) for k in vtable],
+        "ring_indices": ring_indices,
     }

@@ -76,3 +76,33 @@ def test_cli_black_box(tmp_path):
     )
     assert bad.returncode == 2
     assert "unknown sink" in bad.stderr
+
+
+def test_cli_tiles_sink_e2e(tmp_path):
+    """CLI drive of the tiles sink on a lng/lat table: fanout + z/x/y files."""
+    import os
+
+    import pandas as pd
+
+    inp = str(tmp_path / "pts.parquet")
+    pd.DataFrame(
+        {
+            "fid": range(20),
+            "lng": [135.0 + i * 0.4 for i in range(20)],
+            "lat": [34.0 + (i % 5) * 0.3 for i in range(20)],
+            "ring_xy": [[0.2, 0.2, 0.8, 0.2, 0.8, 0.8] for _ in range(20)],
+        }
+    ).to_parquet(inp, index=False)
+    out = str(tmp_path / "tiles")
+    r = subprocess.run(
+        [sys.executable, "-m", "plateau_gis_converter_ray", "convert", inp, out,
+         "--sink", "tiles", "--param", "min_zoom=5", "--param", "max_zoom=5",
+         "--num-cpus", "2"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=180,
+    )
+    assert r.returncode == 0, r.stderr[-800:]
+    rec = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rec["result"]["rows"] >= 1
+    # a z/x/y payload exists on disk
+    found = list((tmp_path / "tiles").rglob("*.json"))
+    assert found

@@ -263,3 +263,16 @@ def test_kml_czml_group_formats(ray_session, tmp_path):
     assert packets[0]["id"] == "document"
     assert packets[1]["position"]["cartographicDegrees"][:2] == [139.5, 35.5]
     assert packets[1]["properties"]["height"] == 0
+
+
+def test_vertex_table_dedup():
+    """Per-tile vertex dedup (cesiumtiles/mod.rs:312 IndexSet role):
+    identical quantized points collapse; indices reference the table."""
+    rings = [
+        (True, np.array([[0.0, 0.0], [0.5, 0.0], [0.5, 0.5], [0.0, 0.0]])),
+        (True, np.array([[0.5, 0.5], [0.0, 0.0], [0.25, 0.25]])),
+    ]
+    tile = encode_tile_dict(rings, 4)
+    # quantized: (0,0),(2,0),(2,2),(0,0) + (2,2),(0,0),(1,1) -> 4 unique
+    assert tile["vertices"] == [[0, 0], [2, 0], [2, 2], [1, 1]]
+    assert tile["ring_indices"] == [[0, 1, 2, 0], [2, 0, 3]]
