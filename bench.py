@@ -28,6 +28,8 @@ REPEAT = int(os.environ.get("GRAFT_BENCH_REPEAT", "4"))
 
 BENCH_QUERIES = [
     "tile_wm_z12",
+    "sessionize",
+    "order_minmax",
     "tile_3dt_z7",
     "pip_mesh",
     "knn_points",
