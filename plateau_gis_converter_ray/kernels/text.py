@@ -98,16 +98,35 @@ def simhash64_batch(texts: list[str]) -> np.ndarray:
             pos += 1
     with np.errstate(over="ignore"):
         mixed = splitmix64(flat)
-        shifts = np.arange(64, dtype=np.uint64)
-        bits = (
-            ((mixed[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32)
-            * 2
-            - 1
-        )
+    shifts = np.arange(64, dtype=np.uint64)
     offsets = np.concatenate([[0], np.cumsum(lengths)[:-1]])
     nonempty = lengths > 0
     safe_off = np.clip(offsets, 0, len(flat) - 1)
-    votes = np.add.reduceat(bits, safe_off, axis=0)  # (n_docs, 64)
+    # chunk the (n_tokens, 64) bit matrix to bound peak memory (~50 MB):
+    # votes accumulate per doc, splitting only at doc boundaries
+    votes = np.zeros((len(texts), 64), dtype=np.int64)
+    chunk = 100_000
+    doc_starts = safe_off
+    start_doc = 0
+    while start_doc < len(texts):
+        end_doc = start_doc
+        tok_lo = int(doc_starts[start_doc])
+        while end_doc < len(texts) and int(doc_starts[end_doc]) - tok_lo < chunk:
+            end_doc += 1
+        tok_hi = (
+            int(doc_starts[end_doc]) if end_doc < len(texts) else len(flat)
+        )
+        if tok_hi > tok_lo:
+            with np.errstate(over="ignore"):
+                bits = (
+                    ((mixed[tok_lo:tok_hi, None] >> shifts[None, :]) & np.uint64(1))
+                    .astype(np.int32) * 2 - 1
+                )
+            local_off = (doc_starts[start_doc:end_doc] - tok_lo).astype(np.int64)
+            votes[start_doc:end_doc] = np.add.reduceat(
+                bits, np.clip(local_off, 0, tok_hi - tok_lo - 1), axis=0
+            )
+        start_doc = end_doc if end_doc > start_doc else start_doc + 1
     packed = (
         (votes > 0).astype(np.uint64)
         * (np.uint64(1) << np.arange(64, dtype=np.uint64))[None, :]
