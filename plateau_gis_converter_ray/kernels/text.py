@@ -106,27 +106,38 @@ def simhash64_batch(texts: list[str]) -> np.ndarray:
     # votes accumulate per doc, splitting only at doc boundaries
     votes = np.zeros((len(texts), 64), dtype=np.int64)
     chunk = 100_000
-    doc_starts = safe_off
+    starts = offsets
+    ends = offsets + lengths
     start_doc = 0
     while start_doc < len(texts):
-        end_doc = start_doc
-        tok_lo = int(doc_starts[start_doc])
-        while end_doc < len(texts) and int(doc_starts[end_doc]) - tok_lo < chunk:
+        tok_lo = int(starts[start_doc])
+        # greedily take whole docs while the chunk has room; always >= 1 doc
+        end_doc = start_doc + 1
+        while end_doc < len(texts) and int(ends[end_doc]) - tok_lo <= chunk:
             end_doc += 1
-        tok_hi = (
-            int(doc_starts[end_doc]) if end_doc < len(texts) else len(flat)
-        )
-        if tok_hi > tok_lo:
+        tok_hi = int(ends[end_doc - 1])
+        # token sub-chunks accumulate votes per doc (handles one huge doc)
+        for lo in range(tok_lo, max(tok_hi, tok_lo + 1), chunk):
+            hi = min(lo + chunk, tok_hi)
+            if hi <= lo:
+                break
             with np.errstate(over="ignore"):
                 bits = (
-                    ((mixed[tok_lo:tok_hi, None] >> shifts[None, :]) & np.uint64(1))
+                    ((mixed[lo:hi, None] >> shifts[None, :]) & np.uint64(1))
                     .astype(np.int32) * 2 - 1
                 )
-            local_off = (doc_starts[start_doc:end_doc] - tok_lo).astype(np.int64)
-            votes[start_doc:end_doc] = np.add.reduceat(
-                bits, np.clip(local_off, 0, tok_hi - tok_lo - 1), axis=0
-            )
-        start_doc = end_doc if end_doc > start_doc else start_doc + 1
+            # docs overlapping [lo, hi): their segment boundaries clipped
+            seg_docs = [
+                d for d in range(start_doc, end_doc)
+                if int(ends[d]) > lo and int(starts[d]) < hi
+            ]
+            if not seg_docs:
+                continue
+            local_off = np.clip(
+                starts[np.array(seg_docs)] - lo, 0, hi - lo - 1
+            ).astype(np.int64)
+            votes[np.array(seg_docs)] += np.add.reduceat(bits, local_off, axis=0)
+        start_doc = end_doc
     packed = (
         (votes > 0).astype(np.uint64)
         * (np.uint64(1) << np.arange(64, dtype=np.uint64))[None, :]

@@ -109,3 +109,15 @@ def test_fingerprint_deterministic():
     t = "some document text " * 20
     assert fingerprint64(t) == fingerprint64(t)
     assert fingerprint64(t) != fingerprint64(t + "x" * 50)
+
+
+def test_simhash_batch_matches_scalar_including_oversized():
+    """Chunked batch SimHash is bit-identical to the scalar kernel, incl. a
+    doc larger than the internal token chunk and empty docs at boundaries."""
+    from plateau_gis_converter_ray.kernels.text import simhash64, simhash64_batch
+
+    big = " ".join(f"word{i}" for i in range(120_000))
+    texts = ["the quick fox", "", big, "small", big + " tail", "a b"]
+    batch = simhash64_batch(texts)
+    for i, t in enumerate(texts):
+        assert int(batch[i]) == simhash64(t), i
