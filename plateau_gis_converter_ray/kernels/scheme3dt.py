@@ -50,15 +50,20 @@ def x_step(z: int, y):
 def zxy_from_lng_lat(z: int, lng, lat):
     """Containing tile (z, x, y) for a point (scheme.rs:32-38).
 
-    ``x`` is aligned down to the tile's x_step multiple; longitudes wrap via
-    rem_euclid is NOT applied here (the reference doesn't either for points).
+    ``x`` is aligned down to the tile's x_step multiple. Boundary points
+    (lat=-90, lng=180) clamp into the last valid row/column: the reference
+    computes the same unclamped floor and would panic downstream
+    (geometric_error's y-range assert); emitting the edge tile instead of
+    panicking is the documented divergence.
     """
     lng = np.asarray(lng, dtype=np.float64)
     lat = np.asarray(lat, dtype=np.float64)
     x_size, y_size = size_for_z(z)
     y = np.floor((90.0 - lat) / 180.0 * y_size).astype(np.int64)
+    y = np.clip(y, 0, y_size - 1)
     xs = x_step(z, y)
     x = np.floor((180.0 + lng) / 360.0 * x_size).astype(np.int64)
+    x = np.clip(x, 0, x_size - 1)
     x = x - np.remainder(x, xs)  # np.remainder == rem_euclid for positive divisor
     return x, y
 

@@ -69,7 +69,6 @@ def lsh_band_keys(sig: np.ndarray, bands: int = 16) -> np.ndarray:
     """Hash each band of the signature to one uint64 bucket key."""
     rows = len(sig) // bands
     banded = sig[: bands * rows].reshape(bands, rows)
-    k = np.uint64(0)
     acc = np.zeros(bands, dtype=np.uint64)
     for r in range(rows):
         acc = splitmix64(acc ^ banded[:, r])
@@ -101,7 +100,6 @@ def simhash64_batch(texts: list[str]) -> np.ndarray:
     shifts = np.arange(64, dtype=np.uint64)
     offsets = np.concatenate([[0], np.cumsum(lengths)[:-1]])
     nonempty = lengths > 0
-    safe_off = np.clip(offsets, 0, len(flat) - 1)
     # chunk the (n_tokens, 64) bit matrix to bound peak memory (~50 MB):
     # votes accumulate per doc, splitting only at doc boundaries
     votes = np.zeros((len(texts), 64), dtype=np.int64)

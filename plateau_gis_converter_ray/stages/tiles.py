@@ -65,9 +65,9 @@ def fanout_zooms(
 
     parts = []
     for z in range(min_zoom, max_zoom + 1):
-        x, y = scheme3dt.zxy_from_lng_lat(z, lng, lat)
+        x, y = scheme3dt.zxy_from_lng_lat(z, lng, lat)  # clamps into the grid
         if z < max_zoom:
-            err = scheme3dt.geometric_error(z, np.minimum(y, scheme3dt.size_for_z(z)[1] - 1))
+            err = scheme3dt.geometric_error(z, y)
             mask = ext >= err * 1.5
         else:
             mask = np.ones(n, dtype=bool)

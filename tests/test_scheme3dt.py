@@ -136,3 +136,13 @@ def test_zxy_from_lng_lat_valid_and_vectorized():
         west, east = x_slice_range(z, x, xs)
         assert np.all((lat >= south) & (lat <= north))
         assert np.all((lng >= west) & (lng <= east))
+
+
+def test_zxy_from_lng_lat_boundary_clamps_into_grid():
+    # lat=-90 / lng=180 used to emit y == y_size (invalid tile, out-of-domain
+    # Hilbert id); they now clamp into the last valid row/column
+    for z in [0, 1, 2, 7, 12]:
+        x, y = zxy_from_lng_lat(z, np.array([180.0, -180.0, 0.0]),
+                                np.array([-90.0, 90.0, -90.0]))
+        for xi, yi in zip(x.tolist(), y.tolist()):
+            assert is_valid_zxy(z, int(xi), int(yi)), (z, xi, yi)
