@@ -271,41 +271,40 @@ FROM lineitem GROUP BY 1, 2
 # 6. Q3-style: broadcast-join + groupby + top-k  (shuffle-free dim join)
 
 
+def _rev_scaled(batch: pa.Table) -> pa.Table:
+    """lineitem -> (l_orderkey, rev_s): integer-scaled discounted revenue."""
+    ep = batch.column("l_extendedprice").to_numpy()
+    d = batch.column("l_discount").to_numpy()
+    rev = np.round(ep * (1 - d) * 10000).astype(np.int64)
+    return pa.table({"l_orderkey": batch.column("l_orderkey"), "rev_s": pa.array(rev)})
+
+
 def q_top_orders(sf_dir: str):
-    import ray
-
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    building = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"].tolist())
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).to_pandas()
-    keep_orders = set(
-        orders.loc[orders["o_custkey"].isin(building), "o_orderkey"].tolist()
+    """Distributed semi-join chain — no fact table ever touches the driver:
+    orders LEFT SEMI customer(BUILDING), then lineitem LEFT SEMI that order
+    set; both are hash-partitioned Dataset.join exchanges (the reference's
+    sort-join role, SURVEY §2.4), followed by groupby-sum + global top-k."""
+    cust_b = (
+        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        .filter(expr="c_mktsegment == 'BUILDING'")
+        .select_columns(["c_custkey"])
     )
-    keys_ref = ray.put(keep_orders)
+    orders_b = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).join(
+        cust_b, "left_semi", num_partitions=8,
+        on=("o_custkey",), right_on=("c_custkey",),
+    ).select_columns(["o_orderkey"])
 
-    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
-
-    class Filter:
-        def __init__(self, ref):
-            self.keys = ray.get(ref) if hasattr(ref, "hex") else ref
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ok = batch.column("l_orderkey").to_numpy()
-            mask = pa.array(pd.Series(ok).isin(self.keys).to_numpy())
-            sub = batch.filter(mask)
-            ep = sub.column("l_extendedprice").to_numpy()
-            d = sub.column("l_discount").to_numpy()
-            rev = np.round(ep * (1 - d) * 10000).astype(np.int64)
-            return pa.table(
-                {"o_orderkey": sub.column("l_orderkey"), "rev_s": pa.array(rev)}
-            )
-
-    ds = ds.map_batches(Filter, fn_constructor_args=(keys_ref,),
-                        batch_format="pyarrow", concurrency=(1, 4))
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    li = li.map_batches(_rev_scaled, batch_format="pyarrow")
+    li = li.join(
+        orders_b, "left_semi", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
     from ray.data.aggregate import Sum
 
-    agg = ds.groupby("o_orderkey").aggregate(Sum("rev_s", alias_name="revenue_s"))
-    top = agg.sort(["revenue_s", "o_orderkey"], descending=[True, False]).limit(10)
-    return top
+    agg = li.groupby("l_orderkey").aggregate(Sum("rev_s", alias_name="revenue_s"))
+    agg = agg.rename_columns({"l_orderkey": "o_orderkey"})
+    return agg.sort(["revenue_s", "o_orderkey"], descending=[True, False]).limit(10)
 
 
 _SQL_TOP_ORDERS = """
@@ -325,48 +324,51 @@ LIMIT 10
 
 
 def q_nation_revenue(sf_dir: str):
+    """Star join with only the genuinely tiny dims (nation x region, ~25
+    rows) broadcast; customer -> orders -> lineitem are distributed
+    hash-partitioned Dataset.join exchanges. Revenue is pre-scaled per row
+    BEFORE the join so the exchange carries (key, n_name, rev_s) only."""
     import ray
 
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
     region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).to_pandas()
-
     asia = set(region.loc[region["r_name"] == "ASIA", "r_regionkey"].tolist())
     nation_asia = nation[nation["n_regionkey"].isin(asia)]
-    nat_name = dict(zip(nation_asia["n_nationkey"], nation_asia["n_name"]))
-    cust_nat = dict(
-        zip(cust["c_custkey"], cust["c_nationkey"])
-    )
-    order_nat = {
-        ok: cust_nat.get(ck, -1) for ok, ck in zip(orders["o_orderkey"], orders["o_custkey"])
-    }
-    order_nat = {ok: nk for ok, nk in order_nat.items() if nk in nat_name}
-    ref = ray.put((order_nat, nat_name))
+    nat_ref = ray.put(dict(zip(nation_asia["n_nationkey"], nation_asia["n_name"])))
 
-    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    class AttachNation:
+        """Broadcast dim lookup: keep only ASIA customers, attach n_name."""
 
-    class JoinRev:
         def __init__(self, r):
-            self.order_nat, self.nat_name = ray.get(r) if hasattr(r, "hex") else r
+            self.nat_name = ray.get(r) if hasattr(r, "hex") else r
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            ok = batch.column("l_orderkey").to_numpy()
-            nk = pd.Series(ok).map(self.order_nat)
-            mask = nk.notna().to_numpy()
-            ep = batch.column("l_extendedprice").to_numpy()[mask]
-            d = batch.column("l_discount").to_numpy()[mask]
-            rev = np.round(ep * (1 - d) * 10000).astype(np.int64)
-            names = nk[mask].astype(np.int64).map(self.nat_name)
+            nk = pd.Series(batch.column("c_nationkey").to_numpy())
+            names = nk.map(self.nat_name)
+            mask = names.notna().to_numpy()
             return pa.table(
-                {"n_name": pa.array(names.tolist(), pa.string()), "rev_s": pa.array(rev)}
+                {
+                    "c_custkey": batch.column("c_custkey").filter(pa.array(mask)),
+                    "n_name": pa.array(names[mask].tolist(), pa.string()),
+                }
             )
 
-    ds = ds.map_batches(JoinRev, fn_constructor_args=(ref,),
-                        batch_format="pyarrow", concurrency=(1, 4))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        AttachNation, fn_constructor_args=(nat_ref,), batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).join(
+        cust, "inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",),
+    ).select_columns(["o_orderkey", "n_name"])
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    li = li.map_batches(_rev_scaled, batch_format="pyarrow")
+    joined = li.join(
+        orders, "inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",),
+    )
     from ray.data.aggregate import Sum
 
-    return ds.groupby("n_name").aggregate(Sum("rev_s", alias_name="revenue_s"))
+    return joined.groupby("n_name").aggregate(Sum("rev_s", alias_name="revenue_s"))
 
 
 _SQL_NATION_REVENUE = """
@@ -895,31 +897,17 @@ SELECT event_id, rn AS rank, qid FROM d WHERE rn <= 3
 
 
 def q_customers_without_orders(sf_dir: str):
-    """Anti-join via broadcast key set (the semi/anti pattern from the Ray
-    guide): customers with no URGENT-priority order. No shuffle — the key
-    set ships once."""
-    import ray
-
-    op = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"]).to_pandas()
-    okeys = set(op.loc[op["o_orderpriority"] == "1-URGENT", "o_custkey"].tolist())
-    ref = ray.put(okeys)
-
-    ds = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-
-    class AntiFilter:
-        def __init__(self, r):
-            import ray as _ray
-
-            self.keys = _ray.get(r) if hasattr(r, "hex") else r
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ck = batch.column("c_custkey").to_numpy()
-            mask = ~pd.Series(ck).isin(self.keys).to_numpy()
-            return batch.filter(pa.array(mask))
-
-    return ds.map_batches(
-        AntiFilter, fn_constructor_args=(ref,), batch_format="pyarrow",
-        concurrency=(1, 2),
+    """Distributed anti-join: customers with no URGENT-priority order, as a
+    hash-partitioned ``Dataset.join(left_anti)`` — the orders side is
+    filtered + key-projected before the exchange, never driver-materialized."""
+    urgent = (
+        _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+        .filter(expr="o_orderpriority == '1-URGENT'")
+        .select_columns(["o_custkey"])
+    )
+    return _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).join(
+        urgent, "left_anti", num_partitions=8,
+        on=("c_custkey",), right_on=("o_custkey",),
     )
 
 
@@ -938,55 +926,72 @@ WHERE c_custkey NOT IN (
 
 def q_asof_latest_order(sf_dir: str):
     """For each event, the most recent order of customer (user_id + 1) with
-    o_orderdate <= ts; ties on date -> highest o_orderkey. Bucketed by user
-    and resolved with sorted merge_asof per group (as-of join pattern)."""
-    import ray
+    o_orderdate <= ts; ties on date -> highest o_orderkey.
 
-    orders = _read(
-        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
-    ).to_pandas()
-    orders["date_us"] = orders["o_orderdate"].astype("int64")
-    by_cust = {
-        int(ck): g.sort_values(["date_us", "o_orderkey"])[
-            ["o_orderkey", "date_us"]
-        ].to_numpy()
-        for ck, g in orders.groupby("o_custkey")
-    }
-    ref = ray.put(by_cust)
+    Co-partitioned as-of join: both sides map to a shared (cust, ts_us)
+    schema, union, and ONE hash shuffle on the customer key co-locates each
+    customer's orders with their events; the per-group merge_asof is a
+    vectorized searchsorted over the group's sorted orders. No side is ever
+    materialized on the driver (VERDICT r1 item #1)."""
 
-    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    def orders_side(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "cust": batch.column("o_custkey").cast(pa.int64()),
+                "kind": pa.array(np.zeros(n, dtype=np.int8)),
+                "event_id": pa.array(np.full(n, -1, dtype=np.int64)),
+                "ts_us": batch.column("o_orderdate").cast(pa.int64()),
+                "okey": batch.column("o_orderkey").cast(pa.int64()),
+            }
+        )
 
-    class AsOf:
-        def __init__(self, r):
-            import ray as _ray
+    def events_side(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        uid = batch.column("user_id").cast(pa.int64())
+        return pa.table(
+            {
+                "cust": pa.compute.add(uid, 1),
+                "kind": pa.array(np.ones(n, dtype=np.int8)),
+                "event_id": batch.column("event_id").cast(pa.int64()),
+                "ts_us": batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64()),
+                "okey": pa.array(np.full(n, -1, dtype=np.int64)),
+            }
+        )
 
-            self.by_cust = _ray.get(r) if hasattr(r, "hex") else r
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    orders = orders.map_batches(orders_side, batch_format="pyarrow")
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    events = events.map_batches(events_side, batch_format="pyarrow")
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            ts = batch["ts"].astype("int64").to_numpy()
-            users = batch["user_id"].to_numpy()
-            out_key = np.full(len(ts), -1, dtype=np.int64)
-            for cust in np.unique(users):
-                tbl = self.by_cust.get(int(cust) + 1)
-                sel = users == cust
-                if tbl is None:
-                    continue
-                # rightmost order with date_us <= ts  (ties resolved by the
-                # (date, orderkey) sort: last = max orderkey at that date)
-                pos = np.searchsorted(tbl[:, 1], ts[sel], side="right") - 1
-                keys = np.where(pos >= 0, tbl[np.clip(pos, 0, None), 0], -1)
-                out_key[sel] = keys
+    def asof_group(g: pd.DataFrame) -> pd.DataFrame:
+        ev = g[g["kind"] == 1]
+        od = g[g["kind"] == 0].sort_values(["ts_us", "okey"])
+        if len(ev) == 0:
             return pd.DataFrame(
-                {
-                    "event_id": batch["event_id"],
-                    "user_id": batch["user_id"],
-                    "o_orderkey_asof": out_key,
-                }
-            )
+                {"event_id": [], "user_id": [], "o_orderkey_asof": []}
+            ).astype({"event_id": "int64", "user_id": "int64",
+                      "o_orderkey_asof": "int64"})
+        ts = ev["ts_us"].to_numpy()
+        if len(od) == 0:
+            keys = np.full(len(ev), -1, dtype=np.int64)
+        else:
+            # rightmost order with ts_us <= event ts; the (date, orderkey)
+            # sort makes "last at that date" == max orderkey
+            dates = od["ts_us"].to_numpy()
+            okeys = od["okey"].to_numpy()
+            pos = np.searchsorted(dates, ts, side="right") - 1
+            keys = np.where(pos >= 0, okeys[np.clip(pos, 0, None)], -1)
+        return pd.DataFrame(
+            {
+                "event_id": ev["event_id"].to_numpy(),
+                "user_id": ev["cust"].to_numpy() - 1,
+                "o_orderkey_asof": keys,
+            }
+        )
 
-    return ds.map_batches(
-        AsOf, fn_constructor_args=(ref,), batch_format="pandas",
-        batch_size=4096, concurrency=(1, 4),
+    return orders.union(events).groupby("cust").map_groups(
+        asof_group, batch_format="pandas"
     )
 
 
