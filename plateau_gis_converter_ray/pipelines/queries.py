@@ -41,39 +41,9 @@ def _geo_sql(id_expr: str) -> str:
 
 
 
-def tree_group_agg(ds, group_cols: list[str], agg_spec: dict, levels=(8, 1)):
-    """Generic combiner + log-depth tree merge group-aggregate.
-
-    ``agg_spec``: out_col -> (src_col, op) with op in sum|min|max|count.
-    Exact for integer/min/max aggregates (the determinism contract); avoids
-    Ray's Aggregate operator fixed costs the same way the flagship does.
-    """
-    first = {}
-    again = {}
-    for out, (col, op) in agg_spec.items():
-        if op == "count":
-            first[out] = (col if col else group_cols[0], "size")
-            again[out] = (out, "sum")
-        else:
-            first[out] = (col, op)
-            again[out] = (out, "sum" if op == "sum" else op)
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby(group_cols, as_index=False).agg(
-            **{k: v for k, v in first.items()}
-        )
-
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby(group_cols, as_index=False).agg(
-            **{k: v for k, v in again.items()}
-        )
-
-    ds = ds.map_batches(partial, batch_format="pandas", batch_size=None)
-    for fan in levels:
-        ds = ds.repartition(fan).map_batches(
-            merge, batch_format="pandas", batch_size=None
-        )
-    return ds
+# shared combiner + log-depth tree-merge aggregate (stages/treeagg.py);
+# re-exported here because the registry queries and external callers use it
+from ..stages.treeagg import tree_group_agg  # noqa: E402
 
 
 # ---------------------------------------------------------------------------
@@ -506,14 +476,12 @@ FROM lineitem GROUP BY 1
 
 
 def q_dedup_exact(sf_dir: str):
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    """Hash-first exact dedup (stages/dedup.py): the shuffle moves a 128-bit
+    content hash, not the raw text. Oracle compares the collapsed groups —
+    identical either way."""
+    from ..stages.dedup import exact_dedup_docs
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"doc_id_keep": [int(g["doc_id"].min())], "n_dups": [len(g)]}
-        )
-
-    return ds.groupby("text").map_groups(keep_first, batch_format="pandas")
+    return exact_dedup_docs(sf_dir)
 
 
 _SQL_DEDUP_EXACT = """
@@ -531,13 +499,15 @@ def q_text_stats_by_lang(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
     ds = ds.map_batches(TextStats, batch_format="pandas", concurrency=(1, 4))
-    from ray.data.aggregate import Count, Sum
-
-    return ds.groupby("lang").aggregate(
-        Count(alias_name="n_docs"),
-        Sum("n_tokens", alias_name="sum_tokens"),
-        Sum("n_chars_calc", alias_name="sum_chars"),
-        Sum("n_alpha", alias_name="sum_alpha"),
+    ds = ds.select_columns(["lang", "n_tokens", "n_chars_calc", "n_alpha"])
+    return tree_group_agg(
+        ds, ["lang"],
+        {
+            "n_docs": (None, "count"),
+            "sum_tokens": ("n_tokens", "sum"),
+            "sum_chars": ("n_chars_calc", "sum"),
+            "sum_alpha": ("n_alpha", "sum"),
+        },
     )
 
 
@@ -555,12 +525,14 @@ def q_source_stats(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
     ds = ds.map_batches(TextStats, batch_format="pandas", concurrency=(1, 4))
-    from ray.data.aggregate import Count, Sum
-
-    return ds.groupby("source").aggregate(
-        Count(alias_name="n_docs"),
-        Sum("n_digits", alias_name="sum_digits"),
-        Sum("n_tokens", alias_name="sum_tokens"),
+    ds = ds.select_columns(["source", "n_digits", "n_tokens"])
+    return tree_group_agg(
+        ds, ["source"],
+        {
+            "n_docs": (None, "count"),
+            "sum_digits": ("n_digits", "sum"),
+            "sum_tokens": ("n_tokens", "sum"),
+        },
     )
 
 

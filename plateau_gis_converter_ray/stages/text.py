@@ -41,16 +41,64 @@ class TextStats:
 
 
 class LangQuality:
-    """Language-ID heuristic + quality scoring per doc (actor pool)."""
+    """Language-ID heuristic + quality scoring, vectorized across the batch.
+
+    Matches the per-doc kernels (``kernels.text.langid`` /
+    ``quality_stats``) value-for-value — pinned by a pytest equality check —
+    but runs as pandas ``.str`` kernels instead of a per-row ``.map``:
+    distinct-stopword votes become one compiled word-boundary ``contains``
+    per stopword (patterns built once per actor in ``__init__``), CJK/alpha/
+    word counts become ``str.count`` over compiled classes.
+    """
+
+    def __init__(self):
+        import re
+
+        from ..kernels.text import _STOPWORDS
+
+        self.langs = sorted(_STOPWORDS)
+        # \b-delimited single-stopword patterns: presence <=> the word shows
+        # up in the \w+ tokenization (same boundary semantics, see kernel)
+        self.presence = {
+            lang: [re.compile(rf"\b{w}\b") for w in sorted(_STOPWORDS[lang])]
+            for lang in self.langs
+        }
+        self.en_multi = re.compile(
+            r"\b(?:" + "|".join(sorted(_STOPWORDS["en"])) + r")\b"
+        )
+        self.cjk = re.compile(r"[぀-ヿ一-鿿]")
+        self.word = re.compile(r"\w+")
+        self.wordchar = re.compile(r"\w")
+        self.alpha = re.compile(r"[^\W\d_]")
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        from ..kernels.text import quality_stats
+        text = batch["text"]
+        lower = text.str.lower()
+        n = len(batch)
 
-        feats = batch["text"].map(quality_stats)
-        batch["lang_pred"] = batch["text"].map(langid)
-        batch["stopword_ratio"] = feats.map(lambda d: d["stopword_ratio"])
-        batch["alpha_ratio"] = feats.map(lambda d: d["alpha_ratio"])
-        batch["mean_word_len"] = feats.map(lambda d: d["mean_word_len"])
+        # --- language id (kernels.text.langid, vectorized) ---
+        n_chars = text.str.len().to_numpy()
+        cjk_n = text.str.count(self.cjk).to_numpy()
+        is_ja = (n_chars > 0) & (cjk_n / np.maximum(n_chars, 1) > 0.1)
+        votes = np.zeros((n, len(self.langs)), dtype=np.int64)
+        for j, lang in enumerate(self.langs):
+            for pat in self.presence[lang]:
+                votes[:, j] += lower.str.contains(pat).to_numpy()
+        best = votes.argmax(axis=1)  # first max == kernel's sorted-lang scan
+        pred = np.array(self.langs, dtype=object)[best]
+        pred[votes.max(axis=1) == 0] = "unknown"
+        pred[is_ja] = "ja"
+        batch["lang_pred"] = pred
+
+        # --- quality features (kernels.text.quality_stats, vectorized) ---
+        n_alpha = text.str.count(self.alpha).to_numpy()
+        n_words = lower.str.count(self.word).to_numpy()
+        n_wordchars = lower.str.count(self.wordchar).to_numpy()
+        n_stop = lower.str.count(self.en_multi).to_numpy()
+        with np.errstate(invalid="ignore", divide="ignore"):
+            batch["alpha_ratio"] = np.where(n_chars > 0, n_alpha / np.maximum(n_chars, 1), 0.0)
+            batch["stopword_ratio"] = np.where(n_words > 0, n_stop / np.maximum(n_words, 1), 0.0)
+            batch["mean_word_len"] = np.where(n_words > 0, n_wordchars / np.maximum(n_words, 1), 0.0)
         # simple composite quality score in [0, 1]
         batch["quality"] = (
             0.5 * batch["alpha_ratio"].clip(0, 1)

@@ -121,3 +121,27 @@ def test_simhash_batch_matches_scalar_including_oversized():
     batch = simhash64_batch(texts)
     for i, t in enumerate(texts):
         assert int(batch[i]) == simhash64(t), i
+
+
+def test_langquality_vectorized_equals_kernels():
+    import pandas as pd
+
+    from plateau_gis_converter_ray.kernels.text import langid, quality_stats
+    from plateau_gis_converter_ray.stages.text import LangQuality
+
+    docs = [
+        "the quick brown fox and the lazy dog in the yard for fun",
+        "der die das und ist nicht ein mit auf zu",
+        "le chat est dans la maison pour que les enfants",
+        "el perro y la casa es un lugar en madrid por que",
+        "これは日本語のテキストです。漢字も含まれています。",
+        "", "12345 67890 !!!", "theory android franchise",
+        "x_the_y the-ory the", "UPPER THE AND OF CASE",
+        "mixed 日本 short", "a b c d e f",
+    ]
+    out = LangQuality()(pd.DataFrame({"text": docs}))
+    for i, t in enumerate(docs):
+        q = quality_stats(t)
+        assert out["lang_pred"].iloc[i] == langid(t), repr(t)
+        for f in ["alpha_ratio", "stopword_ratio", "mean_word_len"]:
+            assert abs(out[f].iloc[i] - q[f]) < 1e-12, (f, repr(t))
