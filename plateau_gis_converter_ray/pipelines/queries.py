@@ -1029,49 +1029,29 @@ COSINE_NUM, COSINE_DEN = 2, 5  # threshold tau = 2/5 = 0.4
 def q_embed_near_dup_cosine(sf_dir: str):
     """Pairs with cosine(a, b) > 0.4 over quantized embeddings, decided in
     pure integer arithmetic: dot > 0 and den^2*dot^2 > num^2*|a|^2*|b|^2 —
-    no float accumulation anywhere, so Ray and DuckDB agree bit-for-bit."""
-    import ray
+    no float accumulation anywhere, so Ray and DuckDB agree bit-for-bit.
+    Pair generation is the distributed triangle block self-join
+    (stages/knn.py:block_pair_join): exact, one shuffle, no driver-side
+    table materialization."""
     import ray.data
 
-    from ..stages.knn import quantize
+    from ..stages.knn import block_pair_join
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    all_pd = ds.to_pandas()
-    ids = all_pd["vec_id"].to_numpy().astype(np.int64)
-    vecs = quantize(np.stack(all_pd["embedding"].to_numpy()))
-    ref = ray.put({"ids": ids, "vecs": vecs, "sq": (vecs * vecs).sum(axis=1)})
 
-    class CosPairs:
-        def __init__(self, r):
-            import ray as _ray
+    def cos_pairs(qa, ia, qb, ib):
+        a_sq = (qa * qa).sum(axis=1)
+        b_sq = (qb * qb).sum(axis=1)
+        dot = qa @ qb.T  # int64, exact
+        lhs = (COSINE_DEN * COSINE_DEN) * dot * dot
+        rhs = (COSINE_NUM * COSINE_NUM) * a_sq[:, None] * b_sq[None, :]
+        hit = (dot > 0) & (lhs > rhs) & (ia[:, None] != ib[None, :])
+        sel_a, sel_b = np.nonzero(hit)
+        return sel_a, sel_b, dot[sel_a, sel_b]
 
-            d = _ray.get(r) if hasattr(r, "hex") else r
-            self.ids, self.vecs, self.sq = d["ids"], d["vecs"], d["sq"]
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            emb = np.stack(batch.column("embedding").to_numpy(zero_copy_only=False))
-            a_ids = batch.column("vec_id").to_numpy().astype(np.int64)
-            v = quantize(emb)
-            v_sq = (v * v).sum(axis=1)
-            dot = v @ self.vecs.T  # (n, m) int64
-            lhs = (COSINE_DEN * COSINE_DEN) * dot * dot
-            rhs = (COSINE_NUM * COSINE_NUM) * v_sq[:, None] * self.sq[None, :]
-            hit = (dot > 0) & (lhs > rhs) & (a_ids[:, None] < self.ids[None, :])
-            ai, bj = np.nonzero(hit)
-            return pa.table(
-                {
-                    "vec_a": pa.array(a_ids[ai]),
-                    "vec_b": pa.array(self.ids[bj]),
-                    "dot_q": pa.array(dot[ai, bj]),
-                }
-            )
-
-    return ds.map_batches(
-        CosPairs, fn_constructor_args=(ref,), batch_format="pyarrow",
-        batch_size=1024, concurrency=(1, 4),
-    )
+    return block_pair_join(ds, cos_pairs, "dot_q", n_blocks=8)
 
 
 _SQL_EMBED_COSINE = f"""
