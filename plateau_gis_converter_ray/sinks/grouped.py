@@ -127,19 +127,23 @@ FEATURE_WARN = 200_000  # per-tile feature-count skew guard (mvt/mod.rs:296-301)
 
 def write_tiles(ds, out_dir: str, extent: int = 1 << 12,
                 max_bytes: int = MAX_TILE_BYTES):
-    """Write one MVT-encoded payload per tile: groupby(tile key) ->
-    map_groups(encode + write z/x/y file). Expects columns zoom, tile_x,
+    """Write one MVT tile per (z, x, y): groupby(tile key) ->
+    map_groups(encode + write z/x/y.pbf). Expects columns zoom, tile_x,
     tile_y and per-row ring payloads as list columns ``ring_xy`` (flat
-    [x0,y0,x1,y1,...] tile-local coords in [0,1]).
+    [x0,y0,x1,y1,...] tile-local coords in [0,1]); optional ``pid`` becomes
+    the feature id + a tag.
 
-    Mirrors the reference's detail-degradation retry (mvt/mod.rs:308-336):
-    if the zlib-compressed payload exceeds ``max_bytes`` the tile is
-    re-encoded at successively halved extents down to 2^9. Tiles with more
-    than ``FEATURE_WARN`` features are flagged (the skew detector,
+    The payload is REAL MVT protobuf (sinks/pbf.py — varint/packed framing
+    mirroring mvt/mod.rs:303-345 + vector_tile.rs), with the deterministic
+    dict form written alongside as ``y.json`` for debugging. Mirrors the
+    reference's detail-degradation retry (mvt/mod.rs:308-336): if the
+    zlib-compressed pbf exceeds ``max_bytes`` the tile is re-encoded at
+    successively halved extents down to 2^9. Tiles with more than
+    ``FEATURE_WARN`` features are flagged (the skew detector,
     mvt/mod.rs:296-301)."""
     import zlib
 
-    from .mvt import encode_tile_dict
+    from .mvt import encode_tile_dict, make_tile_pbf
 
     os.makedirs(out_dir, exist_ok=True)
 
@@ -147,32 +151,44 @@ def write_tiles(ds, out_dir: str, extent: int = 1 << 12,
         z = int(g["zoom"].iloc[0])
         x = int(g["tile_x"].iloc[0])
         y = int(g["tile_y"].iloc[0])
+        has_pid = "pid" in g.columns
+        feats = []
         rings = []
-        for flat in g["ring_xy"]:
+        for i, flat in enumerate(g["ring_xy"]):
             arr = np.asarray(flat, dtype=np.float64).reshape(-1, 2)
             rings.append((True, arr))
-        # per-feature attribute tags through the dedup tables (the
-        # MetadataEncoder role, cesiumtiles/metadata/mod.rs:23-63): one tag
-        # set per ring row from the id column when present
-        attrs = (
-            [{"pid": str(p)} for p in g["pid"]] if "pid" in g.columns else None
-        )
+            feat = {"rings": [(True, arr)]}
+            if has_pid:
+                pid = str(g["pid"].iloc[i])
+                feat["attrs"] = {"pid": pid}
+                feat["id"] = pid
+            feats.append(feat)
 
         detail = extent.bit_length() - 1
         while True:
-            tile = encode_tile_dict(rings, 1 << detail, attrs=attrs)
-            payload = json.dumps(tile, separators=(",", ":")).encode()
-            compressed = zlib.compress(payload)
+            pbf = make_tile_pbf(feats, detail)
+            compressed = zlib.compress(pbf)
             if len(compressed) <= max_bytes or detail <= MIN_DETAIL:
                 break
             detail -= 1  # degrade detail and retry (mvt/mod.rs:318-333)
 
+        # debuggable dict sidecar (per-tile dedup vertex table included)
+        attrs = [f.get("attrs") or {} for f in feats] if has_pid else None
+        sidecar = json.dumps(
+            encode_tile_dict(rings, 1 << detail, attrs=attrs),
+            separators=(",", ":"),
+        )
+
         path_dir = os.path.join(out_dir, str(z), str(x))
         os.makedirs(path_dir, exist_ok=True)
-        tmp = os.path.join(path_dir, f".tmp_{y}.json")
-        with open(tmp, "w") as f:
-            f.write(payload.decode())
-        os.replace(tmp, os.path.join(path_dir, f"{y}.json"))
+        tmp = os.path.join(path_dir, f".tmp_{y}.pbf")
+        with open(tmp, "wb") as f:
+            f.write(pbf)
+        os.replace(tmp, os.path.join(path_dir, f"{y}.pbf"))
+        tmp_j = os.path.join(path_dir, f".tmp_{y}.json")
+        with open(tmp_j, "w") as f:
+            f.write(sidecar)
+        os.replace(tmp_j, os.path.join(path_dir, f"{y}.json"))
         return pd.DataFrame(
             {
                 "zoom": [z], "tile_x": [x], "tile_y": [y],

@@ -1,4 +1,4 @@
-"""MVT tile encoding primitives (geometry commands + tag tables).
+"""MVT tile encoding primitives (geometry commands + tag tables + pbf).
 
 Semantics match the reference's encoder exactly:
 - zigzag + MoveTo/LineTo/ClosePath command stream with collinear-duplicate
@@ -6,11 +6,15 @@ Semantics match the reference's encoder exactly:
 - TagsEncoder: insertion-ordered key/value dedup tables
   (``nusamai-mvt/src/tag.rs:9-43``), with the same value-identity rules
   (f32 and f64 10.5 are distinct; i64>=0 folds to Uint like the From impls
-  at tag.rs:113-130).
+  at tag.rs:113-130);
+- ring quantization + duplicate/collinear interior-point simplification
+  (``nusamai/src/sink/mvt/mod.rs:362-397``), vectorized;
+- real protobuf framing (:func:`make_tile_pbf` -> ``sinks/pbf.py``)
+  mirroring make_tile at ``mvt/mod.rs:345-478``: one Feature per input
+  feature, per-layer key/value dictionaries, packed geometry varints.
 
-The full protobuf framing is out of scope for this container (no protoc);
-``encode_tile_dict`` emits the deterministic dict form a pbf writer would
-serialize — the Ray-side grouped-write plumbing is what matters at scale.
+``encode_tile_dict`` additionally emits the deterministic dict form (the
+debuggable JSON sidecar + per-tile dedup vertex table).
 """
 
 from __future__ import annotations
@@ -148,3 +152,108 @@ def encode_tile_dict(tile_rings: list[tuple[bool, np.ndarray]], extent: int,
         "vertices": [list(k) for k in vtable],
         "ring_indices": ring_indices,
     }
+
+
+def quantize_ring_i16(ring01: np.ndarray, extent: int) -> np.ndarray:
+    """Tile-local [0,1] ring -> integer pixel ring, the reference's
+    ``(x * extent + 0.5) as i16`` (mod.rs:366-370): round-half-up via
+    truncation, saturating at the i16 range."""
+    q = np.trunc(np.asarray(ring01, dtype=np.float64) * extent + 0.5)
+    return np.clip(q, -32768, 32767).astype(np.int64)
+
+
+def simplify_ring(q: np.ndarray) -> np.ndarray:
+    """Duplicate + collinear interior-point removal (mod.rs:373-397),
+    vectorized over the ORIGINAL neighbor windows exactly like the
+    reference: first/last points always kept; a middle point drops when it
+    equals its predecessor, or when it differs from its successor and
+    |cross| of the two edge vectors matches the reference's abs-equality
+    predicate."""
+    q = np.asarray(q, dtype=np.int64)
+    if len(q) < 3:
+        return q
+    prev, curr, nxt = q[:-2], q[1:-1], q[2:]
+    dup = (curr == prev).all(axis=1)
+    not_next = ~(curr == nxt).all(axis=1)
+    collinear = not_next & (
+        np.abs((nxt[:, 1] - prev[:, 1]) * (curr[:, 0] - prev[:, 0]))
+        == np.abs((curr[:, 1] - prev[:, 1]) * (nxt[:, 0] - prev[:, 0]))
+    )
+    keep = ~(dup | collinear)
+    return np.concatenate([q[:1], curr[keep], q[-1:]])
+
+
+def signed_ring_area_i(q: np.ndarray) -> float:
+    """Shoelace signed area over integer ring coords (geometry crate's
+    signed_ring_area role; positive == CW in tile y-down space)."""
+    x = q[:, 0].astype(np.float64)
+    y = q[:, 1].astype(np.float64)
+    return float((x * np.roll(y, -1) - np.roll(x, -1) * y).sum() / 2.0)
+
+
+def mvt_feature_id(s: str) -> int:
+    """djb2-xor hash of the original feature id string (mod.rs:436-440)."""
+    h = 5381
+    for c in s.encode("utf-8"):
+        h = ((h * 33) & 0xFFFFFFFFFFFFFFFF) ^ c
+    return h
+
+
+def make_tile_pbf(features, detail: int, layer_of=None) -> bytes:
+    """Encode one tile to MVT protobuf bytes (make_tile, mod.rs:345-478).
+
+    ``features``: iterable of dicts with keys ``rings`` (list of
+    (is_exterior, (n,2) float array in tile-local [0,1])), optional
+    ``attrs`` (str->value), optional ``id`` (string, djb2-hashed like the
+    reference), optional ``layer`` (typename; default 'default').
+    Quantization, simplification, orientation filtering, per-layer tag
+    dictionaries and packed-varint framing all match the reference.
+    """
+    from .pbf import encode_feature, encode_layer, encode_tile_pbf
+
+    extent = 1 << detail
+    layers: dict[str, dict] = {}
+    for feat in features:
+        name = feat.get("layer") or "default"
+        if layer_of is not None:
+            name = layer_of(feat)
+        layer = layers.setdefault(name, {"tags": TagsEncoder(), "features": []})
+
+        genc = GeometryEncoder()
+        ext_open = False
+        for is_ext, ring01 in feat["rings"]:
+            q = simplify_ring(quantize_ring_i16(ring01, extent))
+            if len(q) < 3:
+                continue
+            area = signed_ring_area_i(q)
+            if is_ext:
+                ext_open = area > 0.0
+                if ext_open:
+                    genc.add_ring(q)
+            elif ext_open and area < 0.0:  # interior must be CCW (is_cw in
+                genc.add_ring(q)           # y-down == negative here)
+        geometry = genc.into_list()
+        if not geometry:
+            continue
+
+        tags = []
+        for k, v in (feat.get("attrs") or {}).items():
+            ki, vi = layer["tags"].add(k, TagsEncoder.value_of(v))
+            tags.extend([ki, vi])
+        fid = feat.get("id")
+        layer["features"].append(
+            encode_feature(
+                geometry, tags,
+                feature_id=mvt_feature_id(fid) if fid is not None else None,
+            )
+        )
+
+    encoded_layers = []
+    for name, layer in layers.items():
+        if not layer["features"]:
+            continue
+        keys, values = layer["tags"].into_keys_and_values()
+        encoded_layers.append(
+            encode_layer(name, layer["features"], keys, values, extent)
+        )
+    return encode_tile_pbf(encoded_layers)

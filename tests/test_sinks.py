@@ -276,3 +276,85 @@ def test_vertex_table_dedup():
     # quantized: (0,0),(2,0),(2,2),(0,0) + (2,2),(0,0),(1,1) -> 4 unique
     assert tile["vertices"] == [[0, 0], [2, 0], [2, 2], [1, 1]]
     assert tile["ring_indices"] == [[0, 1, 2, 0], [2, 0, 3]]
+
+
+def test_pbf_varint_packed_roundtrip():
+    import numpy as np
+
+    from plateau_gis_converter_ray.sinks.pbf import (
+        _decode_packed,
+        encode_varint,
+        encode_varints_packed,
+    )
+
+    vals = [0, 1, 127, 128, 300, 2**21 - 1, 2**32 - 1, 2**50]
+    packed = encode_varints_packed(np.array(vals, dtype=np.uint64))
+    assert _decode_packed(packed) == vals
+    # vectorized packed encoding == per-value scalar encoding
+    assert packed == b"".join(encode_varint(v) for v in vals)
+
+
+def test_make_tile_pbf_golden_and_roundtrip():
+    """Golden-byte pin + decode of a small tile; layout per mvt/mod.rs +
+    vector_tile.rs (version-first layer framing, packed geometry)."""
+    import numpy as np
+
+    from plateau_gis_converter_ray.sinks.mvt import make_tile_pbf, mvt_feature_id
+    from plateau_gis_converter_ray.sinks.pbf import decode_tile_pbf
+
+    ring = np.array([[0.1, 0.1], [0.9, 0.1], [0.9, 0.9], [0.1, 0.9]])
+    feats = [{"rings": [(True, ring)], "attrs": {"name": "a", "height": 3},
+              "id": "bldg_1"}]
+    pbf = make_tile_pbf(feats, 12)
+    d = decode_tile_pbf(pbf)
+    (layer,) = d["layers"]
+    assert layer["version"] == 2 and layer["extent"] == 4096
+    assert layer["keys"] == ["name", "height"]
+    assert layer["values"] == [("string", "a"), ("uint", 3)]
+    (f,) = layer["features"]
+    assert f["type"] == 3 and f["id"] == mvt_feature_id("bldg_1")
+    assert f["tags"] == [0, 0, 1, 1]
+    # MoveTo(1), 3 LineTo, ClosePath over the quantized square
+    assert f["geometry"] == [9, 820, 820, 26, 6552, 0, 0, 6552, 6551, 0, 15]
+    # byte-golden: framing is deterministic
+    assert pbf == make_tile_pbf(feats, 12)
+    assert len(pbf) == 75
+
+
+def test_simplify_ring_reference_semantics():
+    import numpy as np
+
+    from plateau_gis_converter_ray.sinks.mvt import simplify_ring
+
+    # duplicates removed, collinear midpoints removed, endpoints kept
+    q = np.array([[0, 0], [0, 0], [1, 0], [2, 0], [4, 0], [4, 4], [0, 0]])
+    out = simplify_ring(q)
+    assert out.tolist() == [[0, 0], [4, 0], [4, 4], [0, 0]]
+    # reference quirk preserved: the |cross|==|cross| predicate also drops
+    # "anti-collinear" midpoints ([4,0] here: |−1*2| == |−1*−2|)
+    q2 = np.array([[0, 0], [2, 1], [4, 0], [0, 0]])
+    assert simplify_ring(q2).tolist() == [[0, 0], [2, 1], [0, 0]]
+    # genuinely non-matching points survive
+    q3 = np.array([[0, 0], [2, 1], [5, 0], [0, 0]])
+    assert simplify_ring(q3).tolist() == q3.tolist()
+
+
+def test_write_tiles_emits_decodable_pbf(ray_session, tmp_path):
+    import ray.data
+
+    from plateau_gis_converter_ray.sinks.grouped import write_tiles
+    from plateau_gis_converter_ray.sinks.pbf import decode_tile_pbf
+
+    rows = [{"zoom": 2, "tile_x": 1, "tile_y": 1, "pid": "p7",
+             "ring_xy": [0.1, 0.1, 0.9, 0.1, 0.9, 0.9, 0.1, 0.9]}]
+    ds = ray.data.from_items(rows)
+    write_tiles(ds, str(tmp_path / "tiles")).to_pandas()
+    import os
+    p = str(tmp_path / "tiles" / "2" / "1" / "1.pbf")
+    assert os.path.exists(p)
+    with open(p, "rb") as f:
+        d = decode_tile_pbf(f.read())
+    (layer,) = d["layers"]
+    assert layer["keys"] == ["pid"]
+    assert layer["values"] == [("string", "p7")]
+    assert len(layer["features"]) == 1
