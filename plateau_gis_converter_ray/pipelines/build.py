@@ -224,6 +224,12 @@ def _tiles_run(ds, params, out_dir):
     return write_tiles(ds, out_dir)
 
 
+def _tiles3d_run(ds, params, out_dir):
+    from ..sinks.tiles3d import write_tiles_3dt
+
+    return write_tiles_3dt(ds, out_dir)
+
+
 def _noop_run(ds, params, out_dir):
     # noop sink: count rows (sink/noop/mod.rs:62-85)
     return {"num_rows": ds.count()}
@@ -276,6 +282,20 @@ BUILTIN_SINKS: dict[str, SinkProvider] = {
             max_zoom=p.get("max_zoom") or 12,
         ),
         run=_tiles_run,
+    ),
+    "3dtiles": SinkProvider(
+        name="3dtiles",
+        description="z/x/y.glb binary tiles + metadata (cesiumtiles sink)",
+        parameters=[
+            Parameter("min_zoom", "integer", default=7),
+            Parameter("max_zoom", "integer", default=12),
+        ],
+        make_requirements=lambda p: DataRequirements(
+            tile_scheme="3dt",
+            min_zoom=p.get("min_zoom") or 7,
+            max_zoom=p.get("max_zoom") or 12,
+        ),
+        run=_tiles3d_run,
     ),
     "noop": SinkProvider(
         name="noop",

@@ -1,0 +1,149 @@
+"""glb container + EXT_structural_metadata + 3dtiles sink tests
+(reference: nusamai-gltf/src/glb.rs, cesiumtiles/gltf.rs, metadata/mod.rs)."""
+
+import struct
+
+import numpy as np
+
+from plateau_gis_converter_ray.sinks.glb import (
+    FLOAT_NO_DATA,
+    INT64_NO_DATA,
+    MetadataEncoder,
+    fan_triangulate,
+    read_glb,
+    tile_glb_bytes,
+    write_glb,
+)
+
+
+def test_glb_header_and_padding():
+    glb = write_glb(b'{"asset":1}', b"\x01\x02\x03")
+    assert glb[:4] == b"glTF"
+    version, total = struct.unpack_from("<II", glb, 4)
+    assert version == 2 and total == len(glb)
+    # chunk alignment 8 (gltf.rs:270): both chunk payload sizes % 8 == 0...
+    jlen, = struct.unpack_from("<I", glb, 12)
+    assert (12 + 8 + jlen + 8) % 8 == 0
+    gltf, binc = read_glb(glb)
+    assert gltf == {"asset": 1}
+    assert binc.rstrip(b"\x00") == b"\x01\x02\x03"
+
+
+def test_metadata_encoder_columns_and_nodata():
+    enc = MetadataEncoder(
+        {"Building": {"name": "string", "height": "float64",
+                      "floors": "int64", "usage": "enum"}}
+    )
+    assert enc.add_feature("Building", {"name": "a", "height": 2.5,
+                                        "floors": 3, "usage": "office"}) == 0
+    assert enc.add_feature("Building", {"name": "bb"}) == 1  # noData fills
+    buffer = bytearray()
+    views = []
+    meta = enc.into_metadata(buffer, views)
+    (pt,) = meta["propertyTables"]
+    assert pt["class"] == "Building" and pt["count"] == 2
+    props = meta["schema"]["classes"]["Building"]["properties"]
+    assert props["height"]["componentType"] == "FLOAT64"
+    assert props["usage"]["enumType"] == "Enum01"
+    # decode the height column back from the buffer views
+    hv = views[pt["properties"]["height"]["values"]]
+    vals = np.frombuffer(
+        bytes(buffer[hv["byteOffset"]:hv["byteOffset"] + hv["byteLength"]]),
+        dtype="<f8",
+    )
+    assert vals[0] == 2.5 and vals[1] == FLOAT_NO_DATA
+    fv = views[pt["properties"]["floors"]["values"]]
+    ivals = np.frombuffer(
+        bytes(buffer[fv["byteOffset"]:fv["byteOffset"] + fv["byteLength"]]),
+        dtype="<i8",
+    )
+    assert ivals[0] == 3 and ivals[1] == INT64_NO_DATA
+    # string column round-trip via offsets
+    sv = pt["properties"]["name"]
+    so = views[sv["stringOffsets"]]
+    offs = np.frombuffer(
+        bytes(buffer[so["byteOffset"]:so["byteOffset"] + so["byteLength"]]),
+        dtype="<u4",
+    )
+    nv = views[sv["values"]]
+    raw = bytes(buffer[nv["byteOffset"]:nv["byteOffset"] + nv["byteLength"]])
+    strings = [raw[offs[i]:offs[i + 1]].decode() for i in range(len(offs) - 1)]
+    assert strings == ["a", "bb"]
+    # enum dictionary: noData name first, then insertion order
+    names = [v["name"] for v in meta["schema"]["enums"]["Enum01"]["values"]]
+    assert names == ["", "office"]
+
+
+def test_tile_glb_roundtrip_structure():
+    verts = np.array(
+        [[0, 0, 0, 0, 0, 1, 0, 0, 0],
+         [1, 0, 0, 0, 0, 1, 1, 0, 0],
+         [1, 1, 0, 0, 0, 1, 1, 1, 0]], dtype=np.float32)
+    idx = fan_triangulate(3, 0)
+    enc = MetadataEncoder({"Feature": {"pid": "string"}})
+    enc.add_feature("Feature", {"pid": "p1"})
+    glb = tile_glb_bytes(verts, idx, [1.0, 2.0, 3.0], metadata=enc,
+                         num_features=1)
+    gltf, binc = read_glb(glb)
+    assert gltf["asset"]["version"] == "2.0"
+    assert gltf["nodes"][0]["translation"] == [1.0, 2.0, 3.0]
+    (prim,) = gltf["meshes"][0]["primitives"]
+    assert prim["attributes"] == {"POSITION": 0, "NORMAL": 1,
+                                  "TEXCOORD_0": 2, "_FEATURE_ID_0": 3}
+    assert prim["extensions"]["EXT_mesh_features"]["featureIds"][0][
+        "featureCount"] == 1
+    # vertex bufferView: stride 36, interleaved floats round-trip
+    bv = gltf["bufferViews"][0]
+    assert bv["byteStride"] == 36
+    back = np.frombuffer(binc[:bv["byteLength"]], dtype="<f4").reshape(-1, 9)
+    assert np.array_equal(back, verts)
+    # positions accessor min/max
+    acc = gltf["accessors"][0]
+    assert acc["min"] == [0.0, 0.0, 0.0] and acc["max"] == [1.0, 1.0, 0.0]
+    # indices round-trip
+    ibv = gltf["bufferViews"][-1]
+    got = np.frombuffer(
+        binc[ibv["byteOffset"]:ibv["byteOffset"] + ibv["byteLength"]],
+        dtype="<u4")
+    assert got.tolist() == idx.tolist()
+    assert "EXT_structural_metadata" in gltf["extensions"]
+
+
+def test_vertex_dedup_bit_pattern():
+    from plateau_gis_converter_ray.sinks.tiles3d import tile_vertices_indices
+
+    sq = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]])
+    # two features sharing the same ring + same feature id -> vertices collapse
+    vt, idx = tile_vertices_indices([sq, sq], [0, 0])
+    assert len(vt) == 4
+    assert idx.tolist() == [0, 1, 2, 0, 2, 3] * 2
+    # distinct feature id changes the bit pattern -> no collapse
+    vt2, _ = tile_vertices_indices([sq, sq], [0, 1])
+    assert len(vt2) == 8
+
+
+def test_write_tiles_3dt_e2e(ray_session, tmp_path):
+    import os
+
+    import ray.data
+
+    from plateau_gis_converter_ray.sinks.tiles3d import write_tiles_3dt
+
+    rows = []
+    for z, x, y, pid in [(7, 100, 30, "a"), (7, 100, 30, "b"), (8, 201, 60, "c")]:
+        rows.append({"zoom": z, "tile_x": x, "tile_y": y, "pid": pid,
+                     "ring_xy": [0.1, 0.1, 0.9, 0.1, 0.9, 0.9, 0.1, 0.9]})
+    ds = ray.data.from_items(rows)
+    res = write_tiles_3dt(ds, str(tmp_path / "3dt")).to_pandas()
+    assert len(res) == 2
+    p = str(tmp_path / "3dt" / "7" / "100" / "30.glb")
+    assert os.path.exists(p)
+    with open(p, "rb") as f:
+        gltf, binc = read_glb(f.read())
+    meta = gltf["extensions"]["EXT_structural_metadata"]
+    (pt,) = meta["propertyTables"]
+    assert pt["count"] == 2  # two features in the tile
+    r = res.set_index(["zoom", "tile_x"])
+    assert int(r.loc[(7, 100), "n_features"]) == 2
+    # same ring, different feature ids -> 8 deduped vertices
+    assert int(r.loc[(7, 100), "n_vertices"]) == 8
