@@ -306,3 +306,76 @@ def flagship_result_ds(out_dir: str):
     return ds.repartition(1).map_batches(
         _merge_partials, batch_format="pandas", batch_size=None
     )
+
+
+def write_flagship_glb_tiles(out_dir: str, tiles_dir: str | None = None):
+    """Emit z/x/y.glb tile content for the flagship aggregate.
+
+    The final step the reference's cesiumtiles sink performs after the
+    external sort (mod.rs:262-340 -> gltf.rs): per tile, each
+    municipality's assignment bbox becomes a quad in tile-local [0,1]
+    coords (normalized against the 3DT tile bounds), vertex-deduped,
+    fan-triangulated and written as a real glb with an
+    EXT_structural_metadata property table carrying (muni_id,
+    n_assignments). Runs over the (small) merged aggregate as a grouped
+    Dataset write — one file per tile, resumable by existing-file skip.
+    """
+    import pandas as pd
+    import ray.data
+
+    from ..kernels import scheme3dt
+    from ..sinks.glb import MetadataEncoder, tile_glb_bytes
+    from ..sinks.tiles3d import tile_vertices_indices
+
+    tiles_dir = tiles_dir or os.path.join(out_dir, "tiles")
+    os.makedirs(tiles_dir, exist_ok=True)
+    agg = flagship_result_ds(out_dir)
+
+    def write_tile(g: pd.DataFrame) -> pd.DataFrame:
+        z = int(g["zoom"].iloc[0])
+        x = int(g["tile_x"].iloc[0])
+        y = int(g["tile_y"].iloc[0])
+        south, north = scheme3dt.y_slice_range(z, y)
+        xs = scheme3dt.x_step(z, np.array([y]))[0]
+        west, east = scheme3dt.x_slice_range(z, x, xs)
+        w = max(float(east - west), 1e-12)
+        h = max(float(north - south), 1e-12)
+
+        enc = MetadataEncoder(
+            {"Municipality": {"muni_id": "string", "n_assignments": "uint64"}}
+        )
+        rings, fids = [], []
+        for _, row in g.iterrows():
+            fid = enc.add_feature(
+                "Municipality",
+                {"muni_id": str(row["muni_id"]),
+                 "n_assignments": int(row["n_assignments"])},
+            )
+            x0 = (float(row["lng_min"]) - float(west)) / w
+            x1 = (float(row["lng_max"]) - float(west)) / w
+            # tile-local y grows south (y-down), matching the tile grid
+            y0 = (float(north) - float(row["lat_max"])) / h
+            y1 = (float(north) - float(row["lat_min"])) / h
+            rings.append(
+                np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]])
+            )
+            fids.append(fid)
+        vtable, indices = tile_vertices_indices(rings, fids)
+        glb = tile_glb_bytes(
+            vtable, indices, translation=[float(x), float(y), float(z)],
+            metadata=enc, num_features=len(rings),
+        )
+        path_dir = os.path.join(tiles_dir, str(z), str(x))
+        os.makedirs(path_dir, exist_ok=True)
+        tmp = os.path.join(path_dir, f".tmp_{y}.glb")
+        with open(tmp, "wb") as f:
+            f.write(glb)
+        os.replace(tmp, os.path.join(path_dir, f"{y}.glb"))
+        return pd.DataFrame(
+            {"zoom": [z], "tile_x": [x], "tile_y": [y],
+             "n_munis": [len(rings)], "glb_bytes": [len(glb)]}
+        )
+
+    return agg.groupby(["zoom", "tile_x", "tile_y"]).map_groups(
+        write_tile, batch_format="pandas"
+    )

@@ -147,3 +147,28 @@ def test_write_tiles_3dt_e2e(ray_session, tmp_path):
     assert int(r.loc[(7, 100), "n_features"]) == 2
     # same ring, different feature ids -> 8 deduped vertices
     assert int(r.loc[(7, 100), "n_vertices"]) == 8
+
+
+def test_flagship_e2e_writes_valid_glb(ray_session, tmp_path):
+    """Flagship aggregate -> z/x/y.glb content, parsed back (the 3D-Tiles
+    binary half of the flagship pipeline)."""
+    import glob
+    import os
+
+    from plateau_gis_converter_ray.pipelines.flagship import (
+        run_flagship,
+        write_flagship_glb_tiles,
+    )
+
+    res = run_flagship(sf=0.001)
+    tiles_dir = str(tmp_path / "glb_tiles")
+    out = write_flagship_glb_tiles(res["out_dir"], tiles_dir).to_pandas()
+    assert len(out) > 0 and (out["glb_bytes"] > 20).all()
+    files = glob.glob(os.path.join(tiles_dir, "*", "*", "*.glb"))
+    assert len(files) == len(out)
+    with open(files[0], "rb") as f:
+        gltf, binc = read_glb(f.read())
+    meta = gltf["extensions"]["EXT_structural_metadata"]
+    (pt,) = meta["propertyTables"]
+    assert pt["class"] == "Municipality" and pt["count"] >= 1
+    assert len(binc) > 0
