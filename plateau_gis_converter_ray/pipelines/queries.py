@@ -1100,6 +1100,38 @@ FROM documents GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# 29. Appearance theme join (ApplyAppearanceTransform, appearance.rs:13-122)
+
+
+def q_appearance_theme(sf_dir: str):
+    from ..stages.appearance import appearance_theme_join
+
+    return appearance_theme_join(sf_dir)
+
+
+_SQL_APPEARANCE = """
+WITH n AS (SELECT COUNT(*) AS np FROM part),
+e AS (
+  SELECT event_id,
+         CASE WHEN event_id % 3 <> 0 THEN 'rgbTexture' ELSE 'FMETheme' END AS theme,
+         ((event_id * 7 + CASE WHEN event_id % 3 <> 0 THEN 0 ELSE 3 END)
+           % (SELECT np FROM n)) AS tex_key,
+         ((event_id * 13) % (SELECT np FROM n)) AS mat_key,
+         (event_id % 4) + 3 AS uv_len,
+         (event_id % 5) + 3 AS ring_len
+  FROM events
+)
+SELECT e.event_id, e.theme,
+       CASE WHEN e.tex_key % 5 <> 0 AND e.uv_len = e.ring_len
+            THEN pt.p_name ELSE '__dummy__' END AS texture_name,
+       CASE WHEN e.mat_key % 7 <> 0 THEN pm.p_type ELSE '__none__' END AS material_type
+FROM e
+JOIN part pt ON pt.p_partkey = e.tex_key
+JOIN part pm ON pm.p_partkey = e.mat_key
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 QUERIES = {
@@ -1132,6 +1164,7 @@ QUERIES = {
     "running_total": q_running_total,
     "embed_near_dup_cosine": q_embed_near_dup_cosine,
     "token_bpeish": q_token_bpeish,
+    "appearance_theme": q_appearance_theme,
 }
 
 ORACLES = {
@@ -1164,4 +1197,5 @@ ORACLES = {
     "running_total": _SQL_RUNNING_TOTAL,
     "embed_near_dup_cosine": _SQL_EMBED_COSINE,
     "token_bpeish": _SQL_TOKEN_BPEISH,
+    "appearance_theme": _SQL_APPEARANCE,
 }

@@ -1,0 +1,84 @@
+"""ApplyAppearanceTransform analogue: the theme-resolution join.
+
+Mirrors ``nusamai/src/transformer/transform/appearance.rs:13-122`` on
+tabular data: each feature picks ONE theme — ``rgbTexture`` when present,
+else the ``FMETheme`` fallback (appearance.rs:17-21) — then resolves its
+ring's texture (with the UV-length == ring-length validation that demotes
+mismatches to the dummy texture, appearance.rs:55-82) and its surface's
+material against the theme's dictionaries. The dictionaries are the
+``part`` dim table, broadcast once per actor (``ray.put`` ref in
+``__init__``) — the per-entity HashMap lookup of the reference expressed
+as a vectorized broadcast-dim join.
+
+Theme membership / keys / UV lengths derive arithmetically from event_id
+so the DuckDB oracle reproduces them exactly (integer-only expressions).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+DUMMY_TEXTURE = "__dummy__"
+NO_MATERIAL = "__none__"
+
+
+class ApplyAppearance:
+    """Actor-pool stage: (event_id) -> (theme, texture_name, material_type)."""
+
+    def __init__(self, part_ref):
+        import ray
+
+        part = ray.get(part_ref) if hasattr(part_ref, "hex") else part_ref
+        self.n_part = len(part["key"])
+        self.name_of = pd.Series(part["name"], index=part["key"])
+        self.type_of = pd.Series(part["type"], index=part["key"])
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        eid = batch["event_id"].to_numpy().astype(np.int64)
+        has_rgb = eid % 3 != 0
+        theme = np.where(has_rgb, "rgbTexture", "FMETheme")
+        tex_key = (eid * 7 + np.where(has_rgb, 0, 3)) % self.n_part
+        mat_key = (eid * 13) % self.n_part
+        uv_len = eid % 4 + 3
+        ring_len = eid % 5 + 3
+
+        tex_name = pd.Series(tex_key).map(self.name_of).to_numpy(dtype=object)
+        # texture registered in the theme only for tex_key % 5 != 0; a UV
+        # table whose length mismatches the ring demotes to the dummy
+        # texture (appearance.rs:66-75)
+        tex_ok = (tex_key % 5 != 0) & (uv_len == ring_len)
+        texture = np.where(tex_ok, tex_name, DUMMY_TEXTURE)
+
+        mat_type = pd.Series(mat_key).map(self.type_of).to_numpy(dtype=object)
+        material = np.where(mat_key % 7 != 0, mat_type, NO_MATERIAL)
+
+        return pd.DataFrame(
+            {
+                "event_id": eid,
+                "theme": theme,
+                "texture_name": texture,
+                "material_type": material,
+            }
+        )
+
+
+def appearance_theme_join(sf_dir: str):
+    import ray
+    import ray.data
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name", "p_type"]
+    ).to_pandas()
+    ref = ray.put(
+        {
+            "key": part["p_partkey"].to_numpy(),
+            "name": part["p_name"].to_numpy(),
+            "type": part["p_type"].to_numpy(),
+        }
+    )
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    return ds.map_batches(
+        ApplyAppearance, fn_constructor_args=(ref,), batch_format="pandas",
+        concurrency=(1, 4),
+    )
