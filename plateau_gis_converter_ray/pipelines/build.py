@@ -230,6 +230,14 @@ def _tiles3d_run(ds, params, out_dir):
     return write_tiles_3dt(ds, out_dir)
 
 
+def _shapefile_run(ds, params, out_dir):
+    from ..sinks.shapefile import write_per_type_shapefiles
+
+    return write_per_type_shapefiles(
+        ds, out_dir, params["type_col"], ring_col=params.get("ring_col") or "rings_xyz"
+    )
+
+
 def _noop_run(ds, params, out_dir):
     # noop sink: count rows (sink/noop/mod.rs:62-85)
     return {"num_rows": ds.count()}
@@ -296,6 +304,16 @@ BUILTIN_SINKS: dict[str, SinkProvider] = {
             max_zoom=p.get("max_zoom") or 12,
         ),
         run=_tiles3d_run,
+    ),
+    "shapefile": SinkProvider(
+        name="shapefile",
+        description="PolygonZ .shp/.shx/.dbf/.prj set per typename",
+        parameters=[
+            Parameter("type_col", "string", required=True),
+            Parameter("ring_col", "string", default="rings_xyz"),
+        ],
+        make_requirements=lambda p: DataRequirements(shorten_names=True),
+        run=_shapefile_run,
     ),
     "noop": SinkProvider(
         name="noop",

@@ -1,0 +1,77 @@
+"""Shapefile binary writer round-trip tests (ESRI whitepaper layout;
+reference: nusamai/src/sink/shapefile/mod.rs:73-365)."""
+
+import numpy as np
+
+from plateau_gis_converter_ray.sinks.shapefile import (
+    jpr_prj_wkt,
+    read_polygonz_shp,
+    write_polygonz_shp,
+)
+
+
+def _sq(z=2.0):
+    return np.array([[0, 0, z], [1, 0, z], [1, 1, z], [0, 1, z], [0, 0, z]],
+                    dtype=np.float64)
+
+
+def test_polygonz_roundtrip(tmp_path):
+    base = str(tmp_path / "Building")
+    fields = [("name", "C", 16), ("height", "N", 8)]
+    info = write_polygonz_shp(
+        base, [[_sq(2.0)], [_sq(5.0) + np.array([10, 10, 0])]],
+        fields, [{"name": "a", "height": 3}, {"name": "bb", "height": 12}],
+    )
+    assert info["n_records"] == 2
+    back = read_polygonz_shp(base)
+    assert back["file_code"] == 9994 and back["version"] == 1000
+    assert back["shape_type"] == 15  # PolygonZ
+    import os
+    # declared length (16-bit words) matches the actual file size
+    assert back["file_words"] * 2 == os.path.getsize(base + ".shp")
+    assert len(back["shapes"]) == 2
+    ring = back["shapes"][0][0]
+    assert np.allclose(ring, _sq(2.0))
+    assert np.allclose(back["shapes"][1][0], _sq(5.0) + np.array([10, 10, 0]))
+    assert back["fields"] == [("name", "C", 16), ("height", "N", 8)]
+    assert back["records"][0]["name"] == "a"
+    assert back["records"][1]["height"] == "12"
+    # .shx parallel index exists with one 8-byte entry per record
+    assert os.path.getsize(base + ".shx") == 100 + 2 * 8
+    # .prj carries ESRI WKT
+    with open(base + ".prj") as f:
+        assert f.read().startswith("GEOGCS[")
+
+
+def test_jpr_prj_wkt():
+    wkt = jpr_prj_wkt(9)
+    assert "Transverse_Mercator" in wkt and "JGD_2011" in wkt
+    assert "139.8333333333333" in wkt
+
+
+def test_per_type_shapefiles(ray_session, tmp_path):
+    import os
+
+    import ray.data
+
+    from plateau_gis_converter_ray.sinks.shapefile import (
+        read_polygonz_shp,
+        write_per_type_shapefiles,
+    )
+
+    rows = []
+    for i, t in enumerate(["bldg:Building", "bldg:Building", "tran:Road"]):
+        rows.append(
+            {"typename": t, "measuredHeightAboveGround": 10 + i,
+             "rings_xyz": [0, 0, 1, 1, 0, 1, 1, 1, 1, 0, 1, 1]}
+        )
+    ds = ray.data.from_items(rows)
+    res = write_per_type_shapefiles(
+        ds, str(tmp_path), "typename"
+    ).to_pandas().set_index("typename")
+    assert int(res.loc["bldg_Building", "n_records"]) == 2
+    assert os.path.exists(str(tmp_path / "tran_Road.shp"))
+    back = read_polygonz_shp(str(tmp_path / "bldg_Building"))
+    # field names shortened to the dbf 10-char limit
+    assert all(len(f[0]) <= 10 for f in back["fields"])
+    assert len(back["shapes"][0][0]) == 5  # ring auto-closed
