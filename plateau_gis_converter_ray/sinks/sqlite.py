@@ -17,6 +17,7 @@ from __future__ import annotations
 import json
 import os
 import sqlite3
+import struct
 
 import numpy as np
 import pandas as pd
@@ -30,6 +31,58 @@ def _sql_type(dtype) -> str:
     return "TEXT"
 
 
+# ---------------------------------------------------------------------------
+# GeoPackage SQL Geometry Binary (GPB) blobs — nusamai-gpkg/src/geometry.rs
+# :48-120 semantics: "GP" magic, version 0, flags 0b1 (little-endian, no
+# envelope), LE srs_id, then WKB MultiPolygonZ (1006) of PolygonZ (1003).
+
+WKB_POLYGON_Z = 1003
+WKB_MULTIPOLYGON_Z = 1006
+
+
+def gpb_multipolygonz(polys: list[list[np.ndarray]], srs_id: int = 4326) -> bytes:
+    """Encode a MultiPolygonZ ([polygon][ring (n,3) closed xyz]) as a GPB
+    blob (write_indexed_multipolygon, geometry.rs:89-120)."""
+    out = bytearray(b"GP\x00\x01")
+    out += struct.pack("<i", srs_id)
+    out += b"\x01" + struct.pack("<II", WKB_MULTIPOLYGON_Z, len(polys))
+    for rings in polys:
+        out += b"\x01" + struct.pack("<II", WKB_POLYGON_Z, len(rings))
+        for ring in rings:
+            ring = np.ascontiguousarray(ring, dtype="<f8")
+            out += struct.pack("<I", len(ring))
+            out += ring.tobytes()
+    return bytes(out)
+
+
+def decode_gpb(blob: bytes) -> dict:
+    """Parse a GPB blob back (round-trip tests)."""
+    if blob[:2] != b"GP":
+        raise ValueError("bad GPB magic")
+    version, flags = blob[2], blob[3]
+    srs_id, = struct.unpack_from("<i", blob, 4)
+    pos = 8
+    byte_order = blob[pos]
+    gtype, npolys = struct.unpack_from("<II", blob, pos + 1)
+    pos += 9
+    polys = []
+    for _ in range(npolys):
+        _bo = blob[pos]
+        _pt, nrings = struct.unpack_from("<II", blob, pos + 1)
+        pos += 9
+        rings = []
+        for _ in range(nrings):
+            npts, = struct.unpack_from("<I", blob, pos)
+            pos += 4
+            rings.append(
+                np.frombuffer(blob, "<f8", npts * 3, pos).reshape(-1, 3).copy()
+            )
+            pos += npts * 24
+        polys.append(rings)
+    return {"version": version, "flags": flags, "srs_id": srs_id,
+            "geometry_type": gtype, "byte_order": byte_order, "polys": polys}
+
+
 class SQLiteWriter:
     """Single-writer actor: all batches stream through one connection.
 
@@ -40,7 +93,8 @@ class SQLiteWriter:
 
     def __init__(self, db_path: str, table_col: str | None = None,
                  table_name: str = "features",
-                 bbox_cols: tuple = ("lng", "lat")):
+                 bbox_cols: tuple = ("lng", "lat"),
+                 geom_col: str | None = None, srs_id: int = 4326):
         if os.path.exists(db_path):
             os.unlink(db_path)  # start clean (gpkg/mod.rs:94-99)
         os.makedirs(os.path.dirname(db_path) or ".", exist_ok=True)
@@ -52,6 +106,8 @@ class SQLiteWriter:
         self.table_col = table_col
         self.table_name = table_name
         self.bbox_cols = bbox_cols
+        self.geom_col = geom_col
+        self.srs_id = srs_id
         self.known_tables: dict[str, list[str]] = {}
 
     def _ensure_table(self, name: str, df: pd.DataFrame) -> list[str]:
@@ -59,7 +115,8 @@ class SQLiteWriter:
             return self.known_tables[name]
         cols = [c for c in df.columns if c != self.table_col]
         defs = ", ".join(
-            f'"{c}" {_sql_type(df[c].dtype)}' for c in cols
+            f'"{c}" BLOB' if c == "geom"
+            else f'"{c}" {_sql_type(df[c].dtype)}' for c in cols
         )
         self.con.execute(f'CREATE TABLE IF NOT EXISTS "{name}" ({defs})')
         self.known_tables[name] = cols
@@ -75,6 +132,16 @@ class SQLiteWriter:
         return v
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        if self.geom_col and self.geom_col in batch.columns:
+            # flat xyz ring column -> GPB MultiPolygonZ blob (geometry.rs)
+            def to_blob(flat):
+                ring = np.asarray(flat, dtype=np.float64).reshape(-1, 3)
+                ring = np.concatenate([ring, ring[:1]])  # close
+                return gpb_multipolygonz([[ring]], self.srs_id)
+
+            batch = batch.drop(columns=[self.geom_col]).assign(
+                geom=[to_blob(v) for v in batch[self.geom_col]]
+            )
         groups = (
             batch.groupby(self.table_col, sort=False)
             if self.table_col

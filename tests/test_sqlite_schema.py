@@ -100,3 +100,53 @@ def test_derive_schema_identity_projection():
     assert out == schema  # height-less lnglat chain is the identity
     out2 = derive_schema(schema, [("projection", {"output": "ecef"})])
     assert set(out2.names) == {"v", "ecef_x", "ecef_y", "ecef_z"}
+
+
+def test_gpb_blob_roundtrip():
+    import numpy as np
+
+    from plateau_gis_converter_ray.sinks.sqlite import decode_gpb, gpb_multipolygonz
+
+    ring = np.array([[0., 0., 111.], [5., 0., 111.], [5., 5., 111.],
+                     [0., 5., 111.], [0., 0., 111.]])
+    hole = np.array([[1., 1., 111.], [4., 1., 111.], [4., 4., 111.],
+                     [1., 4., 111.], [1., 1., 111.]])
+    blob = gpb_multipolygonz([[ring, hole]], srs_id=6697)
+    # header per geometry.rs:48-58: GP magic, version 0, flags 0b1, LE srs
+    assert blob[:2] == b"GP" and blob[2] == 0 and blob[3] == 1
+    d = decode_gpb(blob)
+    assert d["srs_id"] == 6697
+    assert d["geometry_type"] == 1006 and d["byte_order"] == 1
+    assert len(d["polys"]) == 1 and len(d["polys"][0]) == 2
+    assert np.array_equal(d["polys"][0][0], ring)
+    assert np.array_equal(d["polys"][0][1], hole)
+
+
+def test_sqlite_writer_geom_blobs(ray_session, tmp_path):
+    import sqlite3
+
+    import numpy as np
+    import ray.data
+
+    from plateau_gis_converter_ray.sinks.sqlite import SQLiteWriter, decode_gpb
+
+    db = str(tmp_path / "geo.db")
+    rows = [
+        {"fid": i, "typ": "Building", "rings_xyz": [0, 0, 1, 1, 0, 1, 1, 1, 1]}
+        for i in range(5)
+    ]
+    ds = ray.data.from_items(rows)
+    written = ds.map_batches(
+        SQLiteWriter,
+        fn_constructor_args=(db, "typ"),
+        fn_constructor_kwargs={"geom_col": "rings_xyz", "srs_id": 6697},
+        batch_format="pandas",
+        concurrency=1,
+    ).to_pandas()["written"].sum()
+    assert written == 5
+    con = sqlite3.connect(db)
+    blobs = [r[0] for r in con.execute('SELECT geom FROM "Building"')]
+    assert len(blobs) == 5
+    d = decode_gpb(blobs[0])
+    assert d["srs_id"] == 6697
+    assert len(d["polys"][0][0]) == 4  # closed triangle
