@@ -735,14 +735,19 @@ SELECT event_id, lng - (SELECT mean_lng FROM m) AS lng_centred FROM k
 
 
 def q_codelist(sf_dir: str):
-    import ray
+    """Codes resolve against a REAL gml:Dictionary XML file, parsed lazily
+    once per actor (resolver.rs path-keyed cache; the file is synthesized
+    deterministically from the lang dictionary)."""
+    import os
 
-    from ..stages.codelist import LANG_CODELIST, CodeResolver
+    from ..stages.codelist import LANG_CODELIST, XmlCodeResolver, write_codelist_xml
 
-    ref = ray.put(LANG_CODELIST)
+    path = "/tmp/plateau_ray_data/codelists/lang.xml"
+    if not os.path.exists(path):
+        write_codelist_xml(path, LANG_CODELIST)
     ds = _read(sf_dir, "documents", ["doc_id", "lang"])
     ds = ds.map_batches(
-        CodeResolver, fn_constructor_args=(ref,), batch_format="pandas",
+        XmlCodeResolver, fn_constructor_args=(path,), batch_format="pandas",
         concurrency=(1, 4),
     )
     from ray.data.aggregate import Count

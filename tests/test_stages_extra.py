@@ -186,3 +186,27 @@ def test_simhash_multirotation_superset(ray_session):
     assert s1 <= s4
     assert len(s4) >= len(s1)
     assert (multi["hamming"] <= 8).all()
+
+
+def test_codelist_xml_roundtrip_and_lazy_cache(tmp_path):
+    import pandas as pd
+
+    from plateau_gis_converter_ray.stages.codelist import (
+        XmlCodeResolver,
+        parse_codelist_xml,
+        write_codelist_xml,
+    )
+
+    path = str(tmp_path / "usage.xml")
+    write_codelist_xml(path, {"401": "Residential", "402": "Office <&>"})
+    assert parse_codelist_xml(path) == {"401": "Residential",
+                                        "402": "Office <&>"}
+    r = XmlCodeResolver(path, code_col="code", out_col="label")
+    out = r(pd.DataFrame({"code": ["401", "402", "999"]}))
+    # unknown codes pass through (reference keeps the raw code on miss)
+    assert out["label"].tolist() == ["Residential", "Office <&>", "999"]
+    # parsed once, cached by path for the actor's lifetime
+    assert path in r._cache
+    cached = r._cache[path]
+    r(pd.DataFrame({"code": ["401"]}))
+    assert r._cache[path] is cached
