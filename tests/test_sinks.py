@@ -358,3 +358,41 @@ def test_write_tiles_emits_decodable_pbf(ray_session, tmp_path):
     assert layer["keys"] == ["pid"]
     assert layer["values"] == [("string", "p7")]
     assert len(layer["features"]) == 1
+
+
+def test_hilbert_tile_archive_roundtrip(ray_session, tmp_path):
+    """Sorted single-file archive: the reference's id-sorted write
+    (mvt/mod.rs:237-271) over PMTiles Hilbert ids."""
+    import numpy as np
+    import ray.data
+
+    from plateau_gis_converter_ray.kernels.hilbert import zxy_to_id
+    from plateau_gis_converter_ray.sinks.archive import (
+        TileArchiveReader,
+        write_tile_archive,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = []
+    seen = set()
+    for _ in range(200):
+        z = int(rng.integers(3, 9))
+        x = int(rng.integers(0, 1 << z))
+        y = int(rng.integers(0, 1 << z))
+        tid = int(zxy_to_id(z, np.array([x]), np.array([y]))[0])
+        if tid in seen:
+            continue
+        seen.add(tid)
+        rows.append({"tile_id": tid, "payload": f"tile-{z}/{x}/{y}".encode()})
+    ds = ray.data.from_items(rows)
+    path = str(tmp_path / "tiles.prta")
+    info = write_tile_archive(ds, path)
+    assert info["n_entries"] == len(rows)
+
+    rd = TileArchiveReader(path)
+    # directory strictly sorted by hilbert id
+    assert (np.diff(rd.tile_ids) > 0).all()
+    # every tile retrievable by binary search, byte-exact
+    for r in rows:
+        assert rd.get(r["tile_id"]) == r["payload"]
+    assert rd.get(-1) is None
