@@ -302,21 +302,6 @@ def _q_raster_vector_clip(sf_dir: str):
     )
 
 
-def _q_lang_confusion(sf_dir: str):
-    """Language-ID heuristic vs labels: confusion counts by (lang, lang_pred)
-    (rows-only; the langid kernel is pinned in pytest)."""
-    import ray.data
-
-    from plateau_gis_converter_ray.stages.text import LangQuality
-
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text", "lang"])
-    ds = ds.map_batches(LangQuality, batch_format="pandas", concurrency=(1, 4))
-    ds = ds.select_columns(["lang", "lang_pred"])
-    from plateau_gis_converter_ray.pipelines.queries import tree_group_agg
-
-    return tree_group_agg(ds, ["lang", "lang_pred"], {"n": (None, "count")})
-
-
 def queries() -> dict[str, Callable[[str], Any]]:
     from plateau_gis_converter_ray.pipelines.queries import QUERIES
 
@@ -335,7 +320,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "ivf_self_knn": _q_ivf_self_knn,
             "image_thumbs": _q_image_thumbs,
             "raster_vector_clip": _q_raster_vector_clip,
-            "lang_confusion": _q_lang_confusion,
         }
     )
     return out

@@ -1137,6 +1137,213 @@ JOIN part pm ON pm.p_partkey = e.mat_key
 
 
 # ---------------------------------------------------------------------------
+# 30. Language-ID confusion matrix — oracle-gated (the langid kernel's
+#     distinct-stopword votes + CJK-ratio check, reproduced in SQL)
+
+
+def q_lang_confusion(sf_dir: str):
+    from ..stages.text import LangQuality
+
+    ds = _read(sf_dir, "documents", ["text", "lang"])
+    ds = ds.map_batches(LangQuality, batch_format="pandas", concurrency=(1, 4))
+    ds = ds.select_columns(["lang", "lang_pred"])
+    return tree_group_agg(ds, ["lang", "lang_pred"], {"n": (None, "count")})
+
+
+def _sql_lang_confusion() -> str:
+    from ..kernels.text import _STOPWORDS
+
+    vote_exprs = []
+    for lang in sorted(_STOPWORDS):
+        terms = " + ".join(
+            f"(CASE WHEN regexp_matches(lower(text), '\\b{w}\\b') THEN 1 ELSE 0 END)"
+            for w in sorted(_STOPWORDS[lang])
+        )
+        vote_exprs.append(f"({terms}) AS v_{lang}")
+    votes = ",\n         ".join(vote_exprs)
+    return f"""
+WITH v AS (
+  SELECT lang, LENGTH(text) AS n,
+         LENGTH(REGEXP_REPLACE(text, '[^぀-ヿ一-鿿]', '', 'g')) AS cjk,
+         {votes}
+  FROM documents
+), p AS (
+  SELECT lang, CASE
+    WHEN n > 0 AND cjk > 0.1 * n THEN 'ja'
+    WHEN v_de = 0 AND v_en = 0 AND v_es = 0 AND v_fr = 0 THEN 'unknown'
+    WHEN v_de >= v_en AND v_de >= v_es AND v_de >= v_fr THEN 'de'
+    WHEN v_en >= v_es AND v_en >= v_fr THEN 'en'
+    WHEN v_es >= v_fr THEN 'es'
+    ELSE 'fr' END AS lang_pred
+  FROM v
+)
+SELECT lang, lang_pred, COUNT(*) AS n FROM p GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# 31. Range join: per event, count of that customer's orders in the
+#     trailing 30-day window (co-partitioned union + searchsorted bounds —
+#     the bucketed range-join pattern, same shuffle as the as-of join)
+
+
+def q_range_join_recent(sf_dir: str):
+    WINDOW_US = 30 * 86400 * 1_000_000
+
+    def orders_side(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "cust": batch.column("o_custkey").cast(pa.int64()),
+                "kind": pa.array(np.zeros(n, dtype=np.int8)),
+                "event_id": pa.array(np.full(n, -1, dtype=np.int64)),
+                "ts_us": batch.column("o_orderdate").cast(pa.int64()),
+            }
+        )
+
+    def events_side(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        uid = batch.column("user_id").cast(pa.int64())
+        return pa.table(
+            {
+                "cust": pa.compute.add(uid, 1),
+                "kind": pa.array(np.ones(n, dtype=np.int8)),
+                "event_id": batch.column("event_id").cast(pa.int64()),
+                "ts_us": batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64()),
+            }
+        )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    orders = orders.map_batches(orders_side, batch_format="pyarrow")
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    events = events.map_batches(events_side, batch_format="pyarrow")
+
+    def count_window(g: pd.DataFrame) -> pd.DataFrame:
+        ev = g[g["kind"] == 1]
+        if len(ev) == 0:
+            return pd.DataFrame(
+                {"event_id": [], "user_id": [], "n_recent_orders": []}
+            ).astype({"event_id": "int64", "user_id": "int64",
+                      "n_recent_orders": "int64"})
+        dates = np.sort(g.loc[g["kind"] == 0, "ts_us"].to_numpy())
+        ts = ev["ts_us"].to_numpy()
+        lo = np.searchsorted(dates, ts - WINDOW_US, side="right")
+        hi = np.searchsorted(dates, ts, side="right")
+        return pd.DataFrame(
+            {
+                "event_id": ev["event_id"].to_numpy(),
+                "user_id": ev["cust"].to_numpy() - 1,
+                "n_recent_orders": (hi - lo).astype(np.int64),
+            }
+        )
+
+    return orders.union(events).groupby("cust").map_groups(
+        count_window, batch_format="pandas"
+    )
+
+
+_SQL_RANGE_JOIN = """
+SELECT e.event_id, e.user_id, COUNT(o.o_orderkey) AS n_recent_orders
+FROM events e LEFT JOIN orders o
+  ON o.o_custkey = e.user_id + 1
+ AND o.o_orderdate <= e.ts
+ AND o.o_orderdate > e.ts - INTERVAL 30 DAY
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# 32-34. Ordered-group window operators: lag delta, median, mode
+
+
+def q_lag_delta(sf_dir: str):
+    """Per-user delta vs the previous event's value (LAG window analogue)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def delta(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        v = np.round(g["value"].to_numpy() * 100).astype(np.int64)
+        d = np.diff(v, prepend=v[:1])  # first row: delta 0 (COALESCE)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": g["user_id"].to_numpy(),
+                "delta_c": d,
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(delta, batch_format="pandas")
+
+
+_SQL_LAG_DELTA = """
+SELECT event_id, user_id,
+       CAST(COALESCE(
+         CAST(ROUND(value * 100) AS BIGINT)
+         - LAG(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id), 0) AS BIGINT)
+       AS delta_c
+FROM events
+"""
+
+
+def q_median_value_per_user(sf_dir: str):
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.round(g["value"].to_numpy() * 100).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "median_c": [float(np.median(v))],
+                "n": [len(v)],
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(med, batch_format="pandas")
+
+
+_SQL_MEDIAN = """
+SELECT user_id,
+       MEDIAN(CAST(ROUND(value * 100) AS BIGINT)) AS median_c,
+       COUNT(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+def q_mode_event_type(sf_dir: str):
+    """Most frequent event_type per user; ties -> lexicographically first."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def mode(g: pd.DataFrame) -> pd.DataFrame:
+        counts = (
+            g.groupby("event_type").size().reset_index(name="cnt")
+            .sort_values(["cnt", "event_type"], ascending=[False, True])
+        )
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "mode_type": [counts["event_type"].iloc[0]],
+                "mode_n": [int(counts["cnt"].iloc[0])],
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(mode, batch_format="pandas")
+
+
+_SQL_MODE = """
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS cnt FROM events GROUP BY 1, 2
+), r AS (
+  SELECT user_id, event_type, cnt,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY cnt DESC, event_type ASC) AS rn
+  FROM c
+)
+SELECT user_id, event_type AS mode_type, cnt AS mode_n FROM r WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 QUERIES = {
@@ -1170,6 +1377,11 @@ QUERIES = {
     "embed_near_dup_cosine": q_embed_near_dup_cosine,
     "token_bpeish": q_token_bpeish,
     "appearance_theme": q_appearance_theme,
+    "lang_confusion": q_lang_confusion,
+    "range_join_recent": q_range_join_recent,
+    "lag_delta": q_lag_delta,
+    "median_value_per_user": q_median_value_per_user,
+    "mode_event_type": q_mode_event_type,
 }
 
 ORACLES = {
@@ -1203,4 +1415,9 @@ ORACLES = {
     "embed_near_dup_cosine": _SQL_EMBED_COSINE,
     "token_bpeish": _SQL_TOKEN_BPEISH,
     "appearance_theme": _SQL_APPEARANCE,
+    "lang_confusion": _sql_lang_confusion(),
+    "range_join_recent": _SQL_RANGE_JOIN,
+    "lag_delta": _SQL_LAG_DELTA,
+    "median_value_per_user": _SQL_MEDIAN,
+    "mode_event_type": _SQL_MODE,
 }
