@@ -39,6 +39,12 @@ BENCH_QUERIES = [
     "dedup_exact",
     "embed_knn",
     "text_stats_by_lang",
+    # r2 additions: the de-drivered join family + new operators
+    "top_orders",
+    "asof_latest_order",
+    "embed_near_dup_cosine",
+    "ivf_self_knn",
+    "range_join_recent",
 ]
 
 

@@ -249,11 +249,29 @@ def _rev_scaled(batch: pa.Table) -> pa.Table:
     return pa.table({"l_orderkey": batch.column("l_orderkey"), "rev_s": pa.array(rev)})
 
 
+def _rev_by_order(sf_dir: str, full: bool = True):
+    """lineitem pre-aggregated per order key BEFORE any join, so the join
+    exchange carries (l_orderkey, revenue_s) partials instead of every line
+    item. ``full=True`` adds the tree merge down to one partition (complete
+    per-key sums — required before a top-k); ``full=False`` keeps per-batch
+    partials only (cheaper; valid when a downstream aggregate re-merges,
+    since repartition is NOT key-partitioned and partials of one key may
+    stay split across blocks)."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    li = li.map_batches(_rev_scaled, batch_format="pyarrow")
+    return tree_group_agg(
+        li, ["l_orderkey"], {"revenue_s": ("rev_s", "sum")},
+        levels=(8, 1) if full else (),
+    )
+
+
 def q_top_orders(sf_dir: str):
     """Distributed semi-join chain — no fact table ever touches the driver:
-    orders LEFT SEMI customer(BUILDING), then lineitem LEFT SEMI that order
-    set; both are hash-partitioned Dataset.join exchanges (the reference's
-    sort-join role, SURVEY §2.4), followed by groupby-sum + global top-k."""
+    lineitem pre-aggregates to per-order revenue (combiner pushdown), orders
+    LEFT SEMI customer(BUILDING), then the per-order revenue LEFT SEMI the
+    qualifying order set; the hash-partitioned Dataset.join exchanges
+    (the reference's sort-join role, SURVEY §2.4) only ever move one row
+    per order. Global top-k closes it."""
     cust_b = (
         _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
         .filter(expr="c_mktsegment == 'BUILDING'")
@@ -264,15 +282,10 @@ def q_top_orders(sf_dir: str):
         on=("o_custkey",), right_on=("c_custkey",),
     ).select_columns(["o_orderkey"])
 
-    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
-    li = li.map_batches(_rev_scaled, batch_format="pyarrow")
-    li = li.join(
+    agg = _rev_by_order(sf_dir).join(
         orders_b, "left_semi", num_partitions=8,
         on=("l_orderkey",), right_on=("o_orderkey",),
     )
-    from ray.data.aggregate import Sum
-
-    agg = li.groupby("l_orderkey").aggregate(Sum("rev_s", alias_name="revenue_s"))
     agg = agg.rename_columns({"l_orderkey": "o_orderkey"})
     return agg.sort(["revenue_s", "o_orderkey"], descending=[True, False]).limit(10)
 
@@ -331,14 +344,14 @@ def q_nation_revenue(sf_dir: str):
         cust, "inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",),
     ).select_columns(["o_orderkey", "n_name"])
 
-    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
-    li = li.map_batches(_rev_scaled, batch_format="pyarrow")
-    joined = li.join(
+    # combiner pushdown: per-order revenue partials BEFORE the fact join
+    # (partials suffice — the final n_name tree merge re-sums split keys)
+    joined = _rev_by_order(sf_dir, full=False).join(
         orders, "inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",),
+    ).select_columns(["n_name", "revenue_s"])
+    return tree_group_agg(
+        joined, ["n_name"], {"revenue_s": ("revenue_s", "sum")}, levels=(1,)
     )
-    from ray.data.aggregate import Sum
-
-    return joined.groupby("n_name").aggregate(Sum("rev_s", alias_name="revenue_s"))
 
 
 _SQL_NATION_REVENUE = """
