@@ -34,6 +34,13 @@ def _read(sf_dir: str, table: str, columns=None):
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+# hash-join exchange partition count: sized so the join aggregator actors
+# coexist with the other stages on the 32-cpu single-node harness (8+ was
+# measurably slower under actor-pool contention); on a real cluster this
+# scales with node count, like every explicit partition count in the repo
+JOIN_PARTS = 4
+
+
 def _geo_sql(id_expr: str) -> str:
     lng = GEOCODE_SQL["lng"].format(id=id_expr)
     lat = GEOCODE_SQL["lat"].format(id=id_expr)
@@ -278,12 +285,12 @@ def q_top_orders(sf_dir: str):
         .select_columns(["c_custkey"])
     )
     orders_b = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).join(
-        cust_b, "left_semi", num_partitions=8,
+        cust_b, "left_semi", num_partitions=JOIN_PARTS,
         on=("o_custkey",), right_on=("c_custkey",),
     ).select_columns(["o_orderkey"])
 
     agg = _rev_by_order(sf_dir).join(
-        orders_b, "left_semi", num_partitions=8,
+        orders_b, "left_semi", num_partitions=JOIN_PARTS,
         on=("l_orderkey",), right_on=("o_orderkey",),
     )
     agg = agg.rename_columns({"l_orderkey": "o_orderkey"})
@@ -341,13 +348,13 @@ def q_nation_revenue(sf_dir: str):
         concurrency=(1, 4),
     )
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).join(
-        cust, "inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",),
+        cust, "inner", num_partitions=JOIN_PARTS, on=("o_custkey",), right_on=("c_custkey",),
     ).select_columns(["o_orderkey", "n_name"])
 
     # combiner pushdown: per-order revenue partials BEFORE the fact join
     # (partials suffice — the final n_name tree merge re-sums split keys)
     joined = _rev_by_order(sf_dir, full=False).join(
-        orders, "inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",),
+        orders, "inner", num_partitions=JOIN_PARTS, on=("l_orderkey",), right_on=("o_orderkey",),
     ).select_columns(["n_name", "revenue_s"])
     return tree_group_agg(
         joined, ["n_name"], {"revenue_s": ("revenue_s", "sum")}, levels=(1,)
@@ -377,7 +384,7 @@ def q_join_orders_customers(sf_dir: str):
     joined = orders.join(
         cust,
         join_type="inner",
-        num_partitions=8,
+        num_partitions=JOIN_PARTS,
         on=("o_custkey",),
         right_on=("c_custkey",),
     )
@@ -896,7 +903,7 @@ def q_customers_without_orders(sf_dir: str):
         .select_columns(["o_custkey"])
     )
     return _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).join(
-        urgent, "left_anti", num_partitions=8,
+        urgent, "left_anti", num_partitions=JOIN_PARTS,
         on=("c_custkey",), right_on=("o_custkey",),
     )
 

@@ -118,9 +118,9 @@ def minhash_lsh_candidates(sf_dir: str, jaccard_threshold: float = 0.5):
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-    j = cand.join(docs, "inner", num_partitions=8, on=("doc_a",), right_on=("doc_id",))
+    j = cand.join(docs, "inner", num_partitions=4, on=("doc_a",), right_on=("doc_id",))
     j = j.join(
-        docs, "inner", num_partitions=8, on=("doc_b",), right_on=("doc_id",),
+        docs, "inner", num_partitions=4, on=("doc_b",), right_on=("doc_id",),
         right_suffix="_b",
     )
 
