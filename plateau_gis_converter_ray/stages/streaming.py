@@ -7,32 +7,37 @@ incrementally, not recomputed), the Dataset API cannot express the operator
 — this is the documented "(c) raw Ray actors as a last resort" case from
 the build brief.
 
-Design + partitioning assumption:
-- the input is an ordered, partitioned log: batches arrive in ts order
-  *per key* (here: the events table sorted by ts);
-- keys are hash-partitioned over N bucket actors; each actor owns its keys'
-  state exclusively (no cross-actor coordination);
-- the driver (or an upstream stage) routes each batch slice to its bucket
-  actor; actors apply increments and can snapshot state at any time.
+Design + partitioning assumption (r2: the driver no longer routes —
+VERDICT r1 "streaming driver router" fix):
 
-At cluster scale the bucket actors are placed per node and fed by
-``iter_batches`` from an upstream sorted Dataset; state snapshots write to
-the manifest for resume.
+- keys are hash-partitioned over N bucket actors; each actor owns its
+  keys' state exclusively (no cross-actor coordination);
+- each actor PULLS its own partition as an independent ordered stream: a
+  key-filtered, ts-sorted Dataset consumed with ``iter_batches`` inside
+  the actor. Per-key arrival order holds because each key lives in exactly
+  one actor's stream and that stream is ts-sorted; the driver only spawns
+  the actors and collects snapshots (no per-batch driver loop);
+- actors are ``num_cpus=0`` so their inner Dataset pipelines, not the
+  actor shells, own the CPUs (prevents pool-vs-task starvation in small
+  sessions);
+- an ordering-violation detector runs inside each actor; state snapshots
+  can write to the manifest for resume.
 """
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 
 
 def make_bucket_actor():
     """Define the actor class lazily (ray import at call time)."""
+    import numpy as np
     import ray
 
-    @ray.remote
+    @ray.remote(num_cpus=0)
     class StreamBucket:
-        """Owns the running state for its hash bucket of keys."""
+        """Owns the running state for its hash bucket of keys and pulls its
+        own ordered partition stream."""
 
         def __init__(self):
             self.totals: dict[int, int] = {}
@@ -51,6 +56,29 @@ def make_bucket_actor():
                 self.counts[k] = self.counts.get(k, 0) + 1
             return len(keys)
 
+        def run_partition(self, sf_dir: str, bucket: int, n_buckets: int) -> int:
+            """Pull + replay this bucket's ordered stream (the routing
+            stage, executing IN the actor instead of on the driver)."""
+            import ray.data
+
+            ds = (
+                ray.data.read_parquet(
+                    f"{sf_dir}/events.parquet",
+                    columns=["user_id", "ts", "value"],
+                )
+                .filter(
+                    lambda row, b=bucket, n=n_buckets: row["user_id"] % n == b
+                )
+                .sort("ts")
+            )
+            applied = 0
+            for batch in ds.iter_batches(batch_size=4096, batch_format="pandas"):
+                users = batch["user_id"].to_numpy()
+                ts = batch["ts"].astype("int64").to_numpy()
+                vals = np.round(batch["value"].to_numpy() * 100).astype(np.int64)
+                applied += self.ingest(users.tolist(), ts.tolist(), vals.tolist())
+            return applied
+
         def snapshot(self) -> dict:
             return {
                 "totals": dict(self.totals),
@@ -62,42 +90,21 @@ def make_bucket_actor():
 
 
 def stream_running_totals(sf_dir: str, n_buckets: int = 4) -> pd.DataFrame:
-    """Feed the events log (ts-ordered) through bucket actors; return the
+    """Replay the events log through per-bucket ordered streams; return the
     final per-user running totals. Equivalent batch recomputation is the
-    test oracle.
+    test oracle. The driver's only roles: spawn actors, await completion,
+    fold the (small) snapshots.
     """
     import ray
-    import ray.data
 
     StreamBucket = make_bucket_actor()
     actors = [StreamBucket.remote() for _ in range(n_buckets)]
-
-    ds = (
-        ray.data.read_parquet(f"{sf_dir}/events.parquet",
-                              columns=["user_id", "ts", "value"])
-        .sort("ts")
+    ray.get(
+        [
+            a.run_partition.remote(sf_dir, b, n_buckets)
+            for b, a in enumerate(actors)
+        ]
     )
-    # ordered replay: route each batch's rows to their bucket actor; the
-    # per-key order is preserved because the stream itself is ts-sorted and
-    # each key maps to exactly one actor
-    pending = []
-    for batch in ds.iter_batches(batch_size=4096, batch_format="pandas"):
-        users = batch["user_id"].to_numpy()
-        ts = batch["ts"].astype("int64").to_numpy()
-        vals = np.round(batch["value"].to_numpy() * 100).astype(np.int64)
-        bucket = (users % n_buckets).astype(np.int64)
-        for b in range(n_buckets):
-            m = bucket == b
-            if m.any():
-                pending.append(actors[b].ingest.remote(
-                    users[m].tolist(), ts[m].tolist(), vals[m].tolist()
-                ))
-        # bound the in-flight queue (backpressure, like the reference's
-        # bounded channels pipeline/runner.rs:15-16)
-        if len(pending) > 4 * n_buckets:
-            ray.get(pending[: 2 * n_buckets])
-            pending = pending[2 * n_buckets :]
-    ray.get(pending)
 
     rows = []
     for snap in ray.get([a.snapshot.remote() for a in actors]):
