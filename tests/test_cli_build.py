@@ -106,3 +106,59 @@ def test_cli_tiles_sink_e2e(tmp_path):
     # a z/x/y payload exists on disk
     found = list((tmp_path / "tiles").rglob("*.json"))
     assert found
+
+
+def test_cli_3dtiles_sink_e2e(tmp_path):
+    """CLI drive of the glb 3dtiles sink: fanout + z/x/y.glb files."""
+    import pandas as pd
+
+    inp = str(tmp_path / "pts.parquet")
+    pd.DataFrame(
+        {
+            "pid": [f"p{i}" for i in range(12)],
+            "lng": [135.0 + i * 0.4 for i in range(12)],
+            "lat": [34.0 + (i % 4) * 0.3 for i in range(12)],
+            "ring_xy": [[0.2, 0.2, 0.8, 0.2, 0.8, 0.8, 0.2, 0.8] for _ in range(12)],
+        }
+    ).to_parquet(inp, index=False)
+    out = str(tmp_path / "t3")
+    r = subprocess.run(
+        [sys.executable, "-m", "plateau_gis_converter_ray", "convert", inp, out,
+         "--sink", "3dtiles", "--param", "min_zoom=5", "--param", "max_zoom=5",
+         "--num-cpus", "2"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=180,
+    )
+    assert r.returncode == 0, r.stderr[-800:]
+    found = list((tmp_path / "t3").rglob("*.glb"))
+    assert found
+    from plateau_gis_converter_ray.sinks.glb import read_glb
+
+    with open(found[0], "rb") as f:
+        gltf, _bin = read_glb(f.read())
+    assert gltf["asset"]["version"] == "2.0"
+
+
+def test_cli_shapefile_sink_e2e(tmp_path):
+    """CLI drive of the shapefile sink: one PolygonZ set per typename."""
+    import pandas as pd
+
+    inp = str(tmp_path / "feat.parquet")
+    pd.DataFrame(
+        {
+            "typename": ["bldg:Building"] * 3 + ["tran:Road"] * 2,
+            "measuredHeightAboveGround": [10.0, 11.0, 12.0, 1.0, 2.0],
+            "rings_xyz": [[0, 0, 1, 1, 0, 1, 1, 1, 1, 0, 1, 1]] * 5,
+        }
+    ).to_parquet(inp, index=False)
+    out = str(tmp_path / "shp")
+    r = subprocess.run(
+        [sys.executable, "-m", "plateau_gis_converter_ray", "convert", inp, out,
+         "--sink", "shapefile", "--param", "type_col=typename",
+         "--num-cpus", "2"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=180,
+    )
+    assert r.returncode == 0, r.stderr[-800:]
+    from plateau_gis_converter_ray.sinks.shapefile import read_polygonz_shp
+
+    back = read_polygonz_shp(str(tmp_path / "shp" / "bldg_Building"))
+    assert len(back["shapes"]) == 3 and back["shape_type"] == 15
