@@ -1157,6 +1157,73 @@ JOIN part pm ON pm.p_partkey = e.mat_key
 
 
 # ---------------------------------------------------------------------------
+# 29b. Appearance two-phase per-file resolve (parse pass1/pass2 pattern)
+
+
+def q_appearance_two_phase(sf_dir: str):
+    from ..stages.appearance import appearance_two_phase
+
+    return appearance_two_phase(sf_dir)
+
+
+_SQL_APPEARANCE_TWO_PHASE = """
+WITH f AS (
+  SELECT event_id, event_id % 16 AS file_id,
+         COUNT(*) FILTER (WHERE event_id % 3 <> 0)
+           OVER (PARTITION BY event_id % 16) AS n_rgb,
+         COUNT(*) OVER (PARTITION BY event_id % 16) AS n_file
+  FROM events
+)
+SELECT event_id, file_id,
+       CASE WHEN 2 * n_rgb > n_file THEN 'rgbTexture' ELSE 'FMETheme' END
+         AS file_theme,
+       ((event_id * 7 + CASE WHEN 2 * n_rgb > n_file THEN 0 ELSE 3 END)
+         % 1000) AS tex_key
+FROM f
+"""
+
+
+# ---------------------------------------------------------------------------
+# 29c. PLY global vertex dedup (sink/ply global IndexSet role, SURVEY §2.6)
+
+
+def q_vertex_dedup_global(sf_dir: str):
+    """Global bit-exact vertex dedup: quantized-mm synthetic vertices from
+    the events table collapse to one canonical id per distinct position
+    (hash-partition + per-group min — the PLY writer's global vertex
+    IndexSet expressed as the same combiner tree as exact doc dedup)."""
+    ds = _read(sf_dir, "events", ["event_id"])
+
+    def verts(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "vid": pa.array(eid),
+                "x_mm": pa.array((eid * 37) % 5000),
+                "y_mm": pa.array((eid * 91) % 4000),
+                "z_mm": pa.array((eid * 13) % 300),
+            }
+        )
+
+    ds = ds.map_batches(verts, batch_format="pyarrow")
+    agg = tree_group_agg(
+        ds, ["x_mm", "y_mm", "z_mm"],
+        {"vid_keep": ("vid", "min"), "n_refs": (None, "count")},
+    )
+    return agg
+
+
+_SQL_VERTEX_DEDUP = """
+SELECT (event_id * 37) % 5000 AS x_mm,
+       (event_id * 91) % 4000 AS y_mm,
+       (event_id * 13) % 300 AS z_mm,
+       CAST(MIN(event_id) AS BIGINT) AS vid_keep,
+       COUNT(*) AS n_refs
+FROM events GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
 # 30. Language-ID confusion matrix — oracle-gated (the langid kernel's
 #     distinct-stopword votes + CJK-ratio check, reproduced in SQL)
 
@@ -1397,6 +1464,8 @@ QUERIES = {
     "embed_near_dup_cosine": q_embed_near_dup_cosine,
     "token_bpeish": q_token_bpeish,
     "appearance_theme": q_appearance_theme,
+    "appearance_two_phase": q_appearance_two_phase,
+    "vertex_dedup_global": q_vertex_dedup_global,
     "lang_confusion": q_lang_confusion,
     "range_join_recent": q_range_join_recent,
     "lag_delta": q_lag_delta,
@@ -1435,6 +1504,8 @@ ORACLES = {
     "embed_near_dup_cosine": _SQL_EMBED_COSINE,
     "token_bpeish": _SQL_TOKEN_BPEISH,
     "appearance_theme": _SQL_APPEARANCE,
+    "appearance_two_phase": _SQL_APPEARANCE_TWO_PHASE,
+    "vertex_dedup_global": _SQL_VERTEX_DEDUP,
     "lang_confusion": _sql_lang_confusion(),
     "range_join_recent": _SQL_RANGE_JOIN,
     "lag_delta": _SQL_LAG_DELTA,

