@@ -238,6 +238,14 @@ def _shapefile_run(ds, params, out_dir):
     )
 
 
+def _ply_run(ds, params, out_dir):
+    import os
+
+    from ..sinks.ply import write_ply_from_triangles
+
+    return write_ply_from_triangles(ds, os.path.join(out_dir, "output.ply"))
+
+
 def _noop_run(ds, params, out_dir):
     # noop sink: count rows (sink/noop/mod.rs:62-85)
     return {"num_rows": ds.count()}
@@ -314,6 +322,13 @@ BUILTIN_SINKS: dict[str, SinkProvider] = {
         ],
         make_requirements=lambda p: DataRequirements(shorten_names=True),
         run=_shapefile_run,
+    ),
+    "ply": SinkProvider(
+        name="ply",
+        description="Stanford PLY binary (two-pass centroid, vertex dedup)",
+        parameters=[],
+        make_requirements=lambda p: DataRequirements(),
+        run=_ply_run,
     ),
     "noop": SinkProvider(
         name="noop",

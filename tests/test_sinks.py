@@ -396,3 +396,30 @@ def test_hilbert_tile_archive_roundtrip(ray_session, tmp_path):
     for r in rows:
         assert rd.get(r["tile_id"]) == r["payload"]
     assert rd.get(-1) is None
+
+
+def test_ply_writer_roundtrip(ray_session, tmp_path):
+    """Two-pass centroid + global bit-pattern vertex dedup + binary faces
+    (sink/ply/mod.rs semantics)."""
+    import numpy as np
+    import ray.data
+
+    from plateau_gis_converter_ray.sinks.ply import read_ply, write_ply_from_triangles
+
+    # two triangles sharing an edge -> 4 unique recentred vertices
+    t1 = [0.0, 0.0, 0.0, 2.0, 0.0, 0.0, 0.0, 2.0, 0.0]
+    t2 = [2.0, 0.0, 0.0, 2.0, 2.0, 0.0, 0.0, 2.0, 0.0]
+    ds = ray.data.from_items([{"tri_xyz": t1}, {"tri_xyz": t2}])
+    path = str(tmp_path / "mesh.ply")
+    info = write_ply_from_triangles(ds, path)
+    assert info["n_verts"] == 4 and info["n_faces"] == 2
+    back = read_ply(path)
+    assert back["header"][1] == "format binary_little_endian 1.0"
+    assert len(back["vertices"]) == 4 and len(back["faces"]) == 2
+    # recentred: centroid of ALL 6 triangle corners subtracted
+    all_pts = np.array([t1, t2]).reshape(-1, 3)
+    mu = all_pts.mean(axis=0)
+    got = back["vertices"][back["faces"].reshape(-1)]
+    assert np.allclose(got, all_pts - mu)
+    # shared-edge vertices deduped: face index sets overlap
+    assert len(set(back["faces"][0]) & set(back["faces"][1])) == 2
