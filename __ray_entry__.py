@@ -302,6 +302,20 @@ def _q_raster_vector_clip(sf_dir: str):
     )
 
 
+def _q_audio_features(sf_dir: str):
+    """Multimodal audio stage (decode stubbed deterministically, Ray
+    plumbing real — stages/av.py); clip count scales with sf."""
+    from plateau_gis_converter_ray.stages.av import audio_features_ds
+
+    return audio_features_ds(n_clips=max(32, int(_sf_of(sf_dir) * 6400)))
+
+
+def _q_video_frame_sample(sf_dir: str):
+    from plateau_gis_converter_ray.stages.av import video_frame_sample_ds
+
+    return video_frame_sample_ds(n_clips=max(16, int(_sf_of(sf_dir) * 3200)))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from plateau_gis_converter_ray.pipelines.queries import QUERIES
 
@@ -320,6 +334,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "ivf_self_knn": _q_ivf_self_knn,
             "image_thumbs": _q_image_thumbs,
             "raster_vector_clip": _q_raster_vector_clip,
+            "audio_features": _q_audio_features,
+            "video_frame_sample": _q_video_frame_sample,
         }
     )
     return out

@@ -1,0 +1,162 @@
+"""Audio / video multimodal stages — actor-pool map_batches over opaque
+binary columns.
+
+Per the build brief, the audio/video DECODERS are stubs (no codec libs in
+this container): :func:`fake_pcm_decode` / :func:`fake_frame_decode` derive
+deterministic samples/frames from the payload bytes, and the real-codec
+integration point is marked. Everything Ray-side is real and tested — the
+schema contract (opaque ``binary`` column + typed metadata columns), small
+batch sizes for large payloads, per-actor setup in ``__init__``, zero-copy
+Arrow input, and vectorized feature math over the decoded arrays — so
+swapping in a real decoder changes one function, not the pipeline.
+
+Mirrors the image path (`stages/decode.py`); the reference's analogue is
+the texture/appearance byte handling in its sinks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..kernels.imagecodec import splitmix64
+
+
+def fake_pcm_decode(payload: bytes, n_samples: int, seed: int) -> np.ndarray:
+    """STUB decoder: deterministic int16 PCM derived from the payload hash.
+    Real integration point: replace with soundfile/ffmpeg decode."""
+    base = np.frombuffer(payload[: 8 * ((len(payload)) // 8)], dtype=np.uint64)
+    h = splitmix64(base ^ np.uint64(seed)) if len(base) else np.array([np.uint64(seed)])
+    idx = np.arange(n_samples, dtype=np.uint64)
+    vals = splitmix64(idx ^ h[idx % np.uint64(len(h))])
+    return (vals % np.uint64(1 << 16)).astype(np.int64) - (1 << 15)
+
+
+def fake_frame_decode(payload: bytes, n_frames: int, w: int, h: int,
+                      seed: int) -> np.ndarray:
+    """STUB decoder: deterministic (n_frames, h, w) uint8 luma planes.
+    Real integration point: replace with pyav/ffmpeg frame extraction."""
+    idx = np.arange(n_frames * h * w, dtype=np.uint64)
+    key = np.uint64(seed ^ len(payload))
+    vals = splitmix64(idx ^ key)
+    return (vals % np.uint64(256)).astype(np.uint8).reshape(n_frames, h, w)
+
+
+class AudioFeatures:
+    """Per-clip features from decoded PCM: RMS energy, zero-crossing count,
+    peak amplitude — vectorized per clip, batch of clips per call.
+
+    Expects columns (clip_id:int64, payload:binary, sample_rate:int32,
+    n_samples:int32); emits integer-scaled features (determinism contract).
+    """
+
+    def __init__(self, seed: int = 7):
+        self.seed = seed  # per-actor setup (codec/context init goes here)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("clip_id").to_numpy()
+        payloads = batch.column("payload").to_pylist()
+        n_samp = batch.column("n_samples").to_numpy()
+        rms_q = np.empty(len(ids), dtype=np.int64)
+        zero_x = np.empty(len(ids), dtype=np.int64)
+        peak = np.empty(len(ids), dtype=np.int64)
+        for i, (p, n) in enumerate(zip(payloads, n_samp)):
+            pcm = fake_pcm_decode(p, int(n), self.seed)
+            rms_q[i] = int(np.sqrt((pcm.astype(np.float64) ** 2).mean()) * 100)
+            zero_x[i] = int((np.diff(np.signbit(pcm)) != 0).sum())
+            peak[i] = int(np.abs(pcm).max())
+        return pa.table(
+            {
+                "clip_id": pa.array(ids),
+                "rms_q": pa.array(rms_q),
+                "zero_crossings": pa.array(zero_x),
+                "peak": pa.array(peak),
+            }
+        )
+
+
+class VideoFrameSample:
+    """Frame sampling + per-frame mean luma: the decode/frame-sample stage.
+
+    Expects (video_id:int64, payload:binary, w:int32, h:int32,
+    n_frames:int32); samples every ``stride``-th frame and emits one row
+    per sampled frame (1->N flat_map shape) with integer mean luma.
+    """
+
+    def __init__(self, stride: int = 10, seed: int = 11):
+        self.stride = stride
+        self.seed = seed
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vids, frames, lumas = [], [], []
+        for vid, p, w, h, nf in zip(
+            batch.column("video_id").to_numpy(),
+            batch.column("payload").to_pylist(),
+            batch.column("w").to_numpy(),
+            batch.column("h").to_numpy(),
+            batch.column("n_frames").to_numpy(),
+        ):
+            planes = fake_frame_decode(p, int(nf), int(w), int(h), self.seed)
+            sel = np.arange(0, int(nf), self.stride)
+            mean_luma = planes[sel].reshape(len(sel), -1).mean(axis=1)
+            vids.extend([int(vid)] * len(sel))
+            frames.extend(sel.tolist())
+            lumas.extend(np.round(mean_luma * 100).astype(np.int64).tolist())
+        return pa.table(
+            {
+                "video_id": pa.array(vids, pa.int64()),
+                "frame_idx": pa.array(frames, pa.int64()),
+                "mean_luma_c": pa.array(lumas, pa.int64()),
+            }
+        )
+
+
+def synth_av_table(n_clips: int = 64, kind: str = "audio") -> pa.Table:
+    """Deterministic synthetic AV table (binary payload + typed metadata) —
+    the Lance-shaped multimodal layout from the build brief."""
+    ids = np.arange(n_clips, dtype=np.int64)
+    payloads = [
+        splitmix64(np.arange(16, dtype=np.uint64) ^ np.uint64(i)).tobytes()
+        for i in ids
+    ]
+    if kind == "audio":
+        return pa.table(
+            {
+                "clip_id": pa.array(ids),
+                "payload": pa.array(payloads, pa.binary()),
+                "sample_rate": pa.array(np.full(n_clips, 16000, np.int32)),
+                "n_samples": pa.array((1600 + (ids % 7) * 160).astype(np.int32)),
+            }
+        )
+    return pa.table(
+        {
+            "video_id": pa.array(ids),
+            "payload": pa.array(payloads, pa.binary()),
+            "w": pa.array(np.full(n_clips, 32, np.int32)),
+            "h": pa.array(np.full(n_clips, 18, np.int32)),
+            "n_frames": pa.array((30 + (ids % 4) * 30).astype(np.int32)),
+        }
+    )
+
+
+def audio_features_ds(n_clips: int = 64):
+    """Dataset pipeline: synthetic audio table -> AudioFeatures actor pool.
+    Small batch size is deliberate: payload columns dominate batch bytes."""
+    import ray.data
+
+    ds = ray.data.from_arrow(synth_av_table(n_clips, "audio"))
+    return ds.map_batches(
+        AudioFeatures, batch_format="pyarrow", batch_size=256,
+        concurrency=(1, 4),
+    )
+
+
+def video_frame_sample_ds(n_clips: int = 64, stride: int = 10):
+    import ray.data
+
+    ds = ray.data.from_arrow(synth_av_table(n_clips, "video"))
+    return ds.map_batches(
+        VideoFrameSample, fn_constructor_kwargs={"stride": stride},
+        batch_format="pyarrow", batch_size=64, concurrency=(1, 4),
+    )
