@@ -89,12 +89,15 @@ def _add_padding(buffer: bytearray, alignment: int = 4) -> None:
 class MetadataEncoder:
     """Schema-driven per-tile property-table columnarizer.
 
-    ``schema``: {typename: {prop_name: 'int64'|'uint64'|'float64'|
-    'string'|'enum'}}. ``add_feature`` appends one row (noData fills for
-    absent props, matching metadata/mod.rs:174-213) and returns the
-    per-class feature id; ``into_metadata`` flushes the per-property
-    little-endian buffers + string-offset tables into the shared BIN
-    buffer and returns the EXT_structural_metadata JSON.
+    ``schema``: {typename: {prop_name: type}} with type one of 'int64' |
+    'uint64' | 'float64' | 'string' | 'enum', optionally suffixed '[]' for
+    variable-length arrays (the reference's ``max_occurs != 1`` attributes
+    -> arrayOffsets branch, metadata/mod.rs:300-314). ``add_feature``
+    appends one row (noData fills for absent props, matching
+    metadata/mod.rs:174-213) and returns the per-class feature id;
+    ``into_metadata`` flushes the per-property little-endian buffers +
+    array/string offset tables into the shared BIN buffer and returns the
+    EXT_structural_metadata JSON.
     """
 
     def __init__(self, schema: dict[str, dict[str, str]]):
@@ -107,14 +110,37 @@ class MetadataEncoder:
         if cls is None:
             props = {}
             for name, type_ in self.schema[typename].items():
+                is_array = type_.endswith("[]")
+                base = type_[:-2] if is_array else type_
                 props[name] = {
-                    "type": type_,
+                    "type": base,
+                    "is_array": is_array,
                     "values": bytearray(),
-                    "string_offsets": [0] if type_ == "string" else [],
+                    "string_offsets": [0] if base == "string" else [],
+                    "array_offsets": [0] if is_array else [],
+                    "count": 0,  # total elements appended (array offsets)
                     "used": False,
                 }
             cls = self.classes[typename] = {"props": props, "count": 0}
         return cls
+
+    def _append_value(self, prop: dict, v) -> None:
+        t = prop["type"]
+        if t == "int64":
+            prop["values"] += struct.pack("<q", int(v))
+        elif t == "uint64":
+            prop["values"] += struct.pack("<Q", int(v))
+        elif t == "float64":
+            prop["values"] += struct.pack("<d", float(v))
+        elif t == "string":
+            prop["values"] += str(v).encode("utf-8")
+            prop["string_offsets"].append(len(prop["values"]))
+        elif t == "enum":
+            idx = self.enum_values.setdefault(str(v), len(self.enum_values))
+            prop["values"] += struct.pack("<I", idx)
+        else:
+            raise TypeError(t)
+        prop["count"] += 1
 
     def add_feature(self, typename: str, attributes: dict) -> int:
         if typename not in self.schema:
@@ -125,20 +151,21 @@ class MetadataEncoder:
             if name in attributes:
                 v = attributes[name]
                 prop["used"] = True
-                if t == "int64":
-                    prop["values"] += struct.pack("<q", int(v))
-                elif t == "uint64":
-                    prop["values"] += struct.pack("<Q", int(v))
-                elif t == "float64":
-                    prop["values"] += struct.pack("<d", float(v))
-                elif t == "string":
-                    prop["values"] += str(v).encode("utf-8")
-                    prop["string_offsets"].append(len(prop["values"]))
-                elif t == "enum":
-                    idx = self.enum_values.setdefault(str(v), len(self.enum_values))
-                    prop["values"] += struct.pack("<I", idx)
+                if prop["is_array"]:
+                    for item in v:
+                        self._append_value(prop, item)
+                    prop["array_offsets"].append(
+                        len(prop["string_offsets"]) - 1 if t == "string"
+                        else prop["count"]
+                    )
                 else:
-                    raise TypeError(t)
+                    self._append_value(prop, v)
+            elif prop["is_array"]:
+                # absent array -> empty slice (metadata/mod.rs:184-192)
+                prop["array_offsets"].append(
+                    len(prop["string_offsets"]) - 1 if t == "string"
+                    else prop["count"]
+                )
             else:  # noData fill (metadata/mod.rs:195-210)
                 if t == "int64":
                     prop["values"] += struct.pack("<q", INT64_NO_DATA)
@@ -174,11 +201,15 @@ class MetadataEncoder:
                                            "float64": "FLOAT64"}[t]
                 if t == "enum":
                     cp["enumType"] = "Enum01"
-                cp["noData"] = {
-                    "int64": INT64_NO_DATA, "uint64": UINT64_NO_DATA,
-                    "float64": FLOAT_NO_DATA, "string": "",
-                    "enum": ENUM_NO_DATA_NAME,
-                }[t]
+                if prop["is_array"]:
+                    cp["array"] = True
+                    cp["noData"] = []
+                else:
+                    cp["noData"] = {
+                        "int64": INT64_NO_DATA, "uint64": UINT64_NO_DATA,
+                        "float64": FLOAT_NO_DATA, "string": "",
+                        "enum": ENUM_NO_DATA_NAME,
+                    }[t]
                 class_props[name] = cp
 
                 start = len(buffer)
@@ -191,6 +222,17 @@ class MetadataEncoder:
                 values_idx = len(buffer_views) - 1
                 _add_padding(buffer)
                 entry = {"values": values_idx}
+                if prop["is_array"]:
+                    start = len(buffer)
+                    for off in prop["array_offsets"]:
+                        buffer += struct.pack("<I", off)
+                    buffer_views.append(
+                        {"buffer": 0, "byteOffset": start,
+                         "byteLength": len(buffer) - start,
+                         "name": "prop_array_offsets"}
+                    )
+                    entry["arrayOffsets"] = len(buffer_views) - 1
+                    _add_padding(buffer)
                 if t == "string":
                     start = len(buffer)
                     for off in prop["string_offsets"]:

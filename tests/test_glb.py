@@ -172,3 +172,44 @@ def test_flagship_e2e_writes_valid_glb(ray_session, tmp_path):
     (pt,) = meta["propertyTables"]
     assert pt["class"] == "Municipality" and pt["count"] >= 1
     assert len(binc) > 0
+
+
+def test_metadata_encoder_array_properties():
+    """Variable-length array props: values flattened + arrayOffsets view
+    (metadata/mod.rs:300-314); absent arrays become empty slices."""
+    enc = MetadataEncoder({"B": {"heights": "float64[]", "tags": "string[]"}})
+    enc.add_feature("B", {"heights": [1.5, 2.5, 3.5], "tags": ["a", "bb"]})
+    enc.add_feature("B", {"heights": [9.0]})  # tags absent -> empty slice
+    buffer = bytearray()
+    views = []
+    meta = enc.into_metadata(buffer, views)
+    (pt,) = meta["propertyTables"]
+    props = meta["schema"]["classes"]["B"]["properties"]
+    assert props["heights"]["array"] is True and props["heights"]["noData"] == []
+
+    hv = views[pt["properties"]["heights"]["values"]]
+    vals = np.frombuffer(
+        bytes(buffer[hv["byteOffset"]:hv["byteOffset"] + hv["byteLength"]]),
+        dtype="<f8")
+    assert vals.tolist() == [1.5, 2.5, 3.5, 9.0]
+    ao = views[pt["properties"]["heights"]["arrayOffsets"]]
+    offs = np.frombuffer(
+        bytes(buffer[ao["byteOffset"]:ao["byteOffset"] + ao["byteLength"]]),
+        dtype="<u4")
+    assert offs.tolist() == [0, 3, 4]
+
+    # string array: arrayOffsets index into the stringOffsets table
+    sao = views[pt["properties"]["tags"]["arrayOffsets"]]
+    soffs = np.frombuffer(
+        bytes(buffer[sao["byteOffset"]:sao["byteOffset"] + sao["byteLength"]]),
+        dtype="<u4")
+    assert soffs.tolist() == [0, 2, 2]  # feature 2's slice is empty
+    so = views[pt["properties"]["tags"]["stringOffsets"]]
+    str_offs = np.frombuffer(
+        bytes(buffer[so["byteOffset"]:so["byteOffset"] + so["byteLength"]]),
+        dtype="<u4")
+    sv = views[pt["properties"]["tags"]["values"]]
+    raw = bytes(buffer[sv["byteOffset"]:sv["byteOffset"] + sv["byteLength"]])
+    strings = [raw[str_offs[i]:str_offs[i + 1]].decode()
+               for i in range(len(str_offs) - 1)]
+    assert strings == ["a", "bb"]
