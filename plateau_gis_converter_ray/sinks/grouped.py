@@ -152,6 +152,7 @@ def write_tiles(ds, out_dir: str, extent: int = 1 << 12,
         x = int(g["tile_x"].iloc[0])
         y = int(g["tile_y"].iloc[0])
         has_pid = "pid" in g.columns
+        has_layer = "layer" in g.columns  # per-typename MVT layers
         feats = []
         rings = []
         for i, flat in enumerate(g["ring_xy"]):
@@ -162,6 +163,8 @@ def write_tiles(ds, out_dir: str, extent: int = 1 << 12,
                 pid = str(g["pid"].iloc[i])
                 feat["attrs"] = {"pid": pid}
                 feat["id"] = pid
+            if has_layer:
+                feat["layer"] = str(g["layer"].iloc[i])
             feats.append(feat)
 
         detail = extent.bit_length() - 1

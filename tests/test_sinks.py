@@ -423,3 +423,23 @@ def test_ply_writer_roundtrip(ray_session, tmp_path):
     assert np.allclose(got, all_pts - mu)
     # shared-edge vertices deduped: face index sets overlap
     assert len(set(back["faces"][0]) & set(back["faces"][1])) == 2
+
+
+def test_write_tiles_layer_column(ray_session, tmp_path):
+    """Per-typename MVT layers: a 'layer' column splits features into
+    separate Tile.Layer messages (mod.rs layers HashMap)."""
+    import ray.data
+
+    from plateau_gis_converter_ray.sinks.grouped import write_tiles
+    from plateau_gis_converter_ray.sinks.pbf import decode_tile_pbf
+
+    rows = [
+        {"zoom": 2, "tile_x": 1, "tile_y": 1, "layer": "Building",
+         "ring_xy": [0.1, 0.1, 0.9, 0.1, 0.9, 0.9, 0.1, 0.9]},
+        {"zoom": 2, "tile_x": 1, "tile_y": 1, "layer": "Road",
+         "ring_xy": [0.2, 0.2, 0.8, 0.2, 0.8, 0.8, 0.2, 0.8]},
+    ]
+    write_tiles(ray.data.from_items(rows), str(tmp_path / "t")).to_pandas()
+    with open(str(tmp_path / "t" / "2" / "1" / "1.pbf"), "rb") as f:
+        d = decode_tile_pbf(f.read())
+    assert sorted(layer["name"] for layer in d["layers"]) == ["Building", "Road"]
