@@ -1269,6 +1269,44 @@ SELECT lang, lang_pred, COUNT(*) AS n FROM p GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# 30b. Quality filter (the training-data quality gate, integer thresholds)
+
+
+def q_quality_filter(sf_dir: str):
+    """Docs passing the quality gate (alpha-ratio >= 1/2 by integer
+    cross-multiplication, >= 5 whitespace tokens), counted per (lang,
+    source) — the corpus-filtering stage of a training-data pipeline,
+    on TextStats' vectorized counters."""
+    from ..stages.text import TextStats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+    ds = ds.map_batches(TextStats, batch_format="pandas", concurrency=(1, 4))
+
+    def gate(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = (2 * batch["n_alpha"] >= batch["n_chars_calc"]) & (
+            batch["n_tokens"] >= 5
+        )
+        return batch.loc[keep, ["lang", "source"]]
+
+    ds = ds.map_batches(gate, batch_format="pandas")
+    return tree_group_agg(ds, ["lang", "source"], {"n_pass": (None, "count")})
+
+
+_SQL_QUALITY_FILTER = """
+WITH t AS (
+  SELECT lang, source,
+         LENGTH(REGEXP_REPLACE(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+         LENGTH(text) AS n_chars,
+         LEN(REGEXP_EXTRACT_ALL(text, '\\S+')) AS n_tokens
+  FROM documents
+)
+SELECT lang, source, COUNT(*) AS n_pass
+FROM t WHERE 2 * n_alpha >= n_chars AND n_tokens >= 5
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # 31. Range join: per event, count of that customer's orders in the
 #     trailing 30-day window (co-partitioned union + searchsorted bounds —
 #     the bucketed range-join pattern, same shuffle as the as-of join)
@@ -1467,6 +1505,7 @@ QUERIES = {
     "appearance_two_phase": q_appearance_two_phase,
     "vertex_dedup_global": q_vertex_dedup_global,
     "lang_confusion": q_lang_confusion,
+    "quality_filter": q_quality_filter,
     "range_join_recent": q_range_join_recent,
     "lag_delta": q_lag_delta,
     "median_value_per_user": q_median_value_per_user,
@@ -1507,6 +1546,7 @@ ORACLES = {
     "appearance_two_phase": _SQL_APPEARANCE_TWO_PHASE,
     "vertex_dedup_global": _SQL_VERTEX_DEDUP,
     "lang_confusion": _sql_lang_confusion(),
+    "quality_filter": _SQL_QUALITY_FILTER,
     "range_join_recent": _SQL_RANGE_JOIN,
     "lag_delta": _SQL_LAG_DELTA,
     "median_value_per_user": _SQL_MEDIAN,
