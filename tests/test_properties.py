@@ -139,3 +139,57 @@ def test_pip_matches_winding_for_convex(poly, seed):
     on_edge = (np.abs(cross) < 1e-9).any(axis=1)
     check = ~on_edge  # boundary points may differ by the half-open rule
     np.testing.assert_array_equal(got[check], inside_strict[check])
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(0, 2**64 - 1), max_size=200))
+def test_packed_varint_roundtrip_property(vals):
+    """Vectorized packed-varint encode == scalar encode, and decodes back."""
+    from plateau_gis_converter_ray.sinks.pbf import (
+        _decode_packed,
+        encode_varint,
+        encode_varints_packed,
+    )
+
+    packed = encode_varints_packed(np.array(vals, dtype=np.uint64))
+    assert packed == b"".join(encode_varint(v) for v in vals)
+    assert _decode_packed(packed) == vals
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(-100, 100), st.integers(-100, 100)),
+        min_size=2, max_size=40,
+    )
+)
+def test_simplify_ring_properties(pts):
+    """Endpoints always survive; output is a subsequence of the input."""
+    from plateau_gis_converter_ray.sinks.mvt import simplify_ring
+
+    q = np.array(pts, dtype=np.int64)
+    out = simplify_ring(q)
+    assert (out[0] == q[0]).all() and (out[-1] == q[-1]).all()
+    # subsequence check
+    it = iter(q.tolist())
+    assert all(any(row == cand for cand in it) for row in out.tolist())
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.binary(max_size=300), st.binary(max_size=300))
+def test_glb_roundtrip_property(json_pad, bin_chunk):
+    """Any JSON/BIN payload round-trips; total length is 4-aligned and
+    matches the header field."""
+    import json as _json
+    import struct
+
+    from plateau_gis_converter_ray.sinks.glb import read_glb, write_glb
+
+    doc = {"k": json_pad.hex()}
+    jb = _json.dumps(doc).encode()
+    glb = write_glb(jb, bin_chunk)
+    _, total = struct.unpack_from("<II", glb, 4)
+    assert total == len(glb) and total % 4 == 0
+    gltf, binc = read_glb(glb)
+    assert gltf == doc
+    assert binc[: len(bin_chunk)] == bin_chunk
