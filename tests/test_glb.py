@@ -213,3 +213,29 @@ def test_metadata_encoder_array_properties():
     strings = [raw[str_offs[i]:str_offs[i + 1]].decode()
                for i in range(len(str_offs) - 1)]
     assert strings == ["a", "bb"]
+
+
+def test_glb_reference_alignment_fixture():
+    """glb.rs:130-173's own test vector, byte-exact: json b'{xxx}' +
+    bin b'123' at alignment 8 puts the padded bin at offset 40."""
+    import pytest
+
+    glb = write_glb(b"{xxx}", b"123", alignment=8)
+    assert len(glb) % 4 == 0
+    # json chunk padded with 7 spaces (reference reader sees '{xxx}' + 7*\x20),
+    # padded bin chunk payload lands at offset 40 as '123\0...'
+    assert glb[20:32] == b"{xxx}" + b"\x20" * 7
+    assert glb[40:43] == b"123" and glb[43:] == b"\x00" * (len(glb) - 43)
+
+    # 4-byte alignment variant: bin at offset 36 (glb.rs:141-144)
+    glb4 = write_glb(b"{xxx}", b"123", alignment=4)
+    assert glb4[36:39] == b"123"
+
+    # reader round-trip needs valid JSON; broken magic/version raise
+    ok = write_glb(b'{"x": 1}', b"123", alignment=8)
+    gltf, binc = read_glb(ok)
+    assert gltf == {"x": 1} and binc[:3] == b"123"
+    with pytest.raises(ValueError):
+        read_glb(b"x" + ok[1:])
+    with pytest.raises(ValueError):
+        read_glb(ok[:4] + b"\x07\x00\x00\x00" + ok[8:])
