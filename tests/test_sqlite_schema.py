@@ -150,3 +150,35 @@ def test_sqlite_writer_geom_blobs(ray_session, tmp_path):
     d = decode_gpb(blobs[0])
     assert d["srs_id"] == 6697
     assert len(d["polys"][0][0]) == 4  # closed triangle
+
+
+def test_gpb_reference_byte_fixture():
+    """geometry.rs:124-210's own test vector, byte-exact: 1 polygon with a
+    hole, closed 5-point rings, srs 1234 -> 274 bytes with the documented
+    offsets."""
+    import struct
+
+    import numpy as np
+
+    from plateau_gis_converter_ray.sinks.sqlite import gpb_multipolygonz
+
+    ext = np.array([[0., 0., 111.], [5., 0., 111.], [5., 5., 111.],
+                    [0., 5., 111.], [0., 0., 111.]])
+    hole = np.array([[1., 1., 111.], [2., 1., 111.], [2., 2., 111.],
+                     [1., 2., 111.], [1., 1., 111.]])
+    b = gpb_multipolygonz([[ext, hole]], srs_id=1234)
+    assert len(b) == 274
+    assert b[0:4] == bytes([0x47, 0x50, 0x00, 0b00000001])
+    assert b[4:8] == struct.pack("<i", 1234)
+    assert b[8] == 0x01
+    assert b[9:13] == struct.pack("<I", 1006)
+    assert b[13:17] == struct.pack("<I", 1)
+    assert b[17] == 0x01
+    assert b[18:22] == struct.pack("<I", 1003)
+    assert b[22:26] == struct.pack("<I", 2)
+    assert b[26:30] == struct.pack("<I", 5)
+    assert b[30:38] == struct.pack("<d", 0.0)
+    assert b[54:62] == struct.pack("<d", 5.0)
+    assert b[142:150] == struct.pack("<d", 111.0)
+    assert b[150:154] == struct.pack("<I", 5)
+    assert b[154:162] == struct.pack("<d", 1.0)
