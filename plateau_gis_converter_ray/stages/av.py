@@ -61,11 +61,17 @@ class AudioFeatures:
         rms_q = np.empty(len(ids), dtype=np.int64)
         zero_x = np.empty(len(ids), dtype=np.int64)
         peak = np.empty(len(ids), dtype=np.int64)
-        for i, (p, n) in enumerate(zip(payloads, n_samp)):
-            pcm = fake_pcm_decode(p, int(n), self.seed)
-            rms_q[i] = int(np.sqrt((pcm.astype(np.float64) ** 2).mean()) * 100)
-            zero_x[i] = int((np.diff(np.signbit(pcm)) != 0).sum())
-            peak[i] = int(np.abs(pcm).max())
+        # vectorize by equal-length group (the image decoder's (fmt,w,h)
+        # stack-decode pattern): decode a (k, n) PCM matrix per group and
+        # reduce along axis 1
+        for n in np.unique(n_samp):
+            sel = np.nonzero(n_samp == n)[0]
+            pcm = np.stack(
+                [fake_pcm_decode(payloads[i], int(n), self.seed) for i in sel]
+            ).astype(np.float64)
+            rms_q[sel] = np.round(np.sqrt((pcm ** 2).mean(axis=1)) * 100).astype(np.int64)
+            zero_x[sel] = (np.diff(np.signbit(pcm), axis=1) != 0).sum(axis=1)
+            peak[sel] = np.abs(pcm).max(axis=1).astype(np.int64)
         return pa.table(
             {
                 "clip_id": pa.array(ids),
@@ -89,26 +95,42 @@ class VideoFrameSample:
         self.seed = seed
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vids, frames, lumas = [], [], []
-        for vid, p, w, h, nf in zip(
-            batch.column("video_id").to_numpy(),
-            batch.column("payload").to_pylist(),
-            batch.column("w").to_numpy(),
-            batch.column("h").to_numpy(),
-            batch.column("n_frames").to_numpy(),
-        ):
-            planes = fake_frame_decode(p, int(nf), int(w), int(h), self.seed)
-            sel = np.arange(0, int(nf), self.stride)
-            mean_luma = planes[sel].reshape(len(sel), -1).mean(axis=1)
-            vids.extend([int(vid)] * len(sel))
-            frames.extend(sel.tolist())
-            lumas.extend(np.round(mean_luma * 100).astype(np.int64).tolist())
-        return pa.table(
-            {
-                "video_id": pa.array(vids, pa.int64()),
-                "frame_idx": pa.array(frames, pa.int64()),
-                "mean_luma_c": pa.array(lumas, pa.int64()),
-            }
+        ids = batch.column("video_id").to_numpy()
+        payloads = batch.column("payload").to_pylist()
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        nfs = batch.column("n_frames").to_numpy()
+        parts = []
+        # vectorize by (w, h, n_frames) group: stack-decode to a
+        # (k, n_frames, h, w) tensor, sample + reduce along frame pixels
+        key = np.stack([ws, hs, nfs], axis=1)
+        for row in np.unique(key, axis=0):
+            w, h, nf = (int(v) for v in row)
+            sel = np.nonzero((ws == w) & (hs == h) & (nfs == nf))[0]
+            planes = np.stack(
+                [fake_frame_decode(payloads[i], nf, w, h, self.seed) for i in sel]
+            )
+            fsel = np.arange(0, nf, self.stride)
+            mean_luma = planes[:, fsel].reshape(len(sel), len(fsel), -1).mean(axis=2)
+            parts.append(
+                pa.table(
+                    {
+                        "video_id": pa.array(
+                            np.repeat(ids[sel], len(fsel)).astype(np.int64)
+                        ),
+                        "frame_idx": pa.array(
+                            np.tile(fsel, len(sel)).astype(np.int64)
+                        ),
+                        "mean_luma_c": pa.array(
+                            np.round(mean_luma * 100).astype(np.int64).reshape(-1)
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(parts) if parts else pa.table(
+            {"video_id": pa.array([], pa.int64()),
+             "frame_idx": pa.array([], pa.int64()),
+             "mean_luma_c": pa.array([], pa.int64())}
         )
 
 
