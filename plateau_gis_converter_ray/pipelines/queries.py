@@ -1224,6 +1224,99 @@ FROM events GROUP BY 1, 2, 3
 
 
 # ---------------------------------------------------------------------------
+# 29d. Brute-force cosine top-k similarity search (the broadcast-query
+#      matmul baseline from the build brief), integer-exact rank key
+
+
+def q_embed_cosine_top3(sf_dir: str):
+    """Top-3 queries per vector by cosine similarity. Ranking is exact in
+    int64: key = sign(dot) * floor(dot^2 * 10^4 / |q|^2), computed with
+    divmod so nothing overflows — the same expression the SQL oracle uses,
+    so distributed ordering is bit-identical. Queries (first 8 vectors) are
+    the broadcast side; each batch is one matmul."""
+    import ray
+
+    from ..stages.knn import quantize
+
+    head = (
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .sort("vec_id")
+        .limit(8)
+        .to_pandas()
+    )
+    qids = head["vec_id"].to_numpy().astype(np.int64)
+    qv = quantize(np.stack(head["embedding"].to_numpy()))
+    ref = ray.put({"qids": qids, "qv": qv, "q_sq": (qv * qv).sum(axis=1)})
+
+    class CosTop3:
+        def __init__(self, r):
+            d = ray.get(r) if hasattr(r, "hex") else r
+            self.qids, self.qv, self.q_sq = d["qids"], d["qv"], d["q_sq"]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            from ..stages.knn import quantize as _q
+
+            emb = np.stack(batch.column("embedding").to_numpy(zero_copy_only=False))
+            ids = batch.column("vec_id").to_numpy().astype(np.int64)
+            v = _q(emb)
+            dot = v @ self.qv.T  # (n, m) int64
+            d2 = dot * dot
+            qk, rk = np.divmod(d2, self.q_sq[None, :])
+            key = np.where(dot >= 0, 1, -1) * (
+                qk * 10_000 + rk * 10_000 // self.q_sq[None, :]
+            )
+            # rank by (-key, qid): argsort over qid-ordered columns is stable
+            order = np.argsort(-key, axis=1, kind="stable")[:, :3]
+            n = len(ids)
+            return pa.table(
+                {
+                    "vec_id": pa.array(np.repeat(ids, 3)),
+                    "rank": pa.array(np.tile(np.arange(1, 4, dtype=np.int64), n)),
+                    "qid": pa.array(self.qids[order].reshape(-1)),
+                    "cos_key": pa.array(key[np.arange(n)[:, None], order].reshape(-1)),
+                }
+            )
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ds.map_batches(
+        CosTop3, fn_constructor_args=(ref,), batch_format="pyarrow",
+        batch_size=1024, concurrency=(1, 4),
+    )
+
+
+_SQL_EMBED_COSINE_TOP3 = """
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings ORDER BY vec_id LIMIT 8
+), qq AS (
+  SELECT qid, i, CAST(ROUND(qe[i] * 100) AS BIGINT) AS qv
+  FROM q, (SELECT UNNEST(RANGE(1, 65)) AS i)
+), qn AS (
+  SELECT qid, SUM(qv * qv) AS sq FROM qq GROUP BY 1
+), ee AS (
+  SELECT vec_id, i, CAST(ROUND(embedding[i] * 100) AS BIGINT) AS ev
+  FROM embeddings, (SELECT UNNEST(RANGE(1, 65)) AS i)
+), d AS (
+  SELECT ee.vec_id, qq.qid, SUM(ee.ev * qq.qv) AS dot
+  FROM ee JOIN qq ON ee.i = qq.i
+  GROUP BY 1, 2
+), k AS (
+  SELECT d.vec_id, d.qid,
+         (CASE WHEN d.dot >= 0 THEN 1 ELSE -1 END) *
+         ((d.dot * d.dot) // qn.sq * 10000
+          + ((d.dot * d.dot) % qn.sq) * 10000 // qn.sq) AS cos_key
+  FROM d JOIN qn ON qn.qid = d.qid
+), r AS (
+  SELECT vec_id, qid, cos_key,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY cos_key DESC, qid ASC) AS rn
+  FROM k
+)
+SELECT vec_id, rn AS rank, qid, CAST(cos_key AS BIGINT) AS cos_key
+FROM r WHERE rn <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
 # 30. Language-ID confusion matrix — oracle-gated (the langid kernel's
 #     distinct-stopword votes + CJK-ratio check, reproduced in SQL)
 
@@ -1504,6 +1597,7 @@ QUERIES = {
     "appearance_theme": q_appearance_theme,
     "appearance_two_phase": q_appearance_two_phase,
     "vertex_dedup_global": q_vertex_dedup_global,
+    "embed_cosine_top3": q_embed_cosine_top3,
     "lang_confusion": q_lang_confusion,
     "quality_filter": q_quality_filter,
     "range_join_recent": q_range_join_recent,
@@ -1545,6 +1639,7 @@ ORACLES = {
     "appearance_theme": _SQL_APPEARANCE,
     "appearance_two_phase": _SQL_APPEARANCE_TWO_PHASE,
     "vertex_dedup_global": _SQL_VERTEX_DEDUP,
+    "embed_cosine_top3": _SQL_EMBED_COSINE_TOP3,
     "lang_confusion": _sql_lang_confusion(),
     "quality_filter": _SQL_QUALITY_FILTER,
     "range_join_recent": _SQL_RANGE_JOIN,
