@@ -164,6 +164,14 @@ def tile_aggregate_ds(files: list[str], decode_concurrency=(1, 8)):
     the tree merge over the tiny combiner output: two merge levels (fan-in
     ~blocks/8, then 1) keep the reduce associative and log-depth — at 100 TB
     the same tree gains a level instead of a single-task tail.
+
+    Batch sizing: a fused chain's TASK bundle is sized by the LARGEST
+    batch_size among its stages, so one oversized combiner batch silently
+    serializes the whole chain (measured r2: 65536-row combiner batches ->
+    4 tasks on 32 CPUs, 2x the wall time). One uniform 2048-row batch keeps
+    ~rows/2048 parallel tasks while every kernel stays comfortably
+    vectorized; the per-batch combiner still collapses the zoom fan-out
+    before the exchange.
     """
     import functools
 
@@ -176,16 +184,17 @@ def tile_aggregate_ds(files: list[str], decode_concurrency=(1, 8)):
     ds = ray.data.read_parquet(
         files, override_num_blocks=max(4 * max_pool, len(files))
     )
+    chain_batch = 2048
     decode = ImageDecodeStats()  # stateless apart from cached synth grids
-    ds = ds.map_batches(decode, batch_format="pyarrow", batch_size=2048)
+    ds = ds.map_batches(decode, batch_format="pyarrow", batch_size=chain_batch)
     ds = ds.map_batches(add_lnglat_hash, batch_format="pyarrow")
     ds = ds.map_batches(
         functools.partial(_pip_assign_cached, polys_ref=polys_ref),
         batch_format="pyarrow",
-        batch_size=8192,
+        batch_size=chain_batch,
     )
-    ds = ds.map_batches(_fanout_stage, batch_format="pyarrow", batch_size=16384)
-    ds = ds.map_batches(_partial_tile_agg, batch_format="pyarrow", batch_size=65536)
+    ds = ds.map_batches(_fanout_stage, batch_format="pyarrow", batch_size=chain_batch)
+    ds = ds.map_batches(_partial_tile_agg, batch_format="pyarrow", batch_size=chain_batch)
 
     # rename partial columns to the final names, then tree-merge
     def rename(batch: pa.Table) -> pa.Table:
