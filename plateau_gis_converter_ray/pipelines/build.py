@@ -246,6 +246,38 @@ def _ply_run(ds, params, out_dir):
     return write_ply_from_triangles(ds, os.path.join(out_dir, "output.ply"))
 
 
+def _archive_run(ds, params, out_dir):
+    """MVT tiles into ONE Hilbert-sorted archive file: encode each tile's
+    pbf payload in the grouped stage, then the global tile_id sort +
+    single-writer append (the PMTiles-style path, mvt/mod.rs:237-271)."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from ..kernels.hilbert import zxy_to_id
+    from ..sinks.archive import write_tile_archive
+    from ..sinks.mvt import make_tile_pbf
+
+    def encode_tile(g: pd.DataFrame) -> pd.DataFrame:
+        z = int(g["zoom"].iloc[0])
+        x = int(g["tile_x"].iloc[0])
+        y = int(g["tile_y"].iloc[0])
+        feats = []
+        for flat in g["ring_xy"]:
+            arr = np.asarray(flat, dtype=np.float64).reshape(-1, 2)
+            feats.append({"rings": [(True, arr)]})
+        tid = int(zxy_to_id(z, np.array([x]), np.array([y]))[0])
+        return pd.DataFrame(
+            {"tile_id": [tid], "payload": [make_tile_pbf(feats, 12)]}
+        )
+
+    payloads = ds.groupby(["zoom", "tile_x", "tile_y"]).map_groups(
+        encode_tile, batch_format="pandas"
+    )
+    return write_tile_archive(payloads, os.path.join(out_dir, "tiles.prta"))
+
+
 def _noop_run(ds, params, out_dir):
     # noop sink: count rows (sink/noop/mod.rs:62-85)
     return {"num_rows": ds.count()}
@@ -322,6 +354,20 @@ BUILTIN_SINKS: dict[str, SinkProvider] = {
         ],
         make_requirements=lambda p: DataRequirements(shorten_names=True),
         run=_shapefile_run,
+    ),
+    "archive": SinkProvider(
+        name="archive",
+        description="Hilbert-sorted single-file pbf tile archive (PMTiles role)",
+        parameters=[
+            Parameter("min_zoom", "integer", default=7),
+            Parameter("max_zoom", "integer", default=12),
+        ],
+        make_requirements=lambda p: DataRequirements(
+            tile_scheme="3dt",
+            min_zoom=p.get("min_zoom") or 7,
+            max_zoom=p.get("max_zoom") or 12,
+        ),
+        run=_archive_run,
     ),
     "ply": SinkProvider(
         name="ply",

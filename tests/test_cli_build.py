@@ -162,3 +162,63 @@ def test_cli_shapefile_sink_e2e(tmp_path):
 
     back = read_polygonz_shp(str(tmp_path / "shp" / "bldg_Building"))
     assert len(back["shapes"]) == 3 and back["shape_type"] == 15
+
+
+def test_cli_archive_sink_e2e(tmp_path):
+    """CLI drive of the Hilbert-sorted archive sink: one .prta file with
+    decodable pbf payloads retrievable by tile id."""
+    import pandas as pd
+
+    inp = str(tmp_path / "pts.parquet")
+    pd.DataFrame(
+        {
+            "fid": range(16),
+            "lng": [135.0 + i * 0.7 for i in range(16)],
+            "lat": [34.0 + (i % 4) * 0.5 for i in range(16)],
+            "ring_xy": [[0.2, 0.2, 0.8, 0.2, 0.8, 0.8, 0.2, 0.8]] * 16,
+        }
+    ).to_parquet(inp, index=False)
+    out = str(tmp_path / "arch")
+    r = subprocess.run(
+        [sys.executable, "-m", "plateau_gis_converter_ray", "convert", inp, out,
+         "--sink", "archive", "--param", "min_zoom=5", "--param", "max_zoom=5",
+         "--num-cpus", "2"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=180,
+    )
+    assert r.returncode == 0, r.stderr[-800:]
+    rec = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rec["result"]["n_entries"] >= 1
+    import numpy as np
+
+    from plateau_gis_converter_ray.sinks.archive import TileArchiveReader
+    from plateau_gis_converter_ray.sinks.pbf import decode_tile_pbf
+
+    rd = TileArchiveReader(str(tmp_path / "arch" / "tiles.prta"))
+    assert (np.diff(rd.tile_ids) > 0).all()
+    d = decode_tile_pbf(rd.get(int(rd.tile_ids[0])))
+    assert d["layers"][0]["version"] == 2
+
+
+def test_cli_ply_sink_e2e(tmp_path):
+    """CLI drive of the PLY sink on a triangle table."""
+    import pandas as pd
+
+    inp = str(tmp_path / "tri.parquet")
+    pd.DataFrame(
+        {"tri_xyz": [[0, 0, 0, 2, 0, 0, 0, 2, 0],
+                     [2, 0, 0, 2, 2, 0, 0, 2, 0]]}
+    ).to_parquet(inp, index=False)
+    out = str(tmp_path / "ply")
+    r = subprocess.run(
+        [sys.executable, "-m", "plateau_gis_converter_ray", "convert", inp, out,
+         "--sink", "ply", "--num-cpus", "2"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=180,
+    )
+    assert r.returncode == 0, r.stderr[-800:]
+    rec = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rec["result"]["n_verts"] == 4 and rec["result"]["n_faces"] == 2
+
+    from plateau_gis_converter_ray.sinks.ply import read_ply
+
+    back = read_ply(str(tmp_path / "ply" / "output.ply"))
+    assert len(back["vertices"]) == 4
