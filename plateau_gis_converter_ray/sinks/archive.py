@@ -61,19 +61,33 @@ class _PayloadAppender:
 
 def write_tile_archive(ds, archive_path: str) -> dict:
     """``ds``: rows with int64 ``tile_id`` + binary ``payload``. Returns
-    {path, n_entries, payload_bytes}."""
+    {path, n_entries, payload_bytes}.
+
+    The single appender depends on sorted blocks ARRIVING in order, which
+    the streaming executor only guarantees under ``preserve_order`` — set
+    for the duration of this write (the in-actor order-violation guard
+    would otherwise fire on an executor reorder).
+    """
+    import ray.data
+
     data_path = archive_path + ".data"
-    directory = (
-        ds.sort("tile_id")
-        .map_batches(
-            _PayloadAppender,
-            fn_constructor_args=(data_path,),
-            batch_format="pandas",
-            concurrency=1,
+    ctx = ray.data.DataContext.get_current()
+    prev_order = ctx.execution_options.preserve_order
+    ctx.execution_options.preserve_order = True
+    try:
+        directory = (
+            ds.sort("tile_id")
+            .map_batches(
+                _PayloadAppender,
+                fn_constructor_args=(data_path,),
+                batch_format="pandas",
+                concurrency=1,
+            )
+            .to_pandas()
+            .sort_values("offset")
         )
-        .to_pandas()
-        .sort_values("offset")
-    )
+    finally:
+        ctx.execution_options.preserve_order = prev_order
     n = len(directory)
     dir_bytes = np.empty((n, 3), dtype="<i8")
     dir_bytes[:, 0] = directory["tile_id"].to_numpy()
