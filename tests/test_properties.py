@@ -193,3 +193,44 @@ def test_glb_roundtrip_property(json_pad, bin_chunk):
     gltf, binc = read_glb(glb)
     assert gltf == doc
     assert binc[: len(bin_chunk)] == bin_chunk
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.tuples(
+                st.floats(-1e5, 1e5, allow_nan=False),
+                st.floats(-1e5, 1e5, allow_nan=False),
+                st.floats(-100, 100, allow_nan=False),
+            ),
+            min_size=3, max_size=12,
+        ),
+        min_size=1, max_size=5,
+    ),
+    st.integers(0, 10**6),
+)
+def test_shapefile_polygonz_roundtrip_property(features, seed):
+    """Any PolygonZ feature set round-trips bit-exact through .shp/.dbf."""
+    import tempfile
+
+    from plateau_gis_converter_ray.sinks.shapefile import (
+        read_polygonz_shp,
+        write_polygonz_shp,
+    )
+
+    shapes = []
+    records = []
+    for i, pts in enumerate(features):
+        ring = np.array(pts + [pts[0]], dtype=np.float64)  # closed
+        shapes.append([ring])
+        records.append({"fid": i, "tag": f"s{seed % 97}"})
+    with tempfile.TemporaryDirectory() as d:
+        base = f"{d}/t"
+        write_polygonz_shp(base, shapes,
+                           [("fid", "N", 8), ("tag", "C", 8)], records)
+        back = read_polygonz_shp(base)
+    assert len(back["shapes"]) == len(shapes)
+    for got, want in zip(back["shapes"], shapes):
+        assert np.array_equal(got[0], want[0])  # f64 bit-exact
+    assert [r["fid"] for r in back["records"]] == [str(i) for i in range(len(shapes))]
