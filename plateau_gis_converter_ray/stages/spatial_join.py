@@ -65,5 +65,12 @@ def mesh_assign_arith(batch: pa.Table, nx: int = 24, ny: int = 22) -> pa.Table:
     iy = np.clip(np.floor((lat - SOUTH) / (NORTH - SOUTH) * ny), 0, ny - 1).astype(
         np.int64
     )
-    mesh_id = [f"mesh_{a}_{b}" for a, b in zip(ix.tolist(), iy.tolist())]
-    return batch.append_column("mesh_id", pa.array(mesh_id, pa.string()))
+    # vectorized id synthesis: arrow binary_join_element_wise over the
+    # stringified cell coords (no per-row Python)
+    import pyarrow.compute as pc
+
+    mesh_id = pc.binary_join_element_wise(
+        "mesh_", pc.cast(pa.array(ix), pa.string()),
+        "_", pc.cast(pa.array(iy), pa.string()), "",
+    )
+    return batch.append_column("mesh_id", mesh_id)
