@@ -63,8 +63,28 @@ def _main_header(shape_type: int, file_words: int, bbox, z_range) -> bytes:
     )
 
 
+def _signed_area_xy(ring: np.ndarray) -> float:
+    x, y = ring[:, 0], ring[:, 1]
+    return float((x * np.roll(y, -1) - np.roll(x, -1) * y).sum() / 2.0)
+
+
 def polygonz_record(rings: list[np.ndarray]) -> bytes:
-    """PolygonZ record content: rings are (n, 3) xyz arrays, each closed."""
+    """PolygonZ record content: rings are (n, 3) xyz arrays, each closed.
+
+    Ring orientation follows the ESRI spec the reference's writer enforces
+    (its own fixture pins "Outer ring: re-ordered to clockwise",
+    shapefile/mod.rs:306-365): outer ring CW, holes CCW — input rings are
+    re-ordered when needed.
+    """
+    fixed = []
+    for i, ring in enumerate(rings):
+        area = _signed_area_xy(ring)
+        want_cw = i == 0  # outer CW; interior rings CCW
+        is_ccw = area > 0
+        if want_cw == is_ccw:
+            ring = ring[::-1]
+        fixed.append(ring)
+    rings = fixed
     pts = np.concatenate(rings)
     parts = np.cumsum([0] + [len(r) for r in rings[:-1]]).astype(np.int32)
     xmin, ymin = pts[:, 0].min(), pts[:, 1].min()

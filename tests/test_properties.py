@@ -232,5 +232,9 @@ def test_shapefile_polygonz_roundtrip_property(features, seed):
         back = read_polygonz_shp(base)
     assert len(back["shapes"]) == len(shapes)
     for got, want in zip(back["shapes"], shapes):
-        assert np.array_equal(got[0], want[0])  # f64 bit-exact
+        w = want[0]
+        x, y = w[:, 0], w[:, 1]
+        if float((x * np.roll(y, -1) - np.roll(x, -1) * y).sum()) > 0:
+            w = w[::-1]  # writer re-orders CCW outer rings to CW
+        assert np.array_equal(got[0], w)  # f64 bit-exact
     assert [r["fid"] for r in back["records"]] == [str(i) for i in range(len(shapes))]

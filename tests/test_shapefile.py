@@ -30,9 +30,11 @@ def test_polygonz_roundtrip(tmp_path):
     # declared length (16-bit words) matches the actual file size
     assert back["file_words"] * 2 == os.path.getsize(base + ".shp")
     assert len(back["shapes"]) == 2
+    # outer rings re-ordered to clockwise (the reference writer's fixture
+    # semantics, shapefile/mod.rs:306-365): CCW input comes back reversed
     ring = back["shapes"][0][0]
-    assert np.allclose(ring, _sq(2.0))
-    assert np.allclose(back["shapes"][1][0], _sq(5.0) + np.array([10, 10, 0]))
+    assert np.allclose(ring, _sq(2.0)[::-1])
+    assert np.allclose(back["shapes"][1][0], (_sq(5.0) + np.array([10, 10, 0]))[::-1])
     assert back["fields"] == [("name", "C", 16), ("height", "N", 8)]
     assert back["records"][0]["name"] == "a"
     assert back["records"][1]["height"] == "12"
@@ -75,3 +77,21 @@ def test_per_type_shapefiles(ray_session, tmp_path):
     # field names shortened to the dbf 10-char limit
     assert all(len(f[0]) <= 10 for f in back["fields"])
     assert len(back["shapes"][0][0]) == 5  # ring auto-closed
+
+
+def test_outer_ring_reordered_to_clockwise_reference_fixture():
+    """shapefile/mod.rs:306-365's own fixture: CCW square (0,0)(5,0)(5,5)
+    (0,5) writes as the CW ring (0,0)(0,5)(5,5)(5,0)(0,0)."""
+    import tempfile
+
+    ring = np.array([[0., 0., 111.], [5., 0., 111.], [5., 5., 111.],
+                     [0., 5., 111.], [0., 0., 111.]])
+    with tempfile.TemporaryDirectory() as d:
+        base = f"{d}/dummy"
+        write_polygonz_shp(base, [[ring]], [("id", "C", 8)], [{"id": "dummy"}])
+        back = read_polygonz_shp(base)
+    got = back["shapes"][0][0]
+    expect = np.array([[0., 0., 111.], [0., 5., 111.], [5., 5., 111.],
+                       [5., 0., 111.], [0., 0., 111.]])
+    assert np.array_equal(got, expect)
+    assert back["records"][0]["id"] == "dummy"

@@ -236,3 +236,38 @@ def test_video_frame_sample_stage(ray_session):
     expected = (30 + (ids % 4) * 30 + 9) // 10
     assert (g.sort_index().to_numpy() == expected).all()
     assert out["mean_luma_c"].between(0, 25500).all()
+
+
+def test_codelist_xml_reference_fixture(tmp_path):
+    """codelist/xml.rs:162-215's own example: CJK labels, unsupported tags
+    ignored, dictionary-level gml:name not treated as a code."""
+    from plateau_gis_converter_ray.stages.codelist import parse_codelist_xml
+
+    xml = """<?xml version="1.0" encoding="UTF-8"?>
+<gml:Dictionary xmlns:gml="http://www.opengis.net/gml" gml:id="xxxxx">
+  <gml:name>Test_test</gml:name>
+  <gml:dictionaryEntry><gml:Definition gml:id="id1">
+    <gml:description>業務施設</gml:description><gml:name>401</gml:name>
+    <gml:unsupportedTag>401</gml:unsupportedTag>
+  </gml:Definition></gml:dictionaryEntry>
+  <gml:dictionaryEntry><gml:Definition gml:id="id2">
+    <gml:description>商業施設</gml:description><gml:name>402</gml:name>
+  </gml:Definition></gml:dictionaryEntry>
+  <gml:dictionaryEntry><gml:Definition gml:id="id5">
+    <gml:description>住宅</gml:description><gml:name>411</gml:name>
+  </gml:Definition></gml:dictionaryEntry>
+  <gml:dictionaryEntry><gml:Definition gml:id="id17">
+    <gml:description>その他</gml:description><gml:name>454</gml:name>
+  </gml:Definition></gml:dictionaryEntry>
+  <gml:dictionaryEntry><gml:Definition gml:id="id18">
+    <gml:description>不明</gml:description><gml:name>461</gml:name>
+  </gml:Definition></gml:dictionaryEntry>
+</gml:Dictionary>"""
+    p = tmp_path / "usage.xml"
+    p.write_text(xml, encoding="utf-8")
+    d = parse_codelist_xml(str(p))
+    assert len(d) == 5
+    assert d["401"] == "業務施設"
+    assert d["454"] == "その他"
+    assert d["461"] == "不明"
+    assert "123" not in d and "不明" not in d and "業務施設" not in d
