@@ -238,3 +238,41 @@ def test_shapefile_polygonz_roundtrip_property(features, seed):
             w = w[::-1]  # writer re-orders CCW outer rings to CW
         assert np.array_equal(got[0], w)  # f64 bit-exact
     assert [r["fid"] for r in back["records"]] == [str(i) for i in range(len(shapes))]
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(2, 6),                      # zoom
+            st.floats(100, 150, allow_nan=False),   # lng_min
+            st.floats(0.01, 5, allow_nan=False),    # lng extent
+            st.floats(20, 40, allow_nan=False),     # lat_min
+            st.floats(0.01, 5, allow_nan=False),    # lat extent
+        ),
+        min_size=1, max_size=12,
+    )
+)
+def test_tileset_root_bbox_bounds_all_contents(entries):
+    """Tree assembly invariant: the root region always contains every
+    content's bbox (bbox bubble-up, tree.rs:71-97)."""
+    import math
+
+    from plateau_gis_converter_ray.kernels import scheme3dt
+    from plateau_gis_converter_ray.sinks.tileset import TileContent, TileTree
+
+    tree = TileTree()
+    for i, (z, lngmin, dx, latmin, dy) in enumerate(entries):
+        x, y = scheme3dt.zxy_from_lng_lat(z, np.array([lngmin]), np.array([latmin]))
+        tree.add_content(
+            TileContent((z, int(x[0]), int(y[0])), f"{z}/{x[0]}/{y[0]}.glb",
+                        lngmin, lngmin + dx, latmin, latmin + dy, 0.0, 10.0)
+        )
+    ts = tree.into_tileset()
+    region = ts["root"]["boundingVolume"]["region"]
+    west, south, east, north = region[0], region[1], region[2], region[3]
+    for z, lngmin, dx, latmin, dy in entries:
+        assert west <= math.radians(lngmin) + 1e-12
+        assert east >= math.radians(lngmin + dx) - 1e-12
+        assert south <= math.radians(latmin) + 1e-12
+        assert north >= math.radians(latmin + dy) - 1e-12
