@@ -59,18 +59,23 @@ class ImageDecodeStats:
         # carry their source's pixels; sources/images.py::source_index)
         idx_all = source_index(np.array([int(s[4:]) for s in ids], dtype=np.int64))
         for (fmt, w, h), rows in groups.items():
-            stack = np.stack(
+            # ONE uint8->float64 conversion reused by every stat below (the
+            # pipeline is DRAM-bound at full concurrency; numpy's mean on
+            # uint8 accumulates in float64 anyway, so values are identical)
+            stackf = np.stack(
                 [decode_image(blobs[i], fmt, w, h) for i in rows]
-            )  # (g, h, w, 3)
+            ).astype(np.float64)  # (g, h, w, 3)
             rows_np = np.array(rows)
-            means[rows_np] = stack.reshape(len(rows), -1, 3).mean(axis=1)
-            gray = stack.astype(np.float64).mean(axis=3)
+            means[rows_np] = stackf.reshape(len(rows), -1, 3).mean(axis=1)
+            gray = stackf.mean(axis=3)
             small[rows_np] = gray.reshape(len(rows), 8, h // 8, 8, w // 8).mean(
                 axis=(2, 4)
             )
             if self.verify_psnr:
                 ref = synth_pixels_batch(idx_all[rows_np], w, h)
-                mse = ((stack.astype(np.float64) - ref) ** 2).mean(axis=(1, 2, 3))
+                diff = stackf - ref
+                diff *= diff  # in-place square: one temporary less
+                mse = diff.mean(axis=(1, 2, 3))
                 with np.errstate(divide="ignore"):
                     psnrs[rows_np] = np.where(
                         mse == 0, np.inf, 10.0 * np.log10(255.0**2 / np.maximum(mse, 1e-300))
