@@ -73,11 +73,18 @@ def synth_pixels_batch(indices: np.ndarray, w: int, h: int) -> np.ndarray:
     f2 = 1.0 + ((s >> np.uint64(3)) & np.uint64(7)).astype(np.float64)
     ph = ((s >> np.uint64(6)) & np.uint64(255)).astype(np.float64) / 40.0
     xxw, yyh, b8 = _grids(w, h)
-    base = (
-        127.5
-        + 60.0 * np.sin((2 * np.pi) * f1[:, None, None] * xxw[None] + ph[:, None, None])
-        + 60.0 * np.cos((2 * np.pi) * f2[:, None, None] * yyh[None] - ph[:, None, None])
-    )
+    # separable: the sin term varies only along x, the cos term only along
+    # y — evaluate the transcendentals on (n, w) / (n, h) and broadcast the
+    # sum, cutting trig work h- resp. w-fold. Each element sees the exact
+    # same IEEE expressions/order as the dense form, so output is
+    # bit-identical (phash/PSNR pins unchanged).
+    sin_x = 60.0 * np.sin(
+        (2 * np.pi) * f1[:, None] * xxw[0][None, :] + ph[:, None]
+    )  # (n, w)
+    cos_y = 60.0 * np.cos(
+        (2 * np.pi) * f2[:, None] * yyh[:, 0][None, :] - ph[:, None]
+    )  # (n, h)
+    base = (127.5 + sin_x[:, None, :]) + cos_y[:, :, None]
     np.clip(base, 0, 255, out=base)
     n = len(s)
     img = np.empty((n, h, w, 3), dtype=np.uint8)
