@@ -62,9 +62,10 @@ class ImageDecodeStats:
             # ONE uint8->float64 conversion reused by every stat below (the
             # pipeline is DRAM-bound at full concurrency; numpy's mean on
             # uint8 accumulates in float64 anyway, so values are identical)
-            stackf = np.stack(
+            stack_u8 = np.stack(
                 [decode_image(blobs[i], fmt, w, h) for i in rows]
-            ).astype(np.float64)  # (g, h, w, 3)
+            )  # (g, h, w, 3)
+            stackf = stack_u8.astype(np.float64)
             rows_np = np.array(rows)
             means[rows_np] = stackf.reshape(len(rows), -1, 3).mean(axis=1)
             gray = stackf.mean(axis=3)
@@ -73,13 +74,30 @@ class ImageDecodeStats:
             )
             if self.verify_psnr:
                 ref = synth_pixels_batch(idx_all[rows_np], w, h)
-                diff = stackf - ref
-                diff *= diff  # in-place square: one temporary less
-                mse = diff.mean(axis=(1, 2, 3))
-                with np.errstate(divide="ignore"):
-                    psnrs[rows_np] = np.where(
-                        mse == 0, np.inf, 10.0 * np.log10(255.0**2 / np.maximum(mse, 1e-300))
-                    )
+                if fmt in ("raw", "ppm", "rle"):
+                    # lossless: mse == 0 <=> byte equality, so the per-row
+                    # invariant checks as a uint8 compare (8x less traffic
+                    # than the float path); any mismatch falls through to
+                    # the real PSNR so a regression still shows a number
+                    eq = (stack_u8 == ref).all(axis=(1, 2, 3))
+                    psnrs[rows_np] = np.inf
+                    if not eq.all():
+                        bad = np.nonzero(~eq)[0]
+                        d = stackf[bad] - ref[bad]
+                        d *= d
+                        mse = d.mean(axis=(1, 2, 3))
+                        psnrs[rows_np[bad]] = 10.0 * np.log10(
+                            255.0**2 / np.maximum(mse, 1e-300)
+                        )
+                else:
+                    diff = stackf - ref
+                    diff *= diff  # in-place square: one temporary less
+                    mse = diff.mean(axis=(1, 2, 3))
+                    with np.errstate(divide="ignore"):
+                        psnrs[rows_np] = np.where(
+                            mse == 0, np.inf,
+                            10.0 * np.log10(255.0**2 / np.maximum(mse, 1e-300)),
+                        )
             else:
                 psnrs[rows_np] = np.inf
 
