@@ -222,3 +222,54 @@ def test_cli_ply_sink_e2e(tmp_path):
 
     back = read_ply(str(tmp_path / "ply" / "output.ply"))
     assert len(back["vertices"]) == 4
+
+
+def test_reference_user_journey_3dtiles(tmp_path):
+    """A reference user's full path on this engine: lng/lat features ->
+    sink-derived transform chain (rename + tiles fanout) -> glb tiles with
+    metadata property tables -> tileset.json assembly over the results."""
+    import pandas as pd
+
+    inp = str(tmp_path / "city.parquet")
+    pd.DataFrame(
+        {
+            "pid": [f"bldg_{i}" for i in range(30)],
+            "lng": [139.5 + (i % 6) * 0.05 for i in range(30)],
+            "lat": [35.5 + (i // 6) * 0.04 for i in range(30)],
+            "ring_xy": [[0.2, 0.2, 0.8, 0.2, 0.8, 0.8, 0.2, 0.8]] * 30,
+        }
+    ).to_parquet(inp, index=False)
+    out = str(tmp_path / "out3dt")
+    r = subprocess.run(
+        [sys.executable, "-m", "plateau_gis_converter_ray", "convert", inp, out,
+         "--sink", "3dtiles", "--param", "min_zoom=6", "--param", "max_zoom=7",
+         "--num-cpus", "2"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=240,
+    )
+    assert r.returncode == 0, r.stderr[-800:]
+
+    # every emitted glb parses; metadata property tables carry the pids
+    import glob as globmod
+
+    from plateau_gis_converter_ray.sinks.glb import read_glb
+    from plateau_gis_converter_ray.sinks.tileset import tileset_from_aggregate
+
+    files = globmod.glob(f"{out}/*/*/*.glb")
+    assert files
+    total_feats = 0
+    rows = []
+    for p in sorted(files):
+        with open(p, "rb") as f:
+            gltf, _bin = read_glb(f.read())
+        (pt,) = gltf["extensions"]["EXT_structural_metadata"]["propertyTables"]
+        total_feats += pt["count"]
+        z, x, y = (int(v) for v in p[len(out) + 1:-4].split("/"))
+        rows.append({"zoom": z, "tile_x": x, "tile_y": y,
+                     "lng_min": 139.5, "lng_max": 139.8,
+                     "lat_min": 35.5, "lat_max": 35.7})
+    # max_zoom fanout puts every feature in exactly one z=7 tile (points
+    # only appear at max zoom per the geometric-error rule)
+    assert total_feats == 30
+    ts = tileset_from_aggregate(rows, str(tmp_path / "tileset.json"))
+    assert ts["root"]["geometricError"] > 0
+    assert (tmp_path / "tileset.json").exists()
