@@ -47,6 +47,9 @@ BENCH_QUERIES = [
     "embed_near_dup_cosine",
     "ivf_self_knn",
     "range_join_recent",
+    "quality_filter",
+    "embed_cosine_top3",
+    "median_value_per_user",
 ]
 
 
