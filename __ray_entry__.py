@@ -121,9 +121,9 @@ def _q_doc_signatures(sf_dir: str):
 
     from plateau_gis_converter_ray.stages.text import Signatures
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    )
+    from plateau_gis_converter_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(
         Signatures, batch_format="pyarrow", batch_size=1024, concurrency=(1, 4)
     ).select_columns(["doc_id", "simhash", "fingerprint"])
@@ -215,7 +215,9 @@ def _q_project_jpr9(sf_dir: str):
     from plateau_gis_converter_ray.stages.geocode import add_lnglat_arith
     from plateau_gis_converter_ray.stages.projection import ProjectionStage
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    from plateau_gis_converter_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "events", ["event_id"])
     ds = ds.map_batches(lambda b: add_lnglat_arith(b, "event_id"), batch_format="pyarrow")
     ds = ds.map_batches(
         ProjectionStage,

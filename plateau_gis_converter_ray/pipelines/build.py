@@ -488,8 +488,18 @@ def derive_schema(schema: "object", chain: list[tuple[str, dict]]):
 
 
 def _parquet_source(path: str, columns=None):
+    import os
+
     import ray.data
 
+    if os.path.isfile(path):
+        # metadata-stripped schema so block-schema dedup works (sources.tables)
+        from ..sources.tables import _clean_schema
+
+        return ray.data.read_parquet(
+            path, columns=columns,
+            schema=_clean_schema(path, tuple(columns) if columns else None),
+        )
     return ray.data.read_parquet(path, columns=columns)
 
 

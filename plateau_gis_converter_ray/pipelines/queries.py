@@ -29,9 +29,9 @@ from ..stages.tiles import assign_webmercator
 
 
 def _read(sf_dir: str, table: str, columns=None):
-    import ray.data
+    from ..sources.tables import read_table
 
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    return read_table(sf_dir, table, columns)
 
 
 # hash-join exchange partition count: sized so the join aggregator actors
@@ -1058,13 +1058,9 @@ def q_embed_near_dup_cosine(sf_dir: str):
     Pair generation is the distributed triangle block self-join
     (stages/knn.py:block_pair_join): exact, one shuffle, no driver-side
     table materialization."""
-    import ray.data
-
     from ..stages.knn import block_pair_join
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
 
     def cos_pairs(qa, ia, qb, ib):
         a_sq = (qa * qa).sum(axis=1)

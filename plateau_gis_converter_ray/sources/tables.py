@@ -1,0 +1,39 @@
+"""Clean-schema parquet reads for the driver-provided testdata tables.
+
+The testdata parquet files carry a ``pandas`` schema-metadata blob whose
+presence makes ``hash(pa.Schema)`` raise (metadata dict), which defeats Ray
+Data's block-schema deduplication: every block-metadata unify falls back to
+the slow path and each worker logs "Failed to hash the schemas" (the r2
+bench-tail noise). Reading with an explicitly metadata-stripped schema makes
+every downstream block carry a hashable schema — dedup works, the log is
+clean, and nothing else changes (the pandas metadata only describes index
+columns we never use).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=256)
+def _clean_schema(path: str, columns: tuple | None):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pq.read_schema(path).remove_metadata()
+    if columns:
+        schema = pa.schema([schema.field(c) for c in columns])
+    return schema
+
+
+def read_table(sf_dir: str, table: str, columns: list[str] | None = None):
+    """``read_parquet`` for ``{sf_dir}/{table}.parquet`` with column pruning
+    and a metadata-stripped schema (see module docstring)."""
+    import ray.data
+
+    path = f"{sf_dir}/{table}.parquet"
+    return ray.data.read_parquet(
+        path,
+        columns=columns,
+        schema=_clean_schema(path, tuple(columns) if columns else None),
+    )

@@ -35,9 +35,9 @@ def exact_dedup_docs(sf_dir: str):
 
     from .treeagg import tree_group_agg
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    )
+    from ..sources.tables import read_table
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
 
     def hash_stage(batch: pd.DataFrame) -> pd.DataFrame:
         h1 = pd.util.hash_pandas_object(
@@ -72,9 +72,9 @@ def minhash_lsh_candidates(sf_dir: str, jaccard_threshold: float = 0.5):
 
     from .text import Signatures
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    )
+    from ..sources.tables import read_table
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
     sigs = ds.map_batches(
         Signatures, batch_format="pyarrow", batch_size=1024, concurrency=(1, 4)
     )
@@ -115,9 +115,7 @@ def minhash_lsh_candidates(sf_dir: str, jaccard_threshold: float = 0.5):
     # no driver materialization / broadcast of the document table;
     # VERDICT r1 "minhash verify" fix). At 10^12 scale the joins carry one
     # text per candidate side, not the whole corpus.
-    docs = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    )
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
     j = cand.join(docs, "inner", num_partitions=4, on=("doc_a",), right_on=("doc_id",))
     j = j.join(
         docs, "inner", num_partitions=4, on=("doc_b",), right_on=("doc_id",),
@@ -162,9 +160,9 @@ def simhash_near_dup(sf_dir: str, max_hamming: int = 8, prefix_bits: int = 12,
 
     from .text import Signatures
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    )
+    from ..sources.tables import read_table
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
     sigs = ds.map_batches(
         Signatures, batch_format="pyarrow", batch_size=1024, concurrency=(1, 4)
     ).select_columns(["doc_id", "simhash"])

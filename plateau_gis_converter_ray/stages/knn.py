@@ -137,9 +137,9 @@ def embedding_near_dup_pairs(sf_dir: str, dist2_threshold: int, n_blocks: int = 
     distributed triangle block self-join (no driver materialization)."""
     import ray.data
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
+    from ..sources.tables import read_table
+
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
 
     def close_pairs(qa, ia, qb, ib):
         a_sq = (qa * qa).sum(axis=1)
@@ -166,7 +166,9 @@ def knn_points_brute(sf_dir: str, n_queries: int = 16):
     qx = 122.0 + (qids * 17) % 24
     qy = 24.0 + (qids * 13) % 22
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    from ..sources.tables import read_table
+
+    ds = read_table(sf_dir, "events", ["event_id"])
     ds = ds.map_batches(
         lambda b: add_lnglat_arith(b, "event_id"), batch_format="pyarrow"
     )
@@ -213,7 +215,9 @@ def knn_points_cellring(sf_dir: str, n_queries: int = 16, res: int = 6):
     cell_h = 180.0 / n
     qcx, qcy = cell_xy(qx, qy, res)
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    from ..sources.tables import read_table
+
+    ds = read_table(sf_dir, "events", ["event_id"])
     ds = ds.map_batches(
         lambda b: add_lnglat_arith(b, "event_id"), batch_format="pyarrow"
     )
@@ -322,9 +326,9 @@ def ivf_self_knn(sf_dir: str, n_centroids: int = 8, nprobe: int = 6, dim: int = 
     import ray
     import ray.data
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
+    from ..sources.tables import read_table
+
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
     centroids = distributed_lloyd_centroids(ds, n_centroids, dim)
     cent_ref = ray.put(centroids)
 
@@ -417,10 +421,10 @@ def brute_self_knn_pd(sf_dir: str) -> "pd.DataFrame":
     """Exact self-kNN (driver-side, test oracle for IVF recall)."""
     import ray.data
 
+    from ..sources.tables import read_table
+
     all_pd = (
-        ray.data.read_parquet(
-            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-        )
+        read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
         .to_pandas()
         .sort_values("vec_id")
     )

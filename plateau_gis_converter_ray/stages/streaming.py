@@ -61,11 +61,10 @@ def make_bucket_actor():
             stage, executing IN the actor instead of on the driver)."""
             import ray.data
 
+            from ..sources.tables import read_table
+
             ds = (
-                ray.data.read_parquet(
-                    f"{sf_dir}/events.parquet",
-                    columns=["user_id", "ts", "value"],
-                )
+                read_table(sf_dir, "events", ["user_id", "ts", "value"])
                 .filter(
                     lambda row, b=bucket, n=n_buckets: row["user_id"] % n == b
                 )
