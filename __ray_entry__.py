@@ -60,9 +60,7 @@ def _q_image_decode_stats(sf_dir: str):
         os.path.join(path, f) for f in sorted(os.listdir(path)) if f.endswith(".parquet")
     ]
     ds = ray.data.read_parquet(files)
-    ds = ds.map_batches(
-        ImageDecodeStats, batch_format="pyarrow", batch_size=1024, concurrency=(1, 4)
-    )
+    ds = ds.map_batches(ImageDecodeStats(), batch_format="pyarrow", batch_size=1024)
     from ray.data.aggregate import Count, Sum
 
     import numpy as np
@@ -125,7 +123,7 @@ def _q_doc_signatures(sf_dir: str):
 
     ds = read_table(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(
-        Signatures, batch_format="pyarrow", batch_size=1024, concurrency=(1, 4)
+        Signatures(), batch_format="pyarrow", batch_size=1024
     ).select_columns(["doc_id", "simhash", "fingerprint"])
 
 
@@ -220,10 +218,7 @@ def _q_project_jpr9(sf_dir: str):
     ds = read_table(sf_dir, "events", ["event_id"])
     ds = ds.map_batches(lambda b: add_lnglat_arith(b, "event_id"), batch_format="pyarrow")
     ds = ds.map_batches(
-        ProjectionStage,
-        fn_constructor_kwargs={"output": "jpr", "jpr_zone": 9},
-        batch_format="pyarrow",
-        concurrency=(1, 4),
+        ProjectionStage(output="jpr", jpr_zone=9), batch_format="pyarrow"
     )
 
     def round_mm(batch: pa.Table) -> pa.Table:
@@ -258,9 +253,7 @@ def _q_image_thumbs(sf_dir: str):
         os.path.join(path, f) for f in sorted(os.listdir(path)) if f.endswith(".parquet")
     ]
     ds = ray.data.read_parquet(files, columns=["image_id", "bytes", "w", "h", "fmt"])
-    ds = ds.map_batches(
-        ImageResize, batch_format="pyarrow", batch_size=1024, concurrency=(1, 4)
-    )
+    ds = ds.map_batches(ImageResize(), batch_format="pyarrow", batch_size=1024)
 
     def agg(batch: pa.Table) -> pa.Table:
         thumbs = batch.column("thumb").to_numpy(zero_copy_only=False)
@@ -282,7 +275,6 @@ def _q_raster_vector_clip(sf_dir: str):
     """Raster<->vector: clip municipality polygons against each image's
     georeferenced footprint, rasterize onto its pixel grid, emit coverage +
     masked-pixel stats (rows-only; geometry kernels pytest-pinned)."""
-    import ray
     import ray.data
 
     from plateau_gis_converter_ray.sources.images import ensure_image_table
@@ -294,13 +286,10 @@ def _q_raster_vector_clip(sf_dir: str):
         os.path.join(path, f) for f in sorted(os.listdir(path)) if f.endswith(".parquet")
     ]
     ds = ray.data.read_parquet(files, columns=["image_id", "bytes", "w", "h", "fmt"])
-    polys_ref = ray.put(municipality_polygons())
     return ds.map_batches(
-        RasterVectorClip,
-        fn_constructor_args=(polys_ref,),
+        RasterVectorClip(municipality_polygons()),
         batch_format="pyarrow",
         batch_size=512,
-        concurrency=(1, 4),
     )
 
 

@@ -158,10 +158,7 @@ def apply_chain(ds, chain: list[tuple[str, dict]]):
                 # identity CRS on height-less data: skip the actor pool
                 continue
             ds = ds.map_batches(
-                ProjectionStage,
-                fn_constructor_kwargs=kw,
-                batch_format="pyarrow",
-                concurrency=(1, 8),
+                ProjectionStage(**kw), batch_format="pyarrow"
             )
         elif name == "geom_stats":
             col = kw["list_col"]

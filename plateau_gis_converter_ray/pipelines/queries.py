@@ -318,19 +318,17 @@ def q_nation_revenue(sf_dir: str):
     rows) broadcast; customer -> orders -> lineitem are distributed
     hash-partitioned Dataset.join exchanges. Revenue is pre-scaled per row
     BEFORE the join so the exchange carries (key, n_name, rev_s) only."""
-    import ray
-
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
     region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
     asia = set(region.loc[region["r_name"] == "ASIA", "r_regionkey"].tolist())
     nation_asia = nation[nation["n_regionkey"].isin(asia)]
-    nat_ref = ray.put(dict(zip(nation_asia["n_nationkey"], nation_asia["n_name"])))
 
     class AttachNation:
-        """Broadcast dim lookup: keep only ASIA customers, attach n_name."""
+        """Broadcast dim lookup: keep only ASIA customers, attach n_name.
+        The dim is ~25 rows — shipped with the task fn, no actor pool."""
 
-        def __init__(self, r):
-            self.nat_name = ray.get(r) if hasattr(r, "hex") else r
+        def __init__(self, nat_name):
+            self.nat_name = nat_name
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             nk = pd.Series(batch.column("c_nationkey").to_numpy())
@@ -344,8 +342,8 @@ def q_nation_revenue(sf_dir: str):
             )
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
-        AttachNation, fn_constructor_args=(nat_ref,), batch_format="pyarrow",
-        concurrency=(1, 4),
+        AttachNation(dict(zip(nation_asia["n_nationkey"], nation_asia["n_name"]))),
+        batch_format="pyarrow",
     )
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).join(
         cust, "inner", num_partitions=JOIN_PARTS, on=("o_custkey",), right_on=("c_custkey",),
@@ -518,7 +516,7 @@ def q_text_stats_by_lang(sf_dir: str):
     from ..stages.text import TextStats
 
     ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
-    ds = ds.map_batches(TextStats, batch_format="pandas", concurrency=(1, 4))
+    ds = ds.map_batches(TextStats(), batch_format="pandas")
     ds = ds.select_columns(["lang", "n_tokens", "n_chars_calc", "n_alpha"])
     return tree_group_agg(
         ds, ["lang"],
@@ -544,7 +542,7 @@ def q_source_stats(sf_dir: str):
     from ..stages.text import TextStats
 
     ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
-    ds = ds.map_batches(TextStats, batch_format="pandas", concurrency=(1, 4))
+    ds = ds.map_batches(TextStats(), batch_format="pandas")
     ds = ds.select_columns(["source", "n_digits", "n_tokens"])
     return tree_group_agg(
         ds, ["source"],
@@ -598,8 +596,6 @@ FROM events GROUP BY 1
 
 
 def q_embed_knn(sf_dir: str):
-    import ray
-
     from ..stages.knn import EmbedKNN
 
     head = (
@@ -608,14 +604,16 @@ def q_embed_knn(sf_dir: str):
         .limit(8)
         .to_pandas()
     )
-    ref = ray.put(
+    # the broadcast side is 8 vectors: a pre-built instance shipped with the
+    # task fn (Ray puts it once, workers cache the deserialized fn) beats an
+    # actor pool whose spin-up/teardown dominates back-to-back sessions
+    # (BENCH r2 regression cluster); truly large sides keep the ray.put +
+    # per-worker-cache pattern (flagship _PIP_CACHE).
+    knn = EmbedKNN(
         {"qid": head["vec_id"].to_numpy(), "vecs": np.stack(head["embedding"].to_numpy())}
     )
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return ds.map_batches(
-        EmbedKNN, fn_constructor_args=(ref,), batch_format="pyarrow",
-        batch_size=1024, concurrency=(1, 4),
-    )
+    return ds.map_batches(knn, batch_format="pyarrow", batch_size=1024)
 
 
 _SQL_EMBED_KNN = """
@@ -766,10 +764,9 @@ def q_codelist(sf_dir: str):
     if not os.path.exists(path):
         write_codelist_xml(path, LANG_CODELIST)
     ds = _read(sf_dir, "documents", ["doc_id", "lang"])
-    ds = ds.map_batches(
-        XmlCodeResolver, fn_constructor_args=(path,), batch_format="pandas",
-        concurrency=(1, 4),
-    )
+    # pre-built instance as a task fn; the XML still parses lazily once per
+    # worker on first use (the path-keyed cache ships empty)
+    ds = ds.map_batches(XmlCodeResolver(path), batch_format="pandas")
     from ray.data.aggregate import Count
 
     return ds.groupby("lang_label").aggregate(Count(alias_name="n_docs"))
@@ -1230,8 +1227,6 @@ def q_embed_cosine_top3(sf_dir: str):
     divmod so nothing overflows — the same expression the SQL oracle uses,
     so distributed ordering is bit-identical. Queries (first 8 vectors) are
     the broadcast side; each batch is one matmul."""
-    import ray
-
     from ..stages.knn import quantize
 
     head = (
@@ -1242,11 +1237,9 @@ def q_embed_cosine_top3(sf_dir: str):
     )
     qids = head["vec_id"].to_numpy().astype(np.int64)
     qv = quantize(np.stack(head["embedding"].to_numpy()))
-    ref = ray.put({"qids": qids, "qv": qv, "q_sq": (qv * qv).sum(axis=1)})
 
     class CosTop3:
-        def __init__(self, r):
-            d = ray.get(r) if hasattr(r, "hex") else r
+        def __init__(self, d):
             self.qids, self.qv, self.q_sq = d["qids"], d["qv"], d["q_sq"]
 
         def __call__(self, batch: pa.Table) -> pa.Table:
@@ -1275,8 +1268,8 @@ def q_embed_cosine_top3(sf_dir: str):
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     return ds.map_batches(
-        CosTop3, fn_constructor_args=(ref,), batch_format="pyarrow",
-        batch_size=1024, concurrency=(1, 4),
+        CosTop3({"qids": qids, "qv": qv, "q_sq": (qv * qv).sum(axis=1)}),
+        batch_format="pyarrow", batch_size=1024,
     )
 
 
@@ -1321,7 +1314,7 @@ def q_lang_confusion(sf_dir: str):
     from ..stages.text import LangQuality
 
     ds = _read(sf_dir, "documents", ["text", "lang"])
-    ds = ds.map_batches(LangQuality, batch_format="pandas", concurrency=(1, 4))
+    ds = ds.map_batches(LangQuality(), batch_format="pandas")
     ds = ds.select_columns(["lang", "lang_pred"])
     return tree_group_agg(ds, ["lang", "lang_pred"], {"n": (None, "count")})
 
@@ -1369,7 +1362,7 @@ def q_quality_filter(sf_dir: str):
     from ..stages.text import TextStats
 
     ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
-    ds = ds.map_batches(TextStats, batch_format="pandas", concurrency=(1, 4))
+    ds = ds.map_batches(TextStats(), batch_format="pandas")
 
     def gate(batch: pd.DataFrame) -> pd.DataFrame:
         keep = (2 * batch["n_alpha"] >= batch["n_chars_calc"]) & (

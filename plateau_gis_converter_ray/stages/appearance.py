@@ -64,13 +64,12 @@ class ApplyAppearance:
 
 
 def appearance_theme_join(sf_dir: str):
-    import ray
-    import ray.data
-
     from ..sources.tables import read_table
 
     part = read_table(sf_dir, "part", ["p_partkey", "p_name", "p_type"]).to_pandas()
-    ref = ray.put(
+    # dim is the part table (~20k rows at sf0.1): shipped once with the task
+    # fn (Ray caches the deserialized fn per worker) — no actor-pool spin-up
+    stage = ApplyAppearance(
         {
             "key": part["p_partkey"].to_numpy(),
             "name": part["p_name"].to_numpy(),
@@ -78,10 +77,7 @@ def appearance_theme_join(sf_dir: str):
         }
     )
     ds = read_table(sf_dir, "events", ["event_id"])
-    return ds.map_batches(
-        ApplyAppearance, fn_constructor_args=(ref,), batch_format="pandas",
-        concurrency=(1, 4),
-    )
+    return ds.map_batches(stage, batch_format="pandas")
 
 
 def appearance_two_phase(sf_dir: str):

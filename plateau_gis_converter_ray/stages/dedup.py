@@ -75,9 +75,7 @@ def minhash_lsh_candidates(sf_dir: str, jaccard_threshold: float = 0.5):
     from ..sources.tables import read_table
 
     ds = read_table(sf_dir, "documents", ["doc_id", "text"])
-    sigs = ds.map_batches(
-        Signatures, batch_format="pyarrow", batch_size=1024, concurrency=(1, 4)
-    )
+    sigs = ds.map_batches(Signatures(), batch_format="pyarrow", batch_size=1024)
 
     def explode_bands(batch: pa.Table) -> pa.Table:
         doc = batch.column("doc_id").to_numpy()
@@ -163,9 +161,7 @@ def simhash_near_dup(sf_dir: str, max_hamming: int = 8, prefix_bits: int = 12,
     from ..sources.tables import read_table
 
     ds = read_table(sf_dir, "documents", ["doc_id", "text"])
-    sigs = ds.map_batches(
-        Signatures, batch_format="pyarrow", batch_size=1024, concurrency=(1, 4)
-    ).select_columns(["doc_id", "simhash"])
+    sigs = ds.map_batches(Signatures(), batch_format="pyarrow", batch_size=1024).select_columns(["doc_id", "simhash"])
 
     rot_step = max(1, 64 // max(n_rotations, 1))
 

@@ -330,13 +330,13 @@ def ivf_self_knn(sf_dir: str, n_centroids: int = 8, nprobe: int = 6, dim: int = 
 
     ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
     centroids = distributed_lloyd_centroids(ds, n_centroids, dim)
-    cent_ref = ray.put(centroids)
 
     class BucketFanout:
-        """role=0 member row (own bucket) + role=1 probe rows (nprobe)."""
+        """role=0 member row (own bucket) + role=1 probe rows (nprobe).
+        Centroids are a (k, dim) array — shipped with the task fn."""
 
-        def __init__(self, r, nprobe):
-            self.cent = ray.get(r) if hasattr(r, "hex") else r
+        def __init__(self, cent, nprobe):
+            self.cent = cent
             self.nprobe = nprobe
 
         def __call__(self, batch: pa.Table) -> pa.Table:
@@ -368,8 +368,7 @@ def ivf_self_knn(sf_dir: str, n_centroids: int = 8, nprobe: int = 6, dim: int = 
             return pa.concat_tables([member, probes])
 
     fanned = ds.map_batches(
-        BucketFanout, fn_constructor_args=(cent_ref, nprobe),
-        batch_format="pyarrow", batch_size=1024, concurrency=(1, 4),
+        BucketFanout(centroids, nprobe), batch_format="pyarrow", batch_size=1024
     )
 
     def local_top1(g: pd.DataFrame) -> pd.DataFrame:
