@@ -256,11 +256,13 @@ def _q_image_thumbs(sf_dir: str):
     ds = ds.map_batches(ImageResize(), batch_format="pyarrow", batch_size=1024)
 
     def agg(batch: pa.Table) -> pa.Table:
-        thumbs = batch.column("thumb").to_numpy(zero_copy_only=False)
-        means = np.array([int(round(float(np.mean(t)) * 100)) for t in thumbs])
+        col = batch.column("thumb").combine_chunks()
+        flat = col.flatten().to_numpy()  # zero-copy fixed-size-list values
+        # float32 reduction then float64 scale: matches the old per-row path
+        means = flat.reshape(len(batch), -1).mean(axis=1).astype(np.float64)
         return pa.table(
             {"w": batch.column("w"), "h": batch.column("h"),
-             "thumb_mean_c": pa.array(means)}
+             "thumb_mean_c": pa.array(np.round(means * 100).astype(np.int64))}
         )
 
     ds = ds.map_batches(agg, batch_format="pyarrow")

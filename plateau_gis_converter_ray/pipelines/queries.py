@@ -1494,19 +1494,47 @@ FROM events
 
 
 def q_median_value_per_user(sf_dir: str):
+    """Exact distributed median via a value histogram: the shuffle carries
+    (user, value_cents, count) partials — bounded by the value domain, not
+    the row count — and the final single block resolves each user's two
+    middle ranks with vectorized searchsorted over cumulative counts
+    (numpy/DuckDB interpolation: (lo + hi) / 2). No per-group Python
+    (r2 verdict item #7)."""
     ds = _read(sf_dir, "events", ["user_id", "value"])
 
-    def med(g: pd.DataFrame) -> pd.DataFrame:
-        v = np.round(g["value"].to_numpy() * 100).astype(np.int64)
+    def to_cents(batch: pa.Table) -> pa.Table:
+        v = np.round(batch.column("value").to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {"user_id": batch.column("user_id"), "value_c": pa.array(v)}
+        )
+
+    hist = tree_group_agg(
+        ds.map_batches(to_cents, batch_format="pyarrow"),
+        ["user_id", "value_c"], {"cnt": (None, "count")}, levels=(1,),
+    )
+
+    def median_from_hist(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "value_c"], kind="mergesort")
+        uid = df["user_id"].to_numpy()
+        vc = df["value_c"].to_numpy()
+        cnt = df["cnt"].to_numpy()
+        starts = np.concatenate([[0], np.nonzero(uid[1:] != uid[:-1])[0] + 1])
+        totals = np.add.reduceat(cnt, starts)
+        cum = np.cumsum(cnt)
+        base = np.concatenate([[0], cum[starts[1:] - 1]])
+        # 0-based middle ranks (n-1)//2 and n//2; the rank-k element is the
+        # first histogram row whose global cumulative count reaches base+k+1
+        lo = vc[np.searchsorted(cum, base + (totals - 1) // 2 + 1)]
+        hi = vc[np.searchsorted(cum, base + totals // 2 + 1)]
         return pd.DataFrame(
             {
-                "user_id": [int(g["user_id"].iloc[0])],
-                "median_c": [float(np.median(v))],
-                "n": [len(v)],
+                "user_id": uid[starts],
+                "median_c": (lo + hi) / 2.0,
+                "n": totals,
             }
         )
 
-    return ds.groupby("user_id").map_groups(med, batch_format="pandas")
+    return hist.map_batches(median_from_hist, batch_format="pandas", batch_size=None)
 
 
 _SQL_MEDIAN = """
@@ -1518,23 +1546,31 @@ FROM events GROUP BY 1
 
 
 def q_mode_event_type(sf_dir: str):
-    """Most frequent event_type per user; ties -> lexicographically first."""
-    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    """Most frequent event_type per user; ties -> lexicographically first.
 
-    def mode(g: pd.DataFrame) -> pd.DataFrame:
-        counts = (
-            g.groupby("event_type").size().reset_index(name="cnt")
-            .sort_values(["cnt", "event_type"], ascending=[False, True])
-        )
+    (user, type) counts through the combiner tree, then one vectorized
+    sort + drop_duplicates picks each user's (max count, lexicographically
+    first) row — no per-group Python (r2 verdict item #7)."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    counts = tree_group_agg(
+        ds, ["user_id", "event_type"], {"cnt": (None, "count")}, levels=(1,)
+    )
+
+    def pick_mode(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["user_id", "cnt", "event_type"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        ).drop_duplicates("user_id", keep="first")
         return pd.DataFrame(
             {
-                "user_id": [int(g["user_id"].iloc[0])],
-                "mode_type": [counts["event_type"].iloc[0]],
-                "mode_n": [int(counts["cnt"].iloc[0])],
+                "user_id": df["user_id"].to_numpy(),
+                "mode_type": df["event_type"].to_numpy(),
+                "mode_n": df["cnt"].to_numpy(),
             }
         )
 
-    return ds.groupby("user_id").map_groups(mode, batch_format="pandas")
+    return counts.map_batches(pick_mode, batch_format="pandas", batch_size=None)
 
 
 _SQL_MODE = """

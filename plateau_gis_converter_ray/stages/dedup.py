@@ -226,19 +226,18 @@ def simhash_near_dup(sf_dir: str, max_hamming: int = 8, prefix_bits: int = 12,
 
 
 def phash_exact_dedup(image_files: list[str]):
-    """Exact image dedup on the stored phash: groups of identical phash."""
+    """Exact image dedup on the stored phash: groups of identical phash.
+
+    keep-first == min(image_id) per phash (ids are zero-padded strings, so
+    lexicographic min == the old sort-head) — an associative aggregate, so
+    the combiner + tree merge replaces the per-group single-row map_groups
+    (r2 verdict item #7)."""
     import ray.data
 
+    from .treeagg import tree_group_agg
+
     ds = ray.data.read_parquet(image_files, columns=["image_id", "phash"])
-
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("image_id")
-        return pd.DataFrame(
-            {
-                "phash": [g["phash"].iloc[0]],
-                "image_id_keep": [g["image_id"].iloc[0]],
-                "n_dups": [len(g)],
-            }
-        )
-
-    return ds.groupby("phash").map_groups(keep_first, batch_format="pandas")
+    return tree_group_agg(
+        ds, ["phash"],
+        {"image_id_keep": ("image_id", "min"), "n_dups": (None, "count")},
+    )

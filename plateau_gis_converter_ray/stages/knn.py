@@ -402,18 +402,27 @@ def ivf_self_knn(sf_dir: str, n_centroids: int = 8, nprobe: int = 6, dim: int = 
 
     local = fanned.groupby("bucket").map_groups(local_top1, batch_format="pandas")
 
-    def global_best(g: pd.DataFrame) -> pd.DataFrame:
-        order = np.lexsort((g["ann_id"].to_numpy(), g["dist2_q"].to_numpy()))
-        top = g.iloc[order[0]]
-        return pd.DataFrame(
-            {
-                "vec_id": [int(top["vec_id"])],
-                "ann_id": [int(top["ann_id"])],
-                "dist2_q": [int(top["dist2_q"])],
-            }
+    # global best per query: min by (dist2, ann_id) is associative, so a
+    # vectorized sort + drop_duplicates combiner tree replaces the per-group
+    # single-row map_groups (r2 verdict item #7) — no per-group Python.
+    def best_rows(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["vec_id", "dist2_q", "ann_id"], kind="mergesort")
+        return df.drop_duplicates("vec_id", keep="first")
+
+    best = local.map_batches(best_rows, batch_format="pandas", batch_size=None)
+    for fan in (8, 1):
+        best = best.repartition(fan).map_batches(
+            best_rows, batch_format="pandas", batch_size=None
         )
 
-    return local.groupby("vec_id").map_groups(global_best, batch_format="pandas")
+    def mark_isolated(df: pd.DataFrame) -> pd.DataFrame:
+        # a vector whose probed buckets held no other member only ever saw
+        # the self-match sentinel distance: report ann_id=-1 (no candidate)
+        # instead of surfacing itself as its own neighbor
+        df.loc[df["dist2_q"] == np.iinfo(np.int64).max, "ann_id"] = -1
+        return df
+
+    return best.map_batches(mark_isolated, batch_format="pandas", batch_size=None)
 
 
 def brute_self_knn_pd(sf_dir: str) -> "pd.DataFrame":
