@@ -61,7 +61,8 @@ def slice_stage(min_zoom: int, max_zoom: int, extent: int, buffer_pixels: int):
 
 def run_mvt_pipeline(polygons: list[dict], out_dir: str,
                      min_zoom: int = 6, max_zoom: int = 9,
-                     extent: int = 1 << 12, buffer_pixels: int = 5):
+                     extent: int = 1 << 12, buffer_pixels: int = 5,
+                     debug_sidecar: bool = False):
     """polygons (id + lng/lat exterior ring) -> sliced -> written tiles.
 
     Returns the per-tile write report Dataset (tile key, n_features, detail,
@@ -78,4 +79,4 @@ def run_mvt_pipeline(polygons: list[dict], out_dir: str,
         slice_stage(min_zoom, max_zoom, extent, buffer_pixels),
         batch_format="pandas",
     )
-    return write_tiles(sliced, out_dir, extent=extent)
+    return write_tiles(sliced, out_dir, extent=extent, debug_sidecar=debug_sidecar)

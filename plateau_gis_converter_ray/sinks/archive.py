@@ -35,25 +35,31 @@ class _PayloadAppender:
 
     def __init__(self, data_path: str):
         os.makedirs(os.path.dirname(data_path) or ".", exist_ok=True)
-        self.fh = open(data_path, "wb")
+        # truncate once; each batch then opens append-mode, fsyncs and
+        # closes, so the spill is durable before the driver re-reads it and
+        # no fd outlives the batch (ADVICE r2: close/fsync the appender)
+        open(data_path, "wb").close()
+        self.data_path = data_path
         self.offset = 0
         self.last_tile_id = None
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         tids, offs, lens = [], [], []
-        for tid, payload in zip(batch["tile_id"], batch["payload"]):
-            if self.last_tile_id is not None and tid < self.last_tile_id:
-                raise RuntimeError(
-                    f"archive writer received out-of-order tile {tid}"
-                )
-            self.last_tile_id = tid
-            b = bytes(payload)
-            self.fh.write(b)
-            tids.append(int(tid))
-            offs.append(self.offset)
-            lens.append(len(b))
-            self.offset += len(b)
-        self.fh.flush()
+        with open(self.data_path, "ab") as fh:
+            for tid, payload in zip(batch["tile_id"], batch["payload"]):
+                if self.last_tile_id is not None and tid < self.last_tile_id:
+                    raise RuntimeError(
+                        f"archive writer received out-of-order tile {tid}"
+                    )
+                self.last_tile_id = tid
+                b = bytes(payload)
+                fh.write(b)
+                tids.append(int(tid))
+                offs.append(self.offset)
+                lens.append(len(b))
+                self.offset += len(b)
+            fh.flush()
+            os.fsync(fh.fileno())
         return pd.DataFrame(
             {"tile_id": tids, "offset": offs, "length": lens}
         ).astype({"tile_id": "int64", "offset": "int64", "length": "int64"})
@@ -65,29 +71,24 @@ def write_tile_archive(ds, archive_path: str) -> dict:
 
     The single appender depends on sorted blocks ARRIVING in order, which
     the streaming executor only guarantees under ``preserve_order`` — set
-    for the duration of this write (the in-actor order-violation guard
-    would otherwise fire on an executor reorder).
+    on THIS dataset's own DataContext copy (Datasets capture their context
+    at creation), so concurrent pipelines in the same session keep their
+    execution semantics (ADVICE r2: don't flip the session-global option).
     """
-    import ray.data
-
     data_path = archive_path + ".data"
-    ctx = ray.data.DataContext.get_current()
-    prev_order = ctx.execution_options.preserve_order
-    ctx.execution_options.preserve_order = True
-    try:
-        directory = (
-            ds.sort("tile_id")
-            .map_batches(
-                _PayloadAppender,
-                fn_constructor_args=(data_path,),
-                batch_format="pandas",
-                concurrency=1,
-            )
-            .to_pandas()
-            .sort_values("offset")
+    sorted_ds = ds.sort("tile_id")
+    sorted_ds.context.execution_options.preserve_order = True
+    directory = (
+        sorted_ds
+        .map_batches(
+            _PayloadAppender,
+            fn_constructor_args=(data_path,),
+            batch_format="pandas",
+            concurrency=1,
         )
-    finally:
-        ctx.execution_options.preserve_order = prev_order
+        .to_pandas()
+        .sort_values("offset")
+    )
     n = len(directory)
     dir_bytes = np.empty((n, 3), dtype="<i8")
     dir_bytes[:, 0] = directory["tile_id"].to_numpy()

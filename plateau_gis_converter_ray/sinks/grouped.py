@@ -126,7 +126,7 @@ FEATURE_WARN = 200_000  # per-tile feature-count skew guard (mvt/mod.rs:296-301)
 
 
 def write_tiles(ds, out_dir: str, extent: int = 1 << 12,
-                max_bytes: int = MAX_TILE_BYTES):
+                max_bytes: int = MAX_TILE_BYTES, debug_sidecar: bool = False):
     """Write one MVT tile per (z, x, y): groupby(tile key) ->
     map_groups(encode + write z/x/y.pbf). Expects columns zoom, tile_x,
     tile_y and per-row ring payloads as list columns ``ring_xy`` (flat
@@ -134,8 +134,10 @@ def write_tiles(ds, out_dir: str, extent: int = 1 << 12,
     the feature id + a tag.
 
     The payload is REAL MVT protobuf (sinks/pbf.py — varint/packed framing
-    mirroring mvt/mod.rs:303-345 + vector_tile.rs), with the deterministic
-    dict form written alongside as ``y.json`` for debugging. Mirrors the
+    mirroring mvt/mod.rs:303-345 + vector_tile.rs); ``debug_sidecar=True``
+    additionally writes the deterministic dict form as ``y.json`` (off by
+    default: a sidecar per tile doubles file count and write IO at 10^9
+    tiles). Mirrors the
     reference's detail-degradation retry (mvt/mod.rs:308-336): if the
     zlib-compressed pbf exceeds ``max_bytes`` the tile is re-encoded at
     successively halved extents down to 2^9. Tiles with more than
@@ -175,23 +177,23 @@ def write_tiles(ds, out_dir: str, extent: int = 1 << 12,
                 break
             detail -= 1  # degrade detail and retry (mvt/mod.rs:318-333)
 
-        # debuggable dict sidecar (per-tile dedup vertex table included)
-        attrs = [f.get("attrs") or {} for f in feats] if has_pid else None
-        sidecar = json.dumps(
-            encode_tile_dict(rings, 1 << detail, attrs=attrs),
-            separators=(",", ":"),
-        )
-
         path_dir = os.path.join(out_dir, str(z), str(x))
         os.makedirs(path_dir, exist_ok=True)
         tmp = os.path.join(path_dir, f".tmp_{y}.pbf")
         with open(tmp, "wb") as f:
             f.write(pbf)
         os.replace(tmp, os.path.join(path_dir, f"{y}.pbf"))
-        tmp_j = os.path.join(path_dir, f".tmp_{y}.json")
-        with open(tmp_j, "w") as f:
-            f.write(sidecar)
-        os.replace(tmp_j, os.path.join(path_dir, f"{y}.json"))
+        if debug_sidecar:
+            # debuggable dict sidecar (per-tile dedup vertex table included)
+            attrs = [f.get("attrs") or {} for f in feats] if has_pid else None
+            sidecar = json.dumps(
+                encode_tile_dict(rings, 1 << detail, attrs=attrs),
+                separators=(",", ":"),
+            )
+            tmp_j = os.path.join(path_dir, f".tmp_{y}.json")
+            with open(tmp_j, "w") as f:
+                f.write(sidecar)
+            os.replace(tmp_j, os.path.join(path_dir, f"{y}.json"))
         return pd.DataFrame(
             {
                 "zoom": [z], "tile_x": [x], "tile_y": [y],

@@ -103,9 +103,10 @@ def test_cli_tiles_sink_e2e(tmp_path):
     assert r.returncode == 0, r.stderr[-800:]
     rec = json.loads(r.stdout.strip().splitlines()[-1])
     assert rec["result"]["rows"] >= 1
-    # a z/x/y payload exists on disk
-    found = list((tmp_path / "tiles").rglob("*.json"))
+    # a z/x/y payload exists on disk (pbf only; json sidecar is opt-in)
+    found = list((tmp_path / "tiles").rglob("*.pbf"))
     assert found
+    assert not list((tmp_path / "tiles").rglob("*.json"))
 
 
 def test_cli_3dtiles_sink_e2e(tmp_path):

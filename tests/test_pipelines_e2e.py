@@ -152,7 +152,9 @@ def test_mvt_pipeline_e2e(ray_session, tmp_path):
 
     polys = municipality_polygons(16)
     out = str(tmp_path / "mvt")
-    report = run_mvt_pipeline(polys, out, min_zoom=6, max_zoom=8).to_pandas()
+    report = run_mvt_pipeline(
+        polys, out, min_zoom=6, max_zoom=8, debug_sidecar=True
+    ).to_pandas()
     assert len(report) > 10
     assert (report["detail"] <= 12).all()
     # every reported tile has a written payload with a decodable command stream

@@ -167,7 +167,7 @@ def test_write_tiles(ray_session, tmp_path):
             }
         )
     ds = ray.data.from_items(rows)
-    res = write_tiles(ds, str(tmp_path / "tiles")).to_pandas()
+    res = write_tiles(ds, str(tmp_path / "tiles"), debug_sidecar=True).to_pandas()
     assert len(res) == 2
     import os
     assert os.path.exists(str(tmp_path / "tiles" / "2" / "1" / "1.json"))
