@@ -135,16 +135,18 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
-def decode_image(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
-    """Decode ``bytes`` back to (h, w, 3) uint8 pixels."""
+def decode_image(data, fmt: str, w: int, h: int) -> np.ndarray:
+    """Decode bytes (or any buffer, e.g. a zero-copy Arrow memoryview) back
+    to (h, w, 3) uint8 pixels."""
     if fmt in ("raw", "quant"):
         return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
     if fmt == "ppm":
-        # parse the 3-field P6 header
+        # parse the 3-field P6 header (always < 32 bytes)
+        head = bytes(data[:32])
         nl = 0
         pos = 0
         while nl < 3:
-            pos = data.index(b"\n", pos) + 1
+            pos = head.index(b"\n", pos) + 1
             nl += 1
         return np.frombuffer(data, dtype=np.uint8, offset=pos).reshape(h, w, 3)
     if fmt == "rle":

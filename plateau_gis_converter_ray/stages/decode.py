@@ -20,6 +20,22 @@ import pyarrow as pa
 from ..kernels.imagecodec import decode_image, phash64_batch, psnr, synth_pixels
 
 
+def binary_views(col) -> list:
+    """Zero-copy per-row memoryviews into an Arrow binary column's data
+    buffer (``to_pylist`` would copy every payload into Python bytes —
+    measurable DRAM traffic at MB-scale payload columns)."""
+    views: list = []
+    chunks = col.chunks if hasattr(col, "chunks") else [col]
+    for chunk in chunks:
+        off = chunk.offset
+        bufs = chunk.buffers()
+        offsets = np.frombuffer(bufs[1], dtype=np.int32)[off : off + len(chunk) + 1]
+        mv = memoryview(bufs[2])
+        for i in range(len(chunk)):
+            views.append(mv[offsets[i] : offsets[i + 1]])
+    return views
+
+
 class ImageDecodeStats:
     """Decode each image and emit per-row features.
 
@@ -36,7 +52,7 @@ class ImageDecodeStats:
         from ..kernels.imagecodec import synth_pixels_batch
 
         ids = batch.column("image_id").to_pylist()
-        blobs = batch.column("bytes").to_pylist()
+        blobs = binary_views(batch.column("bytes"))  # zero-copy payload views
         ws = batch.column("w").to_numpy()
         hs = batch.column("h").to_numpy()
         fmts = batch.column("fmt").to_pylist()
@@ -59,16 +75,21 @@ class ImageDecodeStats:
         # carry their source's pixels; sources/images.py::source_index)
         idx_all = source_index(np.array([int(s[4:]) for s in ids], dtype=np.int64))
         for (fmt, w, h), rows in groups.items():
-            # ONE uint8->float64 conversion reused by every stat below (the
-            # pipeline is DRAM-bound at full concurrency; numpy's mean on
-            # uint8 accumulates in float64 anyway, so values are identical)
-            stack_u8 = np.stack(
-                [decode_image(blobs[i], fmt, w, h) for i in rows]
-            )  # (g, h, w, 3)
-            stackf = stack_u8.astype(np.float64)
+            # memory diet (the pipeline is DRAM-bound at full concurrency —
+            # BASELINE.md 8v32 diagnostic): every stat reduces straight off
+            # the uint8 stack; the only full-frame float64 is the gray plane
+            # the phash pins require, and the lossy-PSNR residual is an
+            # int16/int64 reduction. Values stay bit-identical to the old
+            # float64 path: integer sums below 2^53 are exact in float64,
+            # and the divisions reuse np.mean's own expressions.
+            stack_u8 = np.empty((len(rows), h, w, 3), dtype=np.uint8)
+            for j, i in enumerate(rows):
+                stack_u8[j] = decode_image(blobs[i], fmt, w, h)
             rows_np = np.array(rows)
-            means[rows_np] = stackf.reshape(len(rows), -1, 3).mean(axis=1)
-            gray = stackf.mean(axis=3)
+            means[rows_np] = stack_u8.reshape(len(rows), -1, 3).mean(axis=1)
+            # exact channel sum (<= 765) then /3.0 == float64 channel mean
+            gray = np.add.reduce(stack_u8, axis=3, dtype=np.float64)
+            gray /= 3.0
             small[rows_np] = gray.reshape(len(rows), 8, h // 8, 8, w // 8).mean(
                 axis=(2, 4)
             )
@@ -83,16 +104,23 @@ class ImageDecodeStats:
                     psnrs[rows_np] = np.inf
                     if not eq.all():
                         bad = np.nonzero(~eq)[0]
-                        d = stackf[bad] - ref[bad]
+                        d = stack_u8[bad].astype(np.float64) - ref[bad]
                         d *= d
                         mse = d.mean(axis=(1, 2, 3))
                         psnrs[rows_np[bad]] = 10.0 * np.log10(
                             255.0**2 / np.maximum(mse, 1e-300)
                         )
                 else:
-                    diff = stackf - ref
-                    diff *= diff  # in-place square: one temporary less
-                    mse = diff.mean(axis=(1, 2, 3))
+                    # residual fits int16; squares sum exactly in int64, and
+                    # the exact sum / n equals the float path's mse bit-for-
+                    # bit (float64 pairwise sums of integer squares below
+                    # 2^53 are exact too)
+                    d = stack_u8.astype(np.int16)
+                    np.subtract(d, ref, out=d, casting="unsafe")
+                    sumsq = np.einsum(
+                        "nhwc,nhwc->n", d, d, dtype=np.int64, casting="unsafe"
+                    )
+                    mse = sumsq / (h * w * 3)
                     with np.errstate(divide="ignore"):
                         psnrs[rows_np] = np.where(
                             mse == 0, np.inf,
@@ -121,7 +149,7 @@ class ImageResize:
         self.t = t
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        blobs = batch.column("bytes").to_pylist()
+        blobs = binary_views(batch.column("bytes"))
         ws = batch.column("w").to_numpy()
         hs = batch.column("h").to_numpy()
         fmts = batch.column("fmt").to_pylist()
@@ -129,7 +157,9 @@ class ImageResize:
         out = np.empty((len(blobs), t * t), dtype=np.float32)
         for i, blob in enumerate(blobs):
             px = decode_image(blob, fmts[i], int(ws[i]), int(hs[i]))
-            g = px.astype(np.float64).mean(axis=2)
+            # exact channel sum then /3.0 == float64 mean, no uint8->f64 cast
+            g = np.add.reduce(px, axis=2, dtype=np.float64)
+            g /= 3.0
             h, w = g.shape
             # crop to a multiple of t then block-mean
             h2, w2 = (h // t) * t, (w // t) * t
