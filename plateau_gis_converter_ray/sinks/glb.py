@@ -20,10 +20,9 @@ engine:
   reference's array_offsets branch) — scalar int64/uint64/float64/string/
   enum cover every attribute the engine's tables produce.
 
-Triangulation: tile rings are convex clip-rectangle intersections in this
-engine, so each ring triangulates as a fan (the reference runs earcut over
-arbitrary CityGML footprints — not needed for clipped boxes; documented
-divergence).
+Triangulation lives in ``kernels/earcut.py`` (ear clipping with holes ==
+the reference's earcut crate, cesiumtiles/mod.rs:20); ``fan_triangulate``
+below remains the O(n) fast path for rings the caller knows are convex.
 """
 
 from __future__ import annotations

@@ -37,6 +37,56 @@ PLY_HEADER_TEMPLATE = (
 )
 
 
+def triangulate_polygons_ds(poly_ds):
+    """Polygon rows -> triangle rows, the reference's PLY geometry pass
+    (``ply/mod.rs:111-150``: geodetic->geocentric 3D ring ->
+    ``project3d_to_2d`` -> earcut -> triangle soup).
+
+    Input rows: ``ring_xyz`` flat [x0,y0,z0,...] exterior ring, optional
+    ``holes_xyz`` list of flat hole rings. Output rows: ``tri_xyz`` flat
+    9-float triangles — the input ``write_ply_from_triangles`` expects.
+    Runs as a vectorizable ``map_batches`` stage (earcut per footprint,
+    tens of vertices each; the per-batch loop is over features, not
+    vertices-of-the-whole-dataset).
+    """
+    import pandas as pd
+
+    from ..kernels.earcut import earcut, project3d_to_2d
+
+    def triangulate(batch: pd.DataFrame) -> pd.DataFrame:
+        has_holes = "holes_xyz" in batch.columns
+        out = []
+        for row_i in range(len(batch)):
+            ring = np.asarray(
+                batch["ring_xyz"].iloc[row_i], dtype=np.float64
+            ).reshape(-1, 3)
+            raw_holes = batch["holes_xyz"].iloc[row_i] if has_holes else None
+            if raw_holes is None:
+                raw_holes = []
+            holes = [
+                np.asarray(h, dtype=np.float64).reshape(-1, 3)
+                for h in raw_holes
+                if len(h)
+            ]
+            coords3d = (
+                np.concatenate([ring] + holes) if holes else ring
+            )
+            hole_indices = []
+            pos = len(ring)
+            for h in holes:
+                hole_indices.append(pos)
+                pos += len(h)
+            flat = project3d_to_2d(coords3d, len(ring))
+            if flat is None:
+                continue  # degenerate footprint (reference skips too)
+            tris = earcut(flat, hole_indices or None).reshape(-1, 3)
+            for t in tris:
+                out.append(coords3d[t].reshape(-1))
+        return pd.DataFrame({"tri_xyz": out})
+
+    return poly_ds.map_batches(triangulate, batch_format="pandas")
+
+
 def write_ply_from_triangles(tri_ds, path: str) -> dict:
     """``tri_ds``: rows with ``tri_xyz`` = flat [x0,y0,z0,x1,y1,z1,x2,y2,z2]
     (one triangle per row). Returns {path, n_verts, n_faces}."""

@@ -7,8 +7,9 @@ content is now REAL glb (sinks/glb.py == the reference's
 - per-tile vertex dedup on the full vertex bit pattern (the reference's
   ``IndexSet<[u32; 9]>``, cesiumtiles/mod.rs:312,382-397) — here a
   vectorized ``np.unique`` over the packed (n, 9) float32 rows;
-- fan triangulation of the convex clip rings (earcut not needed for
-  rectangle-clipped geometry; documented in sinks/glb.py);
+- triangulation via kernels/earcut.py: convex clip rings take the O(n)
+  fan fast path, concave footprints ear-clip exactly like the reference
+  (cesiumtiles/mod.rs:20);
 - EXT_structural_metadata property tables from the per-feature attrs via
   :class:`~plateau_gis_converter_ray.sinks.glb.MetadataEncoder`;
 - the same atomic write + per-tile result row contract as the MVT
@@ -22,7 +23,8 @@ import os
 import numpy as np
 import pandas as pd
 
-from .glb import MetadataEncoder, fan_triangulate, tile_glb_bytes
+from ..kernels.earcut import triangulate_rings
+from .glb import MetadataEncoder, tile_glb_bytes
 
 
 def tile_vertices_indices(rings01: list[np.ndarray], feature_ids: list[int]):
@@ -61,7 +63,9 @@ def tile_vertices_indices(rings01: list[np.ndarray], feature_ids: list[int]):
     base = 0
     for ring in rings01:
         n = len(ring)
-        local = fan_triangulate(n, 0)
+        # convex rings fan in O(n); concave footprints ear-clip (the
+        # reference earcuts every footprint, cesiumtiles/mod.rs:20)
+        local = triangulate_rings(ring)
         indices.append(inverse[base + local])
         base += n
     return vtable, np.concatenate(indices) if indices else np.empty(0, np.uint32)
