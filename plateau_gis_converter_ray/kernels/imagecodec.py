@@ -154,15 +154,31 @@ def decode_image(data, fmt: str, w: int, h: int) -> np.ndarray:
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
+def block_means_u8(stack: np.ndarray) -> np.ndarray:
+    """Exact 8x8 block-mean grayscale for a (n, h, w, 3) uint8 stack.
+
+    Summation is integer (int64, exact), so the value is the true rational
+    block mean rounded ONCE — order-independent and cheap (no full-frame
+    float64 gray plane; the flagship decode is DRAM-bound). Both the
+    generator's stored phash and the decode stage's recomputed phash use
+    THIS function, so they agree bit-for-bit by construction.
+    """
+    n, h, w, _ = stack.shape
+    hb, wb = h // 8, w // 8
+    sums = np.add.reduce(
+        stack.reshape(n, 8, hb, 8, wb, 3), axis=(2, 4, 5), dtype=np.int64
+    )
+    return sums / (3.0 * hb * wb)
+
+
 def phash64(pixels: np.ndarray) -> int:
     """Average-hash: 8x8 block-mean grayscale, bit=1 where above global mean.
 
     Returns a signed int64 (two's complement) to fit the ``phash:int64``
     column. Requires w and h divisible by 8 (the generator guarantees it).
+    Block means are the exact integer-sum form (:func:`block_means_u8`).
     """
-    h, w, _ = pixels.shape
-    gray = pixels.astype(np.float64).mean(axis=2)
-    small = gray.reshape(8, h // 8, 8, w // 8).mean(axis=(1, 3))
+    small = block_means_u8(pixels[None])[0]
     bits = (small > small.mean()).reshape(-1)
     v = np.uint64(0)
     for i, b in enumerate(bits):

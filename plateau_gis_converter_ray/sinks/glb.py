@@ -271,14 +271,42 @@ def fan_triangulate(n: int, base: int) -> np.ndarray:
                     axis=1).reshape(-1)
 
 
+def material_json(mat: dict, texture_set: dict, image_set: dict) -> dict:
+    """One glTF material (material.rs:28-54 semantics): baseColorFactor +
+    metallic 0.2 / roughness 0.5, baseColorTexture via the uri-deduped
+    texture/image IndexSets."""
+    pbr: dict = {
+        "baseColorFactor": [float(c) for c in mat.get("base_color", (1, 1, 1, 1))],
+        "metallicFactor": 0.2,
+        "roughnessFactor": 0.5,
+    }
+    uri = mat.get("texture_uri")
+    if uri:
+        if uri not in texture_set:
+            image_set.setdefault(uri, len(image_set))
+            texture_set[uri] = len(texture_set)
+        pbr["baseColorTexture"] = {"index": texture_set[uri], "texCoord": 0}
+    out = {"pbrMetallicRoughness": pbr}
+    if "name" in mat:
+        out["name"] = mat["name"]
+    return out
+
+
 def tile_glb_bytes(vertices9: np.ndarray, indices: np.ndarray,
                    translation: list[float],
                    metadata: MetadataEncoder | None = None,
-                   num_features: int = 0) -> bytes:
+                   num_features: int = 0,
+                   primitives: list[dict] | None = None,
+                   materials: list[dict] | None = None) -> bytes:
     """Assemble one tile's glb (gltf.rs:19-273 JSON layout).
 
     ``vertices9``: (n, 9) float32 [x y z nx ny nz u v feature_id];
-    ``indices``: flat u32 triangle list into it.
+    ``indices``: flat u32 triangle list into it (the single-primitive
+    path). Alternatively ``primitives`` = [{"indices": u32 array,
+    "material": int}] groups triangles per material (the reference's
+    Primitives = HashMap<Material, PrimitiveInfo>, gltf.rs:17,131-158) with
+    ``materials`` = [{"base_color": [r,g,b,a], "texture_uri": str|None,
+    "name": str}] deduped upstream (material.rs IndexSet role).
     """
     vertices9 = np.ascontiguousarray(vertices9, dtype=np.float32)
     indices = np.ascontiguousarray(indices, dtype=np.uint32)
@@ -316,11 +344,19 @@ def tile_glb_bytes(vertices9: np.ndarray, indices: np.ndarray,
     if metadata is not None:
         structural_metadata = metadata.into_metadata(bin_content, buffer_views)
 
-    primitives = []
-    if len(indices):
+    if primitives is None:
+        primitives = (
+            [{"indices": indices, "material": 0}] if len(indices) else []
+        )
+
+    gltf_primitives = []
+    for prim in primitives:
+        pidx = np.ascontiguousarray(prim["indices"], dtype=np.uint32)
+        if not len(pidx):
+            continue
         _add_padding(bin_content, 4)
         idx_offset = len(bin_content)
-        bin_content += indices.tobytes()
+        bin_content += pidx.tobytes()
         buffer_views.append(
             {"buffer": 0, "byteOffset": idx_offset,
              "byteLength": len(bin_content) - idx_offset,
@@ -328,15 +364,15 @@ def tile_glb_bytes(vertices9: np.ndarray, indices: np.ndarray,
         )
         accessors.append(
             {"name": "indices", "bufferView": len(buffer_views) - 1,
-             "componentType": 5125, "count": int(len(indices)),
+             "componentType": 5125, "count": int(len(pidx)),
              "type": "SCALAR"}
         )
-        primitives.append(
+        gltf_primitives.append(
             {
                 "attributes": {"POSITION": 0, "NORMAL": 1, "TEXCOORD_0": 2,
                                "_FEATURE_ID_0": 3},
                 "indices": len(accessors) - 1,
-                "material": 0,
+                "material": int(prim.get("material", 0)),
                 "mode": 4,
                 "extensions": {
                     "EXT_mesh_features": {
@@ -349,19 +385,36 @@ def tile_glb_bytes(vertices9: np.ndarray, indices: np.ndarray,
             }
         )
 
+    # materials / textures / images (material.rs to_gltf + IndexSets)
+    texture_set: dict[str, int] = {}
+    image_set: dict[str, int] = {}
+    if materials is None:
+        gltf_materials = [{"name": "default", "pbrMetallicRoughness":
+                           {"baseColorFactor": [1.0, 1.0, 1.0, 1.0]}}]
+    else:
+        gltf_materials = [
+            material_json(m, texture_set, image_set) for m in materials
+        ]
+    gltf_textures = [
+        {"source": image_set[uri]} for uri in texture_set
+    ]
+    gltf_images = [{"uri": uri} for uri in image_set]
+
     gltf: dict = {
         "asset": {"version": "2.0"},
         "scenes": [{"nodes": [0]}],
-        "nodes": [{"mesh": 0, "translation": translation} if primitives
+        "nodes": [{"mesh": 0, "translation": translation} if gltf_primitives
                   else {"translation": translation}],
-        "meshes": [{"primitives": primitives}] if primitives else [],
-        "materials": [{"name": "default", "pbrMetallicRoughness":
-                       {"baseColorFactor": [1.0, 1.0, 1.0, 1.0]}}],
+        "meshes": [{"primitives": gltf_primitives}] if gltf_primitives else [],
+        "materials": gltf_materials,
         "accessors": accessors,
         "bufferViews": buffer_views,
         "buffers": [{"byteLength": len(bin_content)}] if bin_content else [],
         "extensionsUsed": ["EXT_mesh_features", "EXT_structural_metadata"],
     }
+    if gltf_textures:
+        gltf["textures"] = gltf_textures
+        gltf["images"] = gltf_images
     if structural_metadata is not None:
         gltf["extensions"] = {"EXT_structural_metadata": structural_metadata}
 

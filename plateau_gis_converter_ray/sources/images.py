@@ -99,7 +99,9 @@ def rows_for_sf(sf: float) -> int:
     return max(1, int(round(600_000 * sf)))
 
 
-GENERATOR_VERSION = "v3"  # bump when layout/content rules change
+GENERATOR_VERSION = "v4"  # bump when layout/content rules change
+# (v4: phash block means switched to the exact integer-sum form,
+# kernels/imagecodec.block_means_u8 — stored and recomputed phash both)
 
 
 def source_index(idx):

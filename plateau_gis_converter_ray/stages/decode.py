@@ -17,7 +17,13 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..kernels.imagecodec import decode_image, phash64_batch, psnr, synth_pixels
+from ..kernels.imagecodec import (
+    block_means_u8,
+    decode_image,
+    phash64_batch,
+    psnr,
+    synth_pixels,
+)
 
 
 def binary_views(col) -> list:
@@ -87,12 +93,9 @@ class ImageDecodeStats:
                 stack_u8[j] = decode_image(blobs[i], fmt, w, h)
             rows_np = np.array(rows)
             means[rows_np] = stack_u8.reshape(len(rows), -1, 3).mean(axis=1)
-            # exact channel sum (<= 765) then /3.0 == float64 channel mean
-            gray = np.add.reduce(stack_u8, axis=3, dtype=np.float64)
-            gray /= 3.0
-            small[rows_np] = gray.reshape(len(rows), 8, h // 8, 8, w // 8).mean(
-                axis=(2, 4)
-            )
+            # exact integer block sums — no full-frame float64 gray plane;
+            # identical bits to the generator's stored phash by construction
+            small[rows_np] = block_means_u8(stack_u8)
             if self.verify_psnr:
                 ref = synth_pixels_batch(idx_all[rows_np], w, h)
                 if fmt in ("raw", "ppm", "rle"):

@@ -55,11 +55,11 @@ def test_phash_stable_and_batch_matches():
     h1 = phash64(px1)
     assert h1 == phash64(synth_pixels(7, 32, 32))
     assert h1 != phash64(px2)
-    # batch path agrees with scalar path
+    # batch path agrees with scalar path (same exact block-mean kernel)
+    from plateau_gis_converter_ray.kernels.imagecodec import block_means_u8
+
     def small(p):
-        g = p.astype(np.float64).mean(axis=2)
-        h, w = g.shape
-        return g.reshape(8, h // 8, 8, w // 8).mean(axis=(1, 3))
+        return block_means_u8(p[None])[0]
     batch = phash64_batch(np.stack([small(px1), small(px2)]))
     assert int(batch[0]) == h1
     assert int(batch[1]) == phash64(px2)
