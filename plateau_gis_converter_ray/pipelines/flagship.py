@@ -317,14 +317,38 @@ def flagship_result_ds(out_dir: str):
     )
 
 
+def _muni_material(muni_id: str) -> dict:
+    """Deterministic per-municipality material, the ApplyAppearance rule
+    shape (stages/appearance.py): most municipalities carry a texture
+    (theme present), every third falls back to a plain base color."""
+    import zlib
+
+    from ..kernels.imagecodec import splitmix64
+
+    h = int(splitmix64(np.uint64(zlib.crc32(muni_id.encode()))))
+    color = [
+        0.25 + ((h >> 4) & 127) / 255.0,
+        0.25 + ((h >> 12) & 127) / 255.0,
+        0.25 + ((h >> 20) & 127) / 255.0,
+        1.0,
+    ]
+    mat = {"base_color": color, "name": muni_id}
+    if h % 3 != 0:
+        mat["texture_uri"] = f"textures/{muni_id}.png"
+    return mat
+
+
 def write_flagship_glb_tiles(out_dir: str, tiles_dir: str | None = None):
     """Emit z/x/y.glb tile content for the flagship aggregate.
 
     The final step the reference's cesiumtiles sink performs after the
     external sort (mod.rs:262-340 -> gltf.rs): per tile, each
-    municipality's assignment bbox becomes a quad in tile-local [0,1]
-    coords (normalized against the 3DT tile bounds), vertex-deduped,
-    fan-triangulated and written as a real glb with an
+    municipality's assignment bbox becomes a quad whose vertices go
+    geodetic -> GEOCENTRIC -> z-up-to-y-up minus the f32-rounded tile-center
+    translation (mod.rs:270-283,330-347), with the texture v-coordinate
+    flipped (``1 - v``, mod.rs:347); triangles group into one primitive per
+    deduped material (material.rs IndexSet; texture when the municipality's
+    appearance theme carries one) and the glb gets an
     EXT_structural_metadata property table carrying (muni_id,
     n_assignments). Runs over the (small) merged aggregate as a grouped
     Dataset write — one file per tile, resumable by existing-file skip.
@@ -333,12 +357,14 @@ def write_flagship_glb_tiles(out_dir: str, tiles_dir: str | None = None):
     import ray.data
 
     from ..kernels import scheme3dt
+    from ..kernels.projection import geodetic_to_geocentric, wgs84
     from ..sinks.glb import MetadataEncoder, tile_glb_bytes
-    from ..sinks.tiles3d import tile_vertices_indices
+    from ..sinks.tiles3d import dedup_vertex_table
 
     tiles_dir = tiles_dir or os.path.join(out_dir, "tiles")
     os.makedirs(tiles_dir, exist_ok=True)
     agg = flagship_result_ds(out_dir)
+    ellips = wgs84()
 
     def write_tile(g: pd.DataFrame) -> pd.DataFrame:
         z = int(g["zoom"].iloc[0])
@@ -350,29 +376,79 @@ def write_flagship_glb_tiles(out_dir: str, tiles_dir: str | None = None):
         w = max(float(east - west), 1e-12)
         h = max(float(north - south), 1e-12)
 
+        # tile-center geocentric translation, z-up -> y-up, f32-rounded
+        # (mod.rs:275-283)
+        tcx, tcy, tcz = geodetic_to_geocentric(
+            ellips, (west + east) / 2.0, (south + north) / 2.0, 0.0
+        )
+        translation = [
+            float(np.float32(tcx)), float(np.float32(tcz)),
+            float(np.float32(-tcy)),
+        ]
+
         enc = MetadataEncoder(
             {"Municipality": {"muni_id": "string", "n_assignments": "uint64"}}
         )
-        rings, fids = [], []
+        materials: list[dict] = []
+        mat_of: dict[str, int] = {}
+        prim_idx: dict[int, list] = {}
+        vparts = []
+        base = 0
+        n_features = 0
         for _, row in g.iterrows():
+            muni = str(row["muni_id"])
             fid = enc.add_feature(
                 "Municipality",
-                {"muni_id": str(row["muni_id"]),
-                 "n_assignments": int(row["n_assignments"])},
+                {"muni_id": muni, "n_assignments": int(row["n_assignments"])},
             )
-            x0 = (float(row["lng_min"]) - float(west)) / w
-            x1 = (float(row["lng_max"]) - float(west)) / w
-            # tile-local y grows south (y-down), matching the tile grid
-            y0 = (float(north) - float(row["lat_max"])) / h
-            y1 = (float(north) - float(row["lat_min"])) / h
-            rings.append(
-                np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]])
+            n_features += 1
+            lng0, lng1 = float(row["lng_min"]), float(row["lng_max"])
+            lat0, lat1 = float(row["lat_min"]), float(row["lat_max"])
+            # quad corners: (lng0,lat1) (lng1,lat1) (lng1,lat0) (lng0,lat0)
+            lngs = np.array([lng0, lng1, lng1, lng0])
+            lats = np.array([lat1, lat1, lat0, lat0])
+            gx, gy, gz = geodetic_to_geocentric(ellips, lngs, lats, np.zeros(4))
+            pos = np.stack(
+                [gx - translation[0], gz - translation[1], -gy - translation[2]],
+                axis=1,
             )
-            fids.append(fid)
-        vtable, indices = tile_vertices_indices(rings, fids)
+            # per-face normal (utils::calculate_normal role)
+            nrm = np.cross(pos[1] - pos[0], pos[2] - pos[0])
+            nl = np.linalg.norm(nrm)
+            nrm = nrm / nl if nl > 0 else np.array([0.0, 1.0, 0.0])
+            # tile-local uv with the v flip (mod.rs:347: [u, 1 - v])
+            u = (lngs - west) / w
+            v_flip = 1.0 - (north - lats) / h
+            v9 = np.zeros((4, 9), dtype=np.float32)
+            v9[:, :3] = pos
+            v9[:, 3:6] = nrm
+            v9[:, 6] = u
+            v9[:, 7] = v_flip
+            v9[:, 8] = float(fid)
+            vparts.append(v9)
+            midx = mat_of.get(muni)
+            if midx is None:
+                midx = mat_of[muni] = len(materials)
+                materials.append(_muni_material(muni))
+            prim_idx.setdefault(midx, []).append(
+                base + np.array([0, 1, 2, 0, 2, 3], dtype=np.uint32)
+            )
+            base += 4
+        allv = (
+            np.concatenate(vparts) if vparts else np.zeros((0, 9), np.float32)
+        )
+        vtable, inverse = (
+            dedup_vertex_table(allv) if len(allv)
+            else (allv, np.empty(0, np.int64))
+        )
+        primitives = [
+            {"indices": inverse[np.concatenate(chunks)], "material": midx}
+            for midx, chunks in prim_idx.items()
+        ]
         glb = tile_glb_bytes(
-            vtable, indices, translation=[float(x), float(y), float(z)],
-            metadata=enc, num_features=len(rings),
+            vtable, np.empty(0, np.uint32), translation=translation,
+            metadata=enc, num_features=n_features,
+            primitives=primitives, materials=materials,
         )
         path_dir = os.path.join(tiles_dir, str(z), str(x))
         os.makedirs(path_dir, exist_ok=True)
@@ -382,7 +458,8 @@ def write_flagship_glb_tiles(out_dir: str, tiles_dir: str | None = None):
         os.replace(tmp, os.path.join(path_dir, f"{y}.glb"))
         return pd.DataFrame(
             {"zoom": [z], "tile_x": [x], "tile_y": [y],
-             "n_munis": [len(rings)], "glb_bytes": [len(glb)]}
+             "n_munis": [n_features], "n_materials": [len(materials)],
+             "glb_bytes": [len(glb)]}
         )
 
     return agg.groupby(["zoom", "tile_x", "tile_y"]).map_groups(

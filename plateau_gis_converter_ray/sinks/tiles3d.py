@@ -27,6 +27,21 @@ from ..kernels.earcut import triangulate_rings
 from .glb import MetadataEncoder, tile_glb_bytes
 
 
+def dedup_vertex_table(allv: np.ndarray):
+    """Bit-pattern vertex dedup over packed (n, 9) float32 rows: unique on
+    the raw u32 view, first-seen order kept stable (the reference's
+    ``IndexSet<[u32; 9]>``, cesiumtiles/mod.rs:312). Returns (vtable,
+    inverse) with ``inverse`` mapping original row -> deduped index."""
+    packed = allv.view(np.uint32).reshape(len(allv), 9)
+    _, first_idx, inverse = np.unique(
+        packed, axis=0, return_index=True, return_inverse=True
+    )
+    order = np.argsort(first_idx, kind="stable")
+    rank = np.empty_like(order)
+    rank[order] = np.arange(len(order))
+    return allv[np.sort(first_idx)], rank[inverse]
+
+
 def tile_vertices_indices(rings01: list[np.ndarray], feature_ids: list[int]):
     """Build the deduped (n, 9) vertex table + fan index list for one tile.
 
@@ -47,17 +62,7 @@ def tile_vertices_indices(rings01: list[np.ndarray], feature_ids: list[int]):
     if not parts:
         return np.zeros((0, 9), np.float32), np.empty(0, np.uint32)
     allv = np.concatenate(parts)
-    # bit-pattern dedup: unique over the packed row bytes, keep first-seen
-    # order (stable) so output is deterministic
-    packed = allv.view(np.uint32).reshape(len(allv), 9)
-    _, first_idx, inverse = np.unique(
-        packed, axis=0, return_index=True, return_inverse=True
-    )
-    order = np.argsort(first_idx, kind="stable")
-    rank = np.empty_like(order)
-    rank[order] = np.arange(len(order))
-    inverse = rank[inverse]
-    vtable = allv[np.sort(first_idx)]
+    vtable, inverse = dedup_vertex_table(allv)
 
     indices = []
     base = 0

@@ -160,18 +160,55 @@ def test_flagship_e2e_writes_valid_glb(ray_session, tmp_path):
         write_flagship_glb_tiles,
     )
 
+    import numpy as np
+
     res = run_flagship(sf=0.001)
     tiles_dir = str(tmp_path / "glb_tiles")
     out = write_flagship_glb_tiles(res["out_dir"], tiles_dir).to_pandas()
     assert len(out) > 0 and (out["glb_bytes"] > 20).all()
     files = glob.glob(os.path.join(tiles_dir, "*", "*", "*.glb"))
     assert len(files) == len(out)
-    with open(files[0], "rb") as f:
+    # pick a tile with >= 2 municipalities so material grouping shows
+    multi = out[out["n_munis"] >= 2]
+    assert len(multi) > 0
+    r = multi.iloc[0]
+    path = os.path.join(
+        tiles_dir, str(int(r["zoom"])), str(int(r["tile_x"])),
+        f"{int(r['tile_y'])}.glb",
+    )
+    with open(path, "rb") as f:
         gltf, binc = read_glb(f.read())
     meta = gltf["extensions"]["EXT_structural_metadata"]
     (pt,) = meta["propertyTables"]
     assert pt["class"] == "Municipality" and pt["count"] >= 1
     assert len(binc) > 0
+    # materials: one per municipality appearance, textured ones carry a
+    # baseColorTexture wired through textures -> images (material.rs role)
+    mats = gltf["materials"]
+    assert len(mats) >= 2 and int(r["n_materials"]) == len(mats)
+    textured = [
+        m for m in mats
+        if "baseColorTexture" in m["pbrMetallicRoughness"]
+    ]
+    assert textured, "appearance rule should texture most municipalities"
+    assert len(gltf["textures"]) == len(gltf["images"]) >= 1
+    # one primitive per used material
+    prims = gltf["meshes"][0]["primitives"]
+    assert len(prims) >= 2
+    assert {p["material"] for p in prims} <= set(range(len(mats)))
+    # ECEF: the node translation is a geocentric tile-center (earth radius
+    # magnitude), vertex positions are small tile-local offsets
+    t = np.array(gltf["nodes"][0]["translation"])
+    assert 6.2e6 < np.linalg.norm(t) < 6.5e6
+    pos_acc = next(a for a in gltf["accessors"] if a.get("name") == "positions")
+    lo, hi = np.array(pos_acc["min"]), np.array(pos_acc["max"])
+    assert np.abs(lo).max() < 5e5 and np.abs(hi).max() < 5e5
+    # texcoords stay in [0, 1] after the v flip
+    stride = 36
+    n_vert = pos_acc["count"]
+    verts = np.frombuffer(binc[: n_vert * stride], dtype="<f4").reshape(-1, 9)
+    assert (verts[:, 6] >= -1e-6).all() and (verts[:, 6] <= 1 + 1e-6).all()
+    assert (verts[:, 7] >= -1e-6).all() and (verts[:, 7] <= 1 + 1e-6).all()
 
 
 def test_metadata_encoder_array_properties():
