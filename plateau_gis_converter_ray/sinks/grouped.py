@@ -24,6 +24,17 @@ import pandas as pd
 from ..state.manifest import PartitionManifest, atomic_write_dir
 
 
+def properties_html_table(props: dict) -> str:
+    """Per-feature HTML description table (czml/mod.rs:150-158: one
+    <tr><td>key</td><td>value</td></tr> per property; values rendered as
+    their JSON form, the serde_json Display the reference formats with)."""
+    rows = "".join(
+        f"<tr><td>{k}</td><td>{json.dumps(v, default=str)}</td></tr>"
+        for k, v in props.items()
+    )
+    return f"<table>{rows}</table>"
+
+
 def write_per_group(ds, key: str, out_dir: str, fmt: str = "jsonl"):
     """Write one file per distinct ``key`` value; returns the manifest.
 
@@ -98,10 +109,13 @@ def write_per_group(ds, key: str, out_dir: str, fmt: str = "jsonl"):
                 for rec in g.to_dict(orient="records"):
                     lng = rec.pop("lng", None)
                     lat = rec.pop("lat", None)
+                    props = {kk: vv for kk, vv in rec.items() if kk != key}
                     pkt = {
                         "id": str(rec.get("fid", rec.get("id", len(packets)))),
-                        "properties": {kk: vv for kk, vv in rec.items()
-                                       if kk != key},
+                        "properties": props,
+                        # per-feature HTML property table
+                        # (czml/mod.rs:143-165 map_to_html_table)
+                        "description": properties_html_table(props),
                     }
                     if lng is not None and lat is not None:
                         pkt["position"] = {

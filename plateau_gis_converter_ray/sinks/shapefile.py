@@ -6,9 +6,8 @@ The binary half of the shapefile sink (VERDICT r1 missing item #4; the
 shapefile set per typename (file-per-type grouping), dBase III attribute
 table whose 11-byte field-name limit is exactly why the reference runs the
 10-char shortener first, and an ESRI-WKT ``.prj`` sidecar (the reference
-ships 75 zone strings, shapefile/crs.rs; the engine carries the subset its
-projection stage can produce — geographic JGD2011/WGS84 + the JPR plane
-zones it targets).
+ships 75 zone strings, shapefile/crs.rs; the engine generates the same
+75-code catalogue from the public zone table — sinks/crs_wkt.py).
 
 Wire format is the public ESRI whitepaper layout: big-endian file code
 9994 + length-in-16-bit-words headers, little-endian record bodies.
@@ -36,7 +35,23 @@ PRJ_WKT = {
     ),
 }
 # JPR plane zones: parameterized ESRI WKT (shapefile/crs.rs pattern)
-_JPR_ORIGIN = {9: (139.8333333333333, 36.0)}
+from ..kernels.projection import JPR_ZONES as _JPR_ORIGIN  # noqa: E402
+
+
+def resolve_prj(prj) -> str:
+    """Resolve a .prj spec: an EPSG code (int or digit string — the full
+    75-entry catalogue, sinks/crs_wkt.py == shapefile/crs.rs:10-359), a
+    named alias ('wgs84' / 'jgd2011'), or 'jpr<zone>'."""
+    if isinstance(prj, int) or (isinstance(prj, str) and prj.isdigit()):
+        from .crs_wkt import wkt_for_epsg
+
+        wkt = wkt_for_epsg(int(prj))
+        if wkt is None:
+            raise KeyError(f"unsupported EPSG code {prj}")
+        return wkt
+    if prj in PRJ_WKT:
+        return PRJ_WKT[prj]
+    return jpr_prj_wkt(int(str(prj).replace("jpr", "") or 9))
 
 
 def jpr_prj_wkt(zone: int) -> str:
@@ -172,7 +187,7 @@ def write_polygonz_shp(path_base: str, shapes: list[list[np.ndarray]],
     with open(path_base + ".dbf", "wb") as f:
         f.write(bytes(dbf))
 
-    wkt = PRJ_WKT.get(prj) or jpr_prj_wkt(int(prj.replace("jpr", "") or 9))
+    wkt = resolve_prj(prj)
     with open(path_base + ".prj", "w") as f:
         f.write(wkt)
 

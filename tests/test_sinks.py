@@ -263,6 +263,16 @@ def test_kml_czml_group_formats(ray_session, tmp_path):
     assert packets[0]["id"] == "document"
     assert packets[1]["position"]["cartographicDegrees"][:2] == [139.5, 35.5]
     assert packets[1]["properties"]["height"] == 0
+    # per-feature HTML description table (czml/mod.rs:143-165): one row
+    # per property, values in their JSON form, round-trippable
+    desc = packets[1]["description"]
+    assert desc.startswith("<table>") and desc.endswith("</table>")
+    import re as _re
+
+    rows = dict(_re.findall(r"<tr><td>(.*?)</td><td>(.*?)</td></tr>", desc))
+    assert json.loads(rows["height"]) == 0
+    assert json.loads(rows["fid"]) == 0
+    assert set(rows) == set(packets[1]["properties"])
 
 
 def test_vertex_table_dedup():
