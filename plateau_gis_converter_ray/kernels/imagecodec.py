@@ -78,13 +78,22 @@ def synth_pixels_batch(indices: np.ndarray, w: int, h: int) -> np.ndarray:
     # sum, cutting trig work h- resp. w-fold. Each element sees the exact
     # same IEEE expressions/order as the dense form, so output is
     # bit-identical (phash/PSNR pins unchanged).
-    sin_x = 60.0 * np.sin(
-        (2 * np.pi) * f1[:, None] * xxw[0][None, :] + ph[:, None]
-    )  # (n, w)
-    cos_y = 60.0 * np.cos(
-        (2 * np.pi) * f2[:, None] * yyh[:, 0][None, :] - ph[:, None]
-    )  # (n, h)
-    base = (127.5 + sin_x[:, None, :]) + cos_y[:, :, None]
+    # float32 throughout: the phases/frequencies are exact small values, the
+    # output is quantized to uint8 anyway, and the full-frame base plane is
+    # the single biggest DRAM consumer of the decode chain (half the bytes
+    # of the float64 form; generator and verifier share this exact code so
+    # the equality/PSNR invariants hold by construction)
+    sin_x = np.float32(60.0) * np.sin(
+        ((2 * np.pi) * f1[:, None] * xxw[0][None, :] + ph[:, None]).astype(
+            np.float32
+        )
+    )  # (n, w) f32
+    cos_y = np.float32(60.0) * np.cos(
+        ((2 * np.pi) * f2[:, None] * yyh[:, 0][None, :] - ph[:, None]).astype(
+            np.float32
+        )
+    )  # (n, h) f32
+    base = (np.float32(127.5) + sin_x[:, None, :]) + cos_y[:, :, None]
     np.clip(base, 0, 255, out=base)
     n = len(s)
     img = np.empty((n, h, w, 3), dtype=np.uint8)

@@ -222,14 +222,16 @@ def q_pricing_summary(sf_dir: str):
         )
 
     ds = ds.map_batches(scale, batch_format="pyarrow")
-    from ray.data.aggregate import Count, Sum
-
-    return ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("qty_i", alias_name="sum_qty"),
-        Sum("base_c", alias_name="sum_base_price_c"),
-        Sum("disc_s", alias_name="sum_disc_price_s"),
-        Sum("charge_s", alias_name="sum_charge_s"),
-        Count(alias_name="count_order"),
+    return tree_group_agg(
+        ds, ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": ("qty_i", "sum"),
+            "sum_base_price_c": ("base_c", "sum"),
+            "sum_disc_price_s": ("disc_s", "sum"),
+            "sum_charge_s": ("charge_s", "sum"),
+            "count_order": (None, "count"),
+        },
+        levels=(1,),
     )
 
 

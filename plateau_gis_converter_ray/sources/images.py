@@ -99,9 +99,10 @@ def rows_for_sf(sf: float) -> int:
     return max(1, int(round(600_000 * sf)))
 
 
-GENERATOR_VERSION = "v4"  # bump when layout/content rules change
-# (v4: phash block means switched to the exact integer-sum form,
-# kernels/imagecodec.block_means_u8 — stored and recomputed phash both)
+GENERATOR_VERSION = "v5"  # bump when layout/content rules change
+# (v4: phash block means switched to the exact integer-sum form;
+#  v5: float32 synthesis plane — generator and decode-verifier share the
+#  kernel, so the per-row equality/PSNR invariants hold unchanged)
 
 
 def source_index(idx):
