@@ -919,6 +919,11 @@ WHERE c_custkey NOT IN (
 # 25. As-of join: each event matched to the user's latest prior order
 #     (merge_asof per sorted group — the range-join pattern)
 
+# customer-key hash buckets for the merged as-of / range joins: each bucket
+# task runs ONE vectorized merge over all its customers (at cluster scale,
+# size ~ 4x total cores so the shuffle stays balanced)
+ASOF_BUCKETS = 64
+
 
 def q_asof_latest_order(sf_dir: str):
     """For each event, the most recent order of customer (user_id + 1) with
@@ -960,34 +965,52 @@ def q_asof_latest_order(sf_dir: str):
     events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
     events = events.map_batches(events_side, batch_format="pyarrow")
 
-    def asof_group(g: pd.DataFrame) -> pd.DataFrame:
-        ev = g[g["kind"] == 1]
-        od = g[g["kind"] == 0].sort_values(["ts_us", "okey"])
-        if len(ev) == 0:
-            return pd.DataFrame(
-                {"event_id": [], "user_id": [], "o_orderkey_asof": []}
-            ).astype({"event_id": "int64", "user_id": "int64",
-                      "o_orderkey_asof": "int64"})
-        ts = ev["ts_us"].to_numpy()
-        if len(od) == 0:
-            keys = np.full(len(ev), -1, dtype=np.int64)
-        else:
-            # rightmost order with ts_us <= event ts; the (date, orderkey)
-            # sort makes "last at that date" == max orderkey
-            dates = od["ts_us"].to_numpy()
-            okeys = od["okey"].to_numpy()
-            pos = np.searchsorted(dates, ts, side="right") - 1
-            keys = np.where(pos >= 0, okeys[np.clip(pos, 0, None)], -1)
+    def asof_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        """Vectorized merged as-of over a whole customer bucket: one
+        lexsort co-sorts every customer's orders and events, a running
+        maximum carries 'index of the last order so far', and a customer
+        mismatch at that index means 'no prior order' — no per-customer
+        Python (the bucket replaces ~|customers| pandas group calls with
+        ASOF_BUCKETS vectorized ones)."""
+        n = len(g)
+        cust = g["cust"].to_numpy()
+        kind = g["kind"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        okey = g["okey"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        # orders sort before events at equal ts (kind 0 < 1: date <= ts is
+        # inclusive); among same-date orders ascending okey puts the max
+        # last — "last at that date == max orderkey"
+        order = np.lexsort((okey, kind, ts, cust))
+        cust_s = cust[order]
+        kind_s = kind[order]
+        last_o = np.maximum.accumulate(
+            np.where(kind_s == 0, np.arange(n), -1)
+        )
+        ev = kind_s == 1
+        lo = last_o[ev]
+        lo_c = np.clip(lo, 0, None)
+        ok = (lo >= 0) & (cust_s[lo_c] == cust_s[ev])
+        keys = np.where(ok, okey[order][lo_c], -1)
         return pd.DataFrame(
             {
-                "event_id": ev["event_id"].to_numpy(),
-                "user_id": ev["cust"].to_numpy() - 1,
+                "event_id": eid[order][ev],
+                "user_id": cust_s[ev] - 1,
                 "o_orderkey_asof": keys,
             }
         )
 
-    return orders.union(events).groupby("cust").map_groups(
-        asof_group, batch_format="pandas"
+    def with_bucket(batch: pa.Table) -> pa.Table:
+        cust = batch.column("cust").to_numpy()
+        return batch.append_column(
+            "bucket", pa.array(cust % ASOF_BUCKETS)
+        )
+
+    return (
+        orders.union(events)
+        .map_batches(with_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(asof_bucket, batch_format="pandas")
     )
 
 
@@ -1411,14 +1434,26 @@ def q_range_join_recent(sf_dir: str):
         )
 
     def events_side(batch: pa.Table) -> pa.Table:
+        """Two probe rows per event: kind 1 at ts (window top, inclusive)
+        and kind 2 at ts - W (window bottom; orders AT ts - W count as
+        outside, so the probe sorts after them)."""
         n = batch.num_rows
-        uid = batch.column("user_id").cast(pa.int64())
+        uid = batch.column("user_id").cast(pa.int64()).to_numpy()
+        eid = batch.column("event_id").cast(pa.int64()).to_numpy()
+        ts = (
+            batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy()
+        )
         return pa.table(
             {
-                "cust": pa.compute.add(uid, 1),
-                "kind": pa.array(np.ones(n, dtype=np.int8)),
-                "event_id": batch.column("event_id").cast(pa.int64()),
-                "ts_us": batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64()),
+                "cust": pa.array(np.concatenate([uid + 1, uid + 1])),
+                "kind": pa.array(
+                    np.concatenate(
+                        [np.ones(n, np.int8), np.full(n, 2, np.int8)]
+                    )
+                ),
+                "event_id": pa.array(np.concatenate([eid, eid])),
+                "ts_us": pa.array(np.concatenate([ts, ts - WINDOW_US])),
             }
         )
 
@@ -1427,27 +1462,44 @@ def q_range_join_recent(sf_dir: str):
     events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
     events = events.map_batches(events_side, batch_format="pyarrow")
 
-    def count_window(g: pd.DataFrame) -> pd.DataFrame:
-        ev = g[g["kind"] == 1]
-        if len(ev) == 0:
-            return pd.DataFrame(
-                {"event_id": [], "user_id": [], "n_recent_orders": []}
-            ).astype({"event_id": "int64", "user_id": "int64",
-                      "n_recent_orders": "int64"})
-        dates = np.sort(g.loc[g["kind"] == 0, "ts_us"].to_numpy())
-        ts = ev["ts_us"].to_numpy()
-        lo = np.searchsorted(dates, ts - WINDOW_US, side="right")
-        hi = np.searchsorted(dates, ts, side="right")
+    def count_window_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        """Vectorized windowed count over a whole customer bucket: one
+        lexsort, one running order-count; per event the count is
+        cum[top probe] - cum[bottom probe] — orders of other customers
+        cancel because both probes sit inside the same customer segment."""
+        n = len(g)
+        cust = g["cust"].to_numpy()
+        kind = g["kind"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        order = np.lexsort((kind, ts, cust))
+        kind_s = kind[order]
+        eid_s = eid[order]
+        cum = np.cumsum(kind_s == 0)
+        hi_m = kind_s == 1
+        lo_m = kind_s == 2
+        hi_eid = eid_s[hi_m]
+        lo_eid = eid_s[lo_m]
+        oh = np.argsort(hi_eid, kind="stable")
+        ol = np.argsort(lo_eid, kind="stable")
+        counts = cum[hi_m][oh] - cum[lo_m][ol]
         return pd.DataFrame(
             {
-                "event_id": ev["event_id"].to_numpy(),
-                "user_id": ev["cust"].to_numpy() - 1,
-                "n_recent_orders": (hi - lo).astype(np.int64),
+                "event_id": hi_eid[oh],
+                "user_id": cust[order][hi_m][oh] - 1,
+                "n_recent_orders": counts.astype(np.int64),
             }
         )
 
-    return orders.union(events).groupby("cust").map_groups(
-        count_window, batch_format="pandas"
+    def with_bucket(batch: pa.Table) -> pa.Table:
+        cust = batch.column("cust").to_numpy()
+        return batch.append_column("bucket", pa.array(cust % ASOF_BUCKETS))
+
+    return (
+        orders.union(events)
+        .map_batches(with_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(count_window_bucket, batch_format="pandas")
     )
 
 
