@@ -56,7 +56,9 @@ class AudioFeatures:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("clip_id").to_numpy()
-        payloads = batch.column("payload").to_pylist()
+        from .decode import binary_views
+
+        payloads = binary_views(batch.column("payload"))
         n_samp = batch.column("n_samples").to_numpy()
         rms_q = np.empty(len(ids), dtype=np.int64)
         zero_x = np.empty(len(ids), dtype=np.int64)
@@ -96,7 +98,9 @@ class VideoFrameSample:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("video_id").to_numpy()
-        payloads = batch.column("payload").to_pylist()
+        from .decode import binary_views
+
+        payloads = binary_views(batch.column("payload"))
         ws = batch.column("w").to_numpy()
         hs = batch.column("h").to_numpy()
         nfs = batch.column("n_frames").to_numpy()

@@ -59,7 +59,9 @@ class RasterVectorClip:
         ext = _extent_m(idx)
         w0, e0, s0, n0 = footprint_of(lng, lat, ext)
 
-        blobs = batch.column("bytes").to_pylist()
+        from .decode import binary_views
+
+        blobs = binary_views(batch.column("bytes"))
         ws = batch.column("w").to_numpy()
         hs = batch.column("h").to_numpy()
         fmts = batch.column("fmt").to_pylist()
