@@ -295,6 +295,58 @@ def _q_raster_vector_clip(sf_dir: str):
     )
 
 
+def _q_earcut_triangulate(sf_dir: str):
+    """Earcut over deterministic CONCAVE star footprints (radial polygons,
+    radius varying per vertex): per footprint (pid, n_vertices,
+    n_triangles, ring_area_e9, tri_area_e9) — the triangulation invariants
+    (count == n-2, triangle area sum == ring area, no flipped triangles)
+    are pinned in pytest; the emitted areas make the rows self-checking."""
+    import ray.data
+    import numpy as np
+    import pandas as pd
+
+    from plateau_gis_converter_ray.kernels.clip import ring_area
+    from plateau_gis_converter_ray.kernels.earcut import earcut
+    from plateau_gis_converter_ray.kernels.imagecodec import splitmix64
+
+    n_polys = max(64, int(_sf_of(sf_dir) * 64000))
+
+    def triangulate(batch) -> pd.DataFrame:
+        ids = batch["id"].to_numpy()
+        out = []
+        for pid in ids:
+            k = 8 + int(pid) % 9  # 8..16 vertices
+            s = splitmix64(
+                np.arange(k, dtype=np.uint64)
+                ^ np.uint64(int(pid) * 0x9E37)
+            )
+            r = 0.4 + (s % np.uint64(1000)).astype(np.float64) / 1250.0
+            ang = np.linspace(0, 2 * np.pi, k, endpoint=False)
+            ring = np.stack([r * np.cos(ang), r * np.sin(ang)], axis=1)
+            tris = earcut(ring).reshape(-1, 3)
+            a = ring[tris[:, 0]]
+            b = ring[tris[:, 1]]
+            c = ring[tris[:, 2]]
+            areas = 0.5 * (
+                (b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1])
+                - (b[:, 1] - a[:, 1]) * (c[:, 0] - a[:, 0])
+            )
+            out.append(
+                {
+                    "pid": int(pid),
+                    "n_vertices": k,
+                    "n_triangles": len(tris),
+                    "ring_area_e9": int(round(abs(ring_area(ring)) * 1e9)),
+                    "tri_area_e9": int(round(areas.sum() * 1e9)),
+                }
+            )
+        return pd.DataFrame(out)
+
+    return ray.data.range(n_polys).map_batches(
+        triangulate, batch_format="pandas", batch_size=2048
+    )
+
+
 def _q_audio_features(sf_dir: str):
     """Multimodal audio stage (decode stubbed deterministically, Ray
     plumbing real — stages/av.py); clip count scales with sf."""
@@ -327,6 +379,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "ivf_self_knn": _q_ivf_self_knn,
             "image_thumbs": _q_image_thumbs,
             "raster_vector_clip": _q_raster_vector_clip,
+            "earcut_triangulate": _q_earcut_triangulate,
             "audio_features": _q_audio_features,
             "video_frame_sample": _q_video_frame_sample,
         }

@@ -180,3 +180,14 @@ def test_ply_polygon_pipeline_e2e(ray_session, tmp_path):
         - (b[:, 1] - a[:, 1]) * (c[:, 0] - a[:, 0])
     )
     assert np.isclose(areas.sum(), 7.0 + 12.0)
+
+
+def test_earcut_triangulate_query(ray_session):
+    """Registry query: every star footprint triangulates to n-2 CCW
+    triangles whose areas sum to the ring area exactly (to 1e-9 deg^2)."""
+    import __ray_entry__ as em
+
+    df = em.queries()["earcut_triangulate"]("/root/testdata/sf0.001").to_pandas()
+    assert len(df) == 64
+    assert (df["n_triangles"] == df["n_vertices"] - 2).all()
+    assert (df["tri_area_e9"] == df["ring_area_e9"]).all()
