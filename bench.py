@@ -217,8 +217,12 @@ def run_scaling() -> dict:
         # min-of-reps per level, like the primary pair: a single diag rep
         # regularly lands a 2-3x host-noise window and misreports the wall
         diag_reps = int(os.environ.get("GRAFT_SCALING_DIAG_REPS", "2"))
-        d_lo_all = [run(8, work)["value"] for _ in range(diag_reps)]
-        d_hi_all = [run(32, work)["value"] for _ in range(diag_reps)]
+        # longer legs than the primary pair: at 32 cpus a 16x leg finishes
+        # in ~7 s where plan startup + warmup variance is a ~20% term;
+        # 32x legs amortize it below the noise floor
+        diag_work = os.environ.get("GRAFT_SCALING_DIAG_WORK", "32")
+        d_lo_all = [run(8, diag_work)["value"] for _ in range(diag_reps)]
+        d_hi_all = [run(32, diag_work)["value"] for _ in range(diag_reps)]
         d_lo, d_hi = min(d_lo_all), min(d_hi_all)
         diag = {
             "diag_pair": "8v32 (single-node DRAM-saturated above ~8 tasks)",
