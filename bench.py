@@ -50,6 +50,8 @@ BENCH_QUERIES = [
     "quality_filter",
     "embed_cosine_top3",
     "median_value_per_user",
+    # r3 addition: concave-footprint triangulation kernel
+    "earcut_triangulate",
 ]
 
 
