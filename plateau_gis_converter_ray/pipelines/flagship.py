@@ -120,16 +120,21 @@ def _partial_tile_agg(batch: pa.Table) -> pa.Table:
 
 
 def _merge_partials(batch) -> "object":
-    """Associative merge of partial tile aggregates (pandas)."""
-    return batch.groupby(["tile_id", "muni_id"], as_index=False).agg(
-        n_assignments=("n_assignments", "sum"),
-        zoom=("zoom", "min"),
-        tile_x=("tile_x", "min"),
-        tile_y=("tile_y", "min"),
-        lng_min=("lng_min", "min"),
-        lng_max=("lng_max", "max"),
-        lat_min=("lat_min", "min"),
-        lat_max=("lat_max", "max"),
+    """Associative merge of partial tile aggregates (pandas in,
+    metadata-free Arrow out so downstream shuffles keep schema dedup)."""
+    from ..stages.treeagg import clean_arrow
+
+    return clean_arrow(
+        batch.groupby(["tile_id", "muni_id"], as_index=False).agg(
+            n_assignments=("n_assignments", "sum"),
+            zoom=("zoom", "min"),
+            tile_x=("tile_x", "min"),
+            tile_y=("tile_y", "min"),
+            lng_min=("lng_min", "min"),
+            lng_max=("lng_max", "max"),
+            lat_min=("lat_min", "min"),
+            lat_max=("lat_max", "max"),
+        )
     )
 
 

@@ -13,6 +13,22 @@ from __future__ import annotations
 import pandas as pd
 
 
+def clean_arrow(df: pd.DataFrame):
+    """pandas -> metadata-free Arrow table.
+
+    Ray's own pandas->Arrow block conversion attaches the ``pandas``
+    schema-metadata blob, which makes ``hash(pa.Schema)`` raise and
+    defeats Ray's block-schema dedup in every downstream shuffle
+    (HashShuffleAggregator / reduce warnings, r2 bench tail). Combiners
+    that feed an exchange convert explicitly and strip the metadata.
+    """
+    import pyarrow as pa
+
+    return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(
+        None
+    )
+
+
 def tree_group_agg(ds, group_cols: list[str], agg_spec: dict, levels=(8, 1)):
     """``agg_spec``: out_col -> (src_col, op) with op in sum|min|max|count."""
     first = {}
@@ -25,14 +41,18 @@ def tree_group_agg(ds, group_cols: list[str], agg_spec: dict, levels=(8, 1)):
             first[out] = (col, op)
             again[out] = (out, "sum" if op == "sum" else op)
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby(group_cols, as_index=False).agg(
-            **{k: v for k, v in first.items()}
+    def partial(df: pd.DataFrame):
+        return clean_arrow(
+            df.groupby(group_cols, as_index=False).agg(
+                **{k: v for k, v in first.items()}
+            )
         )
 
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby(group_cols, as_index=False).agg(
-            **{k: v for k, v in again.items()}
+    def merge(df: pd.DataFrame):
+        return clean_arrow(
+            df.groupby(group_cols, as_index=False).agg(
+                **{k: v for k, v in again.items()}
+            )
         )
 
     ds = ds.map_batches(partial, batch_format="pandas", batch_size=None)
