@@ -67,13 +67,22 @@ def minhash_signature(hashes: np.ndarray, num_perm: int = 64) -> np.ndarray:
 
 def lsh_band_keys(sig: np.ndarray, bands: int = 16) -> np.ndarray:
     """Hash each band of the signature to one uint64 bucket key."""
-    rows = len(sig) // bands
-    banded = sig[: bands * rows].reshape(bands, rows)
-    acc = np.zeros(bands, dtype=np.uint64)
+    return lsh_band_keys_batch(sig[None], bands)[0]
+
+
+def lsh_band_keys_batch(sigs: np.ndarray, bands: int = 16) -> np.ndarray:
+    """Vectorized band keys for an (n, num_perm) signature matrix — the
+    per-doc chain runs once per band ROW over the whole batch (identical
+    values to the scalar path: same xor/splitmix chain per element)."""
+    sigs = np.ascontiguousarray(sigs, dtype=np.uint64)
+    n, num_perm = sigs.shape
+    rows = num_perm // bands
+    banded = sigs[:, : bands * rows].reshape(n, bands, rows)
+    acc = np.zeros((n, bands), dtype=np.uint64)
     for r in range(rows):
-        acc = splitmix64(acc ^ banded[:, r])
+        acc = splitmix64(acc ^ banded[:, :, r])
     # mix in the band index so buckets from different bands never collide
-    return splitmix64(acc ^ np.arange(bands, dtype=np.uint64))
+    return splitmix64(acc ^ np.arange(bands, dtype=np.uint64)[None, :])
 
 
 def simhash64_batch(texts: list[str]) -> np.ndarray:

@@ -149,8 +149,12 @@ class Signatures:
         from ..kernels.text import simhash64_batch
 
         simhashes[:] = simhash64_batch(texts)
+        from ..kernels.text import lsh_band_keys_batch
+
+        bandkeys[:] = lsh_band_keys_batch(sigs, self.bands)
+        # winnowing fingerprint stays per doc: its unique-min chain is
+        # data-length dependent (bounded by doc length, not dataset size)
         for i, t in enumerate(texts):
-            bandkeys[i] = lsh_band_keys(sigs[i], self.bands)
             fps[i] = fingerprint64(t)
         out = batch.drop_columns(["text"])
         out = out.append_column(
