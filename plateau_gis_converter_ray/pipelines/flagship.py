@@ -255,6 +255,7 @@ def run_flagship(
         key = f"chunk{ci:04d}"
         if key in done or not chunk_files:
             continue
+        t_chunk = time.perf_counter()
         agg = tile_aggregate_ds(chunk_files)
 
         part_dir = manifest.partition_dir(key)
@@ -268,11 +269,17 @@ def run_flagship(
         part = pads.dataset(part_dir).to_table()
         rows = int(pa.compute.sum(part.column("n_assignments")).as_py() or 0)
         n_rows += rows
+        chunk_s = time.perf_counter() - t_chunk
         manifest.commit_partition(
             key,
             rows,
             checksum=int(np.uint64(rows * 2654435761 % (1 << 63))),
             lineage={"files": [os.path.basename(f) for f in chunk_files]},
+            metrics={
+                "elapsed_s": round(chunk_s, 3),
+                "assignments_per_s": round(rows / chunk_s, 1) if chunk_s else 0.0,
+                "out_rows": int(part.num_rows),
+            },
         )
     elapsed = time.perf_counter() - t0
 

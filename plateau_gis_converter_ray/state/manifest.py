@@ -48,14 +48,19 @@ class PartitionManifest:
     def partition_dir(self, key: str) -> str:
         return os.path.join(self.root, f"part={key}")
 
-    def commit_partition(self, key: str, rows: int, checksum: int, lineage: dict | None = None) -> None:
+    def commit_partition(self, key: str, rows: int, checksum: int,
+                         lineage: dict | None = None,
+                         metrics: dict | None = None) -> None:
         """Record a finished partition. The data dir must already be renamed
-        into place (see :func:`atomic_write_dir`)."""
+        into place (see :func:`atomic_write_dir`). ``metrics`` carries the
+        partition's runtime figures (elapsed seconds, rows/s) — the north
+        rule's per-partition lineage + metrics record."""
         rec = {
             "key": key,
             "rows": rows,
             "checksum": int(checksum),
             "lineage": lineage or {},
+            "metrics": metrics or {},
         }
         line = json.dumps(rec, separators=(",", ":")) + "\n"
         fd = os.open(self.path, os.O_WRONLY | os.O_CREAT | os.O_APPEND, 0o644)
