@@ -238,6 +238,22 @@ def _q_ivf_self_knn(sf_dir: str):
     return ivf_self_knn(sf_dir)
 
 
+def _q_embed_lsh_near_dup(sf_dir: str):
+    """Cosine-LSH near-dup (random-hyperplane buckets + exact in-bucket
+    verify) over a planted-duplicate corpus — the hash-bucketed scale path
+    beside the exact triangle self-join; recall >= 0.9 and soundness vs
+    the exact operator pinned in pytest. (The driver's embeddings table
+    has no angularly-close pairs — see the operator docstring.)"""
+    from plateau_gis_converter_ray.stages.knn import (
+        embedding_lsh_near_dup,
+        planted_near_dup_vectors,
+    )
+
+    n = max(500, int(_sf_of(sf_dir) * 500000))
+    ds = planted_near_dup_vectors(n)
+    return embedding_lsh_near_dup(ds, dist2_threshold=2000)
+
+
 def _q_image_thumbs(sf_dir: str):
     """Multimodal resize stage: bytes -> t x t grayscale thumbs (actor pool);
     aggregate mean thumb intensity by (w, h) source size (rows-only)."""
@@ -377,6 +393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "slice_mvt_tiles": _q_slice_mvt,
             "project_jpr9": _q_project_jpr9,
             "ivf_self_knn": _q_ivf_self_knn,
+            "embed_lsh_near_dup": _q_embed_lsh_near_dup,
             "image_thumbs": _q_image_thumbs,
             "raster_vector_clip": _q_raster_vector_clip,
             "earcut_triangulate": _q_earcut_triangulate,

@@ -445,3 +445,137 @@ def brute_self_knn_pd(sf_dir: str) -> "pd.DataFrame":
     return pd.DataFrame(
         {"vec_id": ids, "nn_id": ids[best], "dist2_q": d2[np.arange(len(ids)), best]}
     )
+
+
+def _lsh_planes(n_tables: int, n_bits: int, dim: int) -> np.ndarray:
+    """Deterministic Gaussian hyperplanes (Box-Muller over splitmix64
+    uniforms — no RNG state, same planes on every worker/run)."""
+    from ..kernels.imagecodec import splitmix64
+
+    n = n_tables * n_bits * dim
+    idx = np.arange(2 * n, dtype=np.uint64) ^ np.uint64(0x15D)
+    u = (splitmix64(idx).astype(np.float64) + 1.0) / 2.0**64
+    z = np.sqrt(-2.0 * np.log(u[:n])) * np.cos(2.0 * np.pi * u[n:])
+    return z.reshape(n_tables, n_bits, dim)
+
+
+def embedding_lsh_near_dup(ds, dist2_threshold: int,
+                           n_tables: int = 8, n_bits: int = 16,
+                           dim: int = 64):
+    """Random-hyperplane (cosine) LSH near-dup — the hash-bucketed scale
+    path beside the exact triangle self-join (:func:`embedding_near_dup_pairs`)
+    and the IVF route: each vector fans out to one signature bucket per
+    table (sign bits of the Gaussian projections), ONE shuffle co-locates
+    each bucket, pairs verify EXACTLY (quantized dist2 < threshold) inside
+    the bucket, and cross-table duplicates collapse in a combiner tree.
+    Shuffle volume = n_tables x rows; every reported pair is sound (passes
+    the exact check) — only recall is approximate (pinned >= 0.9 in pytest
+    against the exact operator on planted near-dups).
+
+    Applicability (measured, like the IVF/exact notes): LSH prunes when
+    near-dups are ANGULARLY close (theta small => per-table collision
+    (1 - theta/pi)^n_bits is non-vanishing). The driver's synthetic
+    ``embeddings`` table has no such pairs (its closest pairs sit at
+    cos ~0.45), so the registry query runs over planted near-duplicates
+    (a perturbed-copy corpus, the image-dedup fixture pattern) — the
+    workload this operator exists for; the wide-ball corpus keeps the
+    exact triangle join.
+    """
+    from .treeagg import tree_group_agg
+    planes = _lsh_planes(n_tables, n_bits, dim)  # ships with the task fn
+    weights = (1 << np.arange(n_bits, dtype=np.int64))
+
+    def fanout(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy().astype(np.int64)
+        emb = np.stack(batch.column("embedding").to_numpy(zero_copy_only=False))
+        q = quantize(emb)
+        n, d = q.shape
+        parts = []
+        for t in range(n_tables):
+            proj = q.astype(np.float64) @ planes[t].T  # (n, n_bits)
+            key = ((proj >= 0).astype(np.int64) * weights[None, :]).sum(axis=1)
+            parts.append(
+                pa.table(
+                    {
+                        "bucket": pa.array(key + (t << np.int64(n_bits + 1))),
+                        "vec_id": pa.array(ids),
+                        "q": pa.FixedSizeListArray.from_arrays(
+                            pa.array(q.reshape(-1)), d
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    fanned = ds.map_batches(fanout, batch_format="pyarrow")
+
+    def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["vec_id"].to_numpy().astype(np.int64)
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {"vec_a": [], "vec_b": [], "dist2_q": []}
+            ).astype({"vec_a": "int64", "vec_b": "int64", "dist2_q": "int64"})
+        q = np.stack(g["q"].to_numpy()).astype(np.int64)
+        sq = (q * q).sum(axis=1)
+        d2 = sq[:, None] - 2 * (q @ q.T) + sq[None, :]
+        a, b = np.triu_indices(len(ids), k=1)
+        keep = (d2[a, b] < dist2_threshold) & (ids[a] != ids[b])
+        va, vb = ids[a][keep], ids[b][keep]
+        flip = va > vb
+        return pd.DataFrame(
+            {
+                "vec_a": np.where(flip, vb, va),
+                "vec_b": np.where(flip, va, vb),
+                "dist2_q": d2[a, b][keep],
+            }
+        )
+
+    cand = fanned.groupby("bucket").map_groups(verify_bucket, batch_format="pandas")
+    dedup = tree_group_agg(
+        cand, ["vec_a", "vec_b", "dist2_q"], {"n_tables_hit": (None, "count")},
+        levels=(8, 1),
+    )
+
+    def strip(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["vec_a", "vec_b", "dist2_q"]]
+
+    return dedup.map_batches(strip, batch_format="pandas", batch_size=None)
+
+
+def planted_near_dup_vectors(n: int, dim: int = 64):
+    """Deterministic embedding corpus with planted near-duplicates: every
+    idx % 10 == 9 row is its predecessor plus a tiny perturbation (the
+    image table's duplicate-planting rule, sources/images.py) — quantized
+    dist2 of a planted pair ~ dim * 4 << any random pair (~4e5)."""
+    import ray.data
+
+    from ..kernels.imagecodec import splitmix64
+
+    def make(batch: pa.Table) -> pa.Table:
+        idx = batch.column("id").to_numpy().astype(np.int64)
+        src = np.where(idx % 10 == 9, idx - 1, idx)
+
+        def base_vecs(ix):
+            g = ix[:, None] * np.int64(dim) + np.arange(dim)[None, :]
+            u = splitmix64(g.astype(np.uint64) ^ np.uint64(0xB5E))
+            return (u % np.uint64(2001)).astype(np.float64) / 1000.0 - 1.0
+
+        v = base_vecs(src)
+        # perturb the planted copies by +-0.02 per dim (quantized delta 2)
+        pert_bits = splitmix64(
+            (idx[:, None] * np.int64(dim) + np.arange(dim)[None, :]).astype(
+                np.uint64
+            ) ^ np.uint64(0x7A3)
+        )
+        delta = ((pert_bits % np.uint64(2)).astype(np.float64) * 2 - 1) * 0.02
+        v = np.where((idx % 10 == 9)[:, None], v + delta, v)
+        return pa.table(
+            {
+                "vec_id": pa.array(idx),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(v.reshape(-1)), dim
+                ),
+            }
+        )
+
+    return ray.data.range(n).map_batches(make, batch_format="pyarrow")

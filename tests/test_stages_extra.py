@@ -276,3 +276,36 @@ def test_codelist_xml_reference_fixture(tmp_path):
     assert d["454"] == "その他"
     assert d["461"] == "不明"
     assert "123" not in d and "不明" not in d and "業務施設" not in d
+
+
+def test_embed_lsh_near_dup_recall_and_soundness(ray_session):
+    """Cosine-LSH near-dup on the planted-duplicate corpus: every reported
+    pair passes the exact distance check (soundness) and recall vs the
+    exact triangle self-join is >= 0.9."""
+    import numpy as np
+
+    from plateau_gis_converter_ray.stages.knn import (
+        block_pair_join,
+        embedding_lsh_near_dup,
+        planted_near_dup_vectors,
+    )
+
+    thr = 2000
+
+    def close_pairs(qa, ia, qb, ib):
+        a_sq = (qa * qa).sum(axis=1)
+        b_sq = (qb * qb).sum(axis=1)
+        d2 = a_sq[:, None] - 2 * (qa @ qb.T) + b_sq[None, :]
+        hit = (d2 < thr) & (ia[:, None] != ib[None, :])
+        sa, sb = np.nonzero(hit)
+        return sa, sb, d2[sa, sb]
+
+    exact = block_pair_join(
+        planted_near_dup_vectors(500), close_pairs, "dist2_q"
+    ).to_pandas()
+    lsh = embedding_lsh_near_dup(planted_near_dup_vectors(500), thr).to_pandas()
+    se = set(zip(exact["vec_a"], exact["vec_b"]))
+    sl = set(zip(lsh["vec_a"], lsh["vec_b"]))
+    assert len(se) == 50  # one planted pair per 10 rows
+    assert sl <= se  # soundness: exact verify inside the bucket
+    assert len(se & sl) / len(se) >= 0.9
