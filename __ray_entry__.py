@@ -311,6 +311,34 @@ def _q_raster_vector_clip(sf_dir: str):
     )
 
 
+def _q_citygml_parse(sf_dir: str):
+    """REAL per-file CityGML XML parse (source/citygml.rs:60-141 role):
+    file-parallel read_binary_files -> ElementTree parse -> codelist-coded
+    usage resolution, aggregated per usage (count, total height in cm).
+    Rows-only (XML isn't SQL-twinnable); values pinned in pytest against
+    the generator arithmetic."""
+    import numpy as np
+    import pyarrow as pa
+
+    from plateau_gis_converter_ray.sources.citygml_xml import (
+        ensure_citygml_corpus,
+        read_citygml,
+    )
+    from plateau_gis_converter_ray.stages.treeagg import tree_group_agg
+
+    ds = read_citygml(ensure_citygml_corpus(_sf_of(sf_dir)))
+
+    def scale(batch: pa.Table) -> pa.Table:
+        h = np.round(batch.column("height").to_numpy() * 100).astype(np.int64)
+        return pa.table({"usage": batch.column("usage"), "height_c": pa.array(h)})
+
+    return tree_group_agg(
+        ds.map_batches(scale, batch_format="pyarrow"),
+        ["usage"],
+        {"n_buildings": (None, "count"), "sum_height_c": ("height_c", "sum")},
+    )
+
+
 def _q_earcut_triangulate(sf_dir: str):
     """Earcut over deterministic CONCAVE star footprints (radial polygons,
     radius varying per vertex): per footprint (pid, n_vertices,
@@ -397,6 +425,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "image_thumbs": _q_image_thumbs,
             "raster_vector_clip": _q_raster_vector_clip,
             "earcut_triangulate": _q_earcut_triangulate,
+            "citygml_parse": _q_citygml_parse,
             "audio_features": _q_audio_features,
             "video_frame_sample": _q_video_frame_sample,
         }
