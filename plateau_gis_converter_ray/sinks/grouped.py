@@ -88,16 +88,27 @@ def write_per_group(ds, key: str, out_dir: str, fmt: str = "jsonl"):
                 for rec in g.to_dict(orient="records"):
                     lng = rec.pop("lng", None)
                     lat = rec.pop("lat", None)
+                    ring = rec.pop("ring_lnglat", None)
                     data = "".join(
                         f'<Data name="{kk}"><value>{vv}</value></Data>'
                         for kk, vv in rec.items() if kk != key
                     )
-                    pt = (
-                        f"<Point><coordinates>{lng},{lat}</coordinates></Point>"
-                        if lng is not None and lat is not None else ""
-                    )
+                    if ring is not None and len(ring):
+                        # polygon placemark (kml/mod.rs:117,257-299 role):
+                        # outer LinearRing from the flat [lng,lat,...] ring
+                        pairs = np.asarray(ring, dtype=np.float64).reshape(-1, 2)
+                        coords = " ".join(f"{a},{b}" for a, b in pairs)
+                        geom = (
+                            "<Polygon><outerBoundaryIs><LinearRing>"
+                            f"<coordinates>{coords}</coordinates>"
+                            "</LinearRing></outerBoundaryIs></Polygon>"
+                        )
+                    elif lng is not None and lat is not None:
+                        geom = f"<Point><coordinates>{lng},{lat}</coordinates></Point>"
+                    else:
+                        geom = ""
                     parts.append(
-                        f"<Placemark><ExtendedData>{data}</ExtendedData>{pt}</Placemark>"
+                        f"<Placemark><ExtendedData>{data}</ExtendedData>{geom}</Placemark>"
                     )
                 parts.append("</Document></kml>")
                 with open(path, "w") as f:
@@ -109,6 +120,7 @@ def write_per_group(ds, key: str, out_dir: str, fmt: str = "jsonl"):
                 for rec in g.to_dict(orient="records"):
                     lng = rec.pop("lng", None)
                     lat = rec.pop("lat", None)
+                    ring = rec.pop("ring_lnglat", None)
                     props = {kk: vv for kk, vv in rec.items() if kk != key}
                     pkt = {
                         "id": str(rec.get("fid", rec.get("id", len(packets)))),
@@ -117,7 +129,18 @@ def write_per_group(ds, key: str, out_dir: str, fmt: str = "jsonl"):
                         # (czml/mod.rs:143-165 map_to_html_table)
                         "description": properties_html_table(props),
                     }
-                    if lng is not None and lat is not None:
+                    if ring is not None and len(ring):
+                        # one polygon packet per face; CZML has no
+                        # multi-part polygons (czml/mod.rs:201-209)
+                        pairs = np.asarray(ring, dtype=np.float64).reshape(-1, 2)
+                        degrees = []
+                        for a, b in pairs:
+                            degrees += [float(a), float(b), 0.0]
+                        pkt["polygon"] = {
+                            "positions": {"cartographicDegrees": degrees},
+                            "perPositionHeight": True,
+                        }
+                    elif lng is not None and lat is not None:
                         pkt["position"] = {
                             "cartographicDegrees": [lng, lat, 0.0]
                         }

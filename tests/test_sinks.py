@@ -453,3 +453,34 @@ def test_write_tiles_layer_column(ray_session, tmp_path):
     with open(str(tmp_path / "t" / "2" / "1" / "1.pbf"), "rb") as f:
         d = decode_tile_pbf(f.read())
     assert sorted(layer["name"] for layer in d["layers"]) == ["Building", "Road"]
+
+
+def test_kml_czml_polygon_geometry(ray_session, tmp_path):
+    """Rows carrying a flat ring_lnglat become KML Polygon placemarks and
+    CZML polygon packets (kml/mod.rs:117; czml/mod.rs:201-209: one packet
+    per face, perPositionHeight)."""
+    import json
+    import os
+
+    import ray.data
+
+    from plateau_gis_converter_ray.sinks.grouped import write_per_group
+
+    ring = [139.5, 35.5, 139.6, 35.5, 139.6, 35.6, 139.5, 35.6, 139.5, 35.5]
+    ds = ray.data.from_items(
+        [{"typ": "Building", "fid": 1, "ring_lnglat": ring, "height": 12}]
+    )
+    out1 = str(tmp_path / "kmlp")
+    write_per_group(ds, "typ", out1, fmt="kml").to_pandas()
+    kml = open(os.path.join(out1, "part=Building", "data.kml")).read()
+    assert "<Polygon><outerBoundaryIs><LinearRing>" in kml
+    assert "139.5,35.5 139.6,35.5" in kml
+
+    out2 = str(tmp_path / "czmlp")
+    write_per_group(ds, "typ", out2, fmt="czml").to_pandas()
+    packets = json.load(open(os.path.join(out2, "part=Building", "data.czml")))
+    poly = packets[1]["polygon"]
+    assert poly["perPositionHeight"] is True
+    assert poly["positions"]["cartographicDegrees"][:6] == [
+        139.5, 35.5, 0.0, 139.6, 35.5, 0.0
+    ]
