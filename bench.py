@@ -50,8 +50,10 @@ BENCH_QUERIES = [
     "quality_filter",
     "embed_cosine_top3",
     "median_value_per_user",
-    # r3 addition: concave-footprint triangulation kernel
+    # r3 additions: concave-footprint triangulation kernel + the
+    # file-parallel CityGML XML parse source
     "earcut_triangulate",
+    "citygml_parse",
 ]
 
 

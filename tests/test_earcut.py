@@ -191,3 +191,18 @@ def test_earcut_triangulate_query(ray_session):
     assert len(df) == 64
     assert (df["n_triangles"] == df["n_vertices"] - 2).all()
     assert (df["tri_area_e9"] == df["ring_area_e9"]).all()
+
+
+def test_concave_outer_with_hole():
+    """Hole bridging inside a CONCAVE outer ring (reflex vertices between
+    the hole and the outer boundary) — the harder bridge case."""
+    outer = np.array(
+        [[0, 0], [8, 0], [8, 8], [5, 8], [5, 3], [3, 3], [3, 8], [0, 8]],
+        dtype=float,
+    )  # U-shape, area 64 - 2*5 = 54
+    hole = np.array([[1, 1], [2, 1], [2, 2], [1, 2]], dtype=float)
+    coords = np.concatenate([outer, hole])
+    tris = earcut(coords, [8])
+    areas = _tri_areas(coords, tris)
+    assert (areas > 0).all()
+    assert np.isclose(areas.sum(), 54.0 - 1.0)
