@@ -382,6 +382,15 @@ def write_flagship_glb_tiles(out_dir: str, tiles_dir: str | None = None):
         z = int(g["zoom"].iloc[0])
         x = int(g["tile_x"].iloc[0])
         y = int(g["tile_y"].iloc[0])
+        final = os.path.join(tiles_dir, str(z), str(x), f"{y}.glb")
+        if os.path.exists(final):
+            # resume: a prior run already wrote this tile atomically;
+            # skip the encode entirely (n_materials -1 marks the skip)
+            return pd.DataFrame(
+                {"zoom": [z], "tile_x": [x], "tile_y": [y],
+                 "n_munis": [len(g)], "n_materials": [-1],
+                 "glb_bytes": [os.path.getsize(final)]}
+            )
         south, north = scheme3dt.y_slice_range(z, y)
         xs = scheme3dt.x_step(z, np.array([y]))[0]
         west, east = scheme3dt.x_slice_range(z, x, xs)

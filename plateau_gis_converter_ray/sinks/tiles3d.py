@@ -91,6 +91,15 @@ def write_tiles_3dt(ds, out_dir: str, attr_schema: dict | None = None):
         z = int(g["zoom"].iloc[0])
         x = int(g["tile_x"].iloc[0])
         y = int(g["tile_y"].iloc[0])
+        final = os.path.join(out_dir, str(z), str(x), f"{y}.glb")
+        if os.path.exists(final):
+            # resume: already written atomically by a prior run
+            return pd.DataFrame(
+                {"zoom": [z], "tile_x": [x], "tile_y": [y],
+                 "n_features": [len(g)], "n_vertices": [-1],
+                 "glb_bytes": [os.path.getsize(final)],
+                 "content": [f"{z}/{x}/{y}.glb"]}
+            )
         has_pid = "pid" in g.columns
 
         enc = MetadataEncoder(schema)

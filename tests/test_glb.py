@@ -276,3 +276,26 @@ def test_glb_reference_alignment_fixture():
         read_glb(b"x" + ok[1:])
     with pytest.raises(ValueError):
         read_glb(ok[:4] + b"\x07\x00\x00\x00" + ok[8:])
+
+
+def test_glb_tile_writer_skips_existing(ray_session, tmp_path):
+    """Resume semantics: a rerun over an already-written tile directory
+    skips the encode (n_vertices == -1 sentinel) and leaves bytes intact."""
+    import os
+
+    import ray.data
+
+    from plateau_gis_converter_ray.sinks.tiles3d import write_tiles_3dt
+
+    rows = [{"zoom": 2, "tile_x": 1, "tile_y": 1,
+             "ring_xy": [0.1, 0.1, 0.9, 0.1, 0.9, 0.9, 0.1, 0.9], "pid": "a"}]
+    out = str(tmp_path / "t")
+    first = write_tiles_3dt(ray.data.from_items(rows), out).to_pandas()
+    path = os.path.join(out, "2", "1", "1.glb")
+    size = os.path.getsize(path)
+    mtime = os.path.getmtime(path)
+    again = write_tiles_3dt(ray.data.from_items(rows), out).to_pandas()
+    assert int(first["n_vertices"].iloc[0]) > 0
+    assert int(again["n_vertices"].iloc[0]) == -1
+    assert int(again["glb_bytes"].iloc[0]) == size
+    assert os.path.getmtime(path) == mtime
