@@ -1641,6 +1641,38 @@ SELECT user_id, event_type AS mode_type, cnt AS mode_n FROM r WHERE rn = 1
 
 
 # ---------------------------------------------------------------------------
+# 40. Blocked exact n-gram Jaccard near-dup (LSH-free member of the dedup
+# family; SQL-twinnable because grams stay literal strings and the emitted
+# values are integer-scaled)
+
+
+def q_ngram_jaccard(sf_dir: str):
+    from ..stages.dedup import ngram_jaccard_blocked
+
+    return ngram_jaccard_blocked(sf_dir)
+
+
+_SQL_NGRAM_JACCARD = """
+WITH sh AS (
+  SELECT doc_id, lang, source, n_chars // 32 AS lb,
+         list_distinct(
+           list_transform(range(1, length(text) - 1),
+                          i -> substring(text, i, 3))) AS grams
+  FROM documents
+), p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.grams, b.grams)) AS inter,
+         len(list_distinct(list_concat(a.grams, b.grams))) AS uni
+  FROM sh a JOIN sh b
+    ON a.lang = b.lang AND a.source = b.source AND a.lb = b.lb
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, inter, uni, (inter * 1000000) // uni AS jac_e6
+FROM p WHERE uni > 0 AND (inter * 1000000) // uni >= 300000
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 QUERIES = {
@@ -1683,6 +1715,7 @@ QUERIES = {
     "lag_delta": q_lag_delta,
     "median_value_per_user": q_median_value_per_user,
     "mode_event_type": q_mode_event_type,
+    "ngram_jaccard_pairs": q_ngram_jaccard,
 }
 
 ORACLES = {
@@ -1725,4 +1758,5 @@ ORACLES = {
     "lag_delta": _SQL_LAG_DELTA,
     "median_value_per_user": _SQL_MEDIAN,
     "mode_event_type": _SQL_MODE,
+    "ngram_jaccard_pairs": _SQL_NGRAM_JACCARD,
 }

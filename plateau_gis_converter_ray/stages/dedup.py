@@ -241,3 +241,86 @@ def phash_exact_dedup(image_files: list[str]):
         ds, ["phash"],
         {"image_id_keep": ("image_id", "min"), "n_dups": (None, "count")},
     )
+
+
+def ngram_jaccard_blocked(sf_dir: str, n: int = 3, block_chars: int = 32,
+                          jac_e6_threshold: int = 300_000):
+    """Blocked exact n-gram Jaccard near-dup: pairs within a
+    (lang, source, length-bucket) block whose character-``n``-gram-set
+    Jaccard clears the threshold.
+
+    Classic blocking dedup (the LSH-free member of the near-dup family,
+    beside MinHash-LSH / SimHash / embedding-cosine): one shuffle moves each
+    doc to its block, all-pairs Jaccard is exact WITHIN the block, and the
+    blocking key is the scale lever — block population is what the per-task
+    cost is quadratic in, so at 10^12 docs you tighten ``block_chars`` (or
+    add more key components) rather than grow the task. Emitted values are
+    integer-scaled (inter, union, floor(inter*1e6/union)) so the DuckDB
+    oracle reproduces them bit-for-bit with substring + list_intersect.
+
+    Ref role: the reference dedups geometry payloads via exact set compare
+    inside hash buckets (nusamai geometry.rs:86-122); this is the text
+    analogue with a similarity threshold instead of equality.
+    """
+    import ray.data
+
+    from ..sources.tables import read_table
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text", "lang", "source", "n_chars"])
+
+    # vectorized block key (lang|source|bucket) without per-row Python;
+    # one flat string key -> one groupby column in the shuffle
+    def add_block(batch: pd.DataFrame) -> pd.DataFrame:
+        lb = (batch["n_chars"].to_numpy() // block_chars).astype(np.int64)
+        blk = (
+            batch["lang"].astype(str)
+            + "|"
+            + batch["source"].astype(str)
+            + "|"
+            + pd.Series(lb, index=batch.index).astype(str)
+        )
+        out = batch[["doc_id", "text"]].copy()
+        out["blk"] = blk
+        return out
+
+    blocked = ds.map_batches(add_block, batch_format="pandas")
+
+    empty = pd.DataFrame(
+        {"doc_a": [], "doc_b": [], "inter": [], "uni": [], "jac_e6": []}
+    ).astype("int64")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        ids = g["doc_id"].to_numpy()
+        if len(ids) < 2:
+            return empty
+        grams = [
+            frozenset(t[i : i + n] for i in range(len(t) - n + 1))
+            for t in g["text"]
+        ]
+        a_idx, b_idx = np.triu_indices(len(ids), k=1)
+        rows_a, rows_b, inter, uni = [], [], [], []
+        for ai, bi in zip(a_idx, b_idx):
+            ga, gb = grams[ai], grams[bi]
+            i = len(ga & gb)
+            u = len(ga) + len(gb) - i
+            if u > 0 and i * 1_000_000 // u >= jac_e6_threshold:
+                rows_a.append(int(ids[ai]))
+                rows_b.append(int(ids[bi]))
+                inter.append(i)
+                uni.append(u)
+        if not rows_a:
+            return empty
+        inter_np = np.array(inter, dtype=np.int64)
+        uni_np = np.array(uni, dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "doc_a": np.array(rows_a, dtype=np.int64),
+                "doc_b": np.array(rows_b, dtype=np.int64),
+                "inter": inter_np,
+                "uni": uni_np,
+                "jac_e6": inter_np * 1_000_000 // uni_np,
+            }
+        )
+
+    return blocked.groupby("blk").map_groups(pairs, batch_format="pandas")

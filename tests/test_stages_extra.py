@@ -309,3 +309,32 @@ def test_embed_lsh_near_dup_recall_and_soundness(ray_session):
     assert len(se) == 50  # one planted pair per 10 rows
     assert sl <= se  # soundness: exact verify inside the bucket
     assert len(se & sl) / len(se) >= 0.9
+
+
+def test_ngram_jaccard_blocked(ray_session):
+    """Blocked n-gram Jaccard near-dup: every emitted pair's integer-scaled
+    values match a direct per-pair recomputation, pairs are canonical
+    (doc_a < doc_b), and the planted near-dups at sf0.001 are found."""
+    import duckdb
+    import numpy as np
+
+    from plateau_gis_converter_ray.stages.dedup import ngram_jaccard_blocked
+
+    sf_dir = "/root/testdata/sf0.001"
+    df = ngram_jaccard_blocked(sf_dir).to_pandas()
+    assert len(df) > 0
+    assert (df["doc_a"] < df["doc_b"]).all()
+    assert (df["jac_e6"] >= 300_000).all()
+    assert (df["jac_e6"] == df["inter"] * 1_000_000 // df["uni"]).all()
+
+    con = duckdb.connect()
+    docs = con.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).df()
+    texts = dict(zip(docs["doc_id"], docs["text"]))
+    for row in df.sample(min(len(df), 20), random_state=0).itertuples():
+        ga = {texts[row.doc_a][i : i + 3] for i in range(len(texts[row.doc_a]) - 2)}
+        gb = {texts[row.doc_b][i : i + 3] for i in range(len(texts[row.doc_b]) - 2)}
+        inter = len(ga & gb)
+        assert inter == row.inter
+        assert len(ga | gb) == row.uni
