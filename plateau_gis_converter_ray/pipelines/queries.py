@@ -1673,6 +1673,226 @@ FROM p WHERE uni > 0 AND (inter * 1000000) // uni >= 300000
 
 
 # ---------------------------------------------------------------------------
+# 41. Q18-style "large orders": aggregate -> HAVING filter -> two hash joins.
+# New plan shape vs top_orders: the filter runs on the AGGREGATE (post-
+# combiner, one row per order), so both joins only move qualifying keys.
+
+
+def q_large_orders(sf_dir: str):
+    """Orders whose total line quantity exceeds 150: per-order quantity via
+    the combiner tree, filter ON the aggregate, then hash-join orders and
+    customer. The quantity sum is integer-exact (quantities are integral);
+    o_totalprice is emitted in cents."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def qty(batch: pa.Table) -> pa.Table:
+        q = np.round(batch.column("l_quantity").to_numpy()).astype(np.int64)
+        return pa.table(
+            {"l_orderkey": batch.column("l_orderkey"), "qty": pa.array(q)}
+        )
+
+    agg = tree_group_agg(
+        li.map_batches(qty, batch_format="pyarrow"),
+        ["l_orderkey"], {"sum_qty": ("qty", "sum")},
+    )
+    big = agg.filter(expr="sum_qty > 150")
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def scale_tp(batch: pa.Table) -> pa.Table:
+        tp = np.round(batch.column("o_totalprice").to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey"),
+                "o_custkey": batch.column("o_custkey"),
+                "total_price_c": pa.array(tp),
+            }
+        )
+
+    orders = orders.map_batches(scale_tp, batch_format="pyarrow")
+    j = big.join(
+        orders, "inner", num_partitions=JOIN_PARTS,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    j = j.join(
+        cust, "inner", num_partitions=JOIN_PARTS,
+        on=("o_custkey",), right_on=("c_custkey",),
+    )
+    j = j.rename_columns({"l_orderkey": "o_orderkey"})
+    return j.select_columns(["o_orderkey", "c_name", "total_price_c", "sum_qty"])
+
+
+_SQL_LARGE_ORDERS = """
+WITH q AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+  FROM lineitem GROUP BY 1 HAVING sum_qty > 150
+)
+SELECT o_orderkey, c_name,
+       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_price_c, sum_qty
+FROM q JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# 42. Q14-style promo revenue: combiner per partkey -> hash join part ->
+# conditional aggregate -> single-row tree reduce (integer-exact fraction).
+
+
+def q_promo_revenue(sf_dir: str):
+    """Share of discounted revenue from PROMO-type parts. lineitem is
+    pre-aggregated per partkey (the join exchange carries one row per part,
+    not one per line item); p_type arrives by hash join; the global
+    promo/total sums reduce through a constant-key combiner tree, and the
+    fraction is integer floor-scaled so the oracle matches bit-for-bit."""
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
+
+    def rev(batch: pa.Table) -> pa.Table:
+        ep = batch.column("l_extendedprice").to_numpy()
+        d = batch.column("l_discount").to_numpy()
+        r = np.round(ep * (1 - d) * 10000).astype(np.int64)
+        return pa.table(
+            {"l_partkey": batch.column("l_partkey"), "rev_s": pa.array(r)}
+        )
+
+    per_part = tree_group_agg(
+        li.map_batches(rev, batch_format="pyarrow"),
+        ["l_partkey"], {"rev_s": ("rev_s", "sum")}, levels=(),
+    )  # partials only: the post-join reduce re-sums, so split keys are fine
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"])
+    j = per_part.join(
+        part, "inner", num_partitions=JOIN_PARTS,
+        on=("l_partkey",), right_on=("p_partkey",),
+    )
+
+    def split(batch: pd.DataFrame) -> pd.DataFrame:
+        promo = (batch["p_type"].to_numpy() == "PROMO").astype(np.int64)
+        rev_s = batch["rev_s"].to_numpy()
+        return pd.DataFrame(
+            {
+                "one": np.zeros(len(batch), dtype=np.int64),
+                "promo_rev_s": promo * rev_s,
+                "total_rev_s": rev_s,
+            }
+        )
+
+    tot = tree_group_agg(
+        j.map_batches(split, batch_format="pandas"),
+        ["one"],
+        {"promo_rev_s": ("promo_rev_s", "sum"), "total_rev_s": ("total_rev_s", "sum")},
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        p = df["promo_rev_s"].to_numpy()
+        t = df["total_rev_s"].to_numpy()
+        return pd.DataFrame(
+            {
+                "promo_rev_s": p,
+                "total_rev_s": t,
+                "promo_frac_e6": p * 1_000_000 // t,
+            }
+        )
+
+    return tot.map_batches(finish, batch_format="pandas", batch_size=None)
+
+
+_SQL_PROMO_REVENUE = """
+WITH r AS (
+  SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                  THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS promo_rev_s,
+         CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS total_rev_s
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+)
+SELECT promo_rev_s, total_rev_s,
+       (promo_rev_s * 1000000) // total_rev_s AS promo_frac_e6
+FROM r
+"""
+
+
+# ---------------------------------------------------------------------------
+# 43. Q7-style volume shipping: revenue matrix by (supplier nation x
+# customer nation). Supplier/nation dims attach by broadcast lookup (the
+# documented small-side threshold); orders and customer by hash join.
+
+
+def q_volume_shipping(sf_dir: str):
+    """Revenue by (supp_nation, cust_nation). The supplier->nation and
+    nation-name maps are broadcast dictionaries inside the task fn (dim
+    sizes ~100/25 here; at TPC-H SF-scaled supplier counts flip the
+    supplier attach to a hash join — the threshold is the block budget,
+    see docs/SCALE.md); orders then customer arrive by hash-partitioned
+    Dataset.join, each exchange carrying one pre-scaled revenue row per
+    line item. Final (25 x 25)-key reduce via the combiner tree."""
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    n_name = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    s_nation = dict(zip(supp["s_suppkey"], supp["s_nationkey"]))
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def attach_supp(batch: pd.DataFrame) -> pd.DataFrame:
+        ep = batch["l_extendedprice"].to_numpy()
+        d = batch["l_discount"].to_numpy()
+        rev = np.round(ep * (1 - d) * 10000).astype(np.int64)
+        sk = batch["l_suppkey"].map(s_nation).to_numpy()
+        return pd.DataFrame(
+            {
+                "l_orderkey": batch["l_orderkey"].to_numpy(),
+                "supp_nk": sk,
+                "rev_s": rev,
+            }
+        )
+
+    li = li.map_batches(attach_supp, batch_format="pandas")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    j = li.join(
+        orders, "inner", num_partitions=JOIN_PARTS,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    j = j.join(
+        cust, "inner", num_partitions=JOIN_PARTS,
+        on=("o_custkey",), right_on=("c_custkey",),
+    )
+
+    def name_pair(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "supp_nation": batch["supp_nk"].map(n_name).to_numpy(),
+                "cust_nation": batch["c_nationkey"].map(n_name).to_numpy(),
+                "rev_s": batch["rev_s"].to_numpy(),
+            }
+        )
+
+    j = j.map_batches(name_pair, batch_format="pandas")
+    return tree_group_agg(
+        j, ["supp_nation", "cust_nation"],
+        {"revenue_s": ("rev_s", "sum"), "n_items": (None, "count")},
+    )
+
+
+_SQL_VOLUME_SHIPPING = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_s,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation sn ON sn.n_nationkey = s_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation cn ON cn.n_nationkey = c_nationkey
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 QUERIES = {
@@ -1716,6 +1936,9 @@ QUERIES = {
     "median_value_per_user": q_median_value_per_user,
     "mode_event_type": q_mode_event_type,
     "ngram_jaccard_pairs": q_ngram_jaccard,
+    "large_orders": q_large_orders,
+    "promo_revenue": q_promo_revenue,
+    "volume_shipping": q_volume_shipping,
 }
 
 ORACLES = {
@@ -1759,4 +1982,7 @@ ORACLES = {
     "median_value_per_user": _SQL_MEDIAN,
     "mode_event_type": _SQL_MODE,
     "ngram_jaccard_pairs": _SQL_NGRAM_JACCARD,
+    "large_orders": _SQL_LARGE_ORDERS,
+    "promo_revenue": _SQL_PROMO_REVENUE,
+    "volume_shipping": _SQL_VOLUME_SHIPPING,
 }
