@@ -54,6 +54,8 @@ BENCH_QUERIES = [
     # file-parallel CityGML XML parse source
     "earcut_triangulate",
     "citygml_parse",
+    # r3: blocked exact n-gram Jaccard near-dup (oracle-gated)
+    "ngram_jaccard_pairs",
 ]
 
 
