@@ -289,6 +289,17 @@ def _q_image_thumbs(sf_dir: str):
     )
 
 
+def _q_image_feature_knn(sf_dir: str):
+    """Multimodal retrieval chain (rows-only): image decode -> block-mean
+    feature extract -> exact-integer cosine top-3 against a broadcast
+    query matrix (stages/knn.py::image_feature_knn). Self-similarity
+    (cos_key == |v|^2 * 1e4 at rank 1 for the query images) and
+    determinism are pinned in pytest."""
+    from plateau_gis_converter_ray.stages.knn import image_feature_knn
+
+    return image_feature_knn(_sf_of(sf_dir))
+
+
 def _q_raster_vector_clip(sf_dir: str):
     """Raster<->vector: clip municipality polygons against each image's
     georeferenced footprint, rasterize onto its pixel grid, emit coverage +
@@ -424,6 +435,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "embed_lsh_near_dup": _q_embed_lsh_near_dup,
             "image_thumbs": _q_image_thumbs,
             "raster_vector_clip": _q_raster_vector_clip,
+            "image_feature_knn": _q_image_feature_knn,
             "earcut_triangulate": _q_earcut_triangulate,
             "citygml_parse": _q_citygml_parse,
             "audio_features": _q_audio_features,

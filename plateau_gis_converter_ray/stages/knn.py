@@ -579,3 +579,83 @@ def planted_near_dup_vectors(n: int, dim: int = 64):
         )
 
     return ray.data.range(n).map_batches(make, batch_format="pyarrow")
+
+
+def image_feature_knn(sf: float, n_queries: int = 8, k: int = 3, t: int = 8):
+    """Multimodal retrieval chain: decode -> block-mean feature extract ->
+    exact-integer cosine top-k against a broadcast query matrix.
+
+    The brute-force ANN baseline from the build brief, run over IMAGE
+    features instead of the embeddings table: ``ImageResize`` produces the
+    t*t grayscale block-mean vector (the feature-extract stage a real
+    pipeline would swap for a model), features are integer-quantized and
+    mean-centered, and ranking uses the same overflow-safe
+    sign(dot)*floor(dot^2*1e4/|q|^2) key as ``embed_cosine_top3`` — so
+    ordering is deterministic and self-similarity is exactly |v|^2*1e4.
+
+    Scale: the query side (n_queries rows) is the broadcast side; each
+    batch is one (n, t*t) x (t*t, m) matmul; image bytes never shuffle
+    (the feature stage drops them). The driver-side pre-pass reads ONLY
+    the first ``n_queries`` rows of the first file.
+    """
+    import os
+
+    import ray.data
+    import pyarrow.parquet as pq
+
+    from ..sources.images import ensure_image_table
+    from .decode import ImageResize
+
+    path = ensure_image_table(sf)
+    files = [
+        os.path.join(path, f) for f in sorted(os.listdir(path)) if f.endswith(".parquet")
+    ]
+
+    resize = ImageResize(t)
+
+    def centered(tbl: pa.Table) -> np.ndarray:
+        feats = np.stack(tbl.column("thumb").to_numpy(zero_copy_only=False))
+        q = np.round(feats).astype(np.int64)
+        return q - q.sum(axis=1, keepdims=True) // (t * t)
+
+    head = pq.read_table(
+        files[0], columns=["image_id", "bytes", "w", "h", "fmt"]
+    ).slice(0, n_queries)
+    qtbl = resize(head)
+    qmat = centered(qtbl)  # (m, t*t) int64
+    qids = qtbl.column("image_id").to_pylist()
+    q_sq = (qmat * qmat).sum(axis=1)
+    q_sq = np.where(q_sq == 0, 1, q_sq)  # flat query -> dot 0 -> key 0
+
+    class FeatureCosTopK:
+        def __init__(self, d):
+            self.qids = np.asarray(d["qids"], dtype=object)
+            self.qmat = d["qmat"]
+            self.q_sq = d["q_sq"]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            v = centered(batch)  # (n, t*t)
+            ids = batch.column("image_id").to_pylist()
+            dot = v @ self.qmat.T  # int64, |v|,|q| <= 255*64 -> no overflow
+            d2 = dot * dot
+            qk, rk = np.divmod(d2, self.q_sq[None, :])
+            key = np.where(dot >= 0, 1, -1) * (
+                qk * 10_000 + rk * 10_000 // self.q_sq[None, :]
+            )
+            order = np.argsort(-key, axis=1, kind="stable")[:, :k]
+            n = len(ids)
+            return pa.table(
+                {
+                    "image_id": pa.array(np.repeat(ids, k)),
+                    "rank": pa.array(np.tile(np.arange(1, k + 1, dtype=np.int64), n)),
+                    "query_id": pa.array(self.qids[order].reshape(-1).tolist()),
+                    "cos_key": pa.array(key[np.arange(n)[:, None], order].reshape(-1)),
+                }
+            )
+
+    ds = ray.data.read_parquet(files, columns=["image_id", "bytes", "w", "h", "fmt"])
+    ds = ds.map_batches(resize, batch_format="pyarrow", batch_size=1024)
+    return ds.map_batches(
+        FeatureCosTopK({"qids": qids, "qmat": qmat, "q_sq": q_sq}),
+        batch_format="pyarrow", batch_size=1024,
+    )

@@ -338,3 +338,35 @@ def test_ngram_jaccard_blocked(ray_session):
         inter = len(ga & gb)
         assert inter == row.inter
         assert len(ga | gb) == row.uni
+
+
+def test_image_feature_knn_chain(ray_session):
+    """decode -> feature -> cosine top-k chain: each query image ranks
+    itself first with the exact self-similarity key |v|^2 * 1e4, ranks are
+    dense 1..3, and the pipeline is deterministic across runs."""
+    import numpy as np
+
+    from plateau_gis_converter_ray.stages.knn import image_feature_knn
+
+    df = image_feature_knn(0.001).to_pandas()
+    assert set(df["rank"]) == {1, 2, 3}
+    n_images = df["image_id"].nunique()
+    assert len(df) == 3 * n_images
+
+    qids = set(df["query_id"])
+    assert len(qids) == 8
+    top1 = df[df["rank"] == 1].set_index("image_id")
+    for qid in qids:
+        row = top1.loc[qid]
+        # self-match: cos == 1 exactly -> key == |v|^2 * 1e4. The corpus
+        # plants duplicate images, so another query with IDENTICAL features
+        # may take rank 1 by column order — but only at the SAME key.
+        assert row["cos_key"] > 0
+        self_rows = df[(df["image_id"] == qid) & (df["query_id"] == qid)]
+        assert len(self_rows) == 1
+        assert int(self_rows["cos_key"].iloc[0]) == int(row["cos_key"])
+
+    df2 = image_feature_knn(0.001).to_pandas()
+    a = df.sort_values(["image_id", "rank"]).reset_index(drop=True)
+    b = df2.sort_values(["image_id", "rank"]).reset_index(drop=True)
+    assert a.equals(b)
