@@ -312,6 +312,43 @@ LIMIT 10
 
 
 # ---------------------------------------------------------------------------
+# 6b. top_orders through a bloom-filter semi-join pushdown: the per-order
+# revenue probe side is pruned by a distributed bloom filter over the
+# qualifying-order keys BEFORE the exact semi join. Same oracle as
+# top_orders — the filter only prunes, so the result is bit-identical;
+# what changes is the exchange volume (the 100 TB lever, stages/bloom.py).
+
+
+def q_top_orders_bloom(sf_dir: str):
+    import ray
+
+    from ..stages.bloom import BloomPrune, bloom_build
+
+    cust_b = (
+        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        .filter(expr="c_mktsegment == 'BUILDING'")
+        .select_columns(["c_custkey"])
+    )
+    orders_b = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).join(
+        cust_b, "left_semi", num_partitions=JOIN_PARTS,
+        on=("o_custkey",), right_on=("c_custkey",),
+    ).select_columns(["o_orderkey"])
+
+    # distributed OR-reduce build; the driver sees ONE row of packed words
+    bits_ref = ray.put(bloom_build(orders_b, "o_orderkey"))
+
+    rev = _rev_by_order(sf_dir).map_batches(
+        BloomPrune(bits_ref, "l_orderkey"), batch_format="pyarrow"
+    )
+    agg = rev.join(
+        orders_b, "left_semi", num_partitions=JOIN_PARTS,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+    agg = agg.rename_columns({"l_orderkey": "o_orderkey"})
+    return agg.sort(["revenue_s", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+# ---------------------------------------------------------------------------
 # 7. Q5-style star join: revenue per nation for ASIA customers
 
 
@@ -432,6 +469,50 @@ SELECT user_id,
        COUNT(*) AS n,
        CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
 FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# 9b. Hopping (overlapping) window aggregate: 1 h windows every 30 min.
+# Unlike the tumbling q_events_window, each event belongs to size/hop = 2
+# windows — a vectorized 1→N fanout inside map_batches, then the same
+# combiner tree closes the aggregate. (The streaming-window operator the
+# build brief lists; the fanout factor, not the window length, is the
+# shuffle-volume multiplier at scale.)
+
+
+def q_hopping_window(sf_dir: str):
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    hop_us = 1800 * 1_000_000
+
+    def fanout(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()  # microseconds
+        k = ts // hop_us
+        v = np.round(batch.column("value").to_numpy() * 100).astype(np.int64)
+        uid = batch.column("user_id").to_numpy()
+        ks = np.concatenate([k, k - 1])
+        return pa.table(
+            {
+                "user_id": pa.array(np.concatenate([uid, uid])),
+                "win_start_s": pa.array(ks * 1800),
+                "value_c": pa.array(np.concatenate([v, v])),
+            }
+        )
+
+    ds = ds.map_batches(fanout, batch_format="pyarrow")
+    return tree_group_agg(
+        ds, ["user_id", "win_start_s"],
+        {"n": (None, "count"), "sum_value_c": ("value_c", "sum")},
+    )
+
+
+_SQL_HOPPING_WINDOW = """
+SELECT user_id,
+       CAST((FLOOR(EPOCH(ts) / 1800) - i) * 1800 AS BIGINT) AS win_start_s,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+FROM events, (SELECT UNNEST([0, 1]) AS i) off
+GROUP BY 1, 2
 """
 
 
@@ -1936,6 +2017,8 @@ QUERIES = {
     "median_value_per_user": q_median_value_per_user,
     "mode_event_type": q_mode_event_type,
     "ngram_jaccard_pairs": q_ngram_jaccard,
+    "hopping_window": q_hopping_window,
+    "top_orders_bloom": q_top_orders_bloom,
     "large_orders": q_large_orders,
     "promo_revenue": q_promo_revenue,
     "volume_shipping": q_volume_shipping,
@@ -1982,6 +2065,8 @@ ORACLES = {
     "median_value_per_user": _SQL_MEDIAN,
     "mode_event_type": _SQL_MODE,
     "ngram_jaccard_pairs": _SQL_NGRAM_JACCARD,
+    "hopping_window": _SQL_HOPPING_WINDOW,
+    "top_orders_bloom": _SQL_TOP_ORDERS,
     "large_orders": _SQL_LARGE_ORDERS,
     "promo_revenue": _SQL_PROMO_REVENUE,
     "volume_shipping": _SQL_VOLUME_SHIPPING,

@@ -1,0 +1,124 @@
+"""Bloom-filter semi-join pushdown.
+
+Build a bloom filter over a (small or pre-filtered) build-side key column
+as a distributed partial-OR reduce, broadcast the bit array once via
+``ray.put``, and prune the probe side inside ``map_batches`` BEFORE the
+exact hash join. The filter only PRUNES — false positives fall through to
+the exact join, false negatives are impossible — so the join result is
+bit-identical while the join exchange shrinks by roughly
+(1 - selectivity - fpr).
+
+Scale notes (the reason this stage exists): a hash join moves EVERY probe
+row through the all-to-all exchange even when only a few percent survive
+the join. With the filter, the probe side drops non-matching rows at the
+map stage — before any shuffle. At 10^9 build keys and 1% FPR the bits are
+~1.2 GB: `ray.put` stores them once per node in the object store and every
+task maps them zero-copy (np.frombuffer over the plasma buffer); nothing is
+re-shipped per batch. The build itself is a combiner-style reduce: each
+block contributes one (m_bits/64)-word partial, OR-merged through a
+repartition tree — the driver only ever sees the final single row.
+
+Hashing: double hashing g_i(x) = h1(x) + i*h2(x) mod m (Kirsch-Mitzenmacher)
+over two independent splitmix64 streams — k probes from two 64-bit hashes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..kernels.imagecodec import splitmix64
+
+_SALT2 = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _probe_positions(keys: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """(k, n) bit positions for int64/uint64 keys (vectorized, overflow-safe)."""
+    with np.errstate(over="ignore"):
+        u = keys.astype(np.uint64)
+        h1 = splitmix64(u)
+        h2 = splitmix64(u ^ _SALT2) | np.uint64(1)  # odd -> full-period stride
+        i = np.arange(k, dtype=np.uint64)[:, None]
+        return ((h1[None, :] + i * h2[None, :]) % np.uint64(m_bits)).astype(
+            np.int64
+        )
+
+
+def _partial_bits(keys: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """One block's bloom partial as (m_bits/64,) uint64 words."""
+    words = np.zeros(m_bits // 64, dtype=np.uint64)
+    if len(keys):
+        pos = _probe_positions(keys, m_bits, k).reshape(-1)
+        with np.errstate(over="ignore"):
+            np.bitwise_or.at(
+                words, pos // 64, np.uint64(1) << (pos % 64).astype(np.uint64)
+            )
+    return words
+
+
+def bloom_build(ds, key_col: str, m_bits: int = 1 << 20, k: int = 4) -> np.ndarray:
+    """Distributed bloom build over ``ds[key_col]`` (int keys).
+
+    map_batches partials (one row of packed words per block) -> OR tree
+    merge -> ONE final row read by the driver. Returns the uint64 word
+    array, ready for ``ray.put``.
+    """
+    assert m_bits % 64 == 0
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        words = _partial_bits(batch[key_col].to_numpy(), m_bits, k)
+        return pd.DataFrame({"bits": [words.tobytes()]})
+
+    def or_merge(batch: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(m_bits // 64, dtype=np.uint64)
+        for b in batch["bits"]:
+            acc |= np.frombuffer(b, dtype=np.uint64)
+        return pd.DataFrame({"bits": [acc.tobytes()]})
+
+    out = ds.map_batches(partial, batch_format="pandas", batch_size=None)
+    for fan in (8, 1):
+        out = out.repartition(fan).map_batches(
+            or_merge, batch_format="pandas", batch_size=None
+        )
+    final = out.to_pandas()
+    return np.frombuffer(final["bits"].iloc[0], dtype=np.uint64).copy()
+
+
+def bloom_contains(words: np.ndarray, keys: np.ndarray, k: int = 4) -> np.ndarray:
+    """Vectorized membership mask (True = possibly present; no false
+    negatives). ``words`` may be a zero-copy view over a plasma buffer."""
+    m_bits = len(words) * 64
+    if len(keys) == 0:
+        return np.zeros(0, dtype=bool)
+    pos = _probe_positions(keys, m_bits, k)  # (k, n)
+    with np.errstate(over="ignore"):
+        hit = (
+            words[pos // 64] >> (pos % 64).astype(np.uint64)
+        ) & np.uint64(1)
+    return hit.all(axis=0)
+
+
+class BloomPrune:
+    """Probe-side pruning stage: drop rows whose key is provably absent.
+
+    ``bits_ref`` is a ``ray.put`` handle — resolved once per worker (Ray
+    de-duplicates the object per node), mapped zero-copy.
+    """
+
+    def __init__(self, bits_ref, key_col: str, k: int = 4):
+        try:
+            import ray
+
+            if isinstance(bits_ref, ray.ObjectRef):
+                bits_ref = ray.get(bits_ref)
+        except Exception:
+            pass
+        self.words = np.asarray(bits_ref, dtype=np.uint64)
+        self.key_col = key_col
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = batch.column(self.key_col).to_numpy()
+        mask = bloom_contains(self.words, keys, self.k)
+        return batch.filter(pa.array(mask))

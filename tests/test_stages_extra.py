@@ -370,3 +370,61 @@ def test_image_feature_knn_chain(ray_session):
     a = df.sort_values(["image_id", "rank"]).reset_index(drop=True)
     b = df2.sort_values(["image_id", "rank"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_bloom_filter_properties(ray_session):
+    """Bloom kernel: zero false negatives over the build set, bounded FPR
+    over disjoint probes, and the distributed OR-reduce build equals a
+    single-pass local build."""
+    import numpy as np
+    import ray.data
+
+    from plateau_gis_converter_ray.stages.bloom import (
+        _partial_bits,
+        bloom_build,
+        bloom_contains,
+    )
+
+    rng_keys = np.arange(10_000, dtype=np.int64) * 7919 + 13
+    m_bits, k = 1 << 17, 4
+
+    local = _partial_bits(rng_keys, m_bits, k)
+    ds = ray.data.from_pandas(
+        __import__("pandas").DataFrame({"key": rng_keys})
+    ).repartition(8)
+    distributed = bloom_build(ds, "key", m_bits=m_bits, k=k)
+    assert np.array_equal(local, distributed)
+
+    # no false negatives
+    assert bloom_contains(distributed, rng_keys, k).all()
+
+    # FPR on 10k disjoint keys: n/m = 10k/131k, k=4 -> theoretical ~0.55%;
+    # allow generous slack
+    probe = np.arange(10_000, dtype=np.int64) * 7919 + 14
+    fpr = bloom_contains(distributed, probe, k).mean()
+    assert fpr < 0.03
+
+
+def test_bloom_prune_keeps_join_result(ray_session):
+    """BloomPrune never drops a row whose key is in the build side."""
+    import numpy as np
+    import pandas as pd
+    import ray
+    import ray.data
+
+    from plateau_gis_converter_ray.stages.bloom import (
+        BloomPrune,
+        bloom_build,
+    )
+
+    build = pd.DataFrame({"key": np.arange(0, 1000, 3, dtype=np.int64)})
+    probe = pd.DataFrame({"key": np.arange(0, 1000, dtype=np.int64)})
+    bits = bloom_build(ray.data.from_pandas(build), "key", m_bits=1 << 14)
+    pruned = (
+        ray.data.from_pandas(probe)
+        .map_batches(BloomPrune(ray.put(bits), "key"), batch_format="pyarrow")
+        .to_pandas()
+    )
+    kept = set(pruned["key"])
+    assert set(build["key"]).issubset(kept)  # no false negatives
+    assert len(kept) < len(probe)  # actually pruned something
