@@ -1974,6 +1974,53 @@ GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# 44. Sketches (stages/sketch.py): HLL approx-distinct (rows-only; error
+# pinned in pytest) and Count-Min threshold heavy hitters — oracle-gated
+# EXACT because the sketch only generates a candidate SUPERSET (Count-Min
+# never undercounts) and an exact recount of the candidates closes it.
+
+
+def q_approx_distinct_events(sf_dir: str):
+    """HLL(p=12) distinct event_id estimate: 4 KB of registers per block
+    through the merge tree instead of an all-keys shuffle."""
+    from ..stages.sketch import approx_distinct
+
+    ds = _read(sf_dir, "events", ["event_id"])
+    return approx_distinct(ds, "event_id", p=12)
+
+
+def q_heavy_users(sf_dir: str):
+    """Users with >= 0.75% of all events. Plan: distributed Count-Min build
+    (one (4x2048) partial per block, sum tree merge) -> per-key prune at
+    the map stage (estimate >= t keeps ALL of a key's rows or none, and
+    never drops a true heavy hitter) -> exact recount of candidates via
+    the combiner tree -> threshold filter. The sketch bounds every task's
+    memory; the exact tail makes the answer oracle-exact."""
+    import math
+
+    from ..stages.sketch import cm_build, cm_query
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    total = ds.count()
+    t = math.ceil(0.0075 * total)
+    cm = cm_build(ds, "user_id", w=2048, d=4)
+
+    def prune(batch: pa.Table) -> pa.Table:
+        est = cm_query(cm, batch.column("user_id").to_numpy())
+        return batch.filter(pa.array(est >= t))
+
+    cand = ds.map_batches(prune, batch_format="pyarrow")
+    counts = tree_group_agg(cand, ["user_id"], {"n": (None, "count")})
+    return counts.filter(expr=f"n >= {t}")
+
+
+_SQL_HEAVY_USERS = """
+SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1
+HAVING COUNT(*) >= CEIL(0.0075 * (SELECT COUNT(*) FROM events))
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 QUERIES = {
@@ -2019,6 +2066,8 @@ QUERIES = {
     "ngram_jaccard_pairs": q_ngram_jaccard,
     "hopping_window": q_hopping_window,
     "top_orders_bloom": q_top_orders_bloom,
+    "approx_distinct_events": q_approx_distinct_events,
+    "heavy_users": q_heavy_users,
     "large_orders": q_large_orders,
     "promo_revenue": q_promo_revenue,
     "volume_shipping": q_volume_shipping,
@@ -2067,6 +2116,7 @@ ORACLES = {
     "ngram_jaccard_pairs": _SQL_NGRAM_JACCARD,
     "hopping_window": _SQL_HOPPING_WINDOW,
     "top_orders_bloom": _SQL_TOP_ORDERS,
+    "heavy_users": _SQL_HEAVY_USERS,
     "large_orders": _SQL_LARGE_ORDERS,
     "promo_revenue": _SQL_PROMO_REVENUE,
     "volume_shipping": _SQL_VOLUME_SHIPPING,

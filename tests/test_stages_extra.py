@@ -428,3 +428,43 @@ def test_bloom_prune_keeps_join_result(ray_session):
     kept = set(pruned["key"])
     assert set(build["key"]).issubset(kept)  # no false negatives
     assert len(kept) < len(probe)  # actually pruned something
+
+
+def test_hll_sketch(ray_session):
+    """HLL: distributed register-max merge equals the single-pass build,
+    the merge is the max of partials, and the estimate is within 4% of
+    exact cardinality at two scales."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from plateau_gis_converter_ray.stages.sketch import (
+        approx_distinct,
+        hll_estimate,
+        hll_partial,
+    )
+
+    for n in (1_000, 50_000):
+        keys = np.arange(n, dtype=np.int64) * 2654435761 + 7
+        local = hll_estimate(hll_partial(keys))
+        assert abs(local - n) / n < 0.04
+        ds = ray.data.from_pandas(pd.DataFrame({"k": keys})).repartition(8)
+        dist = approx_distinct(ds, "k").to_pandas()["approx_distinct"].iloc[0]
+        assert dist == round(local)
+
+
+def test_cm_sketch_superset_guarantee():
+    """Count-Min never undercounts, so the threshold candidate set is a
+    superset of the true heavy hitters at ANY threshold."""
+    import numpy as np
+
+    from plateau_gis_converter_ray.stages.sketch import cm_partial, cm_query
+
+    rng = np.random.default_rng(7)
+    keys = rng.zipf(1.3, 50_000).astype(np.int64)
+    uniq, true = np.unique(keys, return_counts=True)
+    cm = cm_partial(keys, 2048, 4)
+    est = cm_query(cm, uniq)
+    assert (est >= true).all()
+    for t in (10, 100, 1000):
+        assert set(uniq[true >= t]) <= set(uniq[est >= t])
