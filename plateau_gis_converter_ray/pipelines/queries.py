@@ -2001,9 +2001,11 @@ def q_heavy_users(sf_dir: str):
     from ..stages.sketch import cm_build, cm_query
 
     ds = _read(sf_dir, "events", ["user_id"])
-    total = ds.count()
-    t = math.ceil(0.0075 * total)
     cm = cm_build(ds, "user_id", w=2048, d=4)
+    # every row increments each of the d counter rows once, so a row-sum
+    # of the merged sketch IS the exact total — no separate count() pass
+    total = int(cm[0].sum())
+    t = math.ceil(0.0075 * total)
 
     def prune(batch: pa.Table) -> pa.Table:
         est = cm_query(cm, batch.column("user_id").to_numpy())
