@@ -51,7 +51,64 @@ def main(argv=None):
     ls = sub.add_parser("sinks", help="list builtin sinks and their parameters")
     sub.add_parser("sources", help="list builtin source providers")
 
+    q = sub.add_parser(
+        "query",
+        help="run a registry pipeline by name (the __ray_entry__.queries() "
+             "surface) and write its result",
+    )
+    q.add_argument("name", nargs="?", default=None,
+                   help="query name; omit to list all registered queries")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    q.add_argument("--out", default=None,
+                   help="output parquet path (directory); default = print "
+                        "row count + head only")
+    q.add_argument("--num-cpus", type=int, default=8)
+
     args = p.parse_args(argv)
+
+    if args.cmd == "query":
+        sys.path.insert(
+            0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+        import __ray_entry__ as entrymod
+
+        registry = entrymod.queries()
+        oracles = entrymod.oracle_sql()
+        if args.name is None:
+            for name in sorted(registry):
+                gate = "oracle" if name in oracles else "rows"
+                print(f"{name:28s} [{gate}]")
+            return 0
+        if args.name not in registry:
+            print(f"unknown query {args.name!r}; run without a name to list",
+                  file=sys.stderr)
+            return 2
+
+        import ray
+
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+        t0 = time.perf_counter()
+        try:
+            result = registry[args.name](args.sf_dir)
+            if args.out and hasattr(result, "write_parquet"):
+                result.write_parquet(args.out)
+                n = "written"
+            else:
+                df = result.to_pandas() if hasattr(result, "to_pandas") else result
+                if args.out:
+                    df.to_parquet(os.path.join(args.out, "result.parquet")) \
+                        if os.path.isdir(args.out) else df.to_parquet(args.out)
+                n = len(df)
+            print(json.dumps({"query": args.name, "rows": n,
+                              "elapsed_s": round(time.perf_counter() - t0, 3)}))
+            return 0
+        finally:
+            ray.shutdown()
 
     from plateau_gis_converter_ray.pipelines.build import (
         BUILTIN_SINKS,

@@ -274,3 +274,27 @@ def test_reference_user_journey_3dtiles(tmp_path):
     ts = tileset_from_aggregate(rows, str(tmp_path / "tileset.json"))
     assert ts["root"]["geometricError"] > 0
     assert (tmp_path / "tileset.json").exists()
+
+
+def test_cli_query_listing_and_unknown():
+    """`query` with no name lists every registry entry with its gate;
+    an unknown name exits 2 (no Ray session started either way)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from plateau_gis_converter_ray.__main__ import main
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(["query"])
+    assert rc == 0
+    lines = buf.getvalue().strip().splitlines()
+    assert len(lines) >= 65
+    assert any("[oracle]" in ln for ln in lines)
+    assert any("[rows]" in ln for ln in lines)
+
+    import contextlib
+    err = io.StringIO()
+    with redirect_stdout(io.StringIO()), contextlib.redirect_stderr(err):
+        rc = main(["query", "no_such_query"])
+    assert rc == 2
