@@ -2023,6 +2023,45 @@ HAVING COUNT(*) >= CEIL(0.0075 * (SELECT COUNT(*) FROM events))
 
 
 # ---------------------------------------------------------------------------
+# 45. Deterministic hash split (train/test) — the dataset-split op every
+# training pipeline needs: the split is a pure function of the KEY (stable
+# under re-runs, re-partitioning and resume), vectorized per batch, and
+# exactly twinned in SQL via the same multiplicative-hash arithmetic
+# (key * Knuth's 2654435761 mod 2^32 — no 64-bit overflow on either side).
+
+
+def q_hash_split(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def split(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy()
+        h = (uid * 2654435761) % (1 << 32)
+        train = (h % 1000) < 800
+        v = np.round(batch.column("value").to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {
+                "split": pa.array(np.where(train, "train", "test")),
+                "value_c": pa.array(v),
+            }
+        )
+
+    ds = ds.map_batches(split, batch_format="pyarrow")
+    return tree_group_agg(
+        ds, ["split"],
+        {"n": (None, "count"), "sum_value_c": ("value_c", "sum")},
+    )
+
+
+_SQL_HASH_SPLIT = """
+SELECT CASE WHEN ((user_id * 2654435761) % 4294967296) % 1000 < 800
+            THEN 'train' ELSE 'test' END AS split,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+FROM events GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 QUERIES = {
@@ -2070,6 +2109,7 @@ QUERIES = {
     "top_orders_bloom": q_top_orders_bloom,
     "approx_distinct_events": q_approx_distinct_events,
     "heavy_users": q_heavy_users,
+    "hash_split": q_hash_split,
     "large_orders": q_large_orders,
     "promo_revenue": q_promo_revenue,
     "volume_shipping": q_volume_shipping,
@@ -2119,6 +2159,7 @@ ORACLES = {
     "hopping_window": _SQL_HOPPING_WINDOW,
     "top_orders_bloom": _SQL_TOP_ORDERS,
     "heavy_users": _SQL_HEAVY_USERS,
+    "hash_split": _SQL_HASH_SPLIT,
     "large_orders": _SQL_LARGE_ORDERS,
     "promo_revenue": _SQL_PROMO_REVENUE,
     "volume_shipping": _SQL_VOLUME_SHIPPING,
