@@ -2062,6 +2062,47 @@ FROM events GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# 46. Event-time tumbling windows over a late-arriving stream (watermark +
+# allowed lateness, per-bucket actors — stages/streaming.py). Two registry
+# views: with unbounded lateness every event lands in its window, so the
+# bucket-merged totals equal the exact batch tumbling aggregate — SQL-
+# twinnable; the tight-lateness variant (genuine drops, conservation
+# accounting) is rows-only and pytest-pinned.
+
+
+def q_stream_tumbling(sf_dir: str) -> pd.DataFrame:
+    from ..stages.streaming import stream_windowed_counts
+
+    df = stream_windowed_counts(sf_dir, lateness_s=10**9)
+    win = df[df["win_start_us"] >= 0]
+    out = (
+        win.groupby("win_start_us", as_index=False)
+        .agg(n=("n", "sum"), sum_value_c=("sum_value_c", "sum"))
+        .sort_values("win_start_us")
+        .reset_index(drop=True)
+    )
+    return out
+
+
+_SQL_STREAM_TUMBLING = """
+SELECT CAST(FLOOR(EPOCH(ts) / 86400) * 86400 * 1000000 AS BIGINT)
+         AS win_start_us,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+FROM events GROUP BY 1
+"""
+
+
+def q_stream_windowed_late(sf_dir: str) -> pd.DataFrame:
+    """Tight-lateness variant: per-(bucket, window) rows plus per-bucket
+    late-drop accounting rows (win_start_us = -1); conservation
+    (emitted + flushed + dropped == total events) is pytest-pinned."""
+    from ..stages.streaming import stream_windowed_counts
+
+    return stream_windowed_counts(sf_dir)
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 QUERIES = {
@@ -2113,6 +2154,8 @@ QUERIES = {
     "large_orders": q_large_orders,
     "promo_revenue": q_promo_revenue,
     "volume_shipping": q_volume_shipping,
+    "stream_tumbling_windows": q_stream_tumbling,
+    "stream_windowed_late": q_stream_windowed_late,
 }
 
 ORACLES = {
@@ -2163,4 +2206,5 @@ ORACLES = {
     "large_orders": _SQL_LARGE_ORDERS,
     "promo_revenue": _SQL_PROMO_REVENUE,
     "volume_shipping": _SQL_VOLUME_SHIPPING,
+    "stream_tumbling_windows": _SQL_STREAM_TUMBLING,
 }

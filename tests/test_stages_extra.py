@@ -468,3 +468,50 @@ def test_cm_sketch_superset_guarantee():
     assert (est >= true).all()
     for t in (10, 100, 1000):
         assert set(uniq[true >= t]) <= set(uniq[est >= t])
+
+
+def test_stream_windowed_watermark(ray_session):
+    """Event-time windows + watermark + allowed lateness:
+    (1) conservation — emitted + flushed + late_dropped == total rows;
+    (2) with unbounded lateness nothing drops and window totals equal the
+        exact batch tumbling aggregate;
+    (3) with the default (tight) lateness some events genuinely drop and
+        every finalized window's end+lateness is at or below the final
+        watermark by construction."""
+    import numpy as np
+    import pandas as pd
+
+    from plateau_gis_converter_ray.stages.streaming import stream_windowed_counts
+
+    sf = "/root/testdata/sf0.001"
+    total = len(pd.read_parquet(sf + "/events.parquet"))
+
+    # (2) unbounded lateness == exact batch recompute
+    df = stream_windowed_counts(sf, lateness_s=10**9)
+    drops = df[df["win_start_us"] == -1]["n"].sum()
+    assert drops == 0
+    win = df[df["win_start_us"] >= 0]
+    assert win["n"].sum() == total
+
+    ev = pd.read_parquet(sf + "/events.parquet")
+    win_us = 86400 * 10**6
+    ev["win"] = (ev["ts"].astype("int64") // win_us) * win_us
+    ev["value_c"] = (ev["value"] * 100).round().astype("int64")
+    ref = ev.groupby("win", as_index=False).agg(
+        n=("value_c", "size"), sum_value_c=("value_c", "sum")
+    )
+    got = win.groupby("win_start_us", as_index=False).agg(
+        n=("n", "sum"), sum_value_c=("sum_value_c", "sum")
+    )
+    assert got["n"].tolist() == ref["n"].tolist()
+    assert got["sum_value_c"].tolist() == ref["sum_value_c"].tolist()
+
+    # (1)+(3) tight lateness: conservation holds and late events exist
+    df2 = stream_windowed_counts(sf)  # delay_max 2d >> skew+lateness 2h
+    drops2 = int(df2[df2["win_start_us"] == -1]["n"].sum())
+    kept2 = int(df2[df2["win_start_us"] >= 0]["n"].sum())
+    assert kept2 + drops2 == total
+    assert drops2 > 0
+    # determinism
+    df3 = stream_windowed_counts(sf)
+    assert df2.equals(df3)
