@@ -1754,6 +1754,49 @@ FROM p WHERE uni > 0 AND (inter * 1000000) // uni >= 300000
 
 
 # ---------------------------------------------------------------------------
+# 40b. Duplicate clusters: distributed connected components (alternating
+# large-star/small-star, stages/graph.py) over the n-gram-Jaccard pair
+# graph — pairs -> clusters, the keep-one-per-cluster step every dedup
+# pipeline ends with. Oracle: same pair SQL + recursive-CTE transitive
+# closure, component id = min reachable node.
+
+
+def q_dup_clusters(sf_dir: str):
+    from ..stages.dedup import ngram_jaccard_blocked
+    from ..stages.graph import connected_components
+
+    pairs = ngram_jaccard_blocked(sf_dir).select_columns(["doc_a", "doc_b"])
+    return connected_components(pairs)
+
+
+_SQL_DUP_CLUSTERS = """
+WITH RECURSIVE sh AS (
+  SELECT doc_id, lang, source, n_chars // 32 AS lb,
+         list_distinct(
+           list_transform(range(1, length(text) - 1),
+                          i -> substring(text, i, 3))) AS grams
+  FROM documents
+), p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b
+    ON a.lang = b.lang AND a.source = b.source AND a.lb = b.lb
+   AND a.doc_id < b.doc_id
+  WHERE len(list_distinct(list_concat(a.grams, b.grams))) > 0
+    AND (len(list_intersect(a.grams, b.grams)) * 1000000)
+        // len(list_distinct(list_concat(a.grams, b.grams))) >= 300000
+), sym AS (
+  SELECT doc_a AS u, doc_b AS v FROM p
+  UNION ALL SELECT doc_b, doc_a FROM p
+), reach AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+)
+SELECT u AS doc_id, LEAST(u, MIN(v)) AS comp FROM reach GROUP BY u
+"""
+
+
+# ---------------------------------------------------------------------------
 # 41. Q18-style "large orders": aggregate -> HAVING filter -> two hash joins.
 # New plan shape vs top_orders: the filter runs on the AGGREGATE (post-
 # combiner, one row per order), so both joins only move qualifying keys.
@@ -2146,6 +2189,7 @@ QUERIES = {
     "median_value_per_user": q_median_value_per_user,
     "mode_event_type": q_mode_event_type,
     "ngram_jaccard_pairs": q_ngram_jaccard,
+    "dup_clusters": q_dup_clusters,
     "hopping_window": q_hopping_window,
     "top_orders_bloom": q_top_orders_bloom,
     "approx_distinct_events": q_approx_distinct_events,
@@ -2199,6 +2243,7 @@ ORACLES = {
     "median_value_per_user": _SQL_MEDIAN,
     "mode_event_type": _SQL_MODE,
     "ngram_jaccard_pairs": _SQL_NGRAM_JACCARD,
+    "dup_clusters": _SQL_DUP_CLUSTERS,
     "hopping_window": _SQL_HOPPING_WINDOW,
     "top_orders_bloom": _SQL_TOP_ORDERS,
     "heavy_users": _SQL_HEAVY_USERS,

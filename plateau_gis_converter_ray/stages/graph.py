@@ -1,0 +1,150 @@
+"""Distributed connected components (alternating large-star / small-star).
+
+Public algorithm: Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii,
+"Connected Components in MapReduce and Beyond" (ACM SoCC 2014): alternate
+two neighborhood-local contractions until the edge set is a union of stars
+pointing at each component's minimum node; converges in O(log n) rounds
+regardless of graph diameter (a plain min-label propagation needs
+O(diameter)). Each round here is one symmetrize/orient ``map_batches``
+pass plus one ``groupby(node).map_groups`` pass with numpy inside the
+group; the driver only ever sees a four-word checksum per round, never an
+edge. The per-round frontier (the distinct edge set) is materialized so
+iteration r+1 does not re-execute rounds 1..r's lineage — it is bounded
+by the pair-operator output, not the corpus.
+
+Role: turns the near-dup PAIR operators (minhash / simhash / n-gram
+Jaccard / embedding near-dup) into duplicate CLUSTERS — the
+keep-one-per-cluster step every dedup pipeline ends with. The reference
+dedups via exact-key hash buckets (nusamai geometry.rs:86-122) where
+components are trivially cliques; thresholded near-dup graphs need a real
+CC.
+
+Skew note: a component's root accumulates its whole component as
+neighbors, so late-round groups can be as large as the largest component.
+That is inherent to star-contraction; the alternation bounds total edges
+emitted per round by the current edge count (paper, Lemma 3.1), and
+duplicate-cluster graphs have small components by construction (the pair
+threshold caps cluster growth).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .treeagg import clean_arrow, tree_group_agg
+
+_EMPTY_EDGES = pd.DataFrame({"u": [], "v": []}).astype("int64")
+
+
+def _distinct_edges(ds):
+    """Global (u, v) dedup through the combiner tree (16 bytes/row moves)."""
+    out = tree_group_agg(ds, ["u", "v"], {"n": (None, "count")})
+    return out.select_columns(["u", "v"])
+
+
+def _star_round(ds, kind: str):
+    import pyarrow as pa
+
+    if kind == "large":
+        # symmetrize: every edge contributes to both endpoints' neighborhoods
+        def prep(batch: pa.Table) -> pa.Table:
+            u = batch.column("u").to_numpy()
+            v = batch.column("v").to_numpy()
+            return pa.table(
+                {"u": np.concatenate([u, v]), "v": np.concatenate([v, u])}
+            )
+    else:
+        # orient each edge from its larger endpoint (small-star operates on
+        # strictly-smaller neighborhoods)
+        def prep(batch: pa.Table) -> pa.Table:
+            u = batch.column("u").to_numpy()
+            v = batch.column("v").to_numpy()
+            return pa.table(
+                {"u": np.maximum(u, v), "v": np.minimum(u, v)}
+            )
+
+    def star(g: pd.DataFrame) -> pd.DataFrame:
+        u = int(g["u"].iat[0])
+        v = g["v"].to_numpy()
+        m = min(int(v.min()), u)
+        if kind == "large":
+            keep = v[v > u]  # connect strictly-larger neighbors to the min
+            if not len(keep):
+                return _EMPTY_EDGES
+            return pd.DataFrame({"u": keep, "v": np.full(len(keep), m)})
+        # small: connect every smaller neighbor AND u itself to the min
+        keep = v[v != m]
+        return pd.DataFrame(
+            {
+                "u": np.concatenate([keep, [u]]),
+                "v": np.full(len(keep) + 1, m),
+            }
+        )
+
+    ds = ds.map_batches(prep, batch_format="pyarrow")
+    return ds.groupby("u").map_groups(star, batch_format="pandas")
+
+
+def _checksum(ds) -> tuple:
+    """Order-free 4-word digest of the distinct edge set (driver scalars)."""
+    import pyarrow as pa
+
+    def digest(batch: pa.Table) -> pa.Table:
+        u = batch.column("u").to_numpy()
+        v = batch.column("v").to_numpy()
+        mix = (u * 1_000_003 + v) % (1 << 61)
+        return pa.table(
+            {
+                "n": pa.array([len(u)]),
+                "su": pa.array([int(u.sum())]),
+                "sv": pa.array([int(v.sum())]),
+                "sm": pa.array([int(mix.sum() % (1 << 61))]),
+            }
+        )
+
+    agg = ds.map_batches(digest, batch_format="pyarrow").sum(
+        ["n", "su", "sv", "sm"]
+    )
+    return (agg["sum(n)"], agg["sum(su)"], agg["sum(sv)"], agg["sum(sm)"])
+
+
+def connected_components(edges, src: str = "doc_a", dst: str = "doc_b",
+                         max_rounds: int = 50):
+    """Labels every node appearing in ``edges`` with its component's minimum
+    node id. Returns a Dataset with columns (doc_id, comp), one row per
+    distinct node. Self-loops are ignored; isolated nodes (absent from the
+    edge list) do not appear."""
+    import pyarrow as pa
+
+    def init(batch: pa.Table) -> pa.Table:
+        u = batch.column(src).cast(pa.int64()).to_numpy()
+        v = batch.column(dst).cast(pa.int64()).to_numpy()
+        keep = u != v
+        return pa.table({"u": u[keep], "v": v[keep]})
+
+    ds = _distinct_edges(edges.map_batches(init, batch_format="pyarrow"))
+    prev = None
+    for _ in range(max_rounds):
+        ds = _star_round(ds, "large")
+        ds = _star_round(ds, "small")
+        ds = _distinct_edges(ds).materialize()
+        ck = _checksum(ds)
+        if ck == prev:
+            break
+        prev = ck
+
+    # converged star set: (child, root) edges; add (root, root) rows and
+    # collapse — min() also self-corrects a child that appears twice
+    def with_roots(batch: pa.Table) -> pa.Table:
+        u = batch.column("u").to_numpy()
+        v = batch.column("v").to_numpy()
+        return pa.table(
+            {
+                "doc_id": np.concatenate([u, v]),
+                "comp": np.concatenate([v, v]),
+            }
+        )
+
+    labelled = ds.map_batches(with_roots, batch_format="pyarrow")
+    return tree_group_agg(labelled, ["doc_id"], {"comp": ("comp", "min")})
