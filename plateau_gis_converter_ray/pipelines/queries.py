@@ -2105,6 +2105,135 @@ FROM events GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# 45b. PII detection + redaction — the scrub step of a training-data
+# pipeline. The synthetic corpus has no natural PII, so the operator spec
+# includes a deterministic injection (email for doc_id%3==0, phone for
+# doc_id%5==0) expressed identically on both sides; detection/redaction
+# run vectorized RE2 (pyarrow.compute) and the oracle uses DuckDB's RE2
+# regexp functions — same engine, bit-identical match semantics.
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"0\d{2}-\d{4}-\d{4}"
+
+
+def q_pii_redact(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def redact(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        did = batch.column("doc_id").to_numpy()
+        s = pd.Series(did)
+        email = np.where(
+            did % 3 == 0,
+            " contact user" + s.astype(str) + "@mail"
+            + (s % 7).astype(str) + ".example.com",
+            "",
+        )
+        phone = np.where(
+            did % 5 == 0,
+            " call 090-" + (s % 10000).astype(str).str.zfill(4) + "-1234",
+            "",
+        )
+        txt = pc.binary_join_element_wise(
+            batch.column("text").cast(pa.string()),
+            pa.array(email, type=pa.string()),
+            pa.array(phone, type=pa.string()),
+            "",
+        )
+        red = pc.replace_substring_regex(
+            pc.replace_substring_regex(txt, _PII_EMAIL, "[EMAIL]"),
+            _PII_PHONE,
+            "[PHONE]",
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_emails": pc.count_substring_regex(txt, _PII_EMAIL).cast(
+                    pa.int64()
+                ),
+                "n_phones": pc.count_substring_regex(txt, _PII_PHONE).cast(
+                    pa.int64()
+                ),
+                "red_len": pc.utf8_length(red).cast(pa.int64()),
+            }
+        )
+
+    return ds.map_batches(redact, batch_format="pyarrow")
+
+
+_SQL_PII_REDACT = f"""
+WITH t AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@mail' || CAST(doc_id % 7 AS VARCHAR)
+                      || '.example.com' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' call 090-'
+                      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                      || '-1234' ELSE '' END AS full_text
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(full_text, '{_PII_EMAIL}')) AS n_emails,
+       len(regexp_extract_all(full_text, '{_PII_PHONE}')) AS n_phones,
+       length(regexp_replace(
+         regexp_replace(full_text, '{_PII_EMAIL}', '[EMAIL]', 'g'),
+         '{_PII_PHONE}', '[PHONE]', 'g')) AS red_len
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# 45c. Deterministic stratified sampling — k docs per language by
+# multiplicative-hash rank (pure function of the key: stable under
+# re-runs, re-partitioning and resume, like hash_split). Scale plan: each
+# block keeps at most k rows per stratum BEFORE the exchange, so the
+# shuffle carries O(k x strata x blocks), never the corpus.
+
+
+def q_stratified_sample(sf_dir: str, k: int = 20):
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def rank_key(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id").to_numpy()
+        h = (did * 2654435761) % (1 << 32)
+        return pa.table(
+            {"lang": batch.column("lang"), "doc_id": batch.column("doc_id"),
+             "h": pa.array(h.astype(np.int64))}
+        )
+
+    def block_prune(df: pd.DataFrame) -> pa.Table:
+        from ..stages.treeagg import clean_arrow
+
+        df = df.sort_values(["lang", "h", "doc_id"])
+        return clean_arrow(df.groupby("lang", as_index=False).head(k))
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["h", "doc_id"]).head(k)[
+            ["lang", "doc_id", "h"]
+        ]
+
+    ds = ds.map_batches(rank_key, batch_format="pyarrow")
+    ds = ds.map_batches(block_prune, batch_format="pandas", batch_size=None)
+    return ds.groupby("lang").map_groups(final_topk, batch_format="pandas")
+
+
+_SQL_STRATIFIED_SAMPLE = """
+WITH r AS (
+  SELECT lang, doc_id, (doc_id * 2654435761) % 4294967296 AS h,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
+  FROM documents
+)
+SELECT lang, doc_id, h FROM r WHERE rn <= 20
+"""
+
+
+# ---------------------------------------------------------------------------
 # 46. Event-time tumbling windows over a late-arriving stream (watermark +
 # allowed lateness, per-bucket actors — stages/streaming.py). Two registry
 # views: with unbounded lateness every event lands in its window, so the
@@ -2195,6 +2324,8 @@ QUERIES = {
     "approx_distinct_events": q_approx_distinct_events,
     "heavy_users": q_heavy_users,
     "hash_split": q_hash_split,
+    "pii_redact": q_pii_redact,
+    "stratified_sample": q_stratified_sample,
     "large_orders": q_large_orders,
     "promo_revenue": q_promo_revenue,
     "volume_shipping": q_volume_shipping,
@@ -2248,6 +2379,8 @@ ORACLES = {
     "top_orders_bloom": _SQL_TOP_ORDERS,
     "heavy_users": _SQL_HEAVY_USERS,
     "hash_split": _SQL_HASH_SPLIT,
+    "pii_redact": _SQL_PII_REDACT,
+    "stratified_sample": _SQL_STRATIFIED_SAMPLE,
     "large_orders": _SQL_LARGE_ORDERS,
     "promo_revenue": _SQL_PROMO_REVENUE,
     "volume_shipping": _SQL_VOLUME_SHIPPING,
