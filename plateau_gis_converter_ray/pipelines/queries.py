@@ -2105,6 +2105,79 @@ FROM events GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# 45a2. Top terms per document (inverted-index / TF-DF scoring): tokenize
+# -> per-(doc, term) tf via the combiner tree -> per-term document
+# frequency -> ONE hash-join exchange tf JOIN df on term -> per-doc top-3
+# by the df-normalized score tf/df. The ranking ratio is an IEEE division
+# of small ints (bit-identical across engines); emitted columns are ints
+# only. The per-block prune keeps <= 3 rows per (doc, block) before the
+# final doc shuffle, so the last exchange is rank-bounded, not
+# corpus-bounded.
+
+
+def q_top_terms(sf_dir: str, k: int = 3):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tokens(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        toks = pc.split_pattern(batch.column("text").cast(pa.string()), " ")
+        lens = pc.list_value_length(toks).to_numpy()
+        did = np.repeat(batch.column("doc_id").to_numpy(), lens)
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "")
+        return pa.table(
+            {"doc_id": pa.array(did), "term": flat}
+        ).filter(keep)
+
+    tok = ds.map_batches(tokens, batch_format="pyarrow")
+    tf = tree_group_agg(tok, ["doc_id", "term"], {"tf": (None, "count")})
+    df = tree_group_agg(tf, ["term"], {"df": (None, "count")})
+    joined = tf.join(
+        df, "inner", num_partitions=JOIN_PARTS, on=("term",)
+    )
+
+    def block_prune(g: pd.DataFrame) -> pa.Table:
+        from ..stages.treeagg import clean_arrow
+
+        g = g.assign(score=g["tf"].to_numpy() / g["df"].to_numpy())
+        g = g.sort_values(["doc_id", "score", "term"],
+                          ascending=[True, False, True])
+        out = g.groupby("doc_id", as_index=False).head(k)
+        return clean_arrow(out[["doc_id", "term", "tf", "df"]])
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(score=g["tf"].to_numpy() / g["df"].to_numpy())
+        g = g.sort_values(["score", "term"], ascending=[False, True]).head(k)
+        return g[["doc_id", "term", "tf", "df"]]
+
+    pruned = joined.map_batches(
+        block_prune, batch_format="pandas", batch_size=None
+    )
+    return pruned.groupby("doc_id").map_groups(
+        final_topk, batch_format="pandas"
+    )
+
+
+_SQL_TOP_TERMS = """
+WITH tok AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok WHERE term <> '' GROUP BY 1, 2
+), df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+), r AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                            ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC,
+                                     tf.term ASC) AS rn
+  FROM tf JOIN df USING (term)
+)
+SELECT doc_id, term, tf, df FROM r WHERE rn <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
 # 45b. PII detection + redaction — the scrub step of a training-data
 # pipeline. The synthetic corpus has no natural PII, so the operator spec
 # includes a deterministic injection (email for doc_id%3==0, phone for
@@ -2325,6 +2398,7 @@ QUERIES = {
     "heavy_users": q_heavy_users,
     "hash_split": q_hash_split,
     "pii_redact": q_pii_redact,
+    "top_terms_per_doc": q_top_terms,
     "stratified_sample": q_stratified_sample,
     "large_orders": q_large_orders,
     "promo_revenue": q_promo_revenue,
@@ -2380,6 +2454,7 @@ ORACLES = {
     "heavy_users": _SQL_HEAVY_USERS,
     "hash_split": _SQL_HASH_SPLIT,
     "pii_redact": _SQL_PII_REDACT,
+    "top_terms_per_doc": _SQL_TOP_TERMS,
     "stratified_sample": _SQL_STRATIFIED_SAMPLE,
     "large_orders": _SQL_LARGE_ORDERS,
     "promo_revenue": _SQL_PROMO_REVENUE,
