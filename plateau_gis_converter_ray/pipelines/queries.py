@@ -2115,7 +2115,9 @@ FROM events GROUP BY 1
 # corpus-bounded.
 
 
-def q_top_terms(sf_dir: str, k: int = 3):
+def _doc_tf(sf_dir: str):
+    """(doc_id, term, tf) via whitespace tokenize + combiner tree; shared by
+    the term-scoring and repetition-quality operators."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def tokens(batch: pa.Table) -> pa.Table:
@@ -2131,7 +2133,11 @@ def q_top_terms(sf_dir: str, k: int = 3):
         ).filter(keep)
 
     tok = ds.map_batches(tokens, batch_format="pyarrow")
-    tf = tree_group_agg(tok, ["doc_id", "term"], {"tf": (None, "count")})
+    return tree_group_agg(tok, ["doc_id", "term"], {"tf": (None, "count")})
+
+
+def q_top_terms(sf_dir: str, k: int = 3):
+    tf = _doc_tf(sf_dir)
     df = tree_group_agg(tf, ["term"], {"df": (None, "count")})
     joined = tf.join(
         df, "inner", num_partitions=JOIN_PARTS, on=("term",)
@@ -2174,6 +2180,176 @@ WITH tok AS (
   FROM tf JOIN df USING (term)
 )
 SELECT doc_id, term, tf, df FROM r WHERE rn <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# 45a3. Repetition-based quality signals (the Gopher-style repetition
+# filters): per doc, most-common-word fraction and duplicate-word
+# fraction, integer-scaled. Reuses the (doc, term, tf) combiner tree; the
+# second aggregate is one row per doc.
+
+
+def q_doc_repetition(sf_dir: str):
+    tf = _doc_tf(sf_dir)
+    d = tree_group_agg(
+        tf, ["doc_id"],
+        {
+            "n_tok": ("tf", "sum"),
+            "max_tf": ("tf", "max"),
+            "n_terms": (None, "count"),
+        },
+    )
+
+    def ratios(batch: pa.Table) -> pa.Table:
+        n_tok = batch.column("n_tok").to_numpy()
+        max_tf = batch.column("max_tf").to_numpy()
+        n_terms = batch.column("n_terms").to_numpy()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tok": batch.column("n_tok"),
+                "max_tf": batch.column("max_tf"),
+                "n_terms": batch.column("n_terms"),
+                "rep_e6": pa.array(max_tf * 1_000_000 // n_tok),
+                "dup_e6": pa.array((n_tok - n_terms) * 1_000_000 // n_tok),
+            }
+        )
+
+    return d.map_batches(ratios, batch_format="pyarrow")
+
+
+_SQL_DOC_REPETITION = """
+WITH tok AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok WHERE term <> '' GROUP BY 1, 2
+), d AS (
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tok,
+         CAST(MAX(tf) AS BIGINT) AS max_tf, COUNT(*) AS n_terms
+  FROM tf GROUP BY 1
+)
+SELECT doc_id, n_tok, max_tf, n_terms,
+       (max_tf * 1000000) // n_tok AS rep_e6,
+       ((n_tok - n_terms) * 1000000) // n_tok AS dup_e6
+FROM d
+"""
+
+
+# ---------------------------------------------------------------------------
+# 45a4. Per-group outlier detection with EXACT integer algebra: flag events
+# whose |z| > 3 within their user's distribution. z^2 > 9 is rewritten as
+# (n*x - s)^2 > 9*(n*ss - s^2) — all int64, no float mean/std crosses an
+# engine boundary, so the oracle matches bit-for-bit. Plan: per-user
+# (n, sum, sumsq) via the combiner tree, ONE hash-join exchange back to
+# the events, vectorized integer filter.
+
+
+def q_outlier_events(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = np.round(batch.column("value").to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "user_id": batch.column("user_id"),
+                "value_c": pa.array(v),
+                "sq": pa.array(v * v),
+            }
+        )
+
+    e = ds.map_batches(prep, batch_format="pyarrow")
+    stats = tree_group_agg(
+        e, ["user_id"],
+        {"n": (None, "count"), "s": ("value_c", "sum"), "ss": ("sq", "sum")},
+    )
+    joined = e.select_columns(["event_id", "user_id", "value_c"]).join(
+        stats, "inner", num_partitions=JOIN_PARTS, on=("user_id",)
+    )
+
+    def flag(batch: pa.Table) -> pa.Table:
+        x = batch.column("value_c").to_numpy()
+        n = batch.column("n").to_numpy()
+        s = batch.column("s").to_numpy()
+        ss = batch.column("ss").to_numpy()
+        dev = n * x - s
+        keep = dev * dev > 9 * (n * ss - s * s)
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "user_id": batch.column("user_id"),
+                "value_c": batch.column("value_c"),
+            }
+        ).filter(pa.array(keep))
+
+    return joined.map_batches(flag, batch_format="pyarrow")
+
+
+_SQL_OUTLIER_EVENTS = """
+WITH e AS (
+  SELECT event_id, user_id, CAST(ROUND(value * 100) AS BIGINT) AS value_c
+  FROM events
+), s AS (
+  SELECT user_id, COUNT(*) AS n, CAST(SUM(value_c) AS BIGINT) AS s,
+         CAST(SUM(value_c * value_c) AS BIGINT) AS ss
+  FROM e GROUP BY 1
+)
+SELECT e.event_id, e.user_id, e.value_c
+FROM e JOIN s USING (user_id)
+WHERE (e.value_c * n - s) * (e.value_c * n - s) > 9 * (n * ss - s * s)
+"""
+
+
+# ---------------------------------------------------------------------------
+# 45a5. Embedding centroids per label — the vector aggregate of a training
+# pipeline (class means for probing/clustering). Each element is scaled to
+# int64 BEFORE summing, so the reduction is order-free and exact; the
+# per-batch combiner scatter-adds a (labels x dim) partial, so the shuffle
+# carries labels x dim rows per block, never vectors.
+
+
+def q_embed_centroids(sf_dir: str):
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        emb = batch.column("embedding").combine_chunks()
+        flat = emb.flatten().to_numpy().astype(np.float64)
+        dim = len(flat) // len(batch)
+        mat = np.round(flat * 1_000_000).astype(np.int64).reshape(-1, dim)
+        labels = batch.column("label").to_numpy().astype(np.int64)
+        uniq, inv, counts = np.unique(
+            labels, return_inverse=True, return_counts=True
+        )
+        acc = np.zeros((len(uniq), dim), dtype=np.int64)
+        np.add.at(acc, inv, mat)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(uniq, dim)),
+                "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64),
+                                        len(uniq))),
+                "sum_e6": pa.array(acc.reshape(-1)),
+                "n": pa.array(np.repeat(counts.astype(np.int64), dim)),
+            }
+        )
+
+    p = ds.map_batches(partial, batch_format="pyarrow")
+    return tree_group_agg(
+        p, ["label", "dim"], {"sum_e6": ("sum_e6", "sum"), "n": ("n", "sum")}
+    )
+
+
+_SQL_EMBED_CENTROIDS = """
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(z[2] - 1 AS BIGINT) AS dim,
+       CAST(SUM(CAST(ROUND(CAST(z[1] AS DOUBLE) * 1000000) AS BIGINT))
+            AS BIGINT) AS sum_e6,
+       COUNT(*) AS n
+FROM (
+  SELECT label, UNNEST(list_zip(embedding, range(1, len(embedding) + 1))) AS z
+  FROM embeddings
+)
+GROUP BY 1, 2
 """
 
 
@@ -2399,6 +2575,9 @@ QUERIES = {
     "hash_split": q_hash_split,
     "pii_redact": q_pii_redact,
     "top_terms_per_doc": q_top_terms,
+    "doc_repetition": q_doc_repetition,
+    "outlier_events": q_outlier_events,
+    "embed_centroids": q_embed_centroids,
     "stratified_sample": q_stratified_sample,
     "large_orders": q_large_orders,
     "promo_revenue": q_promo_revenue,
@@ -2455,6 +2634,9 @@ ORACLES = {
     "hash_split": _SQL_HASH_SPLIT,
     "pii_redact": _SQL_PII_REDACT,
     "top_terms_per_doc": _SQL_TOP_TERMS,
+    "doc_repetition": _SQL_DOC_REPETITION,
+    "outlier_events": _SQL_OUTLIER_EVENTS,
+    "embed_centroids": _SQL_EMBED_CENTROIDS,
     "stratified_sample": _SQL_STRATIFIED_SAMPLE,
     "large_orders": _SQL_LARGE_ORDERS,
     "promo_revenue": _SQL_PROMO_REVENUE,
