@@ -2354,6 +2354,68 @@ GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# 45a6. Global decile bucketing (feature binning / NTILE): every event gets
+# its decile in the GLOBAL (value, event_id) order — the quantile-bin step
+# of feature engineering. Plan: the global sort is avoided — a combiner
+# tree collapses the corpus to a distinct-value count table (bounded by
+# the value domain, ~25k two-decimal values, not the row count), the
+# driver turns it into cumulative base ranks, and one groupby(value)
+# exchange assigns within-value ranks vectorized. Only the distinct-value
+# table ever leaves the cluster.
+
+
+def q_decile_bucket(sf_dir: str, buckets: int = 10):
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = np.round(batch.column("value").to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {"event_id": batch.column("event_id"), "value_c": pa.array(v)}
+        )
+
+    e = ds.map_batches(prep, batch_format="pyarrow")
+    counts = (
+        tree_group_agg(e, ["value_c"], {"n": (None, "count")})
+        .to_pandas()
+        .sort_values("value_c")
+    )
+    total = int(counts["n"].sum())
+    base = dict(
+        zip(
+            counts["value_c"].to_numpy(),
+            np.concatenate([[0], counts["n"].cumsum().to_numpy()[:-1]]),
+        )
+    )
+    kk, m = divmod(total, buckets)
+    thresh = m * (kk + 1)
+
+    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("event_id")
+        r = base[int(g["value_c"].iat[0])] + np.arange(1, len(g) + 1)
+        bucket = np.where(
+            r <= thresh,
+            (r - 1) // (kk + 1) + 1,
+            m + (r - thresh - 1) // max(kk, 1) + 1,
+        )
+        return pd.DataFrame(
+            {"event_id": g["event_id"].to_numpy(),
+             "value_c": g["value_c"].to_numpy(),
+             "bucket": bucket.astype(np.int64)}
+        )
+
+    return e.groupby("value_c").map_groups(rank_group, batch_format="pandas")
+
+
+_SQL_DECILE_BUCKET = """
+SELECT event_id, CAST(ROUND(value * 100) AS BIGINT) AS value_c,
+       CAST(NTILE(10) OVER (
+         ORDER BY CAST(ROUND(value * 100) AS BIGINT), event_id)
+         AS BIGINT) AS bucket
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
 # 45b. PII detection + redaction — the scrub step of a training-data
 # pipeline. The synthetic corpus has no natural PII, so the operator spec
 # includes a deterministic injection (email for doc_id%3==0, phone for
@@ -2578,6 +2640,7 @@ QUERIES = {
     "doc_repetition": q_doc_repetition,
     "outlier_events": q_outlier_events,
     "embed_centroids": q_embed_centroids,
+    "decile_bucket": q_decile_bucket,
     "stratified_sample": q_stratified_sample,
     "large_orders": q_large_orders,
     "promo_revenue": q_promo_revenue,
@@ -2637,6 +2700,7 @@ ORACLES = {
     "doc_repetition": _SQL_DOC_REPETITION,
     "outlier_events": _SQL_OUTLIER_EVENTS,
     "embed_centroids": _SQL_EMBED_CENTROIDS,
+    "decile_bucket": _SQL_DECILE_BUCKET,
     "stratified_sample": _SQL_STRATIFIED_SAMPLE,
     "large_orders": _SQL_LARGE_ORDERS,
     "promo_revenue": _SQL_PROMO_REVENUE,
