@@ -56,6 +56,17 @@ BENCH_QUERIES = [
     "citygml_parse",
     # r3: blocked exact n-gram Jaccard near-dup (oracle-gated)
     "ngram_jaccard_pairs",
+    # r3 additions: pairs->clusters CC, text-quality / scrub / binning /
+    # vector-aggregate ops, event-time watermark windows
+    "dup_clusters",
+    "top_terms_per_doc",
+    "doc_repetition",
+    "pii_redact",
+    "outlier_events",
+    "decile_bucket",
+    "embed_centroids",
+    "stratified_sample",
+    "stream_tumbling_windows",
 ]
 
 
