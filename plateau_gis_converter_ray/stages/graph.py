@@ -25,6 +25,17 @@ That is inherent to star-contraction; the alternation bounds total edges
 emitted per round by the current edge count (paper, Lemma 3.1), and
 duplicate-cluster graphs have small components by construction (the pair
 threshold caps cluster growth).
+
+Hybrid fast path: the pair graph is the OUTPUT of a thresholded near-dup
+operator, i.e. orders of magnitude smaller than the corpus (at 100 TB a
+1%-dup-rate corpus yields ~10^9 pair rows = 16 GB — still far below the
+corpus, though above a driver's comfort). After the first distributed
+distinct-edges pass the edge count is known; when it fits the driver
+(``local_max_edges``, default 2M edges = 32 MB) the star rounds — each of
+which costs two groupby exchanges plus a dedup tree of Ray fixed overhead
+— are replaced by one vectorized min-label pointer-jumping pass on the
+driver. Above the threshold the distributed star rounds run unchanged;
+both paths produce identical (doc_id, comp=min-node) labels.
 """
 
 from __future__ import annotations
@@ -32,7 +43,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from .treeagg import clean_arrow, tree_group_agg
+from .treeagg import tree_group_agg
 
 _EMPTY_EDGES = pd.DataFrame({"u": [], "v": []}).astype("int64")
 
@@ -109,12 +120,56 @@ def _checksum(ds) -> tuple:
     return (agg["sum(n)"], agg["sum(su)"], agg["sum(sv)"], agg["sum(sm)"])
 
 
+def _cc_local(ds):
+    """Driver-side min-label CC over a small deduped edge table.
+
+    Classic edge-relaxation + pointer-jumping (Shiloach–Vishkin style),
+    fully vectorized: each outer pass pulls the min label across every
+    edge in both directions, then compresses label chains; converges in
+    O(log n) passes. Node ids are sorted by ``np.unique`` so the minimum
+    label INDEX is the minimum node ID — the same component label the
+    distributed star rounds produce.
+    """
+    import pyarrow as pa
+    import ray.data
+
+    tbl = pa.concat_tables(
+        [b for b in ds.iter_batches(batch_format="pyarrow", batch_size=None)]
+    ) if ds.count() else pa.table({"u": pa.array([], pa.int64()),
+                                   "v": pa.array([], pa.int64())})
+    u = tbl.column("u").to_numpy()
+    v = tbl.column("v").to_numpy()
+    nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    iu, iv = inv[: len(u)], inv[len(u):]
+    lab = np.arange(len(nodes))
+    while True:
+        before = lab.copy()
+        m = np.minimum(lab[iu], lab[iv])
+        np.minimum.at(lab, iu, m)
+        np.minimum.at(lab, iv, m)
+        while True:
+            nxt = lab[lab]
+            if np.array_equal(nxt, lab):
+                break
+            lab = nxt
+        if np.array_equal(lab, before):
+            break
+    return ray.data.from_arrow(
+        pa.table({"doc_id": nodes, "comp": nodes[lab]}).replace_schema_metadata(
+            None
+        )
+    )
+
+
 def connected_components(edges, src: str = "doc_a", dst: str = "doc_b",
-                         max_rounds: int = 50):
+                         max_rounds: int = 50,
+                         local_max_edges: int = 2_000_000):
     """Labels every node appearing in ``edges`` with its component's minimum
     node id. Returns a Dataset with columns (doc_id, comp), one row per
     distinct node. Self-loops are ignored; isolated nodes (absent from the
-    edge list) do not appear."""
+    edge list) do not appear. Edge sets up to ``local_max_edges`` (after
+    the distributed dedup) finish on the driver (see module docstring);
+    pass 0 to force the distributed star rounds."""
     import pyarrow as pa
 
     def init(batch: pa.Table) -> pa.Table:
@@ -123,7 +178,11 @@ def connected_components(edges, src: str = "doc_a", dst: str = "doc_b",
         keep = u != v
         return pa.table({"u": u[keep], "v": v[keep]})
 
-    ds = _distinct_edges(edges.map_batches(init, batch_format="pyarrow"))
+    ds = _distinct_edges(
+        edges.map_batches(init, batch_format="pyarrow")
+    ).materialize()
+    if ds.count() <= local_max_edges:
+        return _cc_local(ds)
     prev = None
     for _ in range(max_rounds):
         ds = _star_round(ds, "large")

@@ -21,7 +21,7 @@ def _uf_components(edges):
     return {x: find(x) for x in parent}
 
 
-def _run_cc(edges, ray_session):
+def _run_cc(edges, ray_session, **kw):
     import ray.data
 
     from plateau_gis_converter_ray.stages.graph import connected_components
@@ -31,7 +31,7 @@ def _run_cc(edges, ray_session):
                       "doc_b": [b for _, b in edges]})
     )
     got = (
-        connected_components(ds)
+        connected_components(ds, **kw)
         .to_pandas()
         .sort_values("doc_id")
         .reset_index(drop=True)
@@ -65,3 +65,29 @@ def test_cc_random_graph_matches_union_find(ray_session):
     want = _uf_components(edges)
     got = _run_cc(edges, ray_session)
     assert got == want
+
+
+@pytest.mark.parametrize(
+    "name,edges",
+    [
+        ("path", [(i, i + 1) for i in range(200)]),  # diameter stress
+        ("two_cliques", [(a, b) for a in range(5) for b in range(a + 1, 5)]
+         + [(a, b) for a in range(100, 105) for b in range(a + 1, 105)]),
+    ],
+)
+def test_cc_distributed_star_rounds(name, edges, ray_session):
+    # local_max_edges=0 forces the large-star/small-star path — keeps the
+    # 100 TB route exercised now that small graphs finish on the driver
+    want = _uf_components(edges)
+    got = _run_cc(edges, ray_session, local_max_edges=0)
+    assert got == want, name
+
+
+def test_cc_local_equals_distributed(ray_session):
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 150, size=120)
+    b = rng.integers(0, 150, size=120)
+    edges = [(int(x), int(y)) for x, y in zip(a, b) if x != y]
+    assert _run_cc(edges, ray_session) == _run_cc(
+        edges, ray_session, local_max_edges=0
+    )
