@@ -2137,7 +2137,10 @@ def _doc_tf(sf_dir: str):
 
 
 def q_top_terms(sf_dir: str, k: int = 3):
-    tf = _doc_tf(sf_dir)
+    # tf feeds BOTH the df aggregate and the join probe side; materialize
+    # once so the tokenize + combiner tree doesn't execute twice (blocks
+    # stay in the object store and spill — no driver copy)
+    tf = _doc_tf(sf_dir).materialize()
     df = tree_group_agg(tf, ["term"], {"df": (None, "count")})
     joined = tf.join(
         df, "inner", num_partitions=JOIN_PARTS, on=("term",)
@@ -2152,15 +2155,24 @@ def q_top_terms(sf_dir: str, k: int = 3):
         out = g.groupby("doc_id", as_index=False).head(k)
         return clean_arrow(out[["doc_id", "term", "tf", "df"]])
 
+    # final per-doc top-k over the pruned candidates: 64 hash-bucket
+    # groups, each resolved by ONE vectorized sort + groupby-head (not one
+    # pandas invocation per doc)
+    def bucket(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id").to_numpy()
+        return batch.append_column("b", pa.array(did % 64))
+
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.assign(score=g["tf"].to_numpy() / g["df"].to_numpy())
-        g = g.sort_values(["score", "term"], ascending=[False, True]).head(k)
-        return g[["doc_id", "term", "tf", "df"]]
+        g = g.sort_values(["doc_id", "score", "term"],
+                          ascending=[True, False, True])
+        out = g.groupby("doc_id", as_index=False).head(k)
+        return out[["doc_id", "term", "tf", "df"]]
 
     pruned = joined.map_batches(
         block_prune, batch_format="pandas", batch_size=None
-    )
-    return pruned.groupby("doc_id").map_groups(
+    ).map_batches(bucket, batch_format="pyarrow")
+    return pruned.groupby("b").map_groups(
         final_topk, batch_format="pandas"
     )
 
@@ -2380,18 +2392,28 @@ def q_decile_bucket(sf_dir: str, buckets: int = 10):
         .sort_values("value_c")
     )
     total = int(counts["n"].sum())
-    base = dict(
-        zip(
-            counts["value_c"].to_numpy(),
-            np.concatenate([[0], counts["n"].cumsum().to_numpy()[:-1]]),
-        )
-    )
+    vals_sorted = counts["value_c"].to_numpy()
+    base_arr = np.concatenate([[0], counts["n"].cumsum().to_numpy()[:-1]])
     kk, m = divmod(total, buckets)
     thresh = m * (kk + 1)
 
-    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("event_id")
-        r = base[int(g["value_c"].iat[0])] + np.arange(1, len(g) + 1)
+    # one exchange over 64 hash buckets of the value key (not one pandas
+    # invocation per distinct value); within a bucket the per-value ranks
+    # come from a vectorized run-length pass over the (value, event) sort,
+    # base ranks from a searchsorted against the broadcast distinct table
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        vc = batch.column("value_c").to_numpy()
+        return batch.append_column("vb", pa.array(vc % 64))
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["value_c", "event_id"])
+        vc = g["value_c"].to_numpy()
+        new = np.empty(len(vc), dtype=bool)
+        new[0] = True
+        new[1:] = vc[1:] != vc[:-1]
+        starts = np.flatnonzero(new)
+        within = np.arange(len(vc)) - starts[np.cumsum(new) - 1] + 1
+        r = base_arr[np.searchsorted(vals_sorted, vc)] + within
         bucket = np.where(
             r <= thresh,
             (r - 1) // (kk + 1) + 1,
@@ -2399,11 +2421,15 @@ def q_decile_bucket(sf_dir: str, buckets: int = 10):
         )
         return pd.DataFrame(
             {"event_id": g["event_id"].to_numpy(),
-             "value_c": g["value_c"].to_numpy(),
+             "value_c": vc,
              "bucket": bucket.astype(np.int64)}
         )
 
-    return e.groupby("value_c").map_groups(rank_group, batch_format="pandas")
+    return (
+        e.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("vb")
+        .map_groups(rank_bucket, batch_format="pandas")
+    )
 
 
 _SQL_DECILE_BUCKET = """
