@@ -2612,6 +2612,230 @@ def q_stream_windowed_late(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 45c1. Benchmark-contamination detection: the decontamination step of a
+# training-data pipeline — flag documents whose word-3-gram sets overlap a
+# held-out evaluation set (here: docs with doc_id % 97 == 0, a
+# deterministic stand-in for the benchmark corpus). Plan: the eval side is
+# tiny by construction (real benchmarks are a few thousand docs no matter
+# the corpus size), so its distinct grams are collected through the
+# combiner tree and broadcast once with ray.put; the probe side builds
+# each doc's distinct grams with a shift-concat vectorized pass (no
+# per-doc loop) and counts membership with a single isin. String grams
+# (not hashes) cross the probe so a hash collision can never disagree with
+# the oracle.
+
+
+def _word_trigrams(batch: pa.Table) -> pd.DataFrame:
+    """(doc_id, gram) distinct word-3-grams per doc, fully vectorized:
+    flatten tokens with repeated doc ids, form grams by shifted string
+    concat, mask gram windows that straddle a doc boundary, dedup."""
+    import pyarrow.compute as pc
+
+    toks = pc.split_pattern(batch.column("text").cast(pa.string()), " ")
+    lens = pc.list_value_length(toks).to_numpy()
+    did = np.repeat(batch.column("doc_id").to_numpy(), lens)
+    flat = pc.list_flatten(toks)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    did = did[keep]
+    s = pd.Series(flat.to_numpy(zero_copy_only=False)[keep])
+    if len(s) < 3:
+        return pd.DataFrame({"doc_id": np.array([], np.int64),
+                             "gram": pd.Series([], dtype=str)})
+    gram = s + " " + s.shift(-1) + " " + s.shift(-2)
+    ok = np.zeros(len(s), dtype=bool)
+    ok[: len(s) - 2] = did[: len(did) - 2] == did[2:]
+    out = pd.DataFrame({"doc_id": did, "gram": gram})[ok]
+    return out.drop_duplicates()
+
+
+_EVAL_SET_CACHE: dict = {}  # per-worker deserialized eval-gram set
+
+
+def q_contamination(sf_dir: str, eval_mod: int = 97):
+    import ray
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def ev_grams(batch: pa.Table) -> pa.Table:
+        from ..stages.treeagg import clean_arrow
+
+        did = batch.column("doc_id").to_numpy()
+        g = _word_trigrams(batch.filter(pa.array(did % eval_mod == 0)))
+        return pa.table(
+            {"gram": pa.array(g["gram"].drop_duplicates().tolist(),
+                              type=pa.string())}
+        )
+
+    eval_distinct = tree_group_agg(
+        ds.map_batches(ev_grams, batch_format="pyarrow"),
+        ["gram"], {"n": (None, "count")},
+    )
+    eval_set = set(
+        pd.concat(
+            [b["gram"] for b in
+             eval_distinct.iter_batches(batch_format="pandas",
+                                        batch_size=None)],
+            ignore_index=True,
+        )
+    ) if eval_distinct.count() else set()
+    ref = ray.put(eval_set)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        g = _word_trigrams(batch)
+        es = _EVAL_SET_CACHE.get(ref.hex())
+        if es is None:
+            es = _EVAL_SET_CACHE[ref.hex()] = ray.get(ref)
+        if not len(g):
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_grams": pa.array([], pa.int64()),
+                    "n_hit": pa.array([], pa.int64()),
+                    "contam_e6": pa.array([], pa.int64()),
+                    "is_eval": pa.array([], pa.int64()),
+                }
+            )
+        hit = g["gram"].isin(es)
+        per = g.groupby("doc_id").size()
+        hits = g[hit].groupby("doc_id").size()
+        out = pd.DataFrame(
+            {"n_grams": per,
+             "n_hit": hits.reindex(per.index, fill_value=0)}
+        ).reset_index()
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"].to_numpy()),
+                "n_grams": pa.array(out["n_grams"].to_numpy(np.int64)),
+                "n_hit": pa.array(out["n_hit"].to_numpy(np.int64)),
+                "contam_e6": pa.array(
+                    out["n_hit"].to_numpy(np.int64) * 1_000_000
+                    // out["n_grams"].to_numpy(np.int64)
+                ),
+                "is_eval": pa.array(
+                    (out["doc_id"].to_numpy() % eval_mod == 0)
+                    .astype(np.int64)
+                ),
+            }
+        )
+
+    return ds.map_batches(probe, batch_format="pyarrow")
+
+
+_SQL_CONTAMINATION = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, len(w) - 1),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS grams
+  FROM tok WHERE len(w) >= 3
+), ev AS (
+  SELECT list_distinct(flatten(list(grams))) AS eg
+  FROM g WHERE doc_id % 97 = 0
+)
+SELECT g.doc_id, len(g.grams) AS n_grams,
+       len(list_intersect(g.grams, ev.eg)) AS n_hit,
+       (len(list_intersect(g.grams, ev.eg)) * 1000000)
+         // len(g.grams) AS contam_e6,
+       CASE WHEN g.doc_id % 97 = 0 THEN 1 ELSE 0 END AS is_eval
+FROM g CROSS JOIN ev WHERE len(g.grams) > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# 45c2. Sequence packing (concat-then-chunk): assign every document its
+# token-offset span in the concatenated doc_id-ordered token stream and
+# the fixed-size training sequences (budget B) it lands in — the packing
+# step that turns a document corpus into training windows. The global
+# prefix sum is computed WITHOUT a global sort: contiguous doc_id ranges
+# (doc_id // 256) form ordered buckets; per-bucket token sums collapse
+# through the combiner tree to a driver-side cumulative base table
+# (corpus/256 rows, not corpus rows), and one groupby(bucket) exchange
+# assigns within-bucket offsets by a vectorized cumsum.
+
+
+def q_sequence_pack(sf_dir: str, budget: int = 256, bucket_docs: int = 256):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def ntok(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        toks = pc.split_pattern(batch.column("text").cast(pa.string()), " ")
+        lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        did = batch.column("doc_id").to_numpy()
+        flat = pc.list_flatten(toks)
+        empty = pc.equal(flat, "").to_numpy(zero_copy_only=False)
+        n_empty = np.zeros(len(did), dtype=np.int64)
+        np.add.at(n_empty, np.repeat(np.arange(len(did)), lens), empty)
+        n = lens - n_empty
+        keep = n > 0
+        return pa.table(
+            {
+                "doc_id": pa.array(did[keep]),
+                "n_tok": pa.array(n[keep]),
+                "bk": pa.array(did[keep] // bucket_docs),
+            }
+        )
+
+    t = ds.map_batches(ntok, batch_format="pyarrow").materialize()
+    per_bucket = (
+        tree_group_agg(t, ["bk"], {"tok": ("n_tok", "sum")})
+        .to_pandas()
+        .sort_values("bk")
+    )
+    bk_sorted = per_bucket["bk"].to_numpy()
+    base_arr = np.concatenate(
+        [[0], per_bucket["tok"].cumsum().to_numpy()[:-1]]
+    )
+
+    def offsets(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        n = g["n_tok"].to_numpy()
+        start = (
+            base_arr[np.searchsorted(bk_sorted, int(g["bk"].iat[0]))]
+            + np.concatenate([[0], n.cumsum()[:-1]])
+        )
+        first = start // budget
+        last = (start + n - 1) // budget
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(),
+                "n_tok": n,
+                "start_off": start,
+                "seq_first": first,
+                "seq_last": last,
+                "n_seqs": last - first + 1,
+            }
+        )
+
+    return t.groupby("bk").map_groups(offsets, batch_format="pandas")
+
+
+_SQL_SEQUENCE_PACK = """
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok
+  FROM documents
+), o AS (
+  SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+         CAST(COALESCE(SUM(n_tok) OVER (
+           ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS start_off
+  FROM t WHERE n_tok > 0
+)
+SELECT doc_id, n_tok, start_off,
+       start_off // 256 AS seq_first,
+       (start_off + n_tok - 1) // 256 AS seq_last,
+       (start_off + n_tok - 1) // 256 - start_off // 256 + 1 AS n_seqs
+FROM o
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 QUERIES = {
@@ -2673,6 +2897,8 @@ QUERIES = {
     "volume_shipping": q_volume_shipping,
     "stream_tumbling_windows": q_stream_tumbling,
     "stream_windowed_late": q_stream_windowed_late,
+    "contamination": q_contamination,
+    "sequence_pack": q_sequence_pack,
 }
 
 ORACLES = {
@@ -2732,4 +2958,6 @@ ORACLES = {
     "promo_revenue": _SQL_PROMO_REVENUE,
     "volume_shipping": _SQL_VOLUME_SHIPPING,
     "stream_tumbling_windows": _SQL_STREAM_TUMBLING,
+    "contamination": _SQL_CONTAMINATION,
+    "sequence_pack": _SQL_SEQUENCE_PACK,
 }

@@ -515,3 +515,39 @@ def test_stream_windowed_watermark(ray_session):
     # determinism
     df3 = stream_windowed_counts(sf)
     assert df2.equals(df3)
+
+
+def test_contamination_invariants(ray_session):
+    from plateau_gis_converter_ray.pipelines.queries import q_contamination
+
+    df = q_contamination(SF).to_pandas()
+    assert len(df) > 0
+    # an eval doc's grams are by definition a subset of the eval set
+    ev = df[df["is_eval"] == 1]
+    assert len(ev) > 0
+    assert (ev["n_hit"].to_numpy() == ev["n_grams"].to_numpy()).all()
+    assert (ev["contam_e6"].to_numpy() == 1_000_000).all()
+    # hits can never exceed the doc's own distinct grams
+    assert (df["n_hit"].to_numpy() <= df["n_grams"].to_numpy()).all()
+    assert (df["n_grams"].to_numpy() > 0).all()
+
+
+def test_sequence_pack_is_a_packing(ray_session):
+    from plateau_gis_converter_ray.pipelines.queries import q_sequence_pack
+
+    df = (
+        q_sequence_pack(SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(df) > 0
+    n = df["n_tok"].to_numpy()
+    s = df["start_off"].to_numpy()
+    # contiguous disjoint coverage of the concatenated token stream
+    assert s[0] == 0
+    assert (s[1:] == s[:-1] + n[:-1]).all()
+    # sequence spans follow from the offsets
+    assert (df["seq_first"].to_numpy() == s // 256).all()
+    assert (df["seq_last"].to_numpy() == (s + n - 1) // 256).all()
+    assert (df["n_seqs"].to_numpy() >= 1).all()
