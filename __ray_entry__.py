@@ -402,6 +402,26 @@ def _q_earcut_triangulate(sf_dir: str):
     )
 
 
+def _q_image_dup_clusters(sf_dir: str):
+    """Image near-dup clusters over the image table: multi-index-hashing
+    phash Hamming pairs (exact for hamming<=3 by pigeonhole — see
+    stages/dedup.py::phash_hamming_near_dup) -> distributed connected
+    components -> (img, comp) cluster labels. Rows-only (the image table
+    is synthesized outside the driver's DuckDB views); exactness is
+    pinned by the brute-force union-find pytest."""
+    from plateau_gis_converter_ray.sources.images import ensure_image_table
+    from plateau_gis_converter_ray.stages.dedup import phash_hamming_near_dup
+    from plateau_gis_converter_ray.stages.graph import connected_components
+
+    path = ensure_image_table(_sf_of(sf_dir))
+    files = [
+        os.path.join(path, f) for f in sorted(os.listdir(path)) if f.endswith(".parquet")
+    ]
+    pairs = phash_hamming_near_dup(files)
+    comp = connected_components(pairs, src="img_a", dst="img_b")
+    return comp.rename_columns({"doc_id": "img"})
+
+
 def _q_audio_features(sf_dir: str):
     """Multimodal audio stage (decode stubbed deterministically, Ray
     plumbing real — stages/av.py); clip count scales with sf."""
@@ -440,6 +460,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "citygml_parse": _q_citygml_parse,
             "audio_features": _q_audio_features,
             "video_frame_sample": _q_video_frame_sample,
+            "image_dup_clusters": _q_image_dup_clusters,
         }
     )
     return out

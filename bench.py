@@ -67,6 +67,10 @@ BENCH_QUERIES = [
     "embed_centroids",
     "stratified_sample",
     "stream_tumbling_windows",
+    # r3: end-to-end corpus dedup, cross-doc dup-ngram filter, BM25 top-k
+    "corpus_dedup",
+    "dup_ngram_frac",
+    "bm25_search",
 ]
 
 

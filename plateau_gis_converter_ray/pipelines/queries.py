@@ -2836,6 +2836,325 @@ FROM o
 
 
 # ---------------------------------------------------------------------------
+# 46. Corpus dedup, end-to-end (keep-canonical): near-dup pairs -> connected
+# components -> cluster representative (min doc id) -> per-doc kept flag.
+# The full "deduplicate the training corpus" pipeline in one query — the
+# pair finder (blocked n-gram Jaccard), the O(log n) CC rounds, and ONE
+# left-outer hash-join exchange attaching the cluster label back to every
+# document; docs in no cluster are their own representative. At 10^12 docs
+# the join moves (doc_id, comp) pairs only — never text.
+
+
+def q_corpus_dedup(sf_dir: str):
+    import pyarrow.compute as pc
+
+    from ..stages.dedup import ngram_jaccard_blocked
+    from ..stages.graph import connected_components
+
+    pairs = ngram_jaccard_blocked(sf_dir).select_columns(["doc_a", "doc_b"])
+    comp = connected_components(pairs)  # (doc_id, comp), dup docs only
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    j = docs.join(comp, "left_outer", num_partitions=JOIN_PARTS,
+                  on=("doc_id",))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id")
+        rep = pc.coalesce(batch.column("comp"), did)
+        kept = pc.cast(pc.equal(rep, did), pa.int64())
+        return pa.table({"doc_id": did, "rep": rep, "kept": kept})
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
+_SQL_CORPUS_DEDUP = """
+WITH RECURSIVE sh AS (
+  SELECT doc_id, lang, source, n_chars // 32 AS lb,
+         list_distinct(
+           list_transform(range(1, length(text) - 1),
+                          i -> substring(text, i, 3))) AS grams
+  FROM documents
+), p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b
+    ON a.lang = b.lang AND a.source = b.source AND a.lb = b.lb
+   AND a.doc_id < b.doc_id
+  WHERE len(list_distinct(list_concat(a.grams, b.grams))) > 0
+    AND (len(list_intersect(a.grams, b.grams)) * 1000000)
+        // len(list_distinct(list_concat(a.grams, b.grams))) >= 300000
+), sym AS (
+  SELECT doc_a AS u, doc_b AS v FROM p
+  UNION ALL SELECT doc_b, doc_a FROM p
+), reach AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+), comp AS (
+  SELECT u AS doc_id, LEAST(u, MIN(v)) AS comp FROM reach GROUP BY u
+)
+SELECT d.doc_id,
+       COALESCE(c.comp, d.doc_id) AS rep,
+       CASE WHEN COALESCE(c.comp, d.doc_id) = d.doc_id
+            THEN 1 ELSE 0 END AS kept
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# 47. Cross-document duplicated-n-gram fraction (the dup-ngram-frac quality
+# filter): per doc, the fraction of its distinct word-3-grams that appear
+# in at least one OTHER document. Plan: distinct (doc, gram) pairs ->
+# ONE groupby(gram-hash-bucket) exchange — inside a bucket every
+# occurrence of a gram is present, so a vectorized transform("size")
+# marks duplicated grams without a gram-level join — -> per-doc partials
+# -> combiner tree. Gram strings cross the wire once; the second
+# aggregate moves only (doc_id, int, int) rows.
+
+
+def q_dup_ngram_frac(sf_dir: str, n_buckets: int = 64):
+    from ..stages.treeagg import clean_arrow, tree_group_agg
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def grams(batch: pa.Table) -> pa.Table:
+        g = _word_trigrams(batch)
+        if not len(g):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "gram": pa.array([], pa.string()),
+                             "b": pa.array([], pa.int64())})
+        b = pd.util.hash_array(
+            np.asarray(g["gram"].to_numpy(), dtype=object)
+        ) % n_buckets
+        return clean_arrow(g.assign(b=b.astype(np.int64)))
+
+    pairs = ds.map_batches(grams, batch_format="pyarrow")
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        nd = g.groupby("gram")["doc_id"].transform("size")
+        out = (
+            g.assign(dup=(nd >= 2).astype(np.int64))
+            .groupby("doc_id", as_index=False)
+            .agg(n_grams=("gram", "size"), n_dup=("dup", "sum"))
+        )
+        return clean_arrow(out)
+
+    partial = pairs.groupby("b").map_groups(per_bucket, batch_format="pandas")
+    tot = tree_group_agg(
+        partial, ["doc_id"],
+        {"n_grams": ("n_grams", "sum"), "n_dup": ("n_dup", "sum")},
+    )
+
+    def ratio(batch: pa.Table) -> pa.Table:
+        ng = batch.column("n_grams").to_numpy()
+        nd = batch.column("n_dup").to_numpy()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_grams": batch.column("n_grams"),
+                "n_dup": batch.column("n_dup"),
+                "dup_e6": pa.array(nd * 1_000_000 // ng),
+            }
+        )
+
+    return tot.map_batches(ratio, batch_format="pyarrow")
+
+
+_SQL_DUP_NGRAM_FRAC = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, len(w) - 1),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS gram
+  FROM tok WHERE len(w) >= 3
+), df AS (
+  SELECT gram, COUNT(*) AS nd FROM g GROUP BY 1
+)
+SELECT g.doc_id, COUNT(*) AS n_grams,
+       CAST(SUM(CASE WHEN df.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       (CAST(SUM(CASE WHEN df.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         * 1000000) // COUNT(*) AS dup_e6
+FROM g JOIN df USING (gram)
+GROUP BY g.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# 48. BM25 retrieval: score every document against a broadcast query set
+# and return the top-10 per query. Exactness across the engine/oracle
+# boundary: the per-(term, doc) BM25 contribution is computed as ONE
+# double expression with identical association on both sides
+# (k1=1.2, b=0.75 folded into the integer-exact rational
+# (44*tf*tot) / (20*tf*tot + 6*tot + 18*dl*N); idf = ln((N-df+.5)/(df+.5)+1)
+# on small exact doubles), floored to int64 — and the per-query SUM runs
+# over int64, so distributed addition order can't flip bits. Queries are
+# the first-8-token term sets of four fixed documents, so the query side
+# is data-derived yet tiny (broadcast as a closure; df for those terms is
+# a <=32-row driver table).
+
+
+def q_bm25_search(sf_dir: str, query_ids=(1, 2, 3, 5), k: int = 10):
+    import math
+
+    from ..stages.treeagg import clean_arrow, tree_group_agg
+
+    tf = _doc_tf(sf_dir).materialize()
+    dl = tree_group_agg(tf, ["doc_id"], {"dl": ("tf", "sum")}).materialize()
+
+    # corpus scalars (N docs, total tokens): one row per block -> driver
+    def fold(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n": pa.array([t.num_rows], pa.int64()),
+                "tot": pa.array(
+                    [int(np.sum(t.column("dl").to_numpy()))], pa.int64()
+                ),
+            }
+        )
+
+    sums = dl.map_batches(fold, batch_format="pyarrow").to_pandas()
+    n_docs = int(sums["n"].sum())
+    tot = int(sums["tot"].sum())
+
+    # query term sets: first 8 raw tokens of the query docs, '' dropped,
+    # distinct — mirrors the oracle's slice-then-filter-then-distinct
+    qdocs = {
+        int(r["doc_id"]): str(r["text"])
+        for r in _read(sf_dir, "documents", ["doc_id", "text"])
+        .filter(expr=f"doc_id in {list(query_ids)}")
+        .take_all()
+    }
+    qt = pd.DataFrame(
+        [
+            {"qid": qid, "term": t}
+            for qid in sorted(qdocs)
+            for t in sorted({w for w in qdocs[qid].split(" ")[:8] if w})
+        ]
+    )
+    qset = sorted(set(qt["term"]))
+
+    # df over the query terms only (tiny driver table)
+    def probe_df(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.is_in(t.column("term"), pa.array(qset)))
+
+    dfq = (
+        tree_group_agg(
+            tf.map_batches(probe_df, batch_format="pyarrow"),
+            ["term"], {"df": (None, "count")},
+        )
+        .to_pandas()
+    )
+    coef = {
+        r["term"]: 1000000.0
+        * math.log(
+            (float(n_docs) - float(r["df"]) + 0.5) / (float(r["df"]) + 0.5)
+            + 1.0
+        )
+        for _, r in dfq.iterrows()
+    }
+    qt = qt[qt["term"].isin(coef)].reset_index(drop=True)
+
+    probe = tf.map_batches(probe_df, batch_format="pyarrow").join(
+        dl, "inner", num_partitions=JOIN_PARTS, on=("doc_id",)
+    )
+    tot_f, n_f = float(tot), float(n_docs)
+    qt_small = qt.copy()
+
+    def contrib(batch: pd.DataFrame) -> pa.Table:
+        m = batch.merge(qt_small, on="term")  # fan out to queries
+        if not len(m):
+            return pa.table({"qid": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        tf_f = m["tf"].to_numpy().astype(np.float64)
+        dl_f = m["dl"].to_numpy().astype(np.float64)
+        c_arr = m["term"].map(coef).to_numpy(np.float64)
+        num = (44.0 * tf_f) * tot_f
+        den = (20.0 * tf_f) * tot_f + 6.0 * tot_f + (18.0 * dl_f) * n_f
+        c = np.floor((c_arr * num) / den).astype(np.int64)
+        return clean_arrow(
+            pd.DataFrame(
+                {"qid": m["qid"].to_numpy(np.int64),
+                 "doc_id": m["doc_id"].to_numpy(np.int64), "c": c}
+            )
+        )
+
+    scores = tree_group_agg(
+        probe.map_batches(contrib, batch_format="pandas"),
+        ["qid", "doc_id"], {"score_e6": ("c", "sum")},
+    )
+
+    # block-level top-k prune, then one tiny per-qid final
+    def prune(batch: pd.DataFrame) -> pa.Table:
+        out = (
+            batch.sort_values(["qid", "score_e6", "doc_id"],
+                              ascending=[True, False, True])
+            .groupby("qid", as_index=False)
+            .head(k)
+        )
+        return clean_arrow(out)
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score_e6", "doc_id"], ascending=[False, True])
+        out = g.head(k).copy()
+        out["rk"] = np.arange(1, len(out) + 1, dtype=np.int64)
+        return out[["qid", "doc_id", "score_e6", "rk"]]
+
+    return (
+        scores.map_batches(prune, batch_format="pandas", batch_size=None)
+        .groupby("qid")
+        .map_groups(final_topk, batch_format="pandas")
+    )
+
+
+_SQL_BM25_SEARCH = """
+WITH tok AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok WHERE term <> '' GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1
+), stats AS (
+  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS tot FROM dl
+), q AS (
+  SELECT doc_id AS qid,
+         UNNEST(list_distinct(list_filter(
+           (string_split(text, ' '))[1:8], x -> x <> ''))) AS term
+  FROM documents WHERE doc_id IN (1, 2, 3, 5)
+), df AS (
+  SELECT term, COUNT(*) AS df FROM tf
+  WHERE term IN (SELECT term FROM q) GROUP BY 1
+), contrib AS (
+  SELECT q.qid, tf.doc_id,
+         CAST(FLOOR(
+           (1000000.0 * LN((CAST(s.n_docs AS DOUBLE) - df.df + 0.5)
+                           / (df.df + 0.5) + 1.0))
+           * (44.0 * tf.tf * s.tot)
+           / (20.0 * tf.tf * s.tot + 6.0 * s.tot + 18.0 * dl.dl * s.n_docs)
+         ) AS BIGINT) AS c
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+), score AS (
+  SELECT qid, doc_id, CAST(SUM(c) AS BIGINT) AS score_e6
+  FROM contrib GROUP BY 1, 2
+), r AS (
+  SELECT qid, doc_id, score_e6,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY score_e6 DESC, doc_id ASC) AS rk
+  FROM score
+)
+SELECT qid, doc_id, score_e6, rk FROM r WHERE rk <= 10
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 QUERIES = {
@@ -2899,6 +3218,9 @@ QUERIES = {
     "stream_windowed_late": q_stream_windowed_late,
     "contamination": q_contamination,
     "sequence_pack": q_sequence_pack,
+    "corpus_dedup": q_corpus_dedup,
+    "dup_ngram_frac": q_dup_ngram_frac,
+    "bm25_search": q_bm25_search,
 }
 
 ORACLES = {
@@ -2960,4 +3282,7 @@ ORACLES = {
     "stream_tumbling_windows": _SQL_STREAM_TUMBLING,
     "contamination": _SQL_CONTAMINATION,
     "sequence_pack": _SQL_SEQUENCE_PACK,
+    "corpus_dedup": _SQL_CORPUS_DEDUP,
+    "dup_ngram_frac": _SQL_DUP_NGRAM_FRAC,
+    "bm25_search": _SQL_BM25_SEARCH,
 }

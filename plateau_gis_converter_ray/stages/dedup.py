@@ -324,3 +324,120 @@ def ngram_jaccard_blocked(sf_dir: str, n: int = 3, block_chars: int = 32,
         )
 
     return blocked.groupby("blk").map_groups(pairs, batch_format="pandas")
+
+
+def phash_hamming_near_dup(image_files: list[str], max_hamming: int = 3,
+                           n_bands: int = 4):
+    """Image near-dup pairs by perceptual-hash Hamming distance, via
+    multi-index hashing (the Norouzi-style banded exact-match scheme):
+    split the 64-bit phash into ``n_bands`` equal bands; by pigeonhole any
+    pair within Hamming distance ``n_bands - 1`` agrees EXACTLY on at
+    least one band, so band-value buckets are a lossless candidate
+    generator for ``max_hamming <= n_bands - 1`` — this operator is
+    EXACT, not approximate. One bucket shuffle (each image fans out to
+    ``n_bands`` (band, value) keys), vectorized in-bucket XOR-popcount
+    verify, cross-band pair dedup through the combiner tree. The phash
+    (8 bytes) is all that shuffles — never image bytes.
+
+    Scale lever: band width. 4x16-bit bands give 65536 buckets per band
+    (bucket population ~ n/65536 for random hashes); at larger radii you
+    add bands (8x8-bit covers hamming<=7) and accept coarser buckets.
+
+    Ref role: the reference dedups textures/materials by exact feature
+    equality in an IndexSet (nusamai cesiumtiles/material.rs); this is
+    the near-match generalization for image payloads.
+
+    Returns (img_a, img_b, hamming) with img_* the integer suffix of
+    image_id ("img_%012d"), img_a < img_b.
+    """
+    import pyarrow.compute as pc
+    import ray.data
+
+    from ..kernels.text import hamming64
+    from .treeagg import tree_group_agg
+
+    assert max_hamming <= n_bands - 1, "pigeonhole guarantee needs r < bands"
+    band_bits = 64 // n_bands
+
+    ds = ray.data.read_parquet(image_files, columns=["image_id", "phash"])
+
+    def bands(batch: pa.Table) -> pa.Table:
+        ph = batch.column("phash").to_numpy().astype(np.uint64)
+        iid = (
+            pc.cast(pc.utf8_slice_codeunits(batch.column("image_id"), 4, 99),
+                    pa.int64())
+            .to_numpy()
+        )
+        n = len(ph)
+        mask = np.uint64((1 << band_bits) - 1)
+        keys = np.empty(n * n_bands, dtype=np.int64)
+        for b in range(n_bands):
+            val = (ph >> np.uint64(b * band_bits)) & mask
+            keys[b * n : (b + 1) * n] = (
+                np.int64(b) << np.int64(band_bits)
+            ) + val.astype(np.int64)
+        return pa.table(
+            {
+                "img": pa.array(np.tile(iid, n_bands)),
+                "phash": pa.array(np.tile(ph.astype(np.int64), n_bands)),
+                "band_key": pa.array(keys),
+                # 64 coarse shuffle groups (a function of band_key, so a
+                # band bucket never splits) — the per-group fan stays
+                # bounded and each group resolves ALL its band buckets in
+                # one vectorized segmented pass, not one pandas call per
+                # bucket (the r2-verdict de-fanning pattern)
+                "grp": pa.array(keys % 64),
+            }
+        )
+
+    bucketed = ds.map_batches(bands, batch_format="pyarrow")
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"img_a": [], "img_b": [], "hamming": []}
+        ).astype({"img_a": "int64", "img_b": "int64", "hamming": "int64"})
+        if len(g) < 2:
+            return empty
+        g = g.sort_values(["band_key", "img"], kind="stable")
+        ids = g["img"].to_numpy()
+        ph = g["phash"].to_numpy().astype(np.uint64)
+        key = g["band_key"].to_numpy()
+        # segmented all-pairs enumeration, fully vectorized: row j at
+        # within-segment position w_j pairs with the w_j rows before it
+        seg_start = np.zeros(len(key), dtype=np.int64)
+        new_seg = np.empty(len(key), dtype=bool)
+        new_seg[0] = True
+        new_seg[1:] = key[1:] != key[:-1]
+        seg_start = np.maximum.accumulate(
+            np.where(new_seg, np.arange(len(key)), 0)
+        )
+        w = np.arange(len(key)) - seg_start
+        total = int(w.sum())
+        if total == 0:
+            return empty
+        b_idx = np.repeat(np.arange(len(key)), w)
+        off = np.repeat(seg_start, w)
+        r = np.arange(total) - np.repeat(np.cumsum(w) - w, w)
+        a_idx = off + r
+        d = hamming64(ph[a_idx], ph[b_idx])
+        keep = d <= max_hamming
+        ia, ib = ids[a_idx][keep], ids[b_idx][keep]
+        lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+        return pd.DataFrame(
+            {
+                "img_a": lo.astype(np.int64),
+                "img_b": hi.astype(np.int64),
+                "hamming": d[keep].astype(np.int64),
+            }
+        ).drop_duplicates(["img_a", "img_b"])
+
+    cand = bucketed.groupby("grp").map_groups(verify, batch_format="pandas")
+    dedup = tree_group_agg(
+        cand, ["img_a", "img_b", "hamming"], {"n_bands_hit": (None, "count")},
+        levels=(8, 1),
+    )
+
+    def strip(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["img_a", "img_b", "hamming"]]
+
+    return dedup.map_batches(strip, batch_format="pandas", batch_size=None)

@@ -551,3 +551,206 @@ def test_sequence_pack_is_a_packing(ray_session):
     assert (df["seq_first"].to_numpy() == s // 256).all()
     assert (df["seq_last"].to_numpy() == (s + n - 1) // 256).all()
     assert (df["n_seqs"].to_numpy() >= 1).all()
+
+
+def test_corpus_dedup_partition(ray_session):
+    """corpus_dedup assigns every doc exactly once; kept == (doc is its
+    cluster's min id); clustered docs agree with dup_clusters' labels."""
+    from plateau_gis_converter_ray.pipelines.queries import (
+        q_corpus_dedup,
+        q_dup_clusters,
+    )
+
+    df = q_corpus_dedup(SF).to_pandas()
+    comp = q_dup_clusters(SF).to_pandas()
+
+    assert df["doc_id"].is_unique and len(df) > 0
+    assert (df["kept"] == (df["doc_id"] == df["rep"]).astype(int)).all()
+    # every representative keeps itself
+    reps = set(df["rep"])
+    kept = set(df.loc[df["kept"] == 1, "doc_id"])
+    assert reps == kept
+    # clustered docs carry exactly the CC label; unclustered docs are
+    # their own rep
+    m = df.merge(comp, on="doc_id", how="left")
+    clustered = m["comp"].notna()
+    assert (m.loc[clustered, "rep"] == m.loc[clustered, "comp"]).all()
+    assert (m.loc[~clustered, "rep"] == m.loc[~clustered, "doc_id"]).all()
+
+
+def test_dup_ngram_frac_vs_local(ray_session):
+    """Distributed dup-ngram fraction == a local pandas brute force."""
+    import pyarrow.parquet as pq
+
+    from plateau_gis_converter_ray.pipelines.queries import q_dup_ngram_frac
+
+    df = (
+        q_dup_ngram_frac(SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    t = pq.read_table(SF + "/documents.parquet", columns=["doc_id", "text"])
+    rows = []
+    grams_by_doc = {}
+    for did, text in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+        w = [x for x in text.split(" ") if x]
+        g = {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+        if g:
+            grams_by_doc[did] = g
+    from collections import Counter
+
+    nd = Counter()
+    for g in grams_by_doc.values():
+        nd.update(g)
+    for did, g in sorted(grams_by_doc.items()):
+        n_dup = sum(1 for x in g if nd[x] >= 2)
+        rows.append(
+            {
+                "doc_id": did,
+                "n_grams": len(g),
+                "n_dup": n_dup,
+                "dup_e6": n_dup * 1_000_000 // len(g),
+            }
+        )
+    exp = pd.DataFrame(rows)
+    pd.testing.assert_frame_equal(
+        df[["doc_id", "n_grams", "n_dup", "dup_e6"]].astype("int64"),
+        exp.astype("int64"),
+    )
+
+
+def test_bm25_vs_local_brute(ray_session):
+    """Distributed BM25 top-10 == a local single-process recompute with the
+    same integer-floored per-term contributions."""
+    import math
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from plateau_gis_converter_ray.pipelines.queries import q_bm25_search
+
+    got = (
+        q_bm25_search(SF)
+        .to_pandas()
+        .sort_values(["qid", "rk"])
+        .reset_index(drop=True)
+    )
+
+    t = pq.read_table(SF + "/documents.parquet", columns=["doc_id", "text"])
+    docs = dict(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+    tf = {d: Counter(x for x in s.split(" ") if x) for d, s in docs.items()}
+    tf = {d: c for d, c in tf.items() if c}
+    dl = {d: sum(c.values()) for d, c in tf.items()}
+    n_docs, tot = len(tf), sum(dl.values())
+    exp_rows = []
+    for qid in (1, 2, 3, 5):
+        terms = sorted({w for w in docs[qid].split(" ")[:8] if w})
+        scores = Counter()
+        for term in terms:
+            dfq = sum(1 for c in tf.values() if term in c)
+            if not dfq:
+                continue
+            c_t = 1000000.0 * math.log(
+                (float(n_docs) - float(dfq) + 0.5) / (float(dfq) + 0.5) + 1.0
+            )
+            for d, c in tf.items():
+                if term in c:
+                    tfv = float(c[term])
+                    num = (44.0 * tfv) * float(tot)
+                    den = (
+                        (20.0 * tfv) * float(tot)
+                        + 6.0 * float(tot)
+                        + (18.0 * float(dl[d])) * float(n_docs)
+                    )
+                    scores[d] += int(math.floor((c_t * num) / den))
+        top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        for rk, (d, s) in enumerate(top, 1):
+            exp_rows.append(
+                {"qid": qid, "doc_id": d, "score_e6": s, "rk": rk}
+            )
+    exp = pd.DataFrame(exp_rows)
+    pd.testing.assert_frame_equal(
+        got[["qid", "doc_id", "score_e6", "rk"]].astype("int64"),
+        exp.astype("int64"),
+    )
+
+
+def test_phash_hamming_near_dup_vs_brute(ray_session):
+    """Multi-index-hashing phash near-dup is EXACT for hamming <= 3
+    (pigeonhole over 4 bands): pair set + hammings == the O(n^2) brute
+    force, and the CC cluster labels == a local union-find."""
+    import os
+
+    from plateau_gis_converter_ray.kernels.text import hamming64
+    from plateau_gis_converter_ray.sources.images import ensure_image_table
+    from plateau_gis_converter_ray.stages.dedup import phash_hamming_near_dup
+    from plateau_gis_converter_ray.stages.graph import connected_components
+
+    path = ensure_image_table(0.001)
+    files = [
+        os.path.join(path, f)
+        for f in sorted(os.listdir(path))
+        if f.endswith(".parquet")
+    ]
+    pairs = phash_hamming_near_dup(files)
+    got = (
+        pairs.to_pandas()
+        .sort_values(["img_a", "img_b"])
+        .reset_index(drop=True)
+    )
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(files, columns=["image_id", "phash"])
+    ids = np.array(
+        [int(s[4:]) for s in t.column("image_id").to_pylist()], dtype=np.int64
+    )
+    ph = t.column("phash").to_numpy().astype(np.uint64)
+    order = np.argsort(ids)
+    ids, ph = ids[order], ph[order]
+    a, b = np.triu_indices(len(ids), k=1)
+    d = hamming64(ph[a], ph[b])
+    keep = d <= 3
+    exp = (
+        pd.DataFrame(
+            {
+                "img_a": ids[a][keep],
+                "img_b": ids[b][keep],
+                "hamming": d[keep].astype(np.int64),
+            }
+        )
+        .sort_values(["img_a", "img_b"])
+        .reset_index(drop=True)
+    )
+    assert len(exp) > 0  # planted ~10% duplicates guarantee pairs
+    pd.testing.assert_frame_equal(got.astype("int64"), exp.astype("int64"))
+
+    # cluster labels == local union-find min label
+    comp = (
+        connected_components(pairs, src="img_a", dst="img_b")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for ia, ib in zip(exp["img_a"], exp["img_b"]):
+        ra, rb = find(int(ia)), find(int(ib))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    labels = {}
+    for x in parent:
+        labels.setdefault(find(x), []).append(x)
+    exp_rows = sorted(
+        (m, root) for root, ms in labels.items() for m in ms
+    )
+    exp_cc = pd.DataFrame(exp_rows, columns=["doc_id", "comp"])
+    pd.testing.assert_frame_equal(comp.astype("int64"), exp_cc.astype("int64"))
