@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "corpus_dedup",
     "dup_ngram_frac",
     "bm25_search",
+    "pagerank_dupgraph",
 ]
 
 

@@ -3155,6 +3155,183 @@ SELECT qid, doc_id, score_e6, rk FROM r WHERE rk <= 10
 
 
 # ---------------------------------------------------------------------------
+# 49. PageRank over the near-dup pair graph — the repo's iterative
+# bulk-synchronous dataflow: 5 power-iteration rounds, each ONE hash-join
+# exchange (rank -> out-edges) + ONE combiner-tree aggregate (sum of
+# neighbor contributions). The edge list is materialized once WITH the
+# source out-degree attached, so iterations never recompute degrees.
+# Exactness: the recurrence is all-int64 — r0 = 1e6; S_k(i) =
+# sum_j(r_k(j) // deg(j)); r_{k+1} = 150000 + (850000 * S_k) // 1e6 —
+# floor division + integer sums, so 5 unrolled CTE iterations in DuckDB
+# match bit-for-bit regardless of distributed addition order. (At 10^12
+# edges the per-iteration exchange is (int64, int64) pairs only; a
+# pathological star with ~1e13 leaves would need the 850000*S product
+# widened past int64 — documented bound, not a code path here.)
+
+
+def q_pagerank_dupgraph(sf_dir: str, iters: int = 5,
+                        local_max_edges: int = 2_000_000):
+    import ray.data
+
+    from ..stages.dedup import ngram_jaccard_blocked
+    from ..stages.treeagg import tree_group_agg
+
+    pairs = ngram_jaccard_blocked(sf_dir).select_columns(["doc_a", "doc_b"])
+
+    def sym(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy()
+        b = batch.column("doc_b").to_numpy()
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b])),
+                "dst": pa.array(np.concatenate([b, a])),
+            }
+        )
+
+    pairs = pairs.materialize()
+    if pairs.count() * 2 <= local_max_edges:
+        # size-gated driver fast path (the dup_clusters hybrid pattern):
+        # the SAME integer recurrence, vectorized with bincount — a small
+        # deduped pair list doesn't warrant 6 hash-join exchanges. The
+        # distributed rounds below stay the scale path and are force-
+        # tested with local_max_edges=0.
+        pt = pairs.to_pandas()
+        a = pt["doc_a"].to_numpy()
+        b = pt["doc_b"].to_numpy()
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        nodes, src_ix = np.unique(src, return_inverse=True)
+        dst_ix = np.searchsorted(nodes, dst)
+        deg_of = np.zeros(len(nodes), dtype=np.int64)
+        np.add.at(deg_of, src_ix, 1)
+        r = np.full(len(nodes), 1_000_000, dtype=np.int64)
+        for _ in range(iters):
+            c = r[src_ix] // deg_of[src_ix]
+            s = np.zeros(len(nodes), dtype=np.int64)
+            np.add.at(s, dst_ix, c)
+            r = 150_000 + (850_000 * s) // 1_000_000
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(nodes),
+                    "deg": pa.array(deg_of),
+                    "pr_e6": pa.array(r),
+                }
+            )
+        )
+
+    edges = pairs.map_batches(sym, batch_format="pyarrow")
+    deg = tree_group_agg(edges, ["src"], {"deg": (None, "count")}).materialize()
+    ej = edges.join(
+        deg, "inner", num_partitions=JOIN_PARTS, on=("src",)
+    ).materialize()
+
+    def init_r(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": t.column("src"),
+                "r": pa.array(
+                    np.full(t.num_rows, 1_000_000, dtype=np.int64)
+                ),
+            }
+        )
+
+    r = deg.map_batches(init_r, batch_format="pyarrow").materialize()
+
+    def contrib(batch: pa.Table) -> pa.Table:
+        rv = batch.column("r").to_numpy()
+        dv = batch.column("deg").to_numpy()
+        return pa.table(
+            {"dst": batch.column("dst"), "c": pa.array(rv // dv)}
+        )
+
+    def damp(batch: pa.Table) -> pa.Table:
+        s = batch.column("s").to_numpy()
+        return pa.table(
+            {
+                "node": batch.column("dst"),
+                "r": pa.array(150_000 + (850_000 * s) // 1_000_000),
+            }
+        )
+
+    for _ in range(iters):
+        j = ej.join(
+            r, "inner", num_partitions=JOIN_PARTS,
+            on=("src",), right_on=("node",),
+        )
+        s = tree_group_agg(
+            j.map_batches(contrib, batch_format="pyarrow"),
+            ["dst"], {"s": ("c", "sum")},
+        )
+        r = s.map_batches(damp, batch_format="pyarrow").materialize()
+
+    out = deg.join(
+        r, "inner", num_partitions=JOIN_PARTS, on=("src",), right_on=("node",)
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("src"),
+                "deg": batch.column("deg"),
+                "pr_e6": batch.column("r"),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _sql_pagerank(iters: int = 5) -> str:
+    pair_cte = """
+WITH sh AS (
+  SELECT doc_id, lang, source, n_chars // 32 AS lb,
+         list_distinct(
+           list_transform(range(1, length(text) - 1),
+                          i -> substring(text, i, 3))) AS grams
+  FROM documents
+), p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b
+    ON a.lang = b.lang AND a.source = b.source AND a.lb = b.lb
+   AND a.doc_id < b.doc_id
+  WHERE len(list_distinct(list_concat(a.grams, b.grams))) > 0
+    AND (len(list_intersect(a.grams, b.grams)) * 1000000)
+        // len(list_distinct(list_concat(a.grams, b.grams))) >= 300000
+), e AS (
+  SELECT doc_a AS src, doc_b AS dst FROM p
+  UNION ALL SELECT doc_b, doc_a FROM p
+), deg AS (
+  SELECT src AS node, COUNT(*) AS deg FROM e GROUP BY 1
+), r0 AS (
+  SELECT node, CAST(1000000 AS BIGINT) AS r FROM deg
+)"""
+    steps = []
+    for k in range(iters):
+        steps.append(f""", r{k + 1} AS (
+  SELECT s.node,
+         CAST(150000 + (850000 * s.s) // 1000000 AS BIGINT) AS r
+  FROM (
+    SELECT e.dst AS node, CAST(SUM(r{k}.r // deg.deg) AS BIGINT) AS s
+    FROM e
+    JOIN r{k} ON r{k}.node = e.src
+    JOIN deg ON deg.node = e.src
+    GROUP BY e.dst
+  ) s
+)""")
+    return (
+        pair_cte
+        + "".join(steps)
+        + f"""
+SELECT deg.node AS doc_id, deg.deg, r{iters}.r AS pr_e6
+FROM deg JOIN r{iters} ON r{iters}.node = deg.node
+"""
+    )
+
+
+_SQL_PAGERANK = _sql_pagerank()
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 QUERIES = {
@@ -3221,6 +3398,7 @@ QUERIES = {
     "corpus_dedup": q_corpus_dedup,
     "dup_ngram_frac": q_dup_ngram_frac,
     "bm25_search": q_bm25_search,
+    "pagerank_dupgraph": q_pagerank_dupgraph,
 }
 
 ORACLES = {
@@ -3285,4 +3463,5 @@ ORACLES = {
     "corpus_dedup": _SQL_CORPUS_DEDUP,
     "dup_ngram_frac": _SQL_DUP_NGRAM_FRAC,
     "bm25_search": _SQL_BM25_SEARCH,
+    "pagerank_dupgraph": _SQL_PAGERANK,
 }

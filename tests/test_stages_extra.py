@@ -754,3 +754,28 @@ def test_phash_hamming_near_dup_vs_brute(ray_session):
     )
     exp_cc = pd.DataFrame(exp_rows, columns=["doc_id", "comp"])
     pd.testing.assert_frame_equal(comp.astype("int64"), exp_cc.astype("int64"))
+
+
+def test_pagerank_distributed_equals_local(ray_session):
+    """The 5-round distributed PageRank (forced via local_max_edges=0)
+    emits exactly the driver fast path's integer ranks; ranks sum close
+    to n (damped power iteration invariant)."""
+    from plateau_gis_converter_ray.pipelines.queries import q_pagerank_dupgraph
+
+    local = (
+        q_pagerank_dupgraph(SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    dist = (
+        q_pagerank_dupgraph(SF, local_max_edges=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(local) > 0
+    pd.testing.assert_frame_equal(local.astype("int64"), dist.astype("int64"))
+    # ranks stay within the damped fixed-point band
+    n = len(local)
+    assert 0.5 * n * 1_000_000 < local["pr_e6"].sum() < 1.5 * n * 1_000_000
