@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "dup_ngram_frac",
     "bm25_search",
     "pagerank_dupgraph",
+    "user_value_trend",
 ]
 
 

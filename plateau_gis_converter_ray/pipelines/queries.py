@@ -3332,6 +3332,87 @@ _SQL_PAGERANK = _sql_pagerank()
 
 
 # ---------------------------------------------------------------------------
+# 50. Per-group linear trend (grouped OLS): the slope of event value over
+# time per user, as the EXACT integer rational num/den with
+# num = n*Sxy - Sx*Sy, den = n*Sxx - Sx^2 — one combiner-tree exchange
+# carrying five int64 partial sums per (user, block), no float crosses
+# the engine/oracle boundary. x = hours since 2024-01-01 (>= 0 for this
+# dataset, so no negative floor-vs-trunc division divergence between
+# numpy and DuckDB); y = cents. den = 0 marks a user whose events all
+# share one hour bucket (slope undefined), kept as a row.
+
+
+_TREND_EPOCH_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z
+
+
+def q_user_value_trend(sf_dir: str):
+    from ..stages.treeagg import tree_group_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        x = (ts - _TREND_EPOCH_US) // 3_600_000_000
+        y = np.round(batch.column("value").to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "x": pa.array(x),
+                "y": pa.array(y),
+                "xy": pa.array(x * y),
+                "xx": pa.array(x * x),
+            }
+        )
+
+    agg = tree_group_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["user_id"],
+        {
+            "n": (None, "count"),
+            "sx": ("x", "sum"),
+            "sy": ("y", "sum"),
+            "sxy": ("xy", "sum"),
+            "sxx": ("xx", "sum"),
+        },
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy()
+        sx = batch.column("sx").to_numpy()
+        sy = batch.column("sy").to_numpy()
+        sxy = batch.column("sxy").to_numpy()
+        sxx = batch.column("sxx").to_numpy()
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "n": batch.column("n"),
+                "num": pa.array(n * sxy - sx * sy),
+                "den": pa.array(n * sxx - sx * sx),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+_SQL_USER_VALUE_TREND = """
+WITH e AS (
+  SELECT user_id,
+         (epoch_us(ts) - 1704067200000000) // 3600000000 AS x,
+         CAST(ROUND(value * 100) AS BIGINT) AS y
+  FROM events
+), s AS (
+  SELECT user_id, COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM e GROUP BY 1
+)
+SELECT user_id, n, n * sxy - sx * sy AS num, n * sxx - sx * sx AS den
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 QUERIES = {
@@ -3399,6 +3480,7 @@ QUERIES = {
     "dup_ngram_frac": q_dup_ngram_frac,
     "bm25_search": q_bm25_search,
     "pagerank_dupgraph": q_pagerank_dupgraph,
+    "user_value_trend": q_user_value_trend,
 }
 
 ORACLES = {
@@ -3464,4 +3546,5 @@ ORACLES = {
     "dup_ngram_frac": _SQL_DUP_NGRAM_FRAC,
     "bm25_search": _SQL_BM25_SEARCH,
     "pagerank_dupgraph": _SQL_PAGERANK,
+    "user_value_trend": _SQL_USER_VALUE_TREND,
 }

@@ -779,3 +779,26 @@ def test_pagerank_distributed_equals_local(ray_session):
     # ranks stay within the damped fixed-point band
     n = len(local)
     assert 0.5 * n * 1_000_000 < local["pr_e6"].sum() < 1.5 * n * 1_000_000
+
+
+def test_user_value_trend_is_ols(ray_session):
+    """num/den == the least-squares slope of cents-vs-hours per user."""
+    import pyarrow.parquet as pq
+
+    from plateau_gis_converter_ray.pipelines.queries import (
+        _TREND_EPOCH_US,
+        q_user_value_trend,
+    )
+
+    got = q_user_value_trend(SF).to_pandas().set_index("user_id")
+    t = pq.read_table(SF + "/events.parquet", columns=["user_id", "ts", "value"])
+    df = t.to_pandas()
+    df["x"] = (df["ts"].astype("int64") - _TREND_EPOCH_US) // 3_600_000_000
+    df["y"] = np.round(df["value"].to_numpy() * 100).astype(np.int64)
+    assert len(got) == df["user_id"].nunique()
+    for uid, g in list(df.groupby("user_id"))[:20]:
+        row = got.loc[uid]
+        assert row["n"] == len(g)
+        if row["den"] > 0:
+            slope = np.polyfit(g["x"].to_numpy(float), g["y"].to_numpy(float), 1)[0]
+            assert abs(row["num"] / row["den"] - slope) < 1e-7 * max(1, abs(slope))
