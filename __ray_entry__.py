@@ -422,6 +422,86 @@ def _q_image_dup_clusters(sf_dir: str):
     return comp.rename_columns({"doc_id": "img"})
 
 
+def _q_caption_city_stats(sf_dir: str):
+    """Multimodal text+pixels aggregate: decode every image, parse the
+    city token out of its caption (vectorized Arrow split/list_element —
+    captions follow '{adj} photo of a {noun} in {city} #{idx}'), and
+    aggregate decoded channel means per city through the combiner tree.
+    Means are integer-scaled (round(mean*1e6)) before the exchange so
+    the distributed sum is order-free. Rows-only (image table lives
+    outside the driver's DuckDB views); pinned equal to a local per-row
+    decode loop by pytest."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from plateau_gis_converter_ray.sources.images import ensure_image_table
+    from plateau_gis_converter_ray.stages.decode import ImageDecodeStats
+    from plateau_gis_converter_ray.stages.treeagg import tree_group_agg
+
+    path = ensure_image_table(_sf_of(sf_dir))
+    files = [
+        os.path.join(path, f) for f in sorted(os.listdir(path)) if f.endswith(".parquet")
+    ]
+    ds = ray.data.read_parquet(files)
+    dec = ds.map_batches(
+        ImageDecodeStats(verify_psnr=False),
+        batch_format="pyarrow",
+        batch_size=1024,
+    )
+
+    def city_and_scale(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        toks = pc.split_pattern(batch.column("caption"), " ")
+        city = pc.list_element(toks, 6)
+        return pa.table(
+            {
+                "city": city,
+                "r_e6": pa.array(
+                    np.round(batch.column("mean_r").to_numpy() * 1e6).astype(
+                        np.int64
+                    )
+                ),
+                "g_e6": pa.array(
+                    np.round(batch.column("mean_g").to_numpy() * 1e6).astype(
+                        np.int64
+                    )
+                ),
+                "b_e6": pa.array(
+                    np.round(batch.column("mean_b").to_numpy() * 1e6).astype(
+                        np.int64
+                    )
+                ),
+            }
+        )
+
+    agg = tree_group_agg(
+        dec.map_batches(city_and_scale, batch_format="pyarrow"),
+        ["city"],
+        {
+            "n": (None, "count"),
+            "sr": ("r_e6", "sum"),
+            "sg": ("g_e6", "sum"),
+            "sb": ("b_e6", "sum"),
+        },
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy()
+        return pa.table(
+            {
+                "city": batch.column("city"),
+                "n": batch.column("n"),
+                "avg_r_e6": pa.array(batch.column("sr").to_numpy() // n),
+                "avg_g_e6": pa.array(batch.column("sg").to_numpy() // n),
+                "avg_b_e6": pa.array(batch.column("sb").to_numpy() // n),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_audio_features(sf_dir: str):
     """Multimodal audio stage (decode stubbed deterministically, Ray
     plumbing real — stages/av.py); clip count scales with sf."""
@@ -461,6 +541,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "audio_features": _q_audio_features,
             "video_frame_sample": _q_video_frame_sample,
             "image_dup_clusters": _q_image_dup_clusters,
+            "caption_city_stats": _q_caption_city_stats,
         }
     )
     return out

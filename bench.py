@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "bm25_search",
     "pagerank_dupgraph",
     "user_value_trend",
+    "caption_city_stats",
 ]
 
 

@@ -802,3 +802,63 @@ def test_user_value_trend_is_ols(ray_session):
         if row["den"] > 0:
             slope = np.polyfit(g["x"].to_numpy(float), g["y"].to_numpy(float), 1)[0]
             assert abs(row["num"] / row["den"] - slope) < 1e-7 * max(1, abs(slope))
+
+
+def test_caption_city_stats_vs_local(ray_session):
+    """Distributed caption-city multimodal aggregate == a local per-row
+    decode loop over the same table."""
+    import os
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+
+    from __ray_entry__ import _q_caption_city_stats
+    from plateau_gis_converter_ray.kernels.imagecodec import decode_image
+    from plateau_gis_converter_ray.sources.images import ensure_image_table
+
+    got = (
+        _q_caption_city_stats(SF)
+        .to_pandas()
+        .sort_values("city")
+        .reset_index(drop=True)
+    )
+
+    path = ensure_image_table(0.001)
+    files = [
+        os.path.join(path, f)
+        for f in sorted(os.listdir(path))
+        if f.endswith(".parquet")
+    ]
+    t = pq.read_table(files)
+    acc = defaultdict(lambda: [0, 0, 0, 0])
+    for i in range(t.num_rows):
+        caption = t.column("caption")[i].as_py()
+        city = caption.split(" ")[6]
+        px = decode_image(
+            t.column("bytes")[i].as_py(),
+            t.column("fmt")[i].as_py(),
+            t.column("w")[i].as_py(),
+            t.column("h")[i].as_py(),
+        )
+        m = px.reshape(-1, 3).mean(axis=0)
+        a = acc[city]
+        a[0] += 1
+        for c in range(3):
+            a[1 + c] += int(np.round(m[c] * 1e6))
+    exp = pd.DataFrame(
+        [
+            {
+                "city": city,
+                "n": a[0],
+                "avg_r_e6": a[1] // a[0],
+                "avg_g_e6": a[2] // a[0],
+                "avg_b_e6": a[3] // a[0],
+            }
+            for city, a in sorted(acc.items())
+        ]
+    )
+    assert set(got["city"]) <= {
+        "tokyo", "osaka", "kyoto", "nagoya",
+        "sapporo", "fukuoka", "yokohama", "kobe",
+    }
+    pd.testing.assert_frame_equal(got, exp)
