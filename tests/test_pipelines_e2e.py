@@ -250,3 +250,53 @@ def test_flagship_golden_counts(ray_session, tmp_path):
     h.update(df["n_assignments"].to_numpy().tobytes())
     h.update("".join(df["muni_id"]).encode())
     assert h.hexdigest()[:16] == "efab57ea2bc6009b"
+
+
+def test_corpus_dedup_writer_resume(ray_session, tmp_path):
+    """Partial run (shard cap) -> resumed run completes the rest without
+    rewriting finished shards; third run writes nothing; the union equals
+    the kept set exactly once."""
+    import os
+
+    from plateau_gis_converter_ray.pipelines.corpus import (
+        read_corpus,
+        write_corpus_dedup,
+    )
+    from plateau_gis_converter_ray.pipelines.queries import q_corpus_dedup
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "corpus")
+
+    r1 = write_corpus_dedup(sf, out, n_shards=8, max_shards=3)
+    assert r1["written"] == 3
+    mtimes = {
+        d: os.path.getmtime(os.path.join(out, d, "part.parquet"))
+        for d in os.listdir(out)
+        if d.startswith("part=")
+    }
+    assert len(mtimes) == 3
+
+    r2 = write_corpus_dedup(sf, out, n_shards=8)
+    assert r2["written"] == 5 and r2["skipped"] == 3
+    for d, m in mtimes.items():
+        assert os.path.getmtime(os.path.join(out, d, "part.parquet")) == m
+
+    r3 = write_corpus_dedup(sf, out, n_shards=8)
+    assert r3["written"] == 0 and r3["skipped"] == 8
+
+    got = read_corpus(out).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    labels = q_corpus_dedup(sf).to_pandas()
+    kept = set(labels.loc[labels["kept"] == 1, "doc_id"])
+    assert set(got["doc_id"]) == kept
+    assert got["doc_id"].is_unique
+    # manifest carries lineage + metrics for every shard
+    import json
+
+    recs = [
+        json.loads(line)
+        for line in open(os.path.join(out, "manifest.jsonl"))
+        if line.strip()
+    ]
+    assert len(recs) == 8
+    assert all(r["lineage"]["stage_chain"] for r in recs)
+    assert all(r["metrics"]["elapsed_s"] >= 0 for r in recs)
