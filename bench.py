@@ -74,6 +74,8 @@ BENCH_QUERIES = [
     "pagerank_dupgraph",
     "user_value_trend",
     "caption_city_stats",
+    "triangle_count",
+    "user_event_sequence",
 ]
 
 

@@ -3413,6 +3413,130 @@ FROM s
 
 
 # ---------------------------------------------------------------------------
+# 51. Triangle count on the near-dup graph: wedges by one self-join on the
+# lower endpoint (id-orientation a<b<c keeps every triangle exactly once),
+# closed by one two-key hash join back to the edge list; wedge and
+# triangle totals reduce to one row. At web scale the skew lever is the
+# orientation: replacing the id order with (degree, id) order caps the
+# wedge fanout of hub nodes at O(sqrt(m)) — same plan, different sort key
+# (documented, not needed at these densities).
+
+
+def q_triangle_count(sf_dir: str):
+    import ray.data
+
+    from ..stages.dedup import ngram_jaccard_blocked
+
+    pairs = (
+        ngram_jaccard_blocked(sf_dir)
+        .select_columns(["doc_a", "doc_b"])
+        .materialize()
+    )
+
+    def _ren(names):
+        def f(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns(names)
+
+        return f
+
+    # rename via an Arrow map (the pair blocks are pandas-born; Ray's
+    # Project-based rename_columns chokes on them)
+    w1 = pairs.map_batches(_ren(["a", "b"]), batch_format="pyarrow")
+    w2 = pairs.map_batches(_ren(["a2", "c"]), batch_format="pyarrow")
+    wedges = w1.join(
+        w2, "inner", num_partitions=JOIN_PARTS, on=("a",), right_on=("a2",)
+    )
+
+    def order(batch: pa.Table) -> pa.Table:
+        b = batch.column("b").to_numpy()
+        c = batch.column("c").to_numpy()
+        keep = b < c
+        return pa.table({"b": b[keep], "c": c[keep]})
+
+    wedges = wedges.map_batches(order, batch_format="pyarrow").materialize()
+    n_wedges = wedges.count()
+    closed = wedges.join(
+        pairs, "inner", num_partitions=JOIN_PARTS,
+        on=("b", "c"), right_on=("doc_a", "doc_b"),
+    )
+    n_tri = closed.count()
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_triangles": pa.array([n_tri], pa.int64()),
+                "n_wedges": pa.array([n_wedges], pa.int64()),
+            }
+        )
+    )
+
+
+_SQL_TRIANGLE_COUNT = """
+WITH sh AS (
+  SELECT doc_id, lang, source, n_chars // 32 AS lb,
+         list_distinct(
+           list_transform(range(1, length(text) - 1),
+                          i -> substring(text, i, 3))) AS grams
+  FROM documents
+), p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b
+    ON a.lang = b.lang AND a.source = b.source AND a.lb = b.lb
+   AND a.doc_id < b.doc_id
+  WHERE len(list_distinct(list_concat(a.grams, b.grams))) > 0
+    AND (len(list_intersect(a.grams, b.grams)) * 1000000)
+        // len(list_distinct(list_concat(a.grams, b.grams))) >= 300000
+), w AS (
+  SELECT e1.doc_b AS b, e2.doc_b AS c
+  FROM p e1 JOIN p e2
+    ON e1.doc_a = e2.doc_a AND e1.doc_b < e2.doc_b
+)
+SELECT (SELECT COUNT(*) FROM w JOIN p
+         ON p.doc_a = w.b AND p.doc_b = w.c) AS n_triangles,
+       (SELECT COUNT(*) FROM w) AS n_wedges
+"""
+
+
+# ---------------------------------------------------------------------------
+# 52. Ordered per-key sequence aggregation (collect_list/string_agg with
+# ORDER BY): each user's event-type journey as a '>'-joined string in
+# (ts, event_id) order — the sequence-mining precursor (funnels, next-
+# event prediction corpora). Per-user groups are bounded (documented);
+# 64 hash-bucket groups each resolve all their users in one vectorized
+# sort + per-user join.
+
+
+def q_user_event_sequence(sf_dir: str):
+    from ..stages.treeagg import clean_arrow
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy()
+        return batch.append_column("bk", pa.array(u % 64))
+
+    def seqs(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        out = g.groupby("user_id", as_index=False).agg(
+            n_events=("event_type", "size"),
+            seq=("event_type", ">".join),
+        )
+        return clean_arrow(out)
+
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("bk")
+        .map_groups(seqs, batch_format="pandas")
+    )
+
+
+_SQL_USER_EVENT_SEQUENCE = """
+SELECT user_id, COUNT(*) AS n_events,
+       STRING_AGG(event_type, '>' ORDER BY ts, event_id) AS seq
+FROM events GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 QUERIES = {
@@ -3481,6 +3605,8 @@ QUERIES = {
     "bm25_search": q_bm25_search,
     "pagerank_dupgraph": q_pagerank_dupgraph,
     "user_value_trend": q_user_value_trend,
+    "triangle_count": q_triangle_count,
+    "user_event_sequence": q_user_event_sequence,
 }
 
 ORACLES = {
@@ -3547,4 +3673,6 @@ ORACLES = {
     "bm25_search": _SQL_BM25_SEARCH,
     "pagerank_dupgraph": _SQL_PAGERANK,
     "user_value_trend": _SQL_USER_VALUE_TREND,
+    "triangle_count": _SQL_TRIANGLE_COUNT,
+    "user_event_sequence": _SQL_USER_EVENT_SEQUENCE,
 }
