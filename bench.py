@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "caption_city_stats",
     "triangle_count",
     "user_event_sequence",
+    "dup_spans",
 ]
 
 

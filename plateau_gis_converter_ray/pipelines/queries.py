@@ -3537,6 +3537,118 @@ FROM events GROUP BY user_id
 
 
 # ---------------------------------------------------------------------------
+# 53. Maximal cross-document duplicated spans (the exact-substring-dedup
+# primitive): positions whose word-3-gram occurs in >= 2 DISTINCT docs,
+# merged into maximal runs (gaps-and-islands) per doc. Two exchanges:
+# a gram-hash-bucket groupby marks duplicated positions (distinct-doc
+# count per gram resolved inside the bucket — no gram join), then a
+# doc-bucket groupby merges consecutive positions into spans with one
+# vectorized diff/cumsum pass per bucket. Output spans cover tokens
+# [start_pos, end_pos+2]; only (doc_id, int) pairs cross the second
+# exchange.
+
+
+def q_dup_spans(sf_dir: str, n_buckets: int = 64):
+    import pyarrow.compute as pc
+
+    from ..stages.treeagg import clean_arrow
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def grams_pos(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text").cast(pa.string()), " ")
+        lens = pc.list_value_length(toks).to_numpy()
+        did = np.repeat(batch.column("doc_id").to_numpy(), lens)
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        did = did[keep]
+        s = pd.Series(flat.to_numpy(zero_copy_only=False)[keep])
+        if len(s) < 3:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64()),
+                             "gram": pa.array([], pa.string()),
+                             "b": pa.array([], pa.int64())})
+        gram = s + " " + s.shift(-1) + " " + s.shift(-2)
+        # 1-based within-doc gram position (the oracle's range(1, len-1))
+        new_doc = np.empty(len(did), dtype=bool)
+        new_doc[0] = True
+        new_doc[1:] = did[1:] != did[:-1]
+        starts = np.maximum.accumulate(
+            np.where(new_doc, np.arange(len(did)), 0)
+        )
+        pos = np.arange(len(did)) - starts + 1
+        ok = np.zeros(len(s), dtype=bool)
+        ok[: len(s) - 2] = did[: len(did) - 2] == did[2:]
+        out = pd.DataFrame({"doc_id": did, "pos": pos, "gram": gram})[ok]
+        b = pd.util.hash_array(
+            np.asarray(out["gram"].to_numpy(), dtype=object)
+        ) % n_buckets
+        return clean_arrow(out.assign(b=b.astype(np.int64)))
+
+    pos_rows = ds.map_batches(grams_pos, batch_format="pyarrow")
+
+    def mark_dup(g: pd.DataFrame) -> pa.Table:
+        nd = g.groupby("gram")["doc_id"].transform("nunique")
+        out = g.loc[(nd >= 2).to_numpy(), ["doc_id", "pos"]]
+        return clean_arrow(out.assign(bk=out["doc_id"].to_numpy() % 64))
+
+    dup_pos = pos_rows.groupby("b").map_groups(mark_dup, batch_format="pandas")
+
+    def islands(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["doc_id", "pos"], kind="stable")
+        did = g["doc_id"].to_numpy()
+        pos = g["pos"].to_numpy()
+        brk = np.empty(len(g), dtype=bool)
+        brk[0] = True
+        brk[1:] = (did[1:] != did[:-1]) | (pos[1:] != pos[:-1] + 1)
+        isl = np.cumsum(brk)
+        out = (
+            pd.DataFrame({"doc_id": did, "pos": pos, "isl": isl})
+            .groupby("isl", as_index=False)
+            .agg(
+                doc_id=("doc_id", "first"),
+                start_pos=("pos", "min"),
+                end_pos=("pos", "max"),
+                n_pos=("pos", "size"),
+            )
+            .drop(columns=["isl"])
+        )
+        out["span_tokens"] = out["end_pos"] - out["start_pos"] + 3
+        return clean_arrow(out)
+
+    return dup_pos.groupby("bk").map_groups(islands, batch_format="pandas")
+
+
+_SQL_DUP_SPANS = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, len(w) - 1),
+           i -> {'pos': i, 'gram': w[i] || ' ' || w[i+1] || ' ' || w[i+2]}
+         )) AS s
+  FROM tok WHERE len(w) >= 3
+), gp AS (
+  SELECT doc_id, s.pos AS pos, s.gram AS gram FROM g
+), df AS (
+  SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM gp GROUP BY 1
+), dup AS (
+  SELECT gp.doc_id, gp.pos FROM gp JOIN df USING (gram) WHERE df.nd >= 2
+), isl AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM dup
+)
+SELECT doc_id, MIN(pos) AS start_pos, MAX(pos) AS end_pos,
+       COUNT(*) AS n_pos, MAX(pos) - MIN(pos) + 3 AS span_tokens
+FROM isl GROUP BY doc_id, grp
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 QUERIES = {
@@ -3607,6 +3719,7 @@ QUERIES = {
     "user_value_trend": q_user_value_trend,
     "triangle_count": q_triangle_count,
     "user_event_sequence": q_user_event_sequence,
+    "dup_spans": q_dup_spans,
 }
 
 ORACLES = {
@@ -3675,4 +3788,5 @@ ORACLES = {
     "user_value_trend": _SQL_USER_VALUE_TREND,
     "triangle_count": _SQL_TRIANGLE_COUNT,
     "user_event_sequence": _SQL_USER_EVENT_SEQUENCE,
+    "dup_spans": _SQL_DUP_SPANS,
 }
