@@ -77,6 +77,8 @@ BENCH_QUERIES = [
     "triangle_count",
     "user_event_sequence",
     "dup_spans",
+    "embed_covariance",
+    "embed_pca_project",
 ]
 
 

@@ -3649,6 +3649,119 @@ FROM isl GROUP BY doc_id, grp
 
 
 # ---------------------------------------------------------------------------
+# 54. Distributed covariance sufficient statistics over the embedding
+# table (the PCA / whitening precursor): per dimension pair (i <= j),
+# exact int64 (n, si, sj, sij) with elements quantized
+# q = trunc(x * 2^20) — multiplication by a power of two is EXACT in
+# float64 and trunc matches DuckDB's TRUNC, so no rounding-mode
+# divergence can flip a bit. Each block emits ONE 2080-row upper-triangle
+# partial (int64 einsum outer product), collapsed by the combiner tree:
+# the exchange carries dim^2 rows per block, never the vectors.
+
+
+_COV_SCALE = 1048576.0  # 2^20
+
+
+def q_embed_covariance(sf_dir: str):
+    from ..stages.treeagg import tree_group_agg
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        emb = np.stack(
+            batch.column("embedding").to_numpy(zero_copy_only=False)
+        ).astype(np.float64)
+        q = np.trunc(emb * _COV_SCALE).astype(np.int64)
+        d = q.shape[1]
+        sij = np.einsum("ni,nj->ij", q, q, dtype=np.int64, casting="unsafe")
+        si = q.sum(axis=0)
+        iu, ju = np.triu_indices(d)
+        return pa.table(
+            {
+                "i": pa.array(iu + 1),
+                "j": pa.array(ju + 1),
+                "n": pa.array(
+                    np.full(len(iu), q.shape[0], dtype=np.int64)
+                ),
+                "si": pa.array(si[iu]),
+                "sj": pa.array(si[ju]),
+                "sij": pa.array(sij[iu, ju]),
+            }
+        )
+
+    return tree_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["i", "j"],
+        {
+            "n": ("n", "sum"),
+            "si": ("si", "sum"),
+            "sj": ("sj", "sum"),
+            "sij": ("sij", "sum"),
+        },
+    )
+
+
+_SQL_EMBED_COVARIANCE = """
+WITH u AS (
+  SELECT vec_id, unnest(embedding) AS e,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+), q AS (
+  SELECT vec_id, i,
+         CAST(TRUNC(CAST(e AS DOUBLE) * 1048576.0) AS BIGINT) AS v
+  FROM u
+)
+SELECT a.i AS i, b.i AS j, COUNT(*) AS n,
+       CAST(SUM(a.v) AS BIGINT) AS si,
+       CAST(SUM(b.v) AS BIGINT) AS sj,
+       CAST(SUM(a.v * b.v) AS BIGINT) AS sij
+FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY a.i, b.i
+"""
+
+
+def q_embed_pca_project(sf_dir: str):
+    """Project every embedding onto the top principal component. The
+    covariance statistics come from the oracle-gated distributed pass
+    above (driver sees dim^2 rows, never vectors); the 64-dim
+    eigenproblem is driver-side numpy; the projection is one stateless
+    vectorized map over the table with the component broadcast in the
+    task closure. Rows-only (eigenvectors aren't SQL); pinned equal to a
+    local single-process numpy recompute by pytest. Sign convention:
+    the component's largest-|.| coordinate is positive."""
+    stats = q_embed_covariance(sf_dir).to_pandas()
+    d = int(stats["i"].max())
+    n = int(stats.loc[(stats["i"] == 1) & (stats["j"] == 1), "n"].iloc[0])
+    cov = np.zeros((d, d), dtype=np.float64)
+    si = np.zeros(d, dtype=np.float64)
+    for _, r in stats.iterrows():
+        i, j = int(r["i"]) - 1, int(r["j"]) - 1
+        cov[i, j] = cov[j, i] = r["sij"] / n - (r["si"] / n) * (r["sj"] / n)
+        si[i] = r["si"] / n
+    w, v = np.linalg.eigh(cov)
+    comp = v[:, -1]
+    if comp[np.argmax(np.abs(comp))] < 0:
+        comp = -comp
+    # cov(q) = S^2 * cov(x): eigenvectors are scale-invariant, so comp is
+    # already the unit component of the UNQUANTIZED data
+    mean = si / _COV_SCALE
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def project(batch: pa.Table) -> pa.Table:
+        emb = np.stack(
+            batch.column("embedding").to_numpy(zero_copy_only=False)
+        ).astype(np.float64)
+        q = np.trunc(emb * _COV_SCALE)
+        proj = (q / _COV_SCALE - mean) @ comp
+        return pa.table(
+            {"vec_id": batch.column("vec_id"), "proj": pa.array(proj)}
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 QUERIES = {
@@ -3720,6 +3833,8 @@ QUERIES = {
     "triangle_count": q_triangle_count,
     "user_event_sequence": q_user_event_sequence,
     "dup_spans": q_dup_spans,
+    "embed_covariance": q_embed_covariance,
+    "embed_pca_project": q_embed_pca_project,
 }
 
 ORACLES = {
@@ -3789,4 +3904,5 @@ ORACLES = {
     "triangle_count": _SQL_TRIANGLE_COUNT,
     "user_event_sequence": _SQL_USER_EVENT_SEQUENCE,
     "dup_spans": _SQL_DUP_SPANS,
+    "embed_covariance": _SQL_EMBED_COVARIANCE,
 }

@@ -862,3 +862,49 @@ def test_caption_city_stats_vs_local(ray_session):
         "sapporo", "fukuoka", "yokohama", "kobe",
     }
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_embed_pca_project_vs_local(ray_session):
+    """Distributed PCA projection == a local numpy recompute over the
+    same quantized values (same expressions, same order)."""
+    import pyarrow.parquet as pq
+
+    from plateau_gis_converter_ray.pipelines.queries import (
+        _COV_SCALE,
+        q_embed_pca_project,
+    )
+
+    got = (
+        q_embed_pca_project(SF)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+
+    t = pq.read_table(SF + "/embeddings.parquet", columns=["vec_id", "embedding"])
+    emb = np.stack(t.column("embedding").to_numpy(zero_copy_only=False)).astype(
+        np.float64
+    )
+    q = np.trunc(emb * _COV_SCALE)
+    n = q.shape[0]
+    mean = q.sum(axis=0) / n / _COV_SCALE
+    qs = q.astype(np.int64)
+    sij = np.einsum("ni,nj->ij", qs, qs, dtype=np.int64, casting="unsafe")
+    si = qs.sum(axis=0)
+    cov = sij / n - np.outer(si / n, si / n)
+    w, v = np.linalg.eigh(cov)
+    comp = v[:, -1]
+    if comp[np.argmax(np.abs(comp))] < 0:
+        comp = -comp
+    exp = (q / _COV_SCALE - mean) @ comp
+    order = np.argsort(t.column("vec_id").to_numpy())
+    exp = exp[order]
+
+    assert len(got) == n
+    np.testing.assert_allclose(got["proj"].to_numpy(), exp, rtol=0, atol=1e-12)
+    # the projection must actually separate: top component variance
+    # dominates any single input dimension's variance
+    assert (
+        got["proj"].to_numpy().var()
+        >= cov.diagonal().max() / _COV_SCALE**2 * 0.999
+    )
