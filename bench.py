@@ -79,6 +79,8 @@ BENCH_QUERIES = [
     "dup_spans",
     "embed_covariance",
     "embed_pca_project",
+    "funnel_steps",
+    "cohort_retention",
 ]
 
 

@@ -3762,6 +3762,124 @@ def q_embed_pca_project(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# 55. Funnel analysis: how far each user progresses through the ordered
+# view -> click -> purchase funnel (events between steps allowed).
+# Built on the ordered-sequence machinery (one bucket exchange, one
+# vectorized sort per bucket); the step test is three vectorized regex
+# containment checks over the '>'-joined journey, matching the oracle's
+# nested-CASE regexp exactly (event-type names are prefix-free here, so
+# substring matching is unambiguous).
+
+
+def q_funnel_steps(sf_dir: str):
+    from ..stages.treeagg import clean_arrow
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy()
+        return batch.append_column("bk", pa.array(u % 64))
+
+    def steps(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        seq = g.groupby("user_id")["event_type"].agg(">".join)
+        s3 = seq.str.contains("view.*click.*purchase", regex=True)
+        s2 = seq.str.contains("view.*click", regex=True)
+        s1 = seq.str.contains("view", regex=False)
+        step = np.where(s3, 3, np.where(s2, 2, np.where(s1, 1, 0)))
+        return clean_arrow(
+            pd.DataFrame(
+                {"user_id": seq.index.to_numpy(), "step": step.astype(np.int64)}
+            )
+        )
+
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("bk")
+        .map_groups(steps, batch_format="pandas")
+    )
+
+
+_SQL_FUNNEL_STEPS = """
+WITH s AS (
+  SELECT user_id,
+         STRING_AGG(event_type, '>' ORDER BY ts, event_id) AS seq
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CASE WHEN regexp_matches(seq, 'view.*click.*purchase') THEN 3
+            WHEN regexp_matches(seq, 'view.*click') THEN 2
+            WHEN seq LIKE '%view%' THEN 1
+            ELSE 0 END AS step
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# 56. Cohort retention: users grouped by first-seen day (cohort), counted
+# as distinct actives per (cohort_day, week_offset). Plan: per-user
+# first-day via the combiner tree, ONE hash-join exchange back onto the
+# events, per-(cohort, offset, user) distinct through a second combiner
+# tree, final count per cell. Day/week arithmetic is integer floor on
+# epoch-us (all values positive — no floor/trunc divergence).
+
+
+def q_cohort_retention(sf_dir: str):
+    from ..stages.treeagg import tree_group_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def days(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "day": pa.array(ts // 86_400_000_000),
+            }
+        )
+
+    d = ds.map_batches(days, batch_format="pyarrow")
+    first = tree_group_agg(d, ["user_id"], {"cohort_day": ("day", "min")})
+    j = d.join(
+        first, "inner", num_partitions=JOIN_PARTS, on=("user_id",)
+    )
+
+    def cell(batch: pa.Table) -> pa.Table:
+        day = batch.column("day").to_numpy()
+        cd = batch.column("cohort_day").to_numpy()
+        return pa.table(
+            {
+                "cohort_day": batch.column("cohort_day"),
+                "week_offset": pa.array((day - cd) // 7),
+                "user_id": batch.column("user_id"),
+            }
+        )
+
+    per_user = tree_group_agg(
+        j.map_batches(cell, batch_format="pyarrow"),
+        ["cohort_day", "week_offset", "user_id"],
+        {"n_events": (None, "count")},
+    )
+    return tree_group_agg(
+        per_user, ["cohort_day", "week_offset"],
+        {"n_users": (None, "count"), "n_events": ("n_events", "sum")},
+    )
+
+
+_SQL_COHORT_RETENTION = """
+WITH d AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+), f AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY 1
+)
+SELECT f.cohort_day, (d.day - f.cohort_day) // 7 AS week_offset,
+       COUNT(DISTINCT d.user_id) AS n_users, COUNT(*) AS n_events
+FROM d JOIN f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 QUERIES = {
@@ -3835,6 +3953,8 @@ QUERIES = {
     "dup_spans": q_dup_spans,
     "embed_covariance": q_embed_covariance,
     "embed_pca_project": q_embed_pca_project,
+    "funnel_steps": q_funnel_steps,
+    "cohort_retention": q_cohort_retention,
 }
 
 ORACLES = {
@@ -3905,4 +4025,6 @@ ORACLES = {
     "user_event_sequence": _SQL_USER_EVENT_SEQUENCE,
     "dup_spans": _SQL_DUP_SPANS,
     "embed_covariance": _SQL_EMBED_COVARIANCE,
+    "funnel_steps": _SQL_FUNNEL_STEPS,
+    "cohort_retention": _SQL_COHORT_RETENTION,
 }
