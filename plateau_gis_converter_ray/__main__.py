@@ -64,7 +64,44 @@ def main(argv=None):
                         "row count + head only")
     q.add_argument("--num-cpus", type=int, default=8)
 
+    dd = sub.add_parser(
+        "dedup-corpus",
+        help="write the deduplicated documents corpus (near-dup pairs -> "
+             "CC -> keep-canonical) as hash-sharded parquet with a "
+             "lineage+metrics manifest; resumable (finished shards skip)",
+    )
+    dd.add_argument("sf_dir", help="testdata dir holding documents.parquet")
+    dd.add_argument("output", help="output directory (manifest.jsonl + part=K/)")
+    dd.add_argument("--shards", type=int, default=8)
+    dd.add_argument("--no-resume", action="store_true")
+    dd.add_argument("--num-cpus", type=int, default=8)
+
     args = p.parse_args(argv)
+
+    if args.cmd == "dedup-corpus":
+        import ray
+
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+        from plateau_gis_converter_ray.pipelines.corpus import (
+            write_corpus_dedup,
+        )
+
+        t0 = time.perf_counter()
+        try:
+            res = write_corpus_dedup(
+                args.sf_dir, args.output, n_shards=args.shards,
+                resume=not args.no_resume,
+            )
+            res["elapsed_s"] = round(time.perf_counter() - t0, 3)
+            print(json.dumps(res))
+            return 0
+        finally:
+            ray.shutdown()
 
     if args.cmd == "query":
         sys.path.insert(
