@@ -3422,7 +3422,7 @@ FROM s
 # (documented, not needed at these densities).
 
 
-def q_triangle_count(sf_dir: str):
+def q_triangle_count(sf_dir: str, local_max_edges: int = 2_000_000):
     import ray.data
 
     from ..stages.dedup import ngram_jaccard_blocked
@@ -3432,6 +3432,56 @@ def q_triangle_count(sf_dir: str):
         .select_columns(["doc_a", "doc_b"])
         .materialize()
     )
+
+    if pairs.count() <= local_max_edges:
+        # size-gated driver fast path (the dup_clusters/pagerank hybrid
+        # pattern): a small deduped edge list doesn't warrant two
+        # hash-join exchanges' fixed cost. Same segmented wedge
+        # enumeration, vectorized; distributed plan force-tested with
+        # local_max_edges=0.
+        pt = pairs.to_pandas().sort_values(["doc_a", "doc_b"], kind="stable")
+        a = pt["doc_a"].to_numpy()
+        b = pt["doc_b"].to_numpy()
+        if len(a) == 0:
+            n_wedges = n_tri = 0
+        else:
+            brk = np.empty(len(a), dtype=bool)
+            brk[0] = True
+            brk[1:] = a[1:] != a[:-1]
+            starts = np.maximum.accumulate(
+                np.where(brk, np.arange(len(a)), 0)
+            )
+            w = np.arange(len(a)) - starts
+            total = int(w.sum())
+            n_wedges = total
+            if total == 0:
+                n_tri = 0
+            else:
+                c_idx = np.repeat(np.arange(len(a)), w)
+                off = np.repeat(starts, w)
+                r = np.arange(total) - np.repeat(np.cumsum(w) - w, w)
+                b_idx = off + r
+                # wedge (b[b_idx] < b[c_idx]) both attached to a; closed
+                # iff (b[b_idx], b[c_idx]) is an edge. Relabel node ids to
+                # dense ints first so the packed key can't overflow int64
+                # for arbitrary 64-bit ids.
+                nodes = np.unique(np.concatenate([a, b]))
+                ai = np.searchsorted(nodes, a).astype(np.int64)
+                bi = np.searchsorted(nodes, b).astype(np.int64)
+                m = np.int64(len(nodes))
+                edge_keys = ai * m + bi
+                wedge_keys = bi[b_idx] * m + bi[c_idx]
+                n_tri = int(
+                    np.isin(wedge_keys, edge_keys, assume_unique=False).sum()
+                )
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "n_triangles": pa.array([n_tri], pa.int64()),
+                    "n_wedges": pa.array([n_wedges], pa.int64()),
+                }
+            )
+        )
 
     def _ren(names):
         def f(batch: pa.Table) -> pa.Table:

@@ -908,3 +908,13 @@ def test_embed_pca_project_vs_local(ray_session):
         got["proj"].to_numpy().var()
         >= cov.diagonal().max() / _COV_SCALE**2 * 0.999
     )
+
+
+def test_triangle_count_distributed_equals_local(ray_session):
+    """Distributed wedge-join triangle count (forced) == driver fast path."""
+    from plateau_gis_converter_ray.pipelines.queries import q_triangle_count
+
+    local = q_triangle_count(SF).to_pandas()
+    dist = q_triangle_count(SF, local_max_edges=0).to_pandas()
+    pd.testing.assert_frame_equal(local, dist)
+    assert local["n_triangles"].iloc[0] <= local["n_wedges"].iloc[0]
