@@ -502,6 +502,18 @@ def _q_caption_city_stats(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_pip_cell_join(sf_dir: str):
+    """Cell-keyed hash-join spatial join (the polygon-side-at-scale plan:
+    polygons replicated per overlapped mesh cell WITH their geometry in
+    the row — no broadcast), exact ray-casting verify, first-match via
+    min-pidx combiner. Rows-only (the municipality polygons are
+    synthetic, outside DuckDB's views); pytest pins it equal to the
+    broadcast-STRtree PIPAssign plan."""
+    from plateau_gis_converter_ray.stages.spatial_join import pip_cell_join
+
+    return pip_cell_join(sf_dir)
+
+
 def _q_audio_features(sf_dir: str):
     """Multimodal audio stage (decode stubbed deterministically, Ray
     plumbing real — stages/av.py); clip count scales with sf."""
@@ -542,6 +554,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "video_frame_sample": _q_video_frame_sample,
             "image_dup_clusters": _q_image_dup_clusters,
             "caption_city_stats": _q_caption_city_stats,
+            "pip_cell_join": _q_pip_cell_join,
         }
     )
     return out

@@ -89,3 +89,53 @@ def test_cell_id_resolution_and_ring():
     # antimeridian wrap
     ring0 = cell_ring(0, 5, 4, k=1)
     assert (15, 5) in ring0
+
+
+def test_pip_cell_join_equals_broadcast(ray_session):
+    """The cell-keyed hash-join spatial join == the broadcast-STRtree
+    PIPAssign plan, aggregated per municipality."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from plateau_gis_converter_ray.sources.municipalities import (
+        municipality_polygons,
+    )
+    from plateau_gis_converter_ray.sources.tables import read_table
+    from plateau_gis_converter_ray.stages.geocode import add_lnglat_arith
+    from plateau_gis_converter_ray.stages.spatial_join import (
+        PIPAssign,
+        pip_cell_join,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        pip_cell_join(sf)
+        .to_pandas()
+        .sort_values("muni_id")
+        .reset_index(drop=True)
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = add_lnglat_arith(batch, "event_id")
+        v = np.round(batch.column("value").to_numpy() * 100).astype(np.int64)
+        return batch.append_column("value_c", pa.array(v))
+
+    pts = (
+        read_table(sf, "events", ["event_id", "value"])
+        .map_batches(prep, batch_format="pyarrow")
+        .map_batches(
+            PIPAssign(municipality_polygons()), batch_format="pyarrow"
+        )
+        .to_pandas()
+    )
+    exp = (
+        pts.dropna(subset=["muni_id"])
+        .groupby("muni_id", as_index=False)
+        .agg(n=("value_c", "size"), sum_value_c=("value_c", "sum"))
+        .sort_values("muni_id")
+        .reset_index(drop=True)
+    )
+    assert len(exp) > 0
+    pd.testing.assert_frame_equal(got, exp)
