@@ -3930,6 +3930,256 @@ GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# ROLLUP aggregate: partial-agg reuse — the finest grain reduces through the
+# combiner tree ONCE; the coarser grains (per-status subtotal, grand total)
+# are derived from that small finest-grain result, never from a second scan.
+# At 10^12 rows the finest grain is bounded by |status| x |years| (~tens of
+# rows), so the rollup tail is a single-block map.
+
+
+def q_rollup_revenue(sf_dir: str):
+    """GROUP BY ROLLUP(o_orderstatus, year): one combiner-tree pass at the
+    finest grain + derived subtotal/grand-total rows (rollup sentinel values
+    'ALL'/-1 so the oracle compare never hashes NULLs)."""
+    import pyarrow.compute as pc
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderstatus", "o_orderdate", "o_totalprice"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        price_c = np.round(
+            batch.column("o_totalprice").to_numpy() * 100
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "status": batch.column("o_orderstatus"),
+                "yr": pc.cast(pc.year(batch.column("o_orderdate")), pa.int64()),
+                "price_c": pa.array(price_c),
+            }
+        )
+
+    finest = tree_group_agg(
+        orders.map_batches(prep, batch_format="pyarrow"),
+        ["status", "yr"],
+        {"n": (None, "count"), "sum_price_c": ("price_c", "sum")},
+    )
+
+    def add_rollup(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df.groupby("status", as_index=False).agg(
+            n=("n", "sum"), sum_price_c=("sum_price_c", "sum")
+        )
+        sub["yr"] = np.int64(-1)
+        grand = pd.DataFrame(
+            {
+                "status": ["ALL"],
+                "yr": np.array([-1], dtype=np.int64),
+                "n": [df["n"].sum()],
+                "sum_price_c": [df["sum_price_c"].sum()],
+            }
+        )
+        out = pd.concat(
+            [df, sub[["status", "yr", "n", "sum_price_c"]], grand],
+            ignore_index=True,
+        )
+        return out
+
+    return finest.map_batches(add_rollup, batch_format="pandas", batch_size=None)
+
+
+_SQL_ROLLUP_REVENUE = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(EXTRACT(year FROM o_orderdate), -1) AS yr,
+       COUNT(*) AS n,
+       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS sum_price_c
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, EXTRACT(year FROM o_orderdate))
+"""
+
+
+# ---------------------------------------------------------------------------
+# Salted hash join under deliberate key skew: 20% of the fact rows share ONE
+# join key (the Tokyo-bay-hotspot shape). The dimension side is replicated
+# x SALTS with a salt column; each fact row picks a deterministic salt, so
+# the hot key's rows spread over SALTS join partitions instead of landing in
+# one. Aggregation after the join reduces through the combiner tree, which
+# is salt-oblivious. This is the generic two-sided salting plan for a
+# dimension too large to broadcast; pip_cell_join is its spatial twin.
+
+
+def q_salted_join_skew(sf_dir: str, salts: int = 8):
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def rep_dim(batch: pa.Table) -> pa.Table:
+        ck = np.repeat(batch.column("c_custkey").to_numpy(), salts)
+        nk = np.repeat(batch.column("c_nationkey").to_numpy(), salts)
+        salt = np.tile(
+            np.arange(salts, dtype=np.int64), batch.num_rows
+        )
+        return pa.table(
+            {"c_custkey": pa.array(ck), "d_salt": pa.array(salt),
+             "c_nationkey": pa.array(nk)}
+        )
+
+    dim = cust.map_batches(rep_dim, batch_format="pyarrow")
+
+    def prep(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy()
+        ck = np.where(u % 5 == 0, 0, u % 100).astype(np.int64)
+        salt = (batch.column("event_id").to_numpy() % salts).astype(np.int64)
+        v = np.round(batch.column("value").to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {"ck": pa.array(ck), "salt": pa.array(salt),
+             "value_c": pa.array(v)}
+        )
+
+    j = ev.map_batches(prep, batch_format="pyarrow").join(
+        dim, "inner", num_partitions=JOIN_PARTS,
+        on=("ck", "salt"), right_on=("c_custkey", "d_salt"),
+    )
+    return tree_group_agg(
+        j, ["c_nationkey"],
+        {"n": (None, "count"), "sum_value_c": ("value_c", "sum")},
+    )
+
+
+_SQL_SALTED_JOIN_SKEW = """
+SELECT c_nationkey, COUNT(*) AS n,
+       SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_value_c
+FROM events
+JOIN customer
+  ON c_custkey = CASE WHEN user_id % 5 = 0 THEN 0 ELSE user_id % 100 END
+GROUP BY c_nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Pivot (long -> wide): per-user event-type counts as columns via
+# indicator-column partials + the combiner tree (the distributed form of
+# SUM(CASE WHEN ...) conditional aggregation; no shuffle beyond the one
+# bounded-cardinality group exchange).
+
+_PIVOT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def q_pivot_events(sf_dir: str):
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def ind(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        cols = {"user_id": batch.column("user_id")}
+        for t in _PIVOT_TYPES:
+            cols[f"n_{t}"] = pa.array((et == t).astype(np.int64))
+        cols["value_c"] = pa.array(
+            np.round(batch.column("value").to_numpy() * 100).astype(np.int64)
+        )
+        return pa.table(cols)
+
+    spec = {f"n_{t}": (f"n_{t}", "sum") for t in _PIVOT_TYPES}
+    spec["sum_value_c"] = ("value_c", "sum")
+    return tree_group_agg(
+        ev.map_batches(ind, batch_format="pyarrow"), ["user_id"], spec
+    )
+
+
+_SQL_PIVOT_EVENTS = """
+SELECT user_id,
+       SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+       SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+       SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+       SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_value_c
+FROM events
+GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed quantiles WITHOUT a global sort: two passes over the
+# value column. Pass 1 histograms the monotone bit-pattern key's top 16 bits
+# (<= 65 536 groups, bounded regardless of n) through the combiner tree; the
+# driver locates the bucket holding each target rank from the <=65k-row
+# cumulative table. Pass 2 re-reads ONLY rows in those buckets (a vectorized
+# mask) and reduces them to distinct (value, count) pairs — 1/65536 of the
+# value space per target — from which the exact kth element is picked. The
+# same prefix refinement recurses if a bucket's distinct set were ever too
+# large to collect (not needed at any tested scale; documented assumption).
+# Rank convention k = ceil(p*n), 1-based — DuckDB's quantile_disc.
+
+
+def _f64_sortkey(v: np.ndarray) -> np.ndarray:
+    """Monotone uint64 key: ascending key order == ascending float order
+    (total order incl. negatives; NaNs absent in the input contract)."""
+    bits = v.view(np.int64)
+    return np.where(
+        bits >= 0,
+        bits.view(np.uint64) + np.uint64(1 << 63),
+        (~bits).view(np.uint64),
+    )
+
+
+def q_exact_quantiles(sf_dir: str):
+    _PS = [(1, 4), (1, 2), (3, 4), (19, 20)]  # p25 p50 p75 p95
+    ev = _read(sf_dir, "events", ["value"])
+
+    def p1(batch: pa.Table) -> pa.Table:
+        key = _f64_sortkey(batch.column("value").to_numpy()) >> np.uint64(48)
+        pref, cnt = np.unique(key.astype(np.int64), return_counts=True)
+        return pa.table({"prefix": pa.array(pref), "cnt": pa.array(cnt)})
+
+    hist = (
+        tree_group_agg(
+            ev.map_batches(p1, batch_format="pyarrow"),
+            ["prefix"], {"cnt": ("cnt", "sum")},
+        )
+        .to_pandas()
+        .sort_values("prefix")
+        .reset_index(drop=True)
+    )
+    cum = hist["cnt"].cumsum().to_numpy()
+    n = int(cum[-1])
+    ranks = [(num * n + den - 1) // den for num, den in _PS]
+    # bucket index + ranks-below for each target rank
+    bidx = np.searchsorted(cum, ranks, side="left")
+    below = {int(b): (0 if b == 0 else int(cum[b - 1])) for b in bidx}
+    need = {int(hist["prefix"][int(b)]): int(b) for b in bidx}
+
+    def p2(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy()
+        key = (_f64_sortkey(v) >> np.uint64(48)).astype(np.int64)
+        mask = np.isin(key, np.fromiter(need, dtype=np.int64))
+        return pa.table({"prefix": pa.array(key[mask]), "value": pa.array(v[mask])})
+
+    vals = (
+        tree_group_agg(
+            ev.map_batches(p2, batch_format="pyarrow"),
+            ["prefix", "value"], {"cnt": (None, "count")},
+        )
+        .to_pandas()
+        .sort_values(["prefix", "value"])
+    )
+    out = {}
+    for (name, k, b) in zip(["p25", "p50", "p75", "p95"], ranks, bidx):
+        pref = int(hist["prefix"][int(b)])
+        sub = vals[vals["prefix"] == pref]
+        c = sub["cnt"].cumsum().to_numpy()
+        j = int(np.searchsorted(c, k - below[int(b)], side="left"))
+        out[name] = float(sub["value"].to_numpy()[j])
+    return pd.DataFrame([out])
+
+
+_SQL_EXACT_QUANTILES = """
+SELECT quantile_disc(value, 0.25) AS p25,
+       quantile_disc(value, 0.50) AS p50,
+       quantile_disc(value, 0.75) AS p75,
+       quantile_disc(value, 0.95) AS p95
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 QUERIES = {
@@ -4005,6 +4255,10 @@ QUERIES = {
     "embed_pca_project": q_embed_pca_project,
     "funnel_steps": q_funnel_steps,
     "cohort_retention": q_cohort_retention,
+    "rollup_revenue": q_rollup_revenue,
+    "salted_join_skew": q_salted_join_skew,
+    "pivot_events": q_pivot_events,
+    "exact_quantiles": q_exact_quantiles,
 }
 
 ORACLES = {
@@ -4077,4 +4331,8 @@ ORACLES = {
     "embed_covariance": _SQL_EMBED_COVARIANCE,
     "funnel_steps": _SQL_FUNNEL_STEPS,
     "cohort_retention": _SQL_COHORT_RETENTION,
+    "rollup_revenue": _SQL_ROLLUP_REVENUE,
+    "salted_join_skew": _SQL_SALTED_JOIN_SKEW,
+    "pivot_events": _SQL_PIVOT_EVENTS,
+    "exact_quantiles": _SQL_EXACT_QUANTILES,
 }
