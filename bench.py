@@ -81,6 +81,14 @@ BENCH_QUERIES = [
     "embed_pca_project",
     "funnel_steps",
     "cohort_retention",
+    # r3: cell-keyed hash-join spatial join (polygon-side-at-scale plan),
+    # rollup/pivot/salted-skew-join/exact-quantile aggregates, pushdown read
+    "pip_cell_join",
+    "rollup_revenue",
+    "salted_join_skew",
+    "pivot_events",
+    "exact_quantiles",
+    "pruned_daterange",
 ]
 
 

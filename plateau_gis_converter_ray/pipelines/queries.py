@@ -28,10 +28,10 @@ from ..stages.tiles import assign_webmercator
 # helpers
 
 
-def _read(sf_dir: str, table: str, columns=None):
+def _read(sf_dir: str, table: str, columns=None, filter=None):
     from ..sources.tables import read_table
 
-    return read_table(sf_dir, table, columns)
+    return read_table(sf_dir, table, columns, filter=filter)
 
 
 # hash-join exchange partition count: sized so the join aggregator actors
@@ -2582,7 +2582,11 @@ SELECT lang, doc_id, h FROM r WHERE rn <= 20
 def q_stream_tumbling(sf_dir: str) -> pd.DataFrame:
     from ..stages.streaming import stream_windowed_counts
 
-    df = stream_windowed_counts(sf_dir, lateness_s=10**9)
+    # infinite lateness => the result is independent of the micro-batch
+    # watermark granularity, so run the coarse 8192-row micro-batches; the
+    # tight-lateness variant below keeps the fine default where granularity
+    # is the semantic knob
+    df = stream_windowed_counts(sf_dir, lateness_s=10**9, batch_size=8192)
     win = df[df["win_start_us"] >= 0]
     out = (
         win.groupby("win_start_us", as_index=False)
@@ -4180,6 +4184,53 @@ FROM events
 
 
 # ---------------------------------------------------------------------------
+# Predicate pushdown at the read: the date-range filter is a pyarrow.dataset
+# expression handed to the parquet scan, so row groups whose min/max
+# statistics exclude 1997 are never deserialized (and with a date-sorted
+# layout, never read off storage). The rest of the plan is the standard
+# indicator-partial combiner tree. This is the "prune at the read" plan
+# shape — at 10^12 rows a one-year slice touches ~1/7 of the row groups.
+
+
+def q_pruned_daterange(sf_dir: str):
+    import pyarrow.dataset as pads
+
+    lo = pd.Timestamp("1997-01-01")
+    hi = pd.Timestamp("1998-01-01")
+    orders = _read(
+        sf_dir, "orders", ["o_orderpriority", "o_orderdate", "o_totalprice"],
+        filter=(pads.field("o_orderdate") >= lo) & (pads.field("o_orderdate") < hi),
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        price_c = np.round(
+            batch.column("o_totalprice").to_numpy() * 100
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderpriority": batch.column("o_orderpriority"),
+                "price_c": pa.array(price_c),
+            }
+        )
+
+    return tree_group_agg(
+        orders.map_batches(prep, batch_format="pyarrow"),
+        ["o_orderpriority"],
+        {"n": (None, "count"), "sum_price_c": ("price_c", "sum")},
+    )
+
+
+_SQL_PRUNED_DATERANGE = """
+SELECT o_orderpriority, COUNT(*) AS n,
+       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS sum_price_c
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 QUERIES = {
@@ -4259,6 +4310,7 @@ QUERIES = {
     "salted_join_skew": q_salted_join_skew,
     "pivot_events": q_pivot_events,
     "exact_quantiles": q_exact_quantiles,
+    "pruned_daterange": q_pruned_daterange,
 }
 
 ORACLES = {
@@ -4335,4 +4387,5 @@ ORACLES = {
     "salted_join_skew": _SQL_SALTED_JOIN_SKEW,
     "pivot_events": _SQL_PIVOT_EVENTS,
     "exact_quantiles": _SQL_EXACT_QUANTILES,
+    "pruned_daterange": _SQL_PRUNED_DATERANGE,
 }

@@ -26,14 +26,26 @@ def _clean_schema(path: str, columns: tuple | None):
     return schema
 
 
-def read_table(sf_dir: str, table: str, columns: list[str] | None = None):
-    """``read_parquet`` for ``{sf_dir}/{table}.parquet`` with column pruning
-    and a metadata-stripped schema (see module docstring)."""
+def read_table(
+    sf_dir: str,
+    table: str,
+    columns: list[str] | None = None,
+    filter=None,
+):
+    """``read_parquet`` for ``{sf_dir}/{table}.parquet`` with column pruning,
+    optional row-filter pushdown (a ``pyarrow.dataset`` expression evaluated
+    at the scan — row groups whose statistics exclude the predicate are
+    never read, so a date-range query touches only the matching fraction of
+    a 100 TB table), and a metadata-stripped schema (see module docstring)."""
     import ray.data
 
     path = f"{sf_dir}/{table}.parquet"
+    kwargs = {}
+    if filter is not None:
+        kwargs["filter"] = filter
     return ray.data.read_parquet(
         path,
         columns=columns,
         schema=_clean_schema(path, tuple(columns) if columns else None),
+        **kwargs,
     )
