@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "pivot_events",
     "exact_quantiles",
     "pruned_daterange",
+    "ngram_lm_score",
 ]
 
 

@@ -416,14 +416,18 @@ GROUP BY 1
 
 
 def q_join_orders_customers(sf_dir: str):
+    from ..stages.joins import auto_join
+
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    joined = orders.join(
-        cust,
-        join_type="inner",
-        num_partitions=JOIN_PARTS,
-        on=("o_custkey",),
-        right_on=("c_custkey",),
+    # planner decision: customer is scan-rooted, so its parquet-metadata
+    # size is free — under the broadcast limit it map-side joins (zero
+    # shuffle of orders); at a scale where customer outgrows the limit the
+    # same call plans the partitioned hash join
+    joined = auto_join(
+        orders, cust,
+        on=("o_custkey",), right_on=("c_custkey",),
+        how="inner", num_partitions=JOIN_PARTS,
     )
     from ray.data.aggregate import Count
 
@@ -4231,6 +4235,83 @@ GROUP BY o_orderpriority
 
 
 # ---------------------------------------------------------------------------
+# N-gram LM familiarity: the distributed analogue of a KenLM-style quality
+# signal — score each document by the mean corpus document-frequency of its
+# word trigrams. ONE exchange total: grams hash-bucket by gram, so a gram's
+# corpus df is a group-local size() inside the bucket and each doc's
+# sum-of-df partials fold through the combiner tree; no gram->df join and
+# no broadcast df table (which is corpus-sized and could never broadcast).
+
+
+def q_ngram_lm_score(sf_dir: str, n_buckets: int = 64):
+    from ..stages.treeagg import clean_arrow, tree_group_agg
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def grams(batch: pa.Table) -> pa.Table:
+        g = _word_trigrams(batch)
+        if not len(g):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "gram": pa.array([], pa.string()),
+                             "b": pa.array([], pa.int64())})
+        b = pd.util.hash_array(
+            np.asarray(g["gram"].to_numpy(), dtype=object)
+        ) % n_buckets
+        return clean_arrow(g.assign(b=b.astype(np.int64)))
+
+    pairs = ds.map_batches(grams, batch_format="pyarrow")
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        df = g.groupby("gram")["doc_id"].transform("size").to_numpy()
+        out = (
+            g.assign(df=df.astype(np.int64))
+            .groupby("doc_id", as_index=False)
+            .agg(n_grams=("gram", "size"), sum_df=("df", "sum"))
+        )
+        return clean_arrow(out)
+
+    tot = tree_group_agg(
+        pairs.groupby("b").map_groups(per_bucket, batch_format="pandas"),
+        ["doc_id"],
+        {"n_grams": ("n_grams", "sum"), "sum_df": ("sum_df", "sum")},
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        ng = batch.column("n_grams").to_numpy()
+        sd = batch.column("sum_df").to_numpy()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_grams": batch.column("n_grams"),
+                "sum_df": batch.column("sum_df"),
+                "fam_e6": pa.array(sd * 1_000_000 // ng),
+            }
+        )
+
+    return tot.map_batches(score, batch_format="pyarrow")
+
+
+_SQL_NGRAM_LM_SCORE = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, len(w) - 1),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS gram
+  FROM tok WHERE len(w) >= 3
+), df AS (
+  SELECT gram, COUNT(*) AS df FROM g GROUP BY gram
+)
+SELECT g.doc_id, COUNT(*) AS n_grams, SUM(df.df) AS sum_df,
+       SUM(df.df) * 1000000 // COUNT(*) AS fam_e6
+FROM g JOIN df USING (gram) GROUP BY g.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 QUERIES = {
@@ -4311,6 +4392,7 @@ QUERIES = {
     "pivot_events": q_pivot_events,
     "exact_quantiles": q_exact_quantiles,
     "pruned_daterange": q_pruned_daterange,
+    "ngram_lm_score": q_ngram_lm_score,
 }
 
 ORACLES = {
@@ -4388,4 +4470,5 @@ ORACLES = {
     "pivot_events": _SQL_PIVOT_EVENTS,
     "exact_quantiles": _SQL_EXACT_QUANTILES,
     "pruned_daterange": _SQL_PRUNED_DATERANGE,
+    "ngram_lm_score": _SQL_NGRAM_LM_SCORE,
 }

@@ -1,0 +1,109 @@
+"""Join planning: broadcast map-side join vs hash-shuffle join.
+
+The repo's query plans pick their join strategy by hand (broadcast for
+nation x region, hash shuffle for orders x customer). ``auto_join`` makes
+that choice an engine decision, the way the reference's pipeline builder
+resolves transforms from sink requirements (nusamai/src/transformer): it
+broadcasts the build side when — and only when — its size is *provably*
+small, and otherwise plans the partitioned hash join.
+
+Size evidence, in order:
+1. an explicit ``right_size_hint`` in bytes (caller knowledge);
+2. ``Dataset.size_bytes()``, which is O(1) parquet-footer metadata for
+   scan-rooted plans (``read_parquet`` + column pruning only) — checked via
+   the logical dag so a transformed plan is NEVER executed just to measure
+   it (executing an unknown-size side to discover it is too big would be
+   the scale bug this module exists to avoid).
+If neither gives a bound, the shuffle join is planned.
+
+The broadcast path puts the build table in the object store ONCE
+(``ray.put``) and every map task does a vectorized pandas merge against
+it — zero shuffle of the probe side, the plan for a dimension that fits
+in worker heap at every node. At 10^12 probe rows that saves the full
+all-to-all exchange; above ``broadcast_limit_bytes`` the partitioned
+``Dataset.join`` keeps memory bounded instead.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+DEFAULT_BROADCAST_LIMIT = 64 << 20  # 64 MiB of Arrow bytes per worker heap
+
+
+def _scan_rooted_size(ds) -> int | None:
+    """size_bytes() only when the logical plan is a bare read (O(1) from
+    parquet metadata); None for any transformed plan."""
+    try:
+        dag = ds._plan._logical_plan.dag
+        if type(dag).__name__ in ("Read", "ReadParquet"):
+            return ds.size_bytes()
+    except Exception:
+        pass
+    return None
+
+
+def auto_join(
+    left,
+    right,
+    on: tuple,
+    right_on: tuple | None = None,
+    how: str = "inner",
+    num_partitions: int = 4,
+    broadcast_limit_bytes: int = DEFAULT_BROADCAST_LIMIT,
+    right_size_hint: int | None = None,
+    force: str | None = None,
+):
+    """Join ``left`` with ``right`` on key columns, picking the strategy.
+
+    ``force`` ("broadcast" | "shuffle") pins the strategy for tests. Only
+    ``inner`` and ``left_outer`` are supported on the broadcast path (the
+    build side must never need unmatched-right emission).
+    """
+    right_on = right_on or on
+    strategy = force
+    if strategy is None:
+        est = (
+            right_size_hint
+            if right_size_hint is not None
+            else _scan_rooted_size(right)
+        )
+        strategy = (
+            "broadcast"
+            if est is not None and est <= broadcast_limit_bytes
+            else "shuffle"
+        )
+
+    if strategy == "shuffle":
+        return left.join(
+            right,
+            join_type=how,
+            num_partitions=num_partitions,
+            on=on,
+            right_on=right_on,
+        )
+
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"broadcast join does not support how={how!r}")
+    import ray
+
+    build = right.to_pandas()
+    if len(build) and broadcast_limit_bytes is not None:
+        assert build.memory_usage(deep=True).sum() <= 4 * broadcast_limit_bytes
+    ref = ray.put(build)
+
+    pd_how = "inner" if how == "inner" else "left"
+    lk, rk = list(on), list(right_on)
+
+    def probe(batch: pd.DataFrame) -> pd.DataFrame:
+        from .treeagg import clean_arrow
+
+        b = ray.get(ref)
+        out = batch.merge(
+            b, how=pd_how, left_on=lk, right_on=rk, sort=False, copy=False
+        )
+        # match Dataset.join's schema: the right key columns are dropped
+        out = out.drop(columns=[c for c in rk if c not in lk])
+        return clean_arrow(out)
+
+    return left.map_batches(probe, batch_format="pandas")

@@ -1,0 +1,68 @@
+"""auto_join planner: strategy choice + broadcast == shuffle results."""
+
+import numpy as np
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+def _norm(df, keys):
+    return (
+        df.sort_values(keys)
+        .reset_index(drop=True)
+        .reindex(sorted(df.columns), axis=1)
+    )
+
+
+def test_auto_join_broadcast_equals_shuffle(ray_session):
+    from plateau_gis_converter_ray.sources.tables import read_table
+    from plateau_gis_converter_ray.stages.joins import auto_join
+
+    for how in ("inner", "left_outer"):
+        res = {}
+        for force in ("broadcast", "shuffle"):
+            orders = read_table(SF, "orders", ["o_orderkey", "o_custkey"])
+            cust = read_table(SF, "customer", ["c_custkey", "c_mktsegment"])
+            res[force] = _norm(
+                auto_join(
+                    orders, cust, on=("o_custkey",), right_on=("c_custkey",),
+                    how=how, force=force,
+                ).to_pandas(),
+                ["o_orderkey"],
+            )
+        pd.testing.assert_frame_equal(res["broadcast"], res["shuffle"])
+
+
+def test_auto_join_strategy_choice(ray_session):
+    from plateau_gis_converter_ray.sources.tables import read_table
+    from plateau_gis_converter_ray.stages.joins import _scan_rooted_size
+
+    cust = read_table(SF, "customer", ["c_custkey", "c_mktsegment"])
+    # scan-rooted: free metadata size, no execution
+    est = _scan_rooted_size(cust)
+    assert est is not None and 0 < est < (64 << 20)
+    # transformed plan: planner must refuse to measure (returns None)
+    mapped = cust.map_batches(lambda b: b, batch_format="pyarrow")
+    assert _scan_rooted_size(mapped) is None
+
+
+def test_auto_join_hint_overrides(ray_session):
+    """A size hint above the limit forces the shuffle plan even for a tiny
+    scan-rooted side (and the result is still correct)."""
+    from plateau_gis_converter_ray.sources.tables import read_table
+    from plateau_gis_converter_ray.stages.joins import auto_join
+
+    orders = read_table(SF, "orders", ["o_orderkey", "o_custkey"])
+    cust = read_table(SF, "customer", ["c_custkey", "c_mktsegment"])
+    out = auto_join(
+        orders, cust, on=("o_custkey",), right_on=("c_custkey",),
+        right_size_hint=1 << 40,
+    ).to_pandas()
+    exp = pd.read_parquet(f"{SF}/orders.parquet", columns=["o_orderkey", "o_custkey"]).merge(
+        pd.read_parquet(f"{SF}/customer.parquet", columns=["c_custkey", "c_mktsegment"]),
+        left_on="o_custkey", right_on="c_custkey",
+    )
+    assert len(out) == len(exp)
+    assert np.array_equal(
+        np.sort(out["o_orderkey"].to_numpy()), np.sort(exp["o_orderkey"].to_numpy())
+    )
