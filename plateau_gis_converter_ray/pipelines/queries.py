@@ -274,26 +274,38 @@ def _rev_by_order(sf_dir: str, full: bool = True):
     )
 
 
-def q_top_orders(sf_dir: str):
+def q_top_orders(sf_dir: str, force: str | None = None):
     """Distributed semi-join chain — no fact table ever touches the driver:
     lineitem pre-aggregates to per-order revenue (combiner pushdown), orders
     LEFT SEMI customer(BUILDING), then the per-order revenue LEFT SEMI the
-    qualifying order set; the hash-partitioned Dataset.join exchanges
-    (the reference's sort-join role, SURVEY §2.4) only ever move one row
-    per order. Global top-k closes it."""
+    qualifying order set. Both semi joins are planner-routed (auto_join)
+    with provable scan-metadata upper bounds: under the broadcast limit the
+    build side reduces to a key set shipped once and the probe is a
+    vectorized membership mask — zero fact shuffle; above it the SAME call
+    plans the hash-partitioned left_semi exchange that only ever moves one
+    row per order. Global top-k closes it."""
+    from ..stages.joins import _scan_rooted_size, auto_join
+
+    cust_scan = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    cust_bound = _scan_rooted_size(cust_scan)
     cust_b = (
-        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        cust_scan
         .filter(expr="c_mktsegment == 'BUILDING'")
         .select_columns(["c_custkey"])
     )
-    orders_b = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).join(
-        cust_b, "left_semi", num_partitions=JOIN_PARTS,
+    orders_scan = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    orders_bound = _scan_rooted_size(orders_scan)
+    orders_b = auto_join(
+        orders_scan, cust_b, how="left_semi", num_partitions=JOIN_PARTS,
         on=("o_custkey",), right_on=("c_custkey",),
+        right_size_hint=cust_bound, force=force,
     ).select_columns(["o_orderkey"])
 
-    agg = _rev_by_order(sf_dir).join(
-        orders_b, "left_semi", num_partitions=JOIN_PARTS,
+    agg = auto_join(
+        _rev_by_order(sf_dir), orders_b, how="left_semi",
+        num_partitions=JOIN_PARTS,
         on=("l_orderkey",), right_on=("o_orderkey",),
+        right_size_hint=orders_bound, force=force,
     )
     agg = agg.rename_columns({"l_orderkey": "o_orderkey"})
     return agg.sort(["revenue_s", "o_orderkey"], descending=[True, False]).limit(10)
@@ -352,11 +364,19 @@ def q_top_orders_bloom(sf_dir: str):
 # 7. Q5-style star join: revenue per nation for ASIA customers
 
 
-def q_nation_revenue(sf_dir: str):
-    """Star join with only the genuinely tiny dims (nation x region, ~25
-    rows) broadcast; customer -> orders -> lineitem are distributed
-    hash-partitioned Dataset.join exchanges. Revenue is pre-scaled per row
-    BEFORE the join so the exchange carries (key, n_name, rev_s) only."""
+def q_nation_revenue(sf_dir: str, force: str | None = None):
+    """Star join, planner-routed: nation x region (~25 rows) is a task-fn
+    dict; the customer and orders sides go through ``auto_join`` with
+    *provable upper-bound* size hints (a filter/projection only shrinks its
+    scan-rooted input, so the scan's O(1) parquet-metadata size bounds the
+    transformed side). At bench scale both bounds sit under the broadcast
+    limit and the plan is two map-side joins with zero fact shuffle; at a
+    scale where orders outgrow the limit the SAME code plans the
+    partitioned hash joins (force='shuffle' pins that path in pytest).
+    Revenue is pre-scaled per row BEFORE the join so either plan carries
+    (key, n_name, rev_s) only."""
+    from ..sources.tables import read_table
+    from ..stages.joins import _scan_rooted_size, auto_join
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
     region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
     asia = set(region.loc[region["r_name"] == "ASIA", "r_regionkey"].tolist())
@@ -380,18 +400,26 @@ def q_nation_revenue(sf_dir: str):
                 }
             )
 
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+    cust_scan = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    cust_bound = _scan_rooted_size(cust_scan)
+    cust = cust_scan.map_batches(
         AttachNation(dict(zip(nation_asia["n_nationkey"], nation_asia["n_name"]))),
         batch_format="pyarrow",
     )
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).join(
-        cust, "inner", num_partitions=JOIN_PARTS, on=("o_custkey",), right_on=("c_custkey",),
+    orders_scan = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    orders_bound = _scan_rooted_size(orders_scan)
+    orders = auto_join(
+        orders_scan, cust,
+        on=("o_custkey",), right_on=("c_custkey",),
+        num_partitions=JOIN_PARTS, right_size_hint=cust_bound, force=force,
     ).select_columns(["o_orderkey", "n_name"])
 
     # combiner pushdown: per-order revenue partials BEFORE the fact join
     # (partials suffice — the final n_name tree merge re-sums split keys)
-    joined = _rev_by_order(sf_dir, full=False).join(
-        orders, "inner", num_partitions=JOIN_PARTS, on=("l_orderkey",), right_on=("o_orderkey",),
+    joined = auto_join(
+        _rev_by_order(sf_dir, full=False), orders,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+        num_partitions=JOIN_PARTS, right_size_hint=orders_bound, force=force,
     ).select_columns(["n_name", "revenue_s"])
     return tree_group_agg(
         joined, ["n_name"], {"revenue_s": ("revenue_s", "sum")}, levels=(1,)
@@ -977,18 +1005,26 @@ SELECT event_id, rn AS rank, qid FROM d WHERE rn <= 3
 # 24. Anti-join: customers with no orders (broadcast key-set filter)
 
 
-def q_customers_without_orders(sf_dir: str):
-    """Distributed anti-join: customers with no URGENT-priority order, as a
-    hash-partitioned ``Dataset.join(left_anti)`` — the orders side is
-    filtered + key-projected before the exchange, never driver-materialized."""
+def q_customers_without_orders(sf_dir: str, force: str | None = None):
+    """Anti-join, planner-routed: customers with no URGENT-priority order.
+    The orders side is filtered + key-projected before the planner sees it;
+    its scan-metadata upper bound picks the broadcast key-set mask at bench
+    scale and the hash-partitioned ``Dataset.join(left_anti)`` exchange at
+    a scale where the bound exceeds the limit (force pins either path)."""
+    from ..stages.joins import _scan_rooted_size, auto_join
+
+    orders_scan = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    orders_bound = _scan_rooted_size(orders_scan)
     urgent = (
-        _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+        orders_scan
         .filter(expr="o_orderpriority == '1-URGENT'")
         .select_columns(["o_custkey"])
     )
-    return _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).join(
-        urgent, "left_anti", num_partitions=JOIN_PARTS,
+    return auto_join(
+        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]), urgent,
+        how="left_anti", num_partitions=JOIN_PARTS,
         on=("c_custkey",), right_on=("o_custkey",),
+        right_size_hint=orders_bound, force=force,
     )
 
 

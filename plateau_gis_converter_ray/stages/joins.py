@@ -56,9 +56,11 @@ def auto_join(
 ):
     """Join ``left`` with ``right`` on key columns, picking the strategy.
 
-    ``force`` ("broadcast" | "shuffle") pins the strategy for tests. Only
-    ``inner`` and ``left_outer`` are supported on the broadcast path (the
-    build side must never need unmatched-right emission).
+    ``force`` ("broadcast" | "shuffle") pins the strategy for tests. The
+    broadcast path supports ``inner`` and ``left_outer`` (vectorized merge)
+    plus ``left_semi`` and ``left_anti`` (vectorized key-membership mask —
+    the build side reduces to its key set, so the broadcast payload is even
+    smaller); right-emitting join types need the shuffle plan.
     """
     right_on = right_on or on
     strategy = force
@@ -83,9 +85,25 @@ def auto_join(
             right_on=right_on,
         )
 
-    if how not in ("inner", "left_outer"):
+    if how not in ("inner", "left_outer", "left_semi", "left_anti"):
         raise ValueError(f"broadcast join does not support how={how!r}")
     import ray
+
+    lk, rk = list(on), list(right_on)
+
+    if how in ("left_semi", "left_anti"):
+        keys = right.select_columns(rk).to_pandas().drop_duplicates()
+        ref = ray.put(pd.MultiIndex.from_frame(keys))
+        keep_if = how == "left_semi"
+
+        def mask(batch: pd.DataFrame) -> pd.DataFrame:
+            from .treeagg import clean_arrow
+
+            idx = ray.get(ref)
+            m = pd.MultiIndex.from_frame(batch[lk]).isin(idx)
+            return clean_arrow(batch[m if keep_if else ~m])
+
+        return left.map_batches(mask, batch_format="pandas")
 
     build = right.to_pandas()
     if len(build) and broadcast_limit_bytes is not None:
@@ -93,7 +111,6 @@ def auto_join(
     ref = ray.put(build)
 
     pd_how = "inner" if how == "inner" else "left"
-    lk, rk = list(on), list(right_on)
 
     def probe(batch: pd.DataFrame) -> pd.DataFrame:
         from .treeagg import clean_arrow

@@ -66,3 +66,22 @@ def test_auto_join_hint_overrides(ray_session):
     assert np.array_equal(
         np.sort(out["o_orderkey"].to_numpy()), np.sort(exp["o_orderkey"].to_numpy())
     )
+
+
+def test_planner_routed_queries_force_equal(ray_session):
+    """nation_revenue / top_orders / customers_without_orders: the planner's
+    broadcast plan == the forced shuffle plan, bit-for-bit."""
+    from plateau_gis_converter_ray.pipelines.queries import (
+        q_customers_without_orders,
+        q_nation_revenue,
+        q_top_orders,
+    )
+
+    for fn, keys in [
+        (q_nation_revenue, ["n_name"]),
+        (q_top_orders, ["o_orderkey"]),
+        (q_customers_without_orders, ["c_custkey"]),
+    ]:
+        a = _norm(fn(SF, force=None).to_pandas(), keys)
+        b = _norm(fn(SF, force="shuffle").to_pandas(), keys)
+        pd.testing.assert_frame_equal(a, b)
