@@ -1878,10 +1878,16 @@ def q_large_orders(sf_dir: str):
         orders, "inner", num_partitions=JOIN_PARTS,
         on=("l_orderkey",), right_on=("o_orderkey",),
     )
+    # the qualifying-order side has no provable scan bound (an aggregate's
+    # output size isn't bounded by its input scan in any useful way), so
+    # that join stays a shuffle; the customer attach IS scan-bounded and
+    # planner-routes
+    from ..stages.joins import _scan_rooted_size, auto_join
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
-    j = j.join(
-        cust, "inner", num_partitions=JOIN_PARTS,
+    j = auto_join(
+        j, cust, num_partitions=JOIN_PARTS,
         on=("o_custkey",), right_on=("c_custkey",),
+        right_size_hint=_scan_rooted_size(cust),
     )
     j = j.rename_columns({"l_orderkey": "o_orderkey"})
     return j.select_columns(["o_orderkey", "c_name", "total_price_c", "sum_qty"])
@@ -1926,9 +1932,10 @@ def q_promo_revenue(sf_dir: str):
         ["l_partkey"], {"rev_s": ("rev_s", "sum")}, levels=(),
     )  # partials only: the post-join reduce re-sums, so split keys are fine
 
+    from ..stages.joins import auto_join
     part = _read(sf_dir, "part", ["p_partkey", "p_type"])
-    j = per_part.join(
-        part, "inner", num_partitions=JOIN_PARTS,
+    j = auto_join(
+        per_part, part, num_partitions=JOIN_PARTS,
         on=("l_partkey",), right_on=("p_partkey",),
     )
 
@@ -2015,14 +2022,18 @@ def q_volume_shipping(sf_dir: str):
         )
 
     li = li.map_batches(attach_supp, batch_format="pandas")
+    # both build sides are bare scans: the planner reads their O(1)
+    # parquet-metadata size and broadcasts under the limit (zero fact
+    # shuffle at bench scale), hash-joins above it
+    from ..stages.joins import auto_join
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    j = li.join(
-        orders, "inner", num_partitions=JOIN_PARTS,
+    j = auto_join(
+        li, orders, num_partitions=JOIN_PARTS,
         on=("l_orderkey",), right_on=("o_orderkey",),
     )
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    j = j.join(
-        cust, "inner", num_partitions=JOIN_PARTS,
+    j = auto_join(
+        j, cust, num_partitions=JOIN_PARTS,
         on=("o_custkey",), right_on=("c_custkey",),
     )
 
