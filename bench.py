@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "exact_quantiles",
     "pruned_daterange",
     "ngram_lm_score",
+    "pq_ann_search",
 ]
 
 

@@ -4359,6 +4359,35 @@ FROM g JOIN df USING (gram) GROUP BY g.doc_id
 
 
 # ---------------------------------------------------------------------------
+# Product-quantization ANN search (stages/pq.py): codebooks trained on a
+# deterministic bounded sample (n // sample_mod ~ 4k vectors regardless of
+# corpus size — the scan-rooted metadata count is O(1)), corpus encoded to
+# M=16 bytes/vector (16x compression of the 64-dim f32 column), ADC top-10
+# per query via broadcast int64 LUTs with block-level top-k pruning.
+# Rows-only (ADC is approximate by design); pytest pins recall@10 >= 0.5
+# vs the exact brute force and run-to-run determinism.
+
+
+def q_pq_ann_search(sf_dir: str):
+    from ..stages.pq import pq_adc_search, pq_encode, pq_train
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    n = ds.count()  # scan-rooted: O(1) parquet metadata
+    books = pq_train(ds, dim=64, sample_mod=max(1, n // 4096))
+    codes = pq_encode(ds, books)
+    head = (
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .sort("vec_id").limit(8).to_pandas()
+    )
+    return pq_adc_search(
+        codes, books,
+        {"qid": head["vec_id"].to_numpy(),
+         "vecs": np.stack(head["embedding"].to_numpy())},
+        topk=10,
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 QUERIES = {
@@ -4440,6 +4469,7 @@ QUERIES = {
     "exact_quantiles": q_exact_quantiles,
     "pruned_daterange": q_pruned_daterange,
     "ngram_lm_score": q_ngram_lm_score,
+    "pq_ann_search": q_pq_ann_search,
 }
 
 ORACLES = {

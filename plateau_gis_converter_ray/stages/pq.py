@@ -1,0 +1,175 @@
+"""Product quantization (PQ) for embedding columns — the ANN compression
+path at 10^12-vector scale.
+
+The exact kNN operators (stages/knn.py) carry full float vectors through
+every batch; at 10^12 x 64-dim that is ~256 TB of vector bytes. PQ splits
+each vector into M subspaces, k-means-codes each subspace into one byte (k=256, the standard 8-bit subquantizer),
+and searches with asymmetric distance computation (ADC): the query stays
+exact, the corpus is M bytes/vector (64-dim f32 -> 16 bytes = 16x at the default n_sub=16). This is
+the published FAISS/Jegou-2011 design re-expressed Ray-Data-first:
+
+- **train** on a deterministic bounded sample (splitmix64 of vec_id —
+  codebook training needs ~1e5 vectors no matter the corpus size, so the
+  sample is collected through the streaming read and the k-means runs on
+  the driver over a provably bounded table; the FAISS practice);
+- **encode** as a stateless vectorized ``map_batches`` (argmin over the
+  (k, d_sub) codebook per subspace; output one M-byte binary per row);
+- **search** as broadcast-LUT ADC: per batch, distances are LUT gathers +
+  sums over uint8 codes (integer-exact — centroids and queries are
+  quantized to int64, so partial top-k merge order can't flip bits), with
+  block-level top-k pruning before the single small merge.
+
+All arithmetic is int64 (exact); ties break on vec_id — deterministic
+across block orders and re-runs (pytest-pinned).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .knn import quantize
+
+
+def _sample_mask(vec_id: np.ndarray, sample_mod: int) -> np.ndarray:
+    from ..kernels.imagecodec import splitmix64
+
+    with np.errstate(over="ignore"):
+        h = splitmix64(vec_id.astype(np.uint64))
+    return (h % np.uint64(sample_mod)) == 0
+
+
+def pq_train(
+    ds,
+    dim: int,
+    n_sub: int = 16,
+    k: int = 256,
+    iters: int = 8,
+    sample_mod: int = 1,
+) -> np.ndarray:
+    """Train per-subspace codebooks: (n_sub, k, dim//n_sub) int64 (quantized).
+
+    ``sample_mod``: keep ~1/sample_mod of vectors for training (deterministic
+    splitmix64 of vec_id). The sample is the ONLY data the driver sees; its
+    size is the caller's bound (corpus_size / sample_mod).
+    """
+    d_sub = dim // n_sub
+    assert d_sub * n_sub == dim
+
+    def pick(batch: pa.Table) -> pa.Table:
+        vid = batch.column("vec_id").to_numpy()
+        m = _sample_mask(vid, sample_mod) if sample_mod > 1 else np.ones(len(vid), bool)
+        return batch.filter(pa.array(m))
+
+    sample = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+    sample = sample.sort_values("vec_id")  # deterministic training order
+    vecs = quantize(np.stack(sample["embedding"].to_numpy()))  # (n, dim) int64
+    books = np.empty((n_sub, k, d_sub), dtype=np.int64)
+    for m in range(n_sub):
+        x = vecs[:, m * d_sub : (m + 1) * d_sub].astype(np.float64)
+        # deterministic seeding: evenly spaced points of the vec_id-sorted
+        # sample; plain Lloyd (training is once-per-corpus, driver-side)
+        cent = x[np.linspace(0, len(x) - 1, k).astype(np.int64)].copy()
+        for _ in range(iters):
+            d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(k):
+                sel = x[assign == c]
+                if len(sel):
+                    cent[c] = sel.mean(axis=0)
+        books[m] = np.round(cent).astype(np.int64)
+    return books
+
+
+def pq_encode(ds, books: np.ndarray):
+    """(vec_id, code:binary[M]) — stateless vectorized encode."""
+    import ray
+
+    ref = ray.put(books)
+    n_sub, k, d_sub = books.shape
+
+    def enc(batch: pa.Table) -> pa.Table:
+        b = ray.get(ref)
+        vecs = quantize(
+            np.stack(batch.column("embedding").to_numpy(zero_copy_only=False))
+        )
+        n = len(vecs)
+        codes = np.empty((n, n_sub), dtype=np.uint8)
+        for m in range(n_sub):
+            x = vecs[:, m * d_sub : (m + 1) * d_sub]  # (n, d_sub) int64
+            cent = b[m]  # (k, d_sub) int64
+            # |x|^2 - 2 x.c + |c|^2, exact int64
+            d2 = (
+                (x * x).sum(axis=1)[:, None]
+                - 2 * (x @ cent.T)
+                + (cent * cent).sum(axis=1)[None, :]
+            )
+            codes[:, m] = np.argmin(d2, axis=1).astype(np.uint8)
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "code": pa.array(list(codes.tobytes()[i * n_sub : (i + 1) * n_sub]
+                                       for i in range(n)), pa.binary()),
+            }
+        )
+
+    return ds.map_batches(enc, batch_format="pyarrow")
+
+
+def pq_adc_search(codes_ds, books: np.ndarray, queries: dict, topk: int = 10):
+    """ADC top-k per query over the coded corpus.
+
+    ``queries``: {"qid": (Q,), "vecs": (Q, dim) float}. Per batch: distance =
+    sum_m LUT[q, m, code_m] (int64 gathers), block-level top-k prune, ONE
+    small final merge (Q x topk x blocks rows). Ties: smaller vec_id wins.
+    """
+    import ray
+
+    from .treeagg import clean_arrow
+
+    qids = np.asarray(queries["qid"], dtype=np.int64)
+    qv = quantize(np.asarray(queries["vecs"]))
+    n_sub, k, d_sub = books.shape
+    # LUT[q, m, c] = ||q_m - cent_mc||^2, exact int64
+    lut = np.empty((len(qids), n_sub, k), dtype=np.int64)
+    for m in range(n_sub):
+        qm = qv[:, m * d_sub : (m + 1) * d_sub]
+        cent = books[m]
+        lut[:, m, :] = (
+            (qm * qm).sum(axis=1)[:, None]
+            - 2 * (qm @ cent.T)
+            + (cent * cent).sum(axis=1)[None, :]
+        )
+    ref = ray.put((qids, lut))
+
+    def block_topk(batch: pa.Table) -> pd.DataFrame:
+        qids_, lut_ = ray.get(ref)
+        vid = batch.column("vec_id").to_numpy()
+        raw = batch.column("code").to_numpy(zero_copy_only=False)
+        codes = np.frombuffer(b"".join(raw), dtype=np.uint8).reshape(-1, n_sub)
+        # dist[q, n] = sum over m of LUT[q, m, codes[n, m]]
+        dist = np.zeros((len(qids_), len(vid)), dtype=np.int64)
+        for m in range(n_sub):
+            dist += lut_[:, m, codes[:, m]]
+        t = min(topk, len(vid))
+        # vectorized per-query top-t with (dist, vec_id) tie order
+        part = np.argpartition(dist, t - 1, axis=1)[:, :t]
+        rows = {
+            "qid": np.repeat(qids_, t),
+            "ann_id": vid[part].ravel(),
+            "adc_dist": np.take_along_axis(dist, part, axis=1).ravel(),
+        }
+        return clean_arrow(pd.DataFrame(rows))
+
+    partials = codes_ds.map_batches(block_topk, batch_format="pyarrow")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["qid", "adc_dist", "ann_id"], kind="stable")
+        out = df.groupby("qid", as_index=False, sort=True).head(topk).copy()
+        out["rank"] = out.groupby("qid").cumcount().astype(np.int64)
+        return clean_arrow(out.reset_index(drop=True))
+
+    return partials.repartition(1).map_batches(
+        merge, batch_format="pandas", batch_size=None
+    )

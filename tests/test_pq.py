@@ -1,0 +1,58 @@
+"""Product quantization: encode shape, ADC recall vs exact, determinism."""
+
+import numpy as np
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+def _exact_topk(topk=10, n_queries=8):
+    from plateau_gis_converter_ray.stages.knn import quantize
+
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    emb = emb.sort_values("vec_id").reset_index(drop=True)
+    v = quantize(np.stack(emb["embedding"].to_numpy()))
+    vid = emb["vec_id"].to_numpy()
+    q = v[:n_queries]
+    d2 = (v * v).sum(1)[None, :] - 2 * (q @ v.T) + (q * q).sum(1)[:, None]
+    out = {}
+    for i in range(n_queries):
+        order = np.lexsort((vid, d2[i]))
+        out[int(vid[i])] = set(vid[order[:topk]].tolist())
+    return out
+
+
+def test_pq_encode_and_recall(ray_session):
+    from plateau_gis_converter_ray.pipelines.queries import q_pq_ann_search
+
+    res = q_pq_ann_search(SF).to_pandas()
+    assert set(res.columns) >= {"qid", "ann_id", "adc_dist", "rank"}
+    assert res.groupby("qid").size().eq(10).all()
+    exact = _exact_topk()
+    recalls = []
+    for qid, grp in res.groupby("qid"):
+        hit = len(set(grp["ann_id"].tolist()) & exact[int(qid)])
+        recalls.append(hit / 10)
+        # the query vector itself must always be its own top hit (dist 0)
+        assert grp.sort_values("rank")["ann_id"].iloc[0] == qid
+    assert np.mean(recalls) >= 0.5, recalls
+
+
+def test_pq_deterministic(ray_session):
+    from plateau_gis_converter_ray.pipelines.queries import q_pq_ann_search
+
+    a = q_pq_ann_search(SF).to_pandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    b = q_pq_ann_search(SF).to_pandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_pq_code_bytes(ray_session):
+    from plateau_gis_converter_ray.sources.tables import read_table
+    from plateau_gis_converter_ray.stages.pq import pq_encode, pq_train
+
+    ds = read_table(SF, "embeddings", ["vec_id", "embedding"])
+    books = pq_train(ds, dim=64, n_sub=8, k=16, sample_mod=4)
+    assert books.shape == (8, 16, 8)
+    codes = pq_encode(ds, books).to_pandas()
+    assert len(codes) == 500
+    assert codes["code"].map(len).eq(8).all()  # 8 bytes vs 256 f32 bytes
