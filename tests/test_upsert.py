@@ -1,0 +1,80 @@
+"""Keyed upsert sink: merge semantics, bucket pruning, idempotent resume."""
+
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _mkds(df):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+    )
+
+
+def test_upsert_merge_and_resume(ray_session, tmp_path):
+    from plateau_gis_converter_ray.sinks.upsert import read_keyed_table, upsert
+
+    base = str(tmp_path / "keyed")
+    os.makedirs(base, exist_ok=True)
+
+    first = pd.DataFrame(
+        {"k": np.arange(100, dtype=np.int64),
+         "v": np.arange(100, dtype=np.int64) * 10,
+         "seq": np.zeros(100, dtype=np.int64)}
+    )
+    upsert(base, _mkds(first), key="k", n_buckets=8)
+    got = read_keyed_table(base).to_pandas().sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, first.sort_values("k").reset_index(drop=True))
+
+    # update 10 existing keys (two conflicting seqs: highest wins) + 5 new
+    upd = pd.DataFrame(
+        {"k": np.concatenate([np.arange(10), np.arange(10), np.arange(200, 205)]).astype(np.int64),
+         "v": np.concatenate([np.full(10, -1), np.full(10, -2), np.full(5, 7)]).astype(np.int64),
+         "seq": np.concatenate([np.full(10, 1), np.full(10, 2), np.full(5, 1)]).astype(np.int64)}
+    )
+    # snapshot untouched-bucket mtimes: upsert must not rewrite them
+    from plateau_gis_converter_ray.sinks.upsert import _bucket_of, _bucket_path
+
+    touched_buckets = set(_bucket_of(upd["k"].to_numpy(), 8).tolist())
+    untouched = [
+        _bucket_path(base, b) for b in range(8)
+        if b not in touched_buckets and os.path.exists(_bucket_path(base, b))
+    ]
+    mtimes = {p: os.path.getmtime(p) for p in untouched}
+
+    upsert(base, _mkds(upd), key="k", n_buckets=8)
+    got = read_keyed_table(base).to_pandas().sort_values("k").reset_index(drop=True)
+    exp = first.copy()
+    exp.loc[exp.k < 10, "v"] = -2
+    exp.loc[exp.k < 10, "seq"] = 2
+    exp = pd.concat(
+        [exp, pd.DataFrame({"k": np.arange(200, 205, dtype=np.int64),
+                            "v": np.full(5, 7, dtype=np.int64),
+                            "seq": np.full(5, 1, dtype=np.int64)})],
+        ignore_index=True,
+    ).sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["k", "v", "seq"]], exp)
+
+    for p, m in mtimes.items():
+        assert os.path.getmtime(p) == m, "untouched bucket was rewritten"
+
+    # idempotent resume: re-applying the same updates changes nothing
+    upsert(base, _mkds(upd), key="k", n_buckets=8)
+    again = read_keyed_table(base).to_pandas().sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(again[["k", "v", "seq"]], exp)
+
+    # a stale .tmp from a killed run is ignored and then cleaned by the next
+    # upsert of that bucket
+    some_bucket = sorted(touched_buckets)[0]
+    stale = _bucket_path(base, some_bucket) + ".tmp"
+    with open(stale, "wb") as fh:
+        fh.write(b"garbage")
+    got2 = read_keyed_table(base).to_pandas()
+    assert len(got2) == len(exp)
+    upsert(base, _mkds(upd), key="k", n_buckets=8)
+    assert not os.path.exists(stale) or os.path.getsize(stale) != 7
