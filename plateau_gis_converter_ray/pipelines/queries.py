@@ -4388,6 +4388,70 @@ def q_pq_ann_search(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Full-outer join: per-synthetic-custkey event totals FULL OUTER the
+# customer table — unmatched fact keys (no such customer) and unmatched
+# customers (no events) both survive, sentinel-coalesced so the compare
+# never hashes NULLs. The fact side pre-aggregates through the combiner
+# tree, so the full-outer exchange carries one row per key per side.
+
+
+def q_events_cust_full_outer(sf_dir: str):
+    ev = _read(sf_dir, "events", ["user_id", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy()
+        # key shape: 3/4 of keys land in customer range scaled, 1/4 miss
+        ck = (u % 200).astype(np.int64)
+        v = np.round(batch.column("value").to_numpy() * 100).astype(np.int64)
+        return pa.table({"ck": pa.array(ck), "value_c": pa.array(v)})
+
+    agg = tree_group_agg(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        ["ck"], {"n_events": (None, "count"), "sum_value_c": ("value_c", "sum")},
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    j = agg.join(
+        cust, "full_outer", num_partitions=JOIN_PARTS,
+        on=("ck",), right_on=("c_custkey",),
+    )
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        ck = batch["ck"].astype("Int64")
+        cc = batch["c_custkey"] if "c_custkey" in batch else pd.Series([pd.NA] * len(batch))
+        key = ck.fillna(cc if cc is not None else -1)
+        out = pd.DataFrame(
+            {
+                "k": key.astype(np.int64),
+                "n_events": batch["n_events"].fillna(0).astype(np.int64),
+                "sum_value_c": batch["sum_value_c"].fillna(0).astype(np.int64),
+                "c_nationkey": batch["c_nationkey"].fillna(-1).astype(np.int64),
+                "matched": (
+                    batch["n_events"].notna() & batch["c_nationkey"].notna()
+                ).astype(np.int64),
+            }
+        )
+        return out
+
+    return j.map_batches(finish, batch_format="pandas")
+
+
+_SQL_EVENTS_CUST_FULL_OUTER = """
+WITH agg AS (
+  SELECT user_id % 200 AS ck, COUNT(*) AS n_events,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_value_c
+  FROM events GROUP BY 1
+)
+SELECT COALESCE(ck, c_custkey) AS k,
+       COALESCE(n_events, 0) AS n_events,
+       COALESCE(sum_value_c, 0) AS sum_value_c,
+       COALESCE(c_nationkey, -1) AS c_nationkey,
+       CASE WHEN ck IS NOT NULL AND c_nationkey IS NOT NULL
+            THEN 1 ELSE 0 END AS matched
+FROM agg FULL OUTER JOIN customer ON ck = c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 QUERIES = {
@@ -4470,6 +4534,7 @@ QUERIES = {
     "pruned_daterange": q_pruned_daterange,
     "ngram_lm_score": q_ngram_lm_score,
     "pq_ann_search": q_pq_ann_search,
+    "events_cust_full_outer": q_events_cust_full_outer,
 }
 
 ORACLES = {
@@ -4548,4 +4613,5 @@ ORACLES = {
     "exact_quantiles": _SQL_EXACT_QUANTILES,
     "pruned_daterange": _SQL_PRUNED_DATERANGE,
     "ngram_lm_score": _SQL_NGRAM_LM_SCORE,
+    "events_cust_full_outer": _SQL_EVENTS_CUST_FULL_OUTER,
 }
