@@ -91,6 +91,8 @@ BENCH_QUERIES = [
     "pruned_daterange",
     "ngram_lm_score",
     "pq_ann_search",
+    "events_cust_full_outer",
+    "rolling_window_avg",
 ]
 
 

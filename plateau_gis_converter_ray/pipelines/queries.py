@@ -4452,6 +4452,140 @@ FROM agg FULL OUTER JOIN customer ON ck = c_custkey
 
 
 # ---------------------------------------------------------------------------
+# Frame-based rolling window (ROWS BETWEEN 3 PRECEDING AND CURRENT ROW):
+# per-user ordered rolling sum/count/avg via one group exchange and a
+# vectorized cumsum-shift inside each bounded group — the frame-window
+# sibling of the cumulative running_total and the offset lag_delta.
+
+
+def q_rolling_window_avg(sf_dir: str):
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = np.round(batch.column("value").to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "user_id": batch.column("user_id"),
+                "ts_us": batch.column("ts").cast(pa.int64()),
+                "value_c": pa.array(v),
+            }
+        )
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.treeagg import clean_arrow
+
+        g = g.sort_values(["ts_us", "event_id"], kind="stable").reset_index(drop=True)
+        cs = g["value_c"].cumsum().to_numpy()
+        shifted = np.concatenate([np.zeros(4, dtype=np.int64), cs[:-4]])[: len(cs)]
+        roll_sum = cs - shifted
+        roll_n = np.minimum(np.arange(len(cs), dtype=np.int64) + 1, 4)
+        return clean_arrow(
+            pd.DataFrame(
+                {
+                    "event_id": g["event_id"],
+                    "user_id": g["user_id"],
+                    "roll_sum_c": roll_sum,
+                    "roll_n": roll_n,
+                    "roll_avg_c": roll_sum // roll_n,
+                }
+            )
+        )
+
+    return (
+        ev.map_batches(prep, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(roll, batch_format="pandas")
+    )
+
+
+_SQL_ROLLING_WINDOW_AVG = """
+SELECT event_id, user_id,
+       SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS roll_sum_c,
+       COUNT(*) OVER w AS roll_n,
+       SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w
+         // COUNT(*) OVER w AS roll_avg_c
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Set operations (INTERSECT / EXCEPT / UNION counts) between the event key
+# set and the customer key set: per-side distinct collapses through keyed
+# indicator partials (max), one exchange; the four counts fold through a
+# constant-key combiner — no side is ever driver-materialized.
+
+
+def q_key_set_ops(sf_dir: str):
+    ev = _read(sf_dir, "events", ["user_id"])
+    cu = _read(sf_dir, "customer", ["c_custkey"])
+
+    def ev_keys(batch: pa.Table) -> pa.Table:
+        k = (batch.column("user_id").to_numpy() % 200).astype(np.int64)
+        k = np.unique(k)
+        return pa.table(
+            {"k": pa.array(k),
+             "in_ev": pa.array(np.ones(len(k), dtype=np.int64)),
+             "in_cu": pa.array(np.zeros(len(k), dtype=np.int64))}
+        )
+
+    def cu_keys(batch: pa.Table) -> pa.Table:
+        k = np.unique(batch.column("c_custkey").to_numpy().astype(np.int64))
+        return pa.table(
+            {"k": pa.array(k),
+             "in_ev": pa.array(np.zeros(len(k), dtype=np.int64)),
+             "in_cu": pa.array(np.ones(len(k), dtype=np.int64))}
+        )
+
+    both = ev.map_batches(ev_keys, batch_format="pyarrow").union(
+        cu.map_batches(cu_keys, batch_format="pyarrow")
+    )
+    flags = tree_group_agg(
+        both, ["k"], {"in_ev": ("in_ev", "max"), "in_cu": ("in_cu", "max")}
+    )
+
+    def classify(batch: pa.Table) -> pa.Table:
+        e = batch.column("in_ev").to_numpy()
+        c = batch.column("in_cu").to_numpy()
+        return pa.table(
+            {
+                "one": pa.array(np.zeros(batch.num_rows, dtype=np.int64)),
+                "n_both": pa.array((e * c).astype(np.int64)),
+                "n_only_events": pa.array((e * (1 - c)).astype(np.int64)),
+                "n_only_cust": pa.array(((1 - e) * c).astype(np.int64)),
+                "n_union": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+
+    tot = tree_group_agg(
+        flags.map_batches(classify, batch_format="pyarrow"),
+        ["one"],
+        {
+            "n_both": ("n_both", "sum"),
+            "n_only_events": ("n_only_events", "sum"),
+            "n_only_cust": ("n_only_cust", "sum"),
+            "n_union": ("n_union", "sum"),
+        },
+    )
+    return tot.map_batches(
+        lambda t: t.drop(["one"]), batch_format="pyarrow"
+    )
+
+
+_SQL_KEY_SET_OPS = """
+WITH e AS (SELECT DISTINCT user_id % 200 AS k FROM events),
+     c AS (SELECT DISTINCT c_custkey AS k FROM customer)
+SELECT
+  (SELECT COUNT(*) FROM (SELECT k FROM e INTERSECT SELECT k FROM c)) AS n_both,
+  (SELECT COUNT(*) FROM (SELECT k FROM e EXCEPT SELECT k FROM c)) AS n_only_events,
+  (SELECT COUNT(*) FROM (SELECT k FROM c EXCEPT SELECT k FROM e)) AS n_only_cust,
+  (SELECT COUNT(*) FROM (SELECT k FROM e UNION SELECT k FROM c)) AS n_union
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 QUERIES = {
@@ -4535,6 +4669,8 @@ QUERIES = {
     "ngram_lm_score": q_ngram_lm_score,
     "pq_ann_search": q_pq_ann_search,
     "events_cust_full_outer": q_events_cust_full_outer,
+    "rolling_window_avg": q_rolling_window_avg,
+    "key_set_ops": q_key_set_ops,
 }
 
 ORACLES = {
@@ -4614,4 +4750,6 @@ ORACLES = {
     "pruned_daterange": _SQL_PRUNED_DATERANGE,
     "ngram_lm_score": _SQL_NGRAM_LM_SCORE,
     "events_cust_full_outer": _SQL_EVENTS_CUST_FULL_OUTER,
+    "rolling_window_avg": _SQL_ROLLING_WINDOW_AVG,
+    "key_set_ops": _SQL_KEY_SET_OPS,
 }
