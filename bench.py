@@ -93,6 +93,8 @@ BENCH_QUERIES = [
     "pq_ann_search",
     "events_cust_full_outer",
     "rolling_window_avg",
+    "key_set_ops",
+    "bpe_merges",
 ]
 
 

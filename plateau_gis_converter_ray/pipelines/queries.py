@@ -3922,15 +3922,19 @@ FROM s
 
 # ---------------------------------------------------------------------------
 # 56. Cohort retention: users grouped by first-seen day (cohort), counted
-# as distinct actives per (cohort_day, week_offset). Plan: per-user
-# first-day via the combiner tree, ONE hash-join exchange back onto the
-# events, per-(cohort, offset, user) distinct through a second combiner
-# tree, final count per cell. Day/week arithmetic is integer floor on
-# epoch-us (all values positive — no floor/trunc divergence).
+# as distinct actives per (cohort_day, week_offset). The cohort day is a
+# WITHIN-USER property, so no join is needed: ONE groupby(user) exchange,
+# and inside each bounded group the cohort day (min), week offsets, and
+# per-(cohort, offset) distinct-user/event partials all fall out of one
+# vectorized pass; the per-cell partials then fold through the combiner
+# tree. (Rewrote the r3 join plan — join + two tree aggs — saving the
+# hash-join exchange; same oracle, ~1 s less fixed cost.) Day/week
+# arithmetic is integer floor on epoch-us (all values positive — no
+# floor/trunc divergence).
 
 
 def q_cohort_retention(sf_dir: str):
-    from ..stages.treeagg import tree_group_agg
+    from ..stages.treeagg import clean_arrow, tree_group_agg
 
     ds = _read(sf_dir, "events", ["user_id", "ts"])
 
@@ -3943,31 +3947,30 @@ def q_cohort_retention(sf_dir: str):
             }
         )
 
-    d = ds.map_batches(days, batch_format="pyarrow")
-    first = tree_group_agg(d, ["user_id"], {"cohort_day": ("day", "min")})
-    j = d.join(
-        first, "inner", num_partitions=JOIN_PARTS, on=("user_id",)
-    )
-
-    def cell(batch: pa.Table) -> pa.Table:
-        day = batch.column("day").to_numpy()
-        cd = batch.column("cohort_day").to_numpy()
-        return pa.table(
-            {
-                "cohort_day": batch.column("cohort_day"),
-                "week_offset": pa.array((day - cd) // 7),
-                "user_id": batch.column("user_id"),
-            }
+    def per_user_cells(g: pd.DataFrame) -> pd.DataFrame:
+        day = g["day"].to_numpy()
+        cohort = int(day.min())
+        off = (day - cohort) // 7
+        cells, counts = np.unique(off, return_counts=True)
+        return clean_arrow(
+            pd.DataFrame(
+                {
+                    "cohort_day": np.full(len(cells), cohort, dtype=np.int64),
+                    "week_offset": cells.astype(np.int64),
+                    "n_users": np.ones(len(cells), dtype=np.int64),
+                    "n_events": counts.astype(np.int64),
+                }
+            )
         )
 
-    per_user = tree_group_agg(
-        j.map_batches(cell, batch_format="pyarrow"),
-        ["cohort_day", "week_offset", "user_id"],
-        {"n_events": (None, "count")},
+    per_user = (
+        ds.map_batches(days, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(per_user_cells, batch_format="pandas")
     )
     return tree_group_agg(
         per_user, ["cohort_day", "week_offset"],
-        {"n_users": (None, "count"), "n_events": ("n_events", "sum")},
+        {"n_users": ("n_users", "sum"), "n_events": ("n_events", "sum")},
     )
 
 
@@ -4586,6 +4589,22 @@ SELECT
 
 
 # ---------------------------------------------------------------------------
+# Distributed BPE tokenizer training (stages/bpe.py): the corpus reduces to
+# the word vocabulary in ONE exchange; each merge round is a vectorized
+# pair-count over the bounded vocab through the combiner tree + a driver
+# argmax + a vectorized regex merge. Rows-only (iterative, not
+# SQL-expressible); pytest pins the merge table bit-for-bit against a
+# pure-Python reference BPE on the same corpus.
+
+
+def q_bpe_merges(sf_dir: str, n_merges: int = 8):
+    from ..stages.bpe import bpe_train_ds
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return bpe_train_ds(ds, n_merges=n_merges)
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 QUERIES = {
@@ -4671,6 +4690,7 @@ QUERIES = {
     "events_cust_full_outer": q_events_cust_full_outer,
     "rolling_window_avg": q_rolling_window_avg,
     "key_set_ops": q_key_set_ops,
+    "bpe_merges": q_bpe_merges,
 }
 
 ORACLES = {
