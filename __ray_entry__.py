@@ -502,6 +502,68 @@ def _q_caption_city_stats(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_image_decode_quarantine(sf_dir: str):
+    """Poison-row tolerant decode: deterministically corrupt ~1/8 of the
+    image payloads (truncate / unknown fmt, keyed on splitmix64 of the
+    stored phash), run the quarantining decode, and aggregate per-reason
+    counts — the corrupt rows land in the dead-letter lane, the pipeline
+    finishes, and the good rows keep the PSNR invariant. Rows-only;
+    pytest pins exact counts and good-row stat equality."""
+    import ray.data
+
+    from plateau_gis_converter_ray.kernels.imagecodec import splitmix64
+    from plateau_gis_converter_ray.sources.images import ensure_image_table
+    from plateau_gis_converter_ray.stages.decode import QuarantiningDecode
+    from plateau_gis_converter_ray.stages.treeagg import tree_group_agg
+
+    import numpy as np
+    import pyarrow as pa
+
+    path = ensure_image_table(_sf_of(sf_dir))
+    files = [
+        os.path.join(path, f) for f in sorted(os.listdir(path)) if f.endswith(".parquet")
+    ]
+
+    def corrupt(batch: pa.Table) -> pa.Table:
+        ph = batch.column("phash").to_numpy()
+        with np.errstate(over="ignore"):
+            h = splitmix64(ph.view(np.uint64)) % np.uint64(16)
+        blobs = batch.column("bytes").to_pylist()
+        fmts = batch.column("fmt").to_pylist()
+        for i in np.nonzero(h == 0)[0]:
+            blobs[int(i)] = blobs[int(i)][: max(1, len(blobs[int(i)]) // 2)]
+        for i in np.nonzero(h == 1)[0]:
+            fmts[int(i)] = "jxl"  # not a codec this container has
+        return (
+            batch.drop_columns(["bytes", "fmt"])
+            .append_column("bytes", pa.array(blobs, pa.binary()))
+            .append_column("fmt", pa.array(fmts, pa.string()))
+        )
+
+    ds = (
+        ray.data.read_parquet(files)
+        .map_batches(corrupt, batch_format="pyarrow", batch_size=1024)
+        .map_batches(QuarantiningDecode(), batch_format="pyarrow", batch_size=1024)
+    )
+
+    def flag(batch: pa.Table) -> pa.Table:
+        r = batch.column("quarantine_reason").to_pylist()
+        psnr = batch.column("psnr_db").to_numpy(zero_copy_only=False)
+        ok = np.array([x == "" for x in r])
+        return pa.table(
+            {
+                "reason": pa.array(["ok" if x == "" else x for x in r], pa.string()),
+                "n": pa.array(np.ones(len(r), dtype=np.int64)),
+                "psnr_ok": pa.array((ok & (psnr >= 40.0)).astype(np.int64)),
+            }
+        )
+
+    return tree_group_agg(
+        ds.map_batches(flag, batch_format="pyarrow"),
+        ["reason"], {"n": ("n", "sum"), "psnr_ok": ("psnr_ok", "sum")},
+    )
+
+
 def _q_pip_cell_join(sf_dir: str):
     """Cell-keyed hash-join spatial join (the polygon-side-at-scale plan:
     polygons replicated per overlapped mesh cell WITH their geometry in
@@ -555,6 +617,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "image_dup_clusters": _q_image_dup_clusters,
             "caption_city_stats": _q_caption_city_stats,
             "pip_cell_join": _q_pip_cell_join,
+            "image_decode_quarantine": _q_image_decode_quarantine,
         }
     )
     return out

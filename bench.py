@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "rolling_window_avg",
     "key_set_ops",
     "bpe_merges",
+    "image_decode_quarantine",
 ]
 
 

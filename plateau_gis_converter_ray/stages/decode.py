@@ -171,3 +171,76 @@ class ImageResize:
             )
         thumb = pa.FixedSizeListArray.from_arrays(pa.array(out.reshape(-1)), t * t)
         return batch.drop_columns(["bytes"]).append_column("thumb", thumb)
+
+
+class QuarantiningDecode:
+    """Poison-row tolerant decode: the dead-letter path a 10^12-row corpus
+    needs — one corrupt payload must quarantine, not kill the pipeline.
+
+    Rows are validated VECTORIZED first (payload length vs w*h*3 for fixed
+    layouts, known-fmt membership, P6 header shape); only rle rows — whose
+    validity is only decidable by decoding — pay a per-row try/except.
+    Good rows delegate to the normal ``ImageDecodeStats`` stack path; bad
+    rows emit the same schema with sentinel stats and a non-empty
+    ``quarantine_reason``, so downstream can split with one filter and the
+    batch count is conserved (pytest-pinned).
+    """
+
+    def __init__(self, verify_psnr: bool = True):
+        self.inner = ImageDecodeStats(verify_psnr=verify_psnr)
+
+    _KNOWN = ("raw", "quant", "ppm", "rle")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..kernels.imagecodec import _rle_decode
+
+        n = batch.num_rows
+        blobs = binary_views(batch.column("bytes"))
+        lens = np.array([len(b) for b in blobs], dtype=np.int64)
+        ws = batch.column("w").to_numpy().astype(np.int64)
+        hs = batch.column("h").to_numpy().astype(np.int64)
+        fmts = np.asarray(batch.column("fmt").to_pylist(), dtype=object)
+
+        reason = np.full(n, "", dtype=object)
+        known = np.isin(fmts, self._KNOWN)
+        reason[~known] = "unknown_fmt"
+        fixed = known & ((fmts == "raw") | (fmts == "quant"))
+        bad_len = fixed & (lens != ws * hs * 3)
+        reason[bad_len] = "truncated"
+        for i in np.nonzero(known & (fmts == "ppm"))[0]:
+            head = bytes(blobs[i][:32])
+            if head[:3] != b"P6\n" or head.count(b"\n", 0, 32) < 3:
+                reason[i] = "bad_header"
+            elif lens[i] < ws[i] * hs[i] * 3:
+                reason[i] = "truncated"
+        for i in np.nonzero(known & (fmts == "rle"))[0]:
+            try:
+                px = _rle_decode(blobs[i])
+                if px.size != ws[i] * hs[i] * 3:
+                    reason[i] = "truncated"
+            except Exception:
+                reason[i] = "corrupt_rle"
+
+        ok = reason == ""
+        ok_mask = pa.array(ok)
+        good = self.inner(batch.filter(ok_mask))
+        good = good.append_column(
+            "quarantine_reason", pa.array([""] * good.num_rows, pa.string())
+        )
+        bad_rows = batch.filter(pa.array(~ok)).drop_columns(["bytes"])
+        nb = bad_rows.num_rows
+        if nb:
+            bad = (
+                bad_rows
+                .append_column("phash_decoded", pa.array(np.zeros(nb, np.int64)))
+                .append_column("mean_r", pa.array(np.full(nb, np.nan)))
+                .append_column("mean_g", pa.array(np.full(nb, np.nan)))
+                .append_column("mean_b", pa.array(np.full(nb, np.nan)))
+                .append_column("psnr_db", pa.array(np.full(nb, np.nan)))
+                .append_column(
+                    "quarantine_reason",
+                    pa.array(reason[~ok].tolist(), pa.string()),
+                )
+            )
+            return pa.concat_tables([good, bad]).combine_chunks()
+        return good
