@@ -3225,7 +3225,15 @@ SELECT qid, doc_id, score_e6, rk FROM r WHERE rk <= 10
 
 
 def q_pagerank_dupgraph(sf_dir: str, iters: int = 5,
-                        local_max_edges: int = 2_000_000):
+                        local_max_edges: int = 2_000_000,
+                        checkpoint_dir: str | None = None):
+    """``checkpoint_dir``: when set, the distributed loop persists each
+    round's rank vector to ``round=K/`` parquet (sentinel ``_OK`` published
+    after the write — the flagship manifest pattern) and a restart resumes
+    from the highest complete round instead of recomputing: the
+    resumable-iterative analogue of the flagship's chunk manifest. Round K
+    ranks are independent of the total iteration count, so resuming with a
+    larger ``iters`` extends the same trajectory (pytest-pinned)."""
     import ray.data
 
     from ..stages.dedup import ngram_jaccard_blocked
@@ -3309,7 +3317,19 @@ def q_pagerank_dupgraph(sf_dir: str, iters: int = 5,
             }
         )
 
-    for _ in range(iters):
+    import os as _os
+
+    start_round = 0
+    if checkpoint_dir:
+        for k in range(iters, 0, -1):
+            if _os.path.exists(_os.path.join(checkpoint_dir, f"round={k}", "_OK")):
+                r = ray.data.read_parquet(
+                    _os.path.join(checkpoint_dir, f"round={k}")
+                ).materialize()
+                start_round = k
+                break
+
+    for rnd in range(start_round, iters):
         j = ej.join(
             r, "inner", num_partitions=JOIN_PARTS,
             on=("src",), right_on=("node",),
@@ -3319,6 +3339,12 @@ def q_pagerank_dupgraph(sf_dir: str, iters: int = 5,
             ["dst"], {"s": ("c", "sum")},
         )
         r = s.map_batches(damp, batch_format="pyarrow").materialize()
+        if checkpoint_dir:
+            d = _os.path.join(checkpoint_dir, f"round={rnd + 1}")
+            if not _os.path.exists(_os.path.join(d, "_OK")):
+                r.write_parquet(d)
+                with open(_os.path.join(d, "_OK"), "w") as fh:
+                    fh.write("ok")
 
     out = deg.join(
         r, "inner", num_partitions=JOIN_PARTS, on=("src",), right_on=("node",)
