@@ -96,6 +96,8 @@ BENCH_QUERIES = [
     "key_set_ops",
     "bpe_merges",
     "image_decode_quarantine",
+    "approx_distinct_by_type",
+    "source_kl_divergence",
 ]
 
 

@@ -4631,6 +4631,156 @@ def q_bpe_merges(sf_dir: str, n_merges: int = 8):
 
 
 # ---------------------------------------------------------------------------
+# Per-group HLL: distinct users per source-like group via mergeable
+# register-max sketches keyed by group — each block contributes one 4 KB
+# register row PER GROUP it saw, the tree merge is an elementwise max
+# inside the combiner, and no key set ever shuffles. The grouped sibling
+# of approx_distinct_events; error pinned in pytest vs exact.
+
+
+def q_approx_distinct_by_type(sf_dir: str, p: int = 12):
+    from ..stages.sketch import hll_estimate, hll_partial
+    from ..stages.treeagg import clean_arrow
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in df.groupby("event_type"):
+            regs = hll_partial(g["user_id"].to_numpy(), p).astype(np.uint8)
+            rows.append({"event_type": et, "regs": regs.tobytes()})
+        return clean_arrow(pd.DataFrame(rows))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in df.groupby("event_type"):
+            stack = np.stack(
+                [np.frombuffer(b, dtype=np.uint8) for b in g["regs"]]
+            )
+            rows.append({"event_type": et, "regs": stack.max(axis=0).tobytes()})
+        return clean_arrow(pd.DataFrame(rows))
+
+    merged = ds.map_batches(partial, batch_format="pandas", batch_size=None)
+    for fan in (8, 1):
+        merged = merged.repartition(fan).map_batches(
+            merge, batch_format="pandas", batch_size=None
+        )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        est = [
+            int(round(hll_estimate(np.frombuffer(b, dtype=np.uint8).astype(np.int64))))
+            for b in df["regs"]
+        ]
+        return clean_arrow(
+            pd.DataFrame({"event_type": df["event_type"], "approx_users": est})
+        )
+
+    return merged.map_batches(finish, batch_format="pandas", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# Distribution-shift detection: KL(source || corpus) over word unigrams —
+# the data-curation signal for "which source's language drifted". Plan:
+# per-(source, word) counts via the combiner tree; corpus word totals by
+# re-aggregating THAT output (never a second corpus pass); one hash join
+# delivers corpus counts back to the (source, word) rows; per-source token
+# totals are a bounded dict. Each (source, word) KL contribution is
+# floor-scaled to int64 with an expression written identically here and in
+# the oracle (the bm25 determinism pattern: both sides run the same IEEE
+# double ops in the same order, then floor once), so the distributed sum
+# is bit-exact.
+
+
+def q_source_kl_divergence(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def words(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        toks = pc.split_pattern(batch.column("text").cast(pa.string()), " ")
+        lens = pc.list_value_length(toks).to_numpy()
+        src = np.repeat(
+            np.asarray(batch.column("source").to_pylist(), dtype=object), lens
+        )
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        keep = flat != ""
+        df = pd.DataFrame({"source": src[keep], "word": flat[keep]})
+        out = df.groupby(["source", "word"], as_index=False).size()
+        out.columns = ["source", "word", "c"]
+        from ..stages.treeagg import clean_arrow
+
+        return clean_arrow(out)
+
+    sw = tree_group_agg(
+        ds.map_batches(words, batch_format="pyarrow"),
+        ["source", "word"], {"c": ("c", "sum")},
+    ).materialize()
+
+    wtot = tree_group_agg(sw, ["word"], {"cw": ("c", "sum")})
+    stot = tree_group_agg(sw, ["source"], {"ns": ("c", "sum")}).to_pandas()
+    ns_of = dict(zip(stot["source"], stot["ns"]))
+    n_total = int(stot["ns"].sum())
+
+    j = sw.join(wtot, "inner", num_partitions=JOIN_PARTS, on=("word",))
+
+    def contrib(df: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.treeagg import clean_arrow
+
+        csw = df["c"].to_numpy().astype(np.float64)
+        cw = df["cw"].to_numpy().astype(np.float64)
+        ns = df["source"].map(ns_of).to_numpy().astype(np.float64)
+        # EXPRESSION MIRRORED IN THE ORACLE — do not reorder
+        term = np.floor(
+            1e9 * (csw / ns) * np.log((csw * np.float64(n_total)) / (ns * cw))
+        ).astype(np.int64)
+        return clean_arrow(
+            pd.DataFrame({"source": df["source"], "kl_e9": term})
+        )
+
+    out = tree_group_agg(
+        j.map_batches(contrib, batch_format="pandas"),
+        ["source"], {"kl_e9": ("kl_e9", "sum")},
+    )
+
+    def attach_n(batch: pa.Table) -> pa.Table:
+        src = batch.column("source").to_pylist()
+        return batch.append_column(
+            "n_tokens", pa.array([int(ns_of[s]) for s in src], pa.int64())
+        )
+
+    return out.map_batches(attach_n, batch_format="pyarrow")
+
+
+_SQL_SOURCE_KL_DIVERGENCE = """
+WITH tok AS (
+  SELECT source,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+  FROM documents
+), sw AS (
+  SELECT source, word, COUNT(*) AS c FROM tok GROUP BY 1, 2
+), wt AS (
+  SELECT word, SUM(c) AS cw FROM sw GROUP BY 1
+), st AS (
+  SELECT source, SUM(c) AS ns FROM sw GROUP BY 1
+), tot AS (
+  SELECT SUM(ns) AS n FROM st
+)
+SELECT sw.source,
+       CAST(SUM(CAST(FLOOR(
+         1e9 * (CAST(sw.c AS DOUBLE) / CAST(st.ns AS DOUBLE))
+             * LN((CAST(sw.c AS DOUBLE) * CAST(tot.n AS DOUBLE))
+                  / (CAST(st.ns AS DOUBLE) * CAST(wt.cw AS DOUBLE)))
+       ) AS BIGINT)) AS BIGINT) AS kl_e9,
+       CAST(MAX(st.ns) AS BIGINT) AS n_tokens
+FROM sw
+JOIN wt USING (word)
+JOIN st USING (source)
+CROSS JOIN tot
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 QUERIES = {
@@ -4717,6 +4867,8 @@ QUERIES = {
     "rolling_window_avg": q_rolling_window_avg,
     "key_set_ops": q_key_set_ops,
     "bpe_merges": q_bpe_merges,
+    "approx_distinct_by_type": q_approx_distinct_by_type,
+    "source_kl_divergence": q_source_kl_divergence,
 }
 
 ORACLES = {
@@ -4798,4 +4950,5 @@ ORACLES = {
     "events_cust_full_outer": _SQL_EVENTS_CUST_FULL_OUTER,
     "rolling_window_avg": _SQL_ROLLING_WINDOW_AVG,
     "key_set_ops": _SQL_KEY_SET_OPS,
+    "source_kl_divergence": _SQL_SOURCE_KL_DIVERGENCE,
 }
