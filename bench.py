@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "image_decode_quarantine",
     "approx_distinct_by_type",
     "source_kl_divergence",
+    "source_mixture",
 ]
 
 

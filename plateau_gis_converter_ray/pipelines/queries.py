@@ -4781,6 +4781,92 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# Dataset mixing to a token budget (the Dolma/RedPajama mixing step): each
+# source contributes documents in deterministic hash order until its token
+# budget (1/4 of its own token mass, exact integer (sum+3)//4) is reached.
+# The global per-source running token sum is computed WITHOUT per-source
+# global groups (a source can be corpus-sized): hash order is split into
+# 256 contiguous h-buckets, per-(source, bucket) token sums collapse
+# through the combiner tree to a bounded driver table (sources x 256) that
+# yields exclusive base offsets, and each (source, bucket) group only
+# cumsum's its own bounded slice — the sequence_pack prefix-sum pattern.
+
+
+def q_source_mixture(sf_dir: str):
+    import pyarrow.compute as pc
+
+    from ..stages.treeagg import clean_arrow
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def toks(batch: pa.Table) -> pa.Table:
+        t = pc.split_pattern(batch.column("text").cast(pa.string()), " ")
+        lens = pc.list_value_length(t).to_numpy().astype(np.int64)
+        flat = pc.list_flatten(t).to_numpy(zero_copy_only=False)
+        empty_per_doc = np.zeros(len(lens), dtype=np.int64)
+        did_rep = np.repeat(np.arange(len(lens)), lens)
+        np.add.at(empty_per_doc, did_rep[flat == ""], 1)
+        tok = lens - empty_per_doc
+        did = batch.column("doc_id").to_numpy()
+        h = (did * 2654435761) % (1 << 32)
+        return pa.table(
+            {
+                "source": batch.column("source"),
+                "doc_id": batch.column("doc_id"),
+                "tok": pa.array(tok),
+                "h": pa.array(h.astype(np.int64)),
+                "hb": pa.array((h >> 24).astype(np.int64)),
+            }
+        )
+
+    t = ds.map_batches(toks, batch_format="pyarrow").materialize()
+
+    per_bucket = tree_group_agg(
+        t, ["source", "hb"], {"btok": ("tok", "sum")}
+    ).to_pandas().sort_values(["source", "hb"])
+    per_bucket["base"] = (
+        per_bucket.groupby("source")["btok"].cumsum() - per_bucket["btok"]
+    )
+    base_of = {
+        (r.source, int(r.hb)): int(r.base) for r in per_bucket.itertuples()
+    }
+    tot = per_bucket.groupby("source")["btok"].sum()
+    budget_of = {s: (int(v) + 3) // 4 for s, v in tot.items()}
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", "doc_id"], kind="stable").reset_index(drop=True)
+        src = g["source"].iloc[0]
+        base = base_of[(src, int(g["hb"].iloc[0]))]
+        cum_before = base + g["tok"].cumsum().to_numpy() - g["tok"].to_numpy()
+        keep = cum_before < budget_of[src]
+        out = g.loc[keep, ["source", "doc_id", "tok"]].copy()
+        out["cum_before"] = cum_before[keep]
+        return clean_arrow(out)
+
+    return t.groupby(["source", "hb"]).map_groups(pick, batch_format="pandas")
+
+
+_SQL_SOURCE_MIXTURE = """
+WITH t AS (
+  SELECT source, doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS tok,
+         (doc_id * 2654435761) % 4294967296 AS h
+  FROM documents
+), b AS (
+  SELECT source, (SUM(tok) + 3) // 4 AS budget FROM t GROUP BY 1
+), c AS (
+  SELECT t.*, COALESCE(SUM(tok) OVER (
+           PARTITION BY source ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM t
+)
+SELECT c.source, c.doc_id, c.tok, c.cum_before
+FROM c JOIN b USING (source)
+WHERE c.cum_before < b.budget
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 QUERIES = {
@@ -4869,6 +4955,7 @@ QUERIES = {
     "bpe_merges": q_bpe_merges,
     "approx_distinct_by_type": q_approx_distinct_by_type,
     "source_kl_divergence": q_source_kl_divergence,
+    "source_mixture": q_source_mixture,
 }
 
 ORACLES = {
@@ -4951,4 +5038,5 @@ ORACLES = {
     "rolling_window_avg": _SQL_ROLLING_WINDOW_AVG,
     "key_set_ops": _SQL_KEY_SET_OPS,
     "source_kl_divergence": _SQL_SOURCE_KL_DIVERGENCE,
+    "source_mixture": _SQL_SOURCE_MIXTURE,
 }
