@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "approx_distinct_by_type",
     "source_kl_divergence",
     "source_mixture",
+    "ivfpq_ann_search",
 ]
 
 

@@ -4867,6 +4867,33 @@ WHERE c.cum_before < b.budget
 
 
 # ---------------------------------------------------------------------------
+# IVF-PQ ANN (stages/pq.py): coarse inverted index (distributed Lloyd) +
+# residual product quantization + nprobe-bucket ADC search — the composed
+# FAISS recipe whose per-query bytes scale with nprobe/n_coarse of the
+# corpus. Rows-only; pytest pins recall vs exact, the probe-all ==
+# "rows only from probed buckets" containment, and determinism.
+
+
+def q_ivfpq_ann_search(sf_dir: str, nprobe: int = 4):
+    from ..stages.pq import ivfpq_adc_search, ivfpq_build, ivfpq_encode
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    n = ds.count()  # scan-rooted: O(1) metadata
+    coarse, books = ivfpq_build(ds, dim=64, sample_mod=max(1, n // 4096))
+    codes = ivfpq_encode(ds, coarse, books)
+    head = (
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .sort("vec_id").limit(8).to_pandas()
+    )
+    return ivfpq_adc_search(
+        codes, coarse, books,
+        {"qid": head["vec_id"].to_numpy(),
+         "vecs": np.stack(head["embedding"].to_numpy())},
+        topk=10, nprobe=nprobe,
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 QUERIES = {
@@ -4956,6 +4983,7 @@ QUERIES = {
     "approx_distinct_by_type": q_approx_distinct_by_type,
     "source_kl_divergence": q_source_kl_divergence,
     "source_mixture": q_source_mixture,
+    "ivfpq_ann_search": q_ivfpq_ann_search,
 }
 
 ORACLES = {

@@ -65,6 +65,14 @@ def pq_train(
     sample = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
     sample = sample.sort_values("vec_id")  # deterministic training order
     vecs = quantize(np.stack(sample["embedding"].to_numpy()))  # (n, dim) int64
+    return _train_books(vecs, n_sub, k, iters)
+
+
+def _train_books(vecs: np.ndarray, n_sub: int, k: int, iters: int) -> np.ndarray:
+    """Per-subspace k-means over an int64 (n, dim) sample (driver-side,
+    bounded by the caller's sampling contract)."""
+    dim = vecs.shape[1]
+    d_sub = dim // n_sub
     books = np.empty((n_sub, k, d_sub), dtype=np.int64)
     for m in range(n_sub):
         x = vecs[:, m * d_sub : (m + 1) * d_sub].astype(np.float64)
@@ -161,6 +169,167 @@ def pq_adc_search(codes_ds, books: np.ndarray, queries: dict, topk: int = 10):
             "adc_dist": np.take_along_axis(dist, part, axis=1).ravel(),
         }
         return clean_arrow(pd.DataFrame(rows))
+
+    partials = codes_ds.map_batches(block_topk, batch_format="pyarrow")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["qid", "adc_dist", "ann_id"], kind="stable")
+        out = df.groupby("qid", as_index=False, sort=True).head(topk).copy()
+        out["rank"] = out.groupby("qid").cumcount().astype(np.int64)
+        return clean_arrow(out.reset_index(drop=True))
+
+    return partials.repartition(1).map_batches(
+        merge, batch_format="pandas", batch_size=None
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: the full FAISS-style recipe for 10^12 vectors — a coarse inverted
+# index (distributed Lloyd, stages/knn.py) partitions the corpus into
+# buckets; PQ codes the RESIDUAL (vector - its bucket centroid), which is
+# far more compressible than the raw vector; search probes only the nprobe
+# buckets whose centroids are nearest each query. Bytes touched per query
+# drop from O(corpus * M) to O(corpus * M * nprobe / n_coarse), and the
+# residual LUTs for EVERY (query, bucket) pair fit in a few MB broadcast
+# once (Q x C x n_sub x k int64).
+
+
+def ivfpq_build(ds, dim: int, n_coarse: int = 8, n_sub: int = 16,
+                k: int = 256, iters: int = 8, sample_mod: int = 1):
+    """(coarse (C, dim) int64, books (n_sub, k, d_sub) int64), trained on a
+    deterministic bounded residual sample."""
+    from .knn import distributed_lloyd_centroids
+
+    coarse = np.round(
+        distributed_lloyd_centroids(ds, n_coarse, dim)
+    ).astype(np.int64)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        vid = batch.column("vec_id").to_numpy()
+        m = _sample_mask(vid, sample_mod) if sample_mod > 1 else np.ones(len(vid), bool)
+        return batch.filter(pa.array(m))
+
+    sample = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+    sample = sample.sort_values("vec_id")
+    vecs = quantize(np.stack(sample["embedding"].to_numpy()))
+    b = _assign_coarse(vecs, coarse)
+    books = _train_books(vecs - coarse[b], n_sub, k, iters)
+    return coarse, books
+
+
+def _assign_coarse(vecs: np.ndarray, coarse: np.ndarray) -> np.ndarray:
+    d2 = (
+        (vecs * vecs).sum(axis=1)[:, None]
+        - 2 * (vecs @ coarse.T)
+        + (coarse * coarse).sum(axis=1)[None, :]
+    )
+    return np.argmin(d2, axis=1)
+
+
+def ivfpq_encode(ds, coarse: np.ndarray, books: np.ndarray):
+    """(vec_id, bucket, code:binary[M]) — bucket assign + residual encode."""
+    import ray
+
+    ref = ray.put((coarse, books))
+    n_sub, k, d_sub = books.shape
+
+    def enc(batch: pa.Table) -> pa.Table:
+        co, bo = ray.get(ref)
+        vecs = quantize(
+            np.stack(batch.column("embedding").to_numpy(zero_copy_only=False))
+        )
+        b = _assign_coarse(vecs, co)
+        resid = vecs - co[b]
+        n = len(vecs)
+        codes = np.empty((n, n_sub), dtype=np.uint8)
+        for m in range(n_sub):
+            x = resid[:, m * d_sub : (m + 1) * d_sub]
+            cent = bo[m]
+            d2 = (
+                (x * x).sum(axis=1)[:, None]
+                - 2 * (x @ cent.T)
+                + (cent * cent).sum(axis=1)[None, :]
+            )
+            codes[:, m] = np.argmin(d2, axis=1).astype(np.uint8)
+        flat = codes.tobytes()
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "bucket": pa.array(b.astype(np.int64)),
+                "code": pa.array(
+                    [flat[i * n_sub : (i + 1) * n_sub] for i in range(n)],
+                    pa.binary(),
+                ),
+            }
+        )
+
+    return ds.map_batches(enc, batch_format="pyarrow")
+
+
+def ivfpq_adc_search(codes_ds, coarse: np.ndarray, books: np.ndarray,
+                     queries: dict, topk: int = 10, nprobe: int = 4):
+    """ADC top-k per query over the probed buckets only.
+
+    All (query, bucket) residual LUTs are precomputed (Q x C x n_sub x k
+    int64 — a few MB) and broadcast once; per batch the distance is a pure
+    gather-sum with rows outside a query's probe set masked by a sentinel.
+    Integer-exact; ties break on vec_id (deterministic, pytest-pinned).
+    """
+    import ray
+
+    from .treeagg import clean_arrow
+
+    qids = np.asarray(queries["qid"], dtype=np.int64)
+    qv = quantize(np.asarray(queries["vecs"]))
+    n_sub, k, d_sub = books.shape
+    n_coarse = len(coarse)
+    nprobe = min(nprobe, n_coarse)
+    # coarse ranking per query -> probe sets
+    qd2 = (
+        (qv * qv).sum(axis=1)[:, None]
+        - 2 * (qv @ coarse.T)
+        + (coarse * coarse).sum(axis=1)[None, :]
+    )
+    probe = np.argsort(qd2, axis=1, kind="stable")[:, :nprobe]  # (Q, nprobe)
+    probed = np.zeros((len(qids), n_coarse), dtype=bool)
+    np.put_along_axis(probed, probe, True, axis=1)
+    # residual LUTs for every (query, bucket): target = q - c_b
+    lut = np.empty((len(qids), n_coarse, n_sub, k), dtype=np.int64)
+    for b in range(n_coarse):
+        t = qv - coarse[b]
+        for m in range(n_sub):
+            tm = t[:, m * d_sub : (m + 1) * d_sub]
+            cent = books[m]
+            lut[:, b, m, :] = (
+                (tm * tm).sum(axis=1)[:, None]
+                - 2 * (tm @ cent.T)
+                + (cent * cent).sum(axis=1)[None, :]
+            )
+    SENTINEL = np.int64(1) << np.int64(60)
+    ref = ray.put((qids, lut, probed))
+
+    def block_topk(batch: pa.Table) -> pd.DataFrame:
+        qids_, lut_, probed_ = ray.get(ref)
+        vid = batch.column("vec_id").to_numpy()
+        bkt = batch.column("bucket").to_numpy()
+        raw = batch.column("code").to_numpy(zero_copy_only=False)
+        codes = np.frombuffer(b"".join(raw), dtype=np.uint8).reshape(-1, n_sub)
+        nq = len(qids_)
+        dist = np.zeros((nq, len(vid)), dtype=np.int64)
+        for m in range(n_sub):
+            dist += lut_[:, bkt, m, codes[:, m]]
+        dist[~probed_[:, bkt]] = SENTINEL  # rows outside each query's probes
+        t = min(topk, len(vid))
+        part = np.argpartition(dist, t - 1, axis=1)[:, :t]
+        d = np.take_along_axis(dist, part, axis=1)
+        rows = pd.DataFrame(
+            {
+                "qid": np.repeat(qids_, t),
+                "ann_id": vid[part].ravel(),
+                "adc_dist": d.ravel(),
+            }
+        )
+        return clean_arrow(rows[rows["adc_dist"] < SENTINEL])
 
     partials = codes_ds.map_batches(block_topk, batch_format="pyarrow")
 

@@ -56,3 +56,34 @@ def test_pq_code_bytes(ray_session):
     codes = pq_encode(ds, books).to_pandas()
     assert len(codes) == 500
     assert codes["code"].map(len).eq(8).all()  # 8 bytes vs 256 f32 bytes
+
+
+def test_ivfpq_recall_and_probe_containment(ray_session):
+    from plateau_gis_converter_ray.pipelines.queries import q_ivfpq_ann_search
+
+    res = q_ivfpq_ann_search(SF, nprobe=4).to_pandas()
+    exact = _exact_topk()
+    recalls = []
+    for qid, grp in res.groupby("qid"):
+        recalls.append(len(set(grp["ann_id"]) & exact[int(qid)]) / 10)
+        # self-hit: the query's own bucket is always its nearest centroid,
+        # so with any nprobe >= 1 the query vector itself must be rank 0
+        assert grp.sort_values("rank")["ann_id"].iloc[0] == qid
+    import numpy as np
+
+    assert np.mean(recalls) >= 0.4, recalls
+
+    # probe-all recovers at least the nprobe=4 hits for every query
+    full = q_ivfpq_ann_search(SF, nprobe=8).to_pandas()
+    for qid, grp in full.groupby("qid"):
+        part = res[res["qid"] == qid]
+        # distances are over the same codes; probe-all can only improve
+        assert grp["adc_dist"].max() <= part["adc_dist"].max()
+
+
+def test_ivfpq_deterministic(ray_session):
+    from plateau_gis_converter_ray.pipelines.queries import q_ivfpq_ann_search
+
+    a = q_ivfpq_ann_search(SF).to_pandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    b = q_ivfpq_ann_search(SF).to_pandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
