@@ -4894,6 +4894,77 @@ def q_ivfpq_ann_search(sf_dir: str, nprobe: int = 4):
 
 
 # ---------------------------------------------------------------------------
+# Trajectory length: per-user sum of consecutive-event step distances in
+# ts order — the movement-analytics op over the deterministic geocode. One
+# group exchange; steps computed by a vectorized shift inside each bounded
+# group. Per-step distance is floor-scaled AFTER sqrt (IEEE-754 sqrt is
+# correctly rounded, so numpy and DuckDB produce the identical double) and
+# the int64 step values sum exactly — oracle bit-equal.
+
+
+def q_user_travel_distance(sf_dir: str):
+    from ..stages.treeagg import clean_arrow
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = add_lnglat_arith(batch, "event_id")
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "ts_us": batch.column("ts").cast(pa.int64()),
+                "event_id": batch.column("event_id"),
+                "lng": batch.column("lng"),
+                "lat": batch.column("lat"),
+            }
+        )
+
+    def steps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts_us", "event_id"], kind="stable")
+        lng = g["lng"].to_numpy()
+        lat = g["lat"].to_numpy()
+        dx = lng[1:] - lng[:-1]
+        dy = lat[1:] - lat[:-1]
+        # EXPRESSION MIRRORED IN THE ORACLE — floor once, after sqrt
+        step = np.floor(1e6 * np.sqrt(dx * dx + dy * dy)).astype(np.int64)
+        return clean_arrow(
+            pd.DataFrame(
+                {
+                    "user_id": [g["user_id"].iloc[0]],
+                    "n_steps": np.int64(len(step)),
+                    "dist_e6": step.sum() if len(step) else np.int64(0),
+                }
+            )
+        )
+
+    return (
+        ev.map_batches(prep, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(steps, batch_format="pandas")
+    )
+
+
+def _sql_user_travel_distance() -> str:
+    lng, lat = _geo_sql("event_id")
+    return f"""
+WITH pt AS (
+  SELECT user_id, ts, event_id, {lng} AS lng, {lat} AS lat FROM events
+), st AS (
+  SELECT user_id,
+         lng - LAG(lng) OVER w AS dx,
+         lat - LAG(lat) OVER w AS dy
+  FROM pt
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       COUNT(dx) AS n_steps,
+       COALESCE(CAST(SUM(CAST(FLOOR(
+         1e6 * SQRT(dx * dx + dy * dy)) AS BIGINT)) AS BIGINT), 0) AS dist_e6
+FROM st GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 QUERIES = {
@@ -4984,6 +5055,7 @@ QUERIES = {
     "source_kl_divergence": q_source_kl_divergence,
     "source_mixture": q_source_mixture,
     "ivfpq_ann_search": q_ivfpq_ann_search,
+    "user_travel_distance": q_user_travel_distance,
 }
 
 ORACLES = {
@@ -5067,4 +5139,5 @@ ORACLES = {
     "key_set_ops": _SQL_KEY_SET_OPS,
     "source_kl_divergence": _SQL_SOURCE_KL_DIVERGENCE,
     "source_mixture": _SQL_SOURCE_MIXTURE,
+    "user_travel_distance": _sql_user_travel_distance(),
 }
