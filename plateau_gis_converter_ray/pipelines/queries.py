@@ -4965,6 +4965,66 @@ FROM st GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# Time-RANGE sliding window: per event, the sum/count of the user's events
+# in the trailing hour INCLUDING ts-peers (SQL RANGE-frame semantics, the
+# sibling of the ROWS frame in rolling_window_avg). One group exchange;
+# inside each bounded group the window is two vectorized searchsorted
+# bounds over the ts-sorted cumulative sum — no per-row loop, and the
+# result is order-independent (peers included by value, not position).
+
+
+def q_range_window_sum(sf_dir: str, window_us: int = 3_600_000_000):
+    from ..stages.treeagg import clean_arrow
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = np.round(batch.column("value").to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "user_id": batch.column("user_id"),
+                "ts_us": batch.column("ts").cast(pa.int64()),
+                "value_c": pa.array(v),
+            }
+        )
+
+    def windows(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts_us", "event_id"], kind="stable").reset_index(drop=True)
+        ts = g["ts_us"].to_numpy()
+        v = g["value_c"].to_numpy()
+        cs = np.concatenate([[0], v.cumsum()])
+        lo = np.searchsorted(ts, ts - window_us, side="left")
+        hi = np.searchsorted(ts, ts, side="right")  # include ts-peers
+        return clean_arrow(
+            pd.DataFrame(
+                {
+                    "event_id": g["event_id"],
+                    "user_id": g["user_id"],
+                    "win_sum_c": cs[hi] - cs[lo],
+                    "win_n": (hi - lo).astype(np.int64),
+                }
+            )
+        )
+
+    return (
+        ev.map_batches(prep, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(windows, batch_format="pandas")
+    )
+
+
+_SQL_RANGE_WINDOW_SUM = """
+SELECT event_id, user_id,
+       SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS win_sum_c,
+       COUNT(*) OVER w AS win_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 QUERIES = {
@@ -5056,6 +5116,7 @@ QUERIES = {
     "source_mixture": q_source_mixture,
     "ivfpq_ann_search": q_ivfpq_ann_search,
     "user_travel_distance": q_user_travel_distance,
+    "range_window_sum": q_range_window_sum,
 }
 
 ORACLES = {
@@ -5140,4 +5201,5 @@ ORACLES = {
     "source_kl_divergence": _SQL_SOURCE_KL_DIVERGENCE,
     "source_mixture": _SQL_SOURCE_MIXTURE,
     "user_travel_distance": _sql_user_travel_distance(),
+    "range_window_sum": _SQL_RANGE_WINDOW_SUM,
 }
