@@ -5025,6 +5025,28 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 
 
 # ---------------------------------------------------------------------------
+# Exactly-once streaming dedup: the events log is replayed with
+# deterministic duplicates (~1/3 of events arrive twice, delayed), and
+# per-bucket stateful actors admit each event id once (C-vectorized
+# membership against the actor's admitted-set). Deduped per-user totals
+# must equal the clean batch aggregate — which IS the oracle: if any
+# replay leaked or any original was dropped, the totals diverge.
+
+
+def q_stream_dedup_totals(sf_dir: str) -> pd.DataFrame:
+    from ..stages.streaming import stream_dedup_totals
+
+    return stream_dedup_totals(sf_dir)
+
+
+_SQL_STREAM_DEDUP_TOTALS = """
+SELECT user_id, COUNT(*) AS n,
+       SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_value_c
+FROM events GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 QUERIES = {
@@ -5117,6 +5139,7 @@ QUERIES = {
     "ivfpq_ann_search": q_ivfpq_ann_search,
     "user_travel_distance": q_user_travel_distance,
     "range_window_sum": q_range_window_sum,
+    "stream_dedup_totals": q_stream_dedup_totals,
 }
 
 ORACLES = {
@@ -5202,4 +5225,5 @@ ORACLES = {
     "source_mixture": _SQL_SOURCE_MIXTURE,
     "user_travel_distance": _sql_user_travel_distance(),
     "range_window_sum": _SQL_RANGE_WINDOW_SUM,
+    "stream_dedup_totals": _SQL_STREAM_DEDUP_TOTALS,
 }

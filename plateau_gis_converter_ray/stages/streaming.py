@@ -355,3 +355,147 @@ def stream_windowed_counts(
     shutil.rmtree(bucket_dir, ignore_errors=True)
     df = pd.DataFrame(rows).sort_values(["bucket", "win_start_us"])
     return df.reset_index(drop=True)
+
+
+def make_dedup_actor():
+    """Stateful streaming EXACT dedup: each bucket actor holds the set of
+    event ids it has admitted (per-bucket state — a key's duplicates all
+    land in its own bucket, the partitioning assumption every stateful
+    stage here documents) and drops replays. Membership tests and set
+    updates are C-level vectorized (pd.Index.isin over the batch against
+    the set); no per-row Python. Defined lazily (ray import at call
+    time)."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    @ray.remote(num_cpus=0)
+    class DedupBucket:
+        def __init__(self):
+            self.seen: set = set()
+            self.admitted = 0
+            self.dropped = 0
+            self.totals: dict = {}
+
+        def run_partition(self, bucket_dir: str, bucket: int,
+                          batch_size: int = 4096) -> int:
+            import os
+
+            import ray.data
+
+            part = os.path.join(bucket_dir, f"bucket={bucket}")
+            if not os.path.isdir(part):
+                return 0
+            files = [
+                os.path.join(part, f)
+                for f in sorted(os.listdir(part))
+                if f.endswith(".parquet")
+            ]
+            if not files:
+                return 0
+            ds = ray.data.read_parquet(
+                files, columns=["event_id", "user_id", "value_c", "arrival_us"]
+            ).sort("arrival_us")
+            n = 0
+            for batch in ds.iter_batches(
+                batch_size=batch_size, batch_format="pandas"
+            ):
+                ids = batch["event_id"].to_numpy()
+                fresh = ~pd.Index(ids).isin(self.seen)
+                # first occurrence within the batch also counts as fresh
+                # exactly once: drop_duplicates keeps the earliest arrival
+                first_in_batch = ~pd.Series(ids).duplicated().to_numpy()
+                keep = fresh & first_in_batch
+                self.seen.update(ids[keep].tolist())
+                self.admitted += int(keep.sum())
+                self.dropped += int((~keep).sum())
+                kept = batch[keep]
+                agg = kept.groupby("user_id")["value_c"].agg(["sum", "size"])
+                for uid, row in agg.iterrows():
+                    tot = self.totals.setdefault(int(uid), [0, 0])
+                    tot[0] += int(row["sum"])
+                    tot[1] += int(row["size"])
+                n += len(batch)
+            return n
+
+        def snapshot(self) -> dict:
+            return {
+                "admitted": self.admitted,
+                "dropped": self.dropped,
+                "totals": self.totals,
+            }
+
+    return DedupBucket
+
+
+def stream_dedup_totals(sf_dir: str, n_buckets: int = 4) -> pd.DataFrame:
+    """Exactly-once totals over a stream WITH replayed duplicates.
+
+    The replay spec is deterministic (splitmix64 of event_id: ~1/3 of
+    events arrive twice, the replay delayed by a deterministic offset), so
+    a SQL oracle can rebuild the identical duplicated stream and dedup it
+    with COUNT(DISTINCT)/first-arrival semantics. Per-user (n, sum)
+    totals over the deduped stream are returned, keyed by bucket actors
+    holding the admitted-id state.
+    """
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from ..kernels.imagecodec import splitmix64
+    from ..sources.tables import read_table
+
+    bucket_dir = tempfile.mkdtemp(prefix="stream_dedup_", dir="/tmp")
+
+    def prep(batch: pa.Table, n=n_buckets) -> pa.Table:
+        eid = batch.column("event_id").to_numpy()
+        uid = batch.column("user_id").to_numpy()
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        v = np.round(batch.column("value").to_numpy() * 100).astype(np.int64)
+        with np.errstate(over="ignore"):
+            h = splitmix64(eid.astype(np.uint64))
+        replay = (h % np.uint64(3)) == 0
+        # original arrivals + delayed replays of the selected subset
+        eid2 = np.concatenate([eid, eid[replay]])
+        uid2 = np.concatenate([uid, uid[replay]])
+        v2 = np.concatenate([v, v[replay]])
+        arr2 = np.concatenate([ts, ts[replay] + 5_000_000])
+        return pa.table(
+            {
+                "event_id": pa.array(eid2),
+                "user_id": pa.array(uid2),
+                "value_c": pa.array(v2),
+                "arrival_us": pa.array(arr2),
+                "bucket": pa.array(uid2 % n),
+            }
+        )
+
+    (
+        read_table(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+        .map_batches(prep, batch_format="pyarrow")
+        .write_parquet(bucket_dir, partition_cols=["bucket"])
+    )
+
+    DedupBucket = make_dedup_actor()
+    actors = [DedupBucket.remote() for _ in range(n_buckets)]
+    ray.get(
+        [a.run_partition.remote(bucket_dir, b) for b, a in enumerate(actors)]
+    )
+    rows = []
+    total_admitted = total_dropped = 0
+    for snap in ray.get([a.snapshot.remote() for a in actors]):
+        total_admitted += snap["admitted"]
+        total_dropped += snap["dropped"]
+        for uid, (s, c) in snap["totals"].items():
+            rows.append({"user_id": int(uid), "n": int(c), "sum_value_c": int(s)})
+    for a in actors:
+        ray.kill(a)
+    import shutil
+
+    shutil.rmtree(bucket_dir, ignore_errors=True)
+    out = pd.DataFrame(rows).sort_values("user_id").reset_index(drop=True)
+    out.attrs["admitted"] = total_admitted
+    out.attrs["dropped"] = total_dropped
+    return out
