@@ -100,6 +100,9 @@ BENCH_QUERIES = [
     "source_kl_divergence",
     "source_mixture",
     "ivfpq_ann_search",
+    "user_travel_distance",
+    "range_window_sum",
+    "stream_dedup_totals",
 ]
 
 
