@@ -138,3 +138,56 @@ class TileArchiveReader:
         with open(self.path, "rb") as f:
             f.seek(self.payload_base + int(self.offsets[i]))
             return f.read(int(self.lengths[i]))
+
+
+def hilbert_ranges_for_bbox(z: int, lng0: float, lat0: float,
+                            lng1: float, lat1: float) -> list[tuple[int, int]]:
+    """Contiguous [lo, hi] Hilbert-id ranges covering a lng/lat bbox at
+    zoom ``z`` — the PMTiles read-path primitive: because the archive is
+    Hilbert-sorted, each range is one contiguous byte run on disk, and the
+    Hilbert curve's locality keeps the range count small for compact
+    bboxes (vs row-major ids, where every tile row is its own range)."""
+    from ..kernels.hilbert import zxy_to_id
+    from ..kernels.webmercator import zxy_from_lnglat_webmercator
+
+    x0, y0 = zxy_from_lnglat_webmercator(z, lng0, lat1)  # NW corner
+    x1, y1 = zxy_from_lnglat_webmercator(z, lng1, lat0)  # SE corner
+    xs = np.arange(int(x0), int(x1) + 1, dtype=np.int64)
+    ys = np.arange(int(y0), int(y1) + 1, dtype=np.int64)
+    gx, gy = np.meshgrid(xs, ys)
+    ids = np.sort(zxy_to_id(z, gx.ravel(), gy.ravel()))
+    if not len(ids):
+        return []
+    breaks = np.nonzero(np.diff(ids) != 1)[0]
+    starts = np.concatenate([[0], breaks + 1])
+    ends = np.concatenate([breaks, [len(ids) - 1]])
+    return [(int(ids[s]), int(ids[e])) for s, e in zip(starts, ends)]
+
+
+class TileArchiveBboxReader(TileArchiveReader):
+    """Bbox range query: each covering Hilbert range binary-searches the
+    directory and reads its payloads with ONE contiguous disk read (the
+    sorted-payload layout guarantees byte contiguity within a range)."""
+
+    def query_bbox(self, z: int, lng0: float, lat0: float,
+                   lng1: float, lat1: float):
+        out = []
+        self.last_read_count = 0
+        with open(self.path, "rb") as f:
+            for lo, hi in hilbert_ranges_for_bbox(z, lng0, lat0, lng1, lat1):
+                i = int(np.searchsorted(self.tile_ids, lo, side="left"))
+                j = int(np.searchsorted(self.tile_ids, hi, side="right"))
+                if i >= j:
+                    continue
+                base = int(self.offsets[i])
+                total = int(self.offsets[j - 1] + self.lengths[j - 1]) - base
+                f.seek(self.payload_base + base)
+                blob = f.read(total)
+                self.last_read_count += 1
+                for k in range(i, j):
+                    off = int(self.offsets[k]) - base
+                    out.append(
+                        (int(self.tile_ids[k]),
+                         blob[off : off + int(self.lengths[k])])
+                    )
+        return out

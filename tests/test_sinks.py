@@ -484,3 +484,52 @@ def test_kml_czml_polygon_geometry(ray_session, tmp_path):
     assert poly["positions"]["cartographicDegrees"][:6] == [
         139.5, 35.5, 0.0, 139.6, 35.5, 0.0
     ]
+
+
+def test_archive_bbox_range_query(ray_session, tmp_path):
+    """Hilbert-range bbox reads == brute per-id gets, with one contiguous
+    disk read per range (the PMTiles locality payoff)."""
+    import numpy as np
+    import ray.data
+
+    from plateau_gis_converter_ray.kernels.hilbert import zxy_to_id
+    from plateau_gis_converter_ray.kernels.webmercator import (
+        zxy_from_lnglat_webmercator,
+    )
+    from plateau_gis_converter_ray.sinks.archive import (
+        TileArchiveBboxReader,
+        hilbert_ranges_for_bbox,
+        write_tile_archive,
+    )
+
+    z = 10
+    # a dense tile patch over Tokyo plus scattered far-away tiles
+    cx, cy = zxy_from_lnglat_webmercator(z, 139.7, 35.6)
+    rows = []
+    for dx in range(-4, 5):
+        for dy in range(-4, 5):
+            tid = int(zxy_to_id(z, np.array([int(cx) + dx]), np.array([int(cy) + dy]))[0])
+            rows.append({"tile_id": tid, "payload": f"t{tid}".encode()})
+    for far in range(50):
+        tid = int(zxy_to_id(z, np.array([far * 7 % (1 << z)]), np.array([far * 13 % (1 << z)]))[0])
+        if all(r["tile_id"] != tid for r in rows):
+            rows.append({"tile_id": tid, "payload": f"f{tid}".encode()})
+    path = str(tmp_path / "bbox.prta")
+    write_tile_archive(ray.data.from_items(rows), path)
+
+    bbox = (139.55, 35.45, 139.85, 35.75)
+    rd = TileArchiveBboxReader(path)
+    got = dict(rd.query_bbox(z, *bbox))
+
+    ranges = hilbert_ranges_for_bbox(z, *bbox)
+    assert len(ranges) >= 1
+    covering = set()
+    for lo, hi in ranges:
+        covering.update(range(lo, hi + 1))
+    exp = {
+        r["tile_id"]: r["payload"] for r in rows if r["tile_id"] in covering
+    }
+    assert got == exp and len(exp) > 0
+    # locality: the read count is the range count that hit, never per-tile
+    assert rd.last_read_count <= len(ranges)
+    assert rd.last_read_count < len(exp) or len(exp) <= len(ranges)
