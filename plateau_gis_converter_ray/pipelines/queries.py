@@ -5047,6 +5047,48 @@ FROM events GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# Douglas-Peucker generalization over the municipality rings
+# (kernels/simplify.py): tolerance-based low-zoom simplification, emitted
+# with self-checking columns (max deviation of dropped vertices <= eps by
+# construction — the column proves it per row). Rows-only.
+
+
+def q_dp_simplify_rings(sf_dir: str, eps: float = 0.05):
+    import ray.data
+
+    from ..kernels.simplify import dp_simplify_ring, max_deviation
+    from ..sources.municipalities import municipality_polygons
+
+    polys = municipality_polygons()
+    ds = ray.data.from_items(
+        [{"pid": p["id"], "ring": p["rings"][0].tolist()} for p in polys]
+    )
+
+    def simp(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for pid, ring in zip(batch["pid"], batch["ring"]):
+            # ring arrives as a ragged object array of per-point arrays
+            r = np.stack([np.asarray(p, dtype=np.float64) for p in ring])
+            kept = dp_simplify_ring(r, eps)
+            dev = max_deviation(
+                np.concatenate([r, r[:1]]),
+                np.concatenate([kept, [len(r)]]),
+            )
+            rows.append(
+                {
+                    "pid": pid,
+                    "n_before": np.int64(len(r)),
+                    "n_after": np.int64(len(kept)),
+                    "max_dev_e9": np.int64(round(dev * 1e9)),
+                    "within_eps": np.int64(dev <= eps + 1e-12),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    return ds.map_batches(simp, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 QUERIES = {
@@ -5140,6 +5182,7 @@ QUERIES = {
     "user_travel_distance": q_user_travel_distance,
     "range_window_sum": q_range_window_sum,
     "stream_dedup_totals": q_stream_dedup_totals,
+    "dp_simplify_rings": q_dp_simplify_rings,
 }
 
 ORACLES = {
