@@ -411,10 +411,14 @@ def make_dedup_actor():
                 self.dropped += int((~keep).sum())
                 kept = batch[keep]
                 agg = kept.groupby("user_id")["value_c"].agg(["sum", "size"])
-                for uid, row in agg.iterrows():
+                for uid, s, c in zip(
+                    agg.index.to_numpy(),
+                    agg["sum"].to_numpy(),
+                    agg["size"].to_numpy(),
+                ):
                     tot = self.totals.setdefault(int(uid), [0, 0])
-                    tot[0] += int(row["sum"])
-                    tot[1] += int(row["size"])
+                    tot[0] += int(s)
+                    tot[1] += int(c)
                 n += len(batch)
             return n
 
