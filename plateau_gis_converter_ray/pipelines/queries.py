@@ -5089,6 +5089,69 @@ def q_dp_simplify_rings(sf_dir: str, eps: float = 0.05):
 
 
 # ---------------------------------------------------------------------------
+# Interval (stream-stream) join: for each user, count click->purchase
+# pairs with the purchase inside [click_ts, click_ts + 1h] (inclusive —
+# SQL BETWEEN). ONE group exchange; inside each bounded user group both
+# event streams sort once and the pair count is two vectorized
+# searchsorted bounds per click — no pair materialization, so a user with
+# C clicks and P purchases costs O((C+P) log P), not O(C*P).
+
+
+def q_click_purchase_join(sf_dir: str, window_us: int = 3_600_000_000):
+    from ..stages.treeagg import clean_arrow
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        et = batch.column("event_type")
+        keep = pc.or_(pc.equal(et, "click"), pc.equal(et, "purchase"))
+        b = batch.filter(keep)
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "ts_us": b.column("ts").cast(pa.int64()),
+                "is_click": pc.cast(pc.equal(b.column("event_type"), "click"),
+                                    pa.int64()),
+            }
+        )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        c = np.sort(g.loc[g["is_click"] == 1, "ts_us"].to_numpy())
+        p = np.sort(g.loc[g["is_click"] == 0, "ts_us"].to_numpy())
+        if not len(c) or not len(p):
+            n = 0
+        else:
+            lo = np.searchsorted(p, c, side="left")
+            hi = np.searchsorted(p, c + window_us, side="right")
+            n = int((hi - lo).sum())
+        return clean_arrow(
+            pd.DataFrame(
+                {"user_id": [g["user_id"].iloc[0]], "n_pairs": np.int64(n)}
+            )
+        )
+
+    per_user = (
+        ev.map_batches(prep, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(pairs, batch_format="pandas")
+    )
+    return per_user.filter(expr="n_pairs > 0")
+
+
+_SQL_CLICK_PURCHASE_JOIN = """
+SELECT a.user_id, COUNT(*) AS n_pairs
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'click' AND b.event_type = 'purchase'
+ AND b.ts BETWEEN a.ts AND a.ts + INTERVAL 1 HOUR
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 QUERIES = {
@@ -5183,6 +5246,7 @@ QUERIES = {
     "range_window_sum": q_range_window_sum,
     "stream_dedup_totals": q_stream_dedup_totals,
     "dp_simplify_rings": q_dp_simplify_rings,
+    "click_purchase_join": q_click_purchase_join,
 }
 
 ORACLES = {
@@ -5269,4 +5333,5 @@ ORACLES = {
     "user_travel_distance": _sql_user_travel_distance(),
     "range_window_sum": _SQL_RANGE_WINDOW_SUM,
     "stream_dedup_totals": _SQL_STREAM_DEDUP_TOTALS,
+    "click_purchase_join": _SQL_CLICK_PURCHASE_JOIN,
 }
