@@ -3342,7 +3342,16 @@ def q_pagerank_dupgraph(sf_dir: str, iters: int = 5,
         if checkpoint_dir:
             d = _os.path.join(checkpoint_dir, f"round={rnd + 1}")
             if not _os.path.exists(_os.path.join(d, "_OK")):
-                r.write_parquet(d)
+                # atomic publish (the upsert-sink pattern): write into a tmp
+                # dir, rename into place, THEN the sentinel — a crash can
+                # never leave data files inside a dir a rerun appends to
+                import shutil as _shutil
+
+                tmp = d + ".tmp"
+                _shutil.rmtree(tmp, ignore_errors=True)
+                _shutil.rmtree(d, ignore_errors=True)
+                r.write_parquet(tmp)
+                _os.rename(tmp, d)
                 with open(_os.path.join(d, "_OK"), "w") as fh:
                     fh.write("ok")
 
@@ -4360,6 +4369,8 @@ def q_ngram_lm_score(sf_dir: str, n_buckets: int = 64):
                 "doc_id": batch.column("doc_id"),
                 "n_grams": batch.column("n_grams"),
                 "sum_df": batch.column("sum_df"),
+                # sd*1e6 is exact while sum_df < 9.2e12 (int64 bound;
+                # per-doc sum_df is n_grams x max df — document-scale safe)
                 "fam_e6": pa.array(sd * 1_000_000 // ng),
             }
         )
@@ -4445,9 +4456,15 @@ def q_events_cust_full_outer(sf_dir: str):
     )
 
     def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        # Ray's full_outer emits left+matched blocks WITHOUT the right key
+        # column and right-unmatched blocks WITH it — the guard is
+        # load-bearing, and in a guard-taken block ck is never null
         ck = batch["ck"].astype("Int64")
-        cc = batch["c_custkey"] if "c_custkey" in batch else pd.Series([pd.NA] * len(batch))
-        key = ck.fillna(cc if cc is not None else -1)
+        if "c_custkey" in batch:
+            key = ck.fillna(batch["c_custkey"].astype("Int64"))
+        else:
+            assert not ck.isna().any(), "left block with null left key"
+            key = ck
         out = pd.DataFrame(
             {
                 "k": key.astype(np.int64),
@@ -4819,6 +4836,9 @@ def q_source_mixture(sf_dir: str):
             }
         )
 
+    # (doc_id * 2654435761 stays inside int64 for doc_id < ~3.47e9 — the
+    # same documented no-overflow bound as the stratified-sample hash; at a
+    # larger id space switch the key to splitmix64 on uint64.)
     t = ds.map_batches(toks, batch_format="pyarrow").materialize()
 
     per_bucket = tree_group_agg(

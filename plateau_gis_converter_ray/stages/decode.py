@@ -211,8 +211,15 @@ class QuarantiningDecode:
             head = bytes(blobs[i][:32])
             if head[:3] != b"P6\n" or head.count(b"\n", 0, 32) < 3:
                 reason[i] = "bad_header"
-            elif lens[i] < ws[i] * hs[i] * 3:
-                reason[i] = "truncated"
+            else:
+                # payload must hold header + pixels: find the 3rd newline
+                # exactly like decode_image does, then length-check
+                pos, nl = 0, 0
+                while nl < 3:
+                    pos = head.index(b"\n", pos) + 1
+                    nl += 1
+                if lens[i] < pos + ws[i] * hs[i] * 3:
+                    reason[i] = "truncated"
         for i in np.nonzero(known & (fmts == "rle"))[0]:
             try:
                 px = _rle_decode(blobs[i])

@@ -106,8 +106,36 @@ def auto_join(
         return left.map_batches(mask, batch_format="pandas")
 
     build = right.to_pandas()
-    if len(build) and broadcast_limit_bytes is not None:
-        assert build.memory_usage(deep=True).sum() <= 4 * broadcast_limit_bytes
+    if (
+        force is None
+        and len(build)
+        and broadcast_limit_bytes is not None
+        and build.memory_usage(deep=True).sum() > 4 * broadcast_limit_bytes
+    ):
+        # the metadata bound under-estimated the in-memory build (e.g. a
+        # dictionary-compressed string dim): fall back to the shuffle plan
+        # instead of broadcasting past the budget — the bound is advisory,
+        # this runtime check is the enforcement
+        return left.join(
+            right,
+            join_type=how,
+            num_partitions=num_partitions,
+            on=on,
+            right_on=right_on,
+        )
+    if how == "left_outer":
+        # unmatched probe rows null the build columns; pandas merge would
+        # coerce int64 -> float64 NaN there, diverging from the shuffle
+        # plan's nullable int64 — pre-convert build ints to nullable Int*
+        _NULLABLE = {
+            "int8": "Int8", "int16": "Int16", "int32": "Int32",
+            "int64": "Int64", "uint8": "UInt8", "uint16": "UInt16",
+            "uint32": "UInt32", "uint64": "UInt64",
+        }
+        for c in build.columns:
+            name = str(build[c].dtype)
+            if name in _NULLABLE:
+                build[c] = build[c].astype(_NULLABLE[name])
     ref = ray.put(build)
 
     pd_how = "inner" if how == "inner" else "left"

@@ -90,6 +90,40 @@ def _train_books(vecs: np.ndarray, n_sub: int, k: int, iters: int) -> np.ndarray
     return books
 
 
+def _encode_codes(x: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """uint8 codes (n, n_sub) for int64 vectors x against per-subspace
+    books — the shared kernel of pq_encode and ivfpq_encode."""
+    n_sub, k, d_sub = books.shape
+    codes = np.empty((len(x), n_sub), dtype=np.uint8)
+    for m in range(n_sub):
+        xm = x[:, m * d_sub : (m + 1) * d_sub]
+        cent = books[m]
+        d2 = (
+            (xm * xm).sum(axis=1)[:, None]
+            - 2 * (xm @ cent.T)
+            + (cent * cent).sum(axis=1)[None, :]
+        )
+        codes[:, m] = np.argmin(d2, axis=1).astype(np.uint8)
+    return codes
+
+
+def _merge_topk(df: "pd.DataFrame", topk: int) -> "pd.DataFrame":
+    """Final per-query top-k fold shared by both ADC searchers."""
+    from .treeagg import clean_arrow
+
+    df = df.sort_values(["qid", "adc_dist", "ann_id"], kind="stable")
+    out = df.groupby("qid", as_index=False, sort=True).head(topk).copy()
+    out["rank"] = out.groupby("qid").cumcount().astype(np.int64)
+    return clean_arrow(out.reset_index(drop=True))
+
+
+_EMPTY_TOPK = {"qid": np.int64, "ann_id": np.int64, "adc_dist": np.int64}
+
+
+def _empty_topk() -> "pd.DataFrame":
+    return pd.DataFrame({c: np.array([], dtype=t) for c, t in _EMPTY_TOPK.items()})
+
+
 def pq_encode(ds, books: np.ndarray):
     """(vec_id, code:binary[M]) — stateless vectorized encode."""
     import ray
@@ -103,17 +137,7 @@ def pq_encode(ds, books: np.ndarray):
             np.stack(batch.column("embedding").to_numpy(zero_copy_only=False))
         )
         n = len(vecs)
-        codes = np.empty((n, n_sub), dtype=np.uint8)
-        for m in range(n_sub):
-            x = vecs[:, m * d_sub : (m + 1) * d_sub]  # (n, d_sub) int64
-            cent = b[m]  # (k, d_sub) int64
-            # |x|^2 - 2 x.c + |c|^2, exact int64
-            d2 = (
-                (x * x).sum(axis=1)[:, None]
-                - 2 * (x @ cent.T)
-                + (cent * cent).sum(axis=1)[None, :]
-            )
-            codes[:, m] = np.argmin(d2, axis=1).astype(np.uint8)
+        codes = _encode_codes(vecs, b)
         return pa.table(
             {
                 "vec_id": batch.column("vec_id"),
@@ -152,6 +176,8 @@ def pq_adc_search(codes_ds, books: np.ndarray, queries: dict, topk: int = 10):
     ref = ray.put((qids, lut))
 
     def block_topk(batch: pa.Table) -> pd.DataFrame:
+        if batch.num_rows == 0:
+            return _empty_topk()
         qids_, lut_ = ray.get(ref)
         vid = batch.column("vec_id").to_numpy()
         raw = batch.column("code").to_numpy(zero_copy_only=False)
@@ -171,15 +197,8 @@ def pq_adc_search(codes_ds, books: np.ndarray, queries: dict, topk: int = 10):
         return clean_arrow(pd.DataFrame(rows))
 
     partials = codes_ds.map_batches(block_topk, batch_format="pyarrow")
-
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["qid", "adc_dist", "ann_id"], kind="stable")
-        out = df.groupby("qid", as_index=False, sort=True).head(topk).copy()
-        out["rank"] = out.groupby("qid").cumcount().astype(np.int64)
-        return clean_arrow(out.reset_index(drop=True))
-
     return partials.repartition(1).map_batches(
-        merge, batch_format="pandas", batch_size=None
+        lambda df: _merge_topk(df, topk), batch_format="pandas", batch_size=None
     )
 
 
@@ -239,18 +258,8 @@ def ivfpq_encode(ds, coarse: np.ndarray, books: np.ndarray):
             np.stack(batch.column("embedding").to_numpy(zero_copy_only=False))
         )
         b = _assign_coarse(vecs, co)
-        resid = vecs - co[b]
         n = len(vecs)
-        codes = np.empty((n, n_sub), dtype=np.uint8)
-        for m in range(n_sub):
-            x = resid[:, m * d_sub : (m + 1) * d_sub]
-            cent = bo[m]
-            d2 = (
-                (x * x).sum(axis=1)[:, None]
-                - 2 * (x @ cent.T)
-                + (cent * cent).sum(axis=1)[None, :]
-            )
-            codes[:, m] = np.argmin(d2, axis=1).astype(np.uint8)
+        codes = _encode_codes(vecs - co[b], bo)
         flat = codes.tobytes()
         return pa.table(
             {
@@ -309,6 +318,8 @@ def ivfpq_adc_search(codes_ds, coarse: np.ndarray, books: np.ndarray,
     ref = ray.put((qids, lut, probed))
 
     def block_topk(batch: pa.Table) -> pd.DataFrame:
+        if batch.num_rows == 0:
+            return _empty_topk()
         qids_, lut_, probed_ = ray.get(ref)
         vid = batch.column("vec_id").to_numpy()
         bkt = batch.column("bucket").to_numpy()
@@ -332,13 +343,6 @@ def ivfpq_adc_search(codes_ds, coarse: np.ndarray, books: np.ndarray,
         return clean_arrow(rows[rows["adc_dist"] < SENTINEL])
 
     partials = codes_ds.map_batches(block_topk, batch_format="pyarrow")
-
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["qid", "adc_dist", "ann_id"], kind="stable")
-        out = df.groupby("qid", as_index=False, sort=True).head(topk).copy()
-        out["rank"] = out.groupby("qid").cumcount().astype(np.int64)
-        return clean_arrow(out.reset_index(drop=True))
-
     return partials.repartition(1).map_batches(
-        merge, batch_format="pandas", batch_size=None
+        lambda df: _merge_topk(df, topk), batch_format="pandas", batch_size=None
     )

@@ -76,6 +76,21 @@ def mesh_assign_arith(batch: pa.Table, nx: int = 24, ny: int = 22) -> pa.Table:
     return batch.append_column("mesh_id", mesh_id)
 
 
+def cell_ix_iy(lng, lat, nx: int = 24, ny: int = 22):
+    """Shared mesh-cell arithmetic (floor-scale-clip over the Japan bbox).
+    pip_cell_join's correctness depends on points and polygon bboxes using
+    bit-identical bucketing — one definition, three call sites."""
+    from ..sources.municipalities import EAST, NORTH, SOUTH, WEST
+
+    ix = np.clip(
+        np.floor((np.asarray(lng) - WEST) / (EAST - WEST) * nx), 0, nx - 1
+    ).astype(np.int64)
+    iy = np.clip(
+        np.floor((np.asarray(lat) - SOUTH) / (NORTH - SOUTH) * ny), 0, ny - 1
+    ).astype(np.int64)
+    return ix, iy
+
+
 def polygon_cell_index(polygons: list[dict], nx: int = 24, ny: int = 22):
     """(cell, pidx, geometry) rows: each polygon replicated into every mesh
     cell its bbox overlaps — the build side of the cell-keyed hash join.
@@ -91,10 +106,9 @@ def polygon_cell_index(polygons: list[dict], nx: int = 24, ny: int = 22):
         pts = np.concatenate(p["rings"], axis=0)
         x0, x1 = pts[:, 0].min(), pts[:, 0].max()
         y0, y1 = pts[:, 1].min(), pts[:, 1].max()
-        cx0 = int(np.clip(np.floor((x0 - WEST) / (EAST - WEST) * nx), 0, nx - 1))
-        cx1 = int(np.clip(np.floor((x1 - WEST) / (EAST - WEST) * nx), 0, nx - 1))
-        cy0 = int(np.clip(np.floor((y0 - SOUTH) / (NORTH - SOUTH) * ny), 0, ny - 1))
-        cy1 = int(np.clip(np.floor((y1 - SOUTH) / (NORTH - SOUTH) * ny), 0, ny - 1))
+        (cx0, cx1), (cy0, cy1) = (
+            c.astype(int) for c in cell_ix_iy([x0, x1], [y0, y1], nx, ny)
+        )
         # pack geometry into ONE binary blob (Arrow hash joins reject
         # list-typed payload columns): [n_rings i64][ring_lens i64...]
         # [coords f64...]
@@ -149,12 +163,7 @@ def pip_cell_join(sf_dir: str, nx: int = 24, ny: int = 22):
         batch = add_lnglat_arith(batch, "event_id")
         lng = batch.column("lng").to_numpy()
         lat = batch.column("lat").to_numpy()
-        ix = np.clip(
-            np.floor((lng - WEST) / (EAST - WEST) * nx), 0, nx - 1
-        ).astype(np.int64)
-        iy = np.clip(
-            np.floor((lat - SOUTH) / (NORTH - SOUTH) * ny), 0, ny - 1
-        ).astype(np.int64)
+        ix, iy = cell_ix_iy(lng, lat, nx, ny)
         v = np.round(batch.column("value").to_numpy() * 100).astype(np.int64)
         return pa.table(
             {

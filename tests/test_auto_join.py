@@ -33,6 +33,48 @@ def test_auto_join_broadcast_equals_shuffle(ray_session):
         pd.testing.assert_frame_equal(res["broadcast"], res["shuffle"])
 
 
+def test_auto_join_left_outer_int_payload(ray_session):
+    """Broadcast left_outer must keep integer build columns as nullable
+    ints on unmatched rows (not float64 NaN), matching the shuffle plan."""
+    import pyarrow as pa
+    import ray.data
+
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3], pa.int64())})
+    )
+    right = ray.data.from_arrow(
+        pa.table({"rk": pa.array([1, 3], pa.int64()),
+                  "payload": pa.array([10, 30], pa.int64())})
+    )
+    from plateau_gis_converter_ray.stages.joins import auto_join
+
+    res = {}
+    for force in ("broadcast", "shuffle"):
+        res[force] = _norm(
+            auto_join(left, right, on=("k",), right_on=("rk",),
+                      how="left_outer", force=force).to_pandas(),
+            ["k"],
+        )
+    a, b = res["broadcast"], res["shuffle"]
+    assert a["payload"].isna().sum() == 1 == b["payload"].isna().sum()
+    assert list(a["k"]) == list(b["k"])
+    assert a["payload"].dropna().astype("int64").tolist() ==         b["payload"].dropna().astype("int64").tolist()
+    # the ARROW schema (what downstream operators see) must agree between
+    # plans: nullable int64, never a float64 promotion on the broadcast path
+    schemas = {}
+    for force in ("broadcast", "shuffle"):
+        schemas[force] = auto_join(
+            left, right, on=("k",), right_on=("rk",),
+            how="left_outer", force=force,
+        ).schema()
+    sa = {f: str(t) for f, t in zip(schemas["broadcast"].names,
+                                    schemas["broadcast"].types)}
+    sb = {f: str(t) for f, t in zip(schemas["shuffle"].names,
+                                    schemas["shuffle"].types)}
+    assert sa == sb, (sa, sb)
+    assert sa["payload"] == "int64", sa
+
+
 def test_auto_join_strategy_choice(ray_session):
     from plateau_gis_converter_ray.sources.tables import read_table
     from plateau_gis_converter_ray.stages.joins import _scan_rooted_size

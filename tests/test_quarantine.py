@@ -33,6 +33,13 @@ def test_quarantine_routes_and_conserves(ray_session):
     blobs[0] = blobs[0][: len(blobs[0]) // 2]
     fmts[1] = "jxl"
     blobs[2] = b"\x00"
+    # a ppm losing fewer bytes than its header length: the header parses,
+    # only the header-aware length check can catch it (review finding)
+    ppm_rows = [i for i, f in enumerate(fmts) if f == "ppm"]
+    ppm_cut = None
+    if len(ppm_rows) > 3:
+        ppm_cut = ppm_rows[3]
+        blobs[ppm_cut] = blobs[ppm_cut][:-5]
     t2 = (
         t.drop_columns(["bytes", "fmt"])
         .append_column("bytes", pa.array(blobs, pa.binary()))
@@ -42,12 +49,15 @@ def test_quarantine_routes_and_conserves(ray_session):
     assert out.num_rows == n  # conservation
     reasons = out.column("quarantine_reason").to_pylist()
     bad = [r for r in reasons if r]
-    assert len(bad) == 3
+    assert len(bad) == (4 if ppm_cut is not None else 3)
     assert "unknown_fmt" in bad
 
     # good rows: identical stats to the clean decode of the same rows
     clean = ImageDecodeStats()(t).to_pandas()
     got = out.to_pandas()
+    if ppm_cut is not None:
+        cut_id = t.column("image_id")[ppm_cut].as_py()
+        assert got.loc[got["image_id"] == cut_id, "quarantine_reason"].iloc[0] == "truncated"
     good = got[got["quarantine_reason"] == ""].set_index("image_id")
     clean = clean.set_index("image_id")
     common = good.index
