@@ -1957,13 +1957,16 @@ def q_promo_revenue(sf_dir: str):
     )
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
-        p = df["promo_rev_s"].to_numpy()
-        t = df["total_rev_s"].to_numpy()
+        # the fraction multiply exceeds int64 at sf >= 0.1 (total_rev_s ~
+        # 5e13 x 1e6): compute in Python big ints (one row), mirror with
+        # HUGEINT in the oracle
+        p = int(df["promo_rev_s"].iloc[0])
+        t = int(df["total_rev_s"].iloc[0])
         return pd.DataFrame(
             {
-                "promo_rev_s": p,
-                "total_rev_s": t,
-                "promo_frac_e6": p * 1_000_000 // t,
+                "promo_rev_s": np.array([p], dtype=np.int64),
+                "total_rev_s": np.array([t], dtype=np.int64),
+                "promo_frac_e6": np.array([p * 1_000_000 // t], dtype=np.int64),
             }
         )
 
@@ -1979,7 +1982,8 @@ WITH r AS (
   FROM lineitem JOIN part ON p_partkey = l_partkey
 )
 SELECT promo_rev_s, total_rev_s,
-       (promo_rev_s * 1000000) // total_rev_s AS promo_frac_e6
+       CAST((CAST(promo_rev_s AS HUGEINT) * 1000000)
+            // CAST(total_rev_s AS HUGEINT) AS BIGINT) AS promo_frac_e6
 FROM r
 """
 
@@ -2107,7 +2111,26 @@ def q_heavy_users(sf_dir: str):
 
     cand = ds.map_batches(prune, batch_format="pyarrow")
     counts = tree_group_agg(cand, ["user_id"], {"n": (None, "count")})
-    return counts.filter(expr=f"n >= {t}")
+
+    def threshold(batch: pd.DataFrame) -> pa.Table:
+        out = batch[batch["n"] >= t]
+        return pa.table(
+            {
+                "user_id": pa.array(out["user_id"].to_numpy(), pa.int64()),
+                "n": pa.array(out["n"].to_numpy(), pa.int64()),
+            }
+        )
+
+    import ray.data
+
+    # Ray drops empty map-output blocks, so an sf where the prune removes
+    # every row would yield a ZERO-block (schema-less) dataset; a typed
+    # empty seed block keeps the schema contract for the empty result
+    seed = ray.data.from_arrow(
+        pa.table({"user_id": pa.array([], pa.int64()),
+                  "n": pa.array([], pa.int64())})
+    )
+    return seed.union(counts.map_batches(threshold, batch_format="pandas"))
 
 
 _SQL_HEAVY_USERS = """

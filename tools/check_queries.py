@@ -27,7 +27,17 @@ def to_pandas(result):
         import ray.data
 
         if isinstance(result, ray.data.Dataset):
-            return result.to_pandas()
+            df = result.to_pandas()
+            if not len(df) and not len(df.columns):
+                # Ray's to_pandas drops columns for 0-row datasets; rebuild
+                # the empty frame from the dataset schema so a legitimately
+                # empty result still column-compares against the oracle
+                schema = result.schema()
+                if schema is not None:
+                    df = pd.DataFrame(
+                        {n: pd.Series(dtype="object") for n in schema.names}
+                    )
+            return df
     except ImportError:
         pass
     if isinstance(result, pa.Table):
