@@ -46,6 +46,7 @@ def write_corpus_dedup(sf_dir: str, out_dir: str, n_shards: int = 8,
         return {
             "out_dir": out_dir,
             "written": 0,
+            "written_empty": 0,
             "skipped": n_shards,
             "shards": n_shards,
         }
@@ -102,9 +103,26 @@ def write_corpus_dedup(sf_dir: str, out_dir: str, n_shards: int = 8,
         .map_groups(write_shard, batch_format="pandas")
         .to_pandas()
     )
+    # a shard that owns NO surviving docs never forms a group, so its
+    # partition would stay "remaining" forever and every resume would
+    # re-execute the full pair-finder pipeline; commit the empty shards
+    # here (0 rows, no data dir needed) so resume converges to a no-op
+    done = set(written["shard"].tolist()) if len(written) else set()
+    for sh in sorted(rem - done):
+        manifest.commit_partition(
+            str(int(sh)),
+            rows=0,
+            checksum=0,
+            lineage={
+                "input": sf_dir,
+                "stage_chain": "ngram_jaccard->cc->keep_canonical",
+            },
+            metrics={"elapsed_s": 0.0, "rows_per_s": 0.0},
+        )
     return {
         "out_dir": out_dir,
         "written": len(written),
+        "written_empty": len(rem - done),
         "skipped": n_shards - len(remaining),
         "shards": n_shards,
         "rows": int(written["rows"].sum()) if len(written) else 0,

@@ -344,7 +344,9 @@ def q_top_orders_bloom(sf_dir: str):
     orders_b = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).join(
         cust_b, "left_semi", num_partitions=JOIN_PARTS,
         on=("o_custkey",), right_on=("c_custkey",),
-    ).select_columns(["o_orderkey"])
+    ).select_columns(["o_orderkey"]).materialize()
+    # (materialized: both the bloom build and the exact semi join consume
+    # it — without this the most expensive exchange would execute twice)
 
     # distributed OR-reduce build; the driver sees ONE row of packed words
     bits_ref = ray.put(bloom_build(orders_b, "o_orderkey"))
@@ -2144,7 +2146,9 @@ HAVING COUNT(*) >= CEIL(0.0075 * (SELECT COUNT(*) FROM events))
 # training pipeline needs: the split is a pure function of the KEY (stable
 # under re-runs, re-partitioning and resume), vectorized per batch, and
 # exactly twinned in SQL via the same multiplicative-hash arithmetic
-# (key * Knuth's 2654435761 mod 2^32 — no 64-bit overflow on either side).
+# (key * Knuth's 2654435761 mod 2^32; exact while key < ~3.47e9 — the
+# documented id-domain bound shared by every multiplicative-hash use in
+# this module; a wider id space switches the key to splitmix64/uint64).
 
 
 def q_hash_split(sf_dir: str):
@@ -2726,7 +2730,10 @@ def _word_trigrams(batch: pa.Table) -> pd.DataFrame:
     return out.drop_duplicates()
 
 
-_EVAL_SET_CACHE: dict = {}  # per-worker deserialized eval-gram set
+# per-worker deserialized eval-gram set — SINGLE slot (keyed by ref hex,
+# replaced on mismatch): repeated invocations in one session would
+# otherwise accumulate one multi-MB set per run in every worker
+_EVAL_SET_CACHE: dict = {}
 
 
 def q_contamination(sf_dir: str, eval_mod: int = 97):
@@ -2747,7 +2754,7 @@ def q_contamination(sf_dir: str, eval_mod: int = 97):
     eval_distinct = tree_group_agg(
         ds.map_batches(ev_grams, batch_format="pyarrow"),
         ["gram"], {"n": (None, "count")},
-    )
+    ).materialize()  # count() probe + iter_batches share ONE execution
     eval_set = set(
         pd.concat(
             [b["gram"] for b in
@@ -2762,6 +2769,7 @@ def q_contamination(sf_dir: str, eval_mod: int = 97):
         g = _word_trigrams(batch)
         es = _EVAL_SET_CACHE.get(ref.hex())
         if es is None:
+            _EVAL_SET_CACHE.clear()
             es = _EVAL_SET_CACHE[ref.hex()] = ray.get(ref)
         if not len(g):
             return pa.table(

@@ -107,18 +107,30 @@ class BloomPrune:
     """
 
     def __init__(self, bits_ref, key_col: str, k: int = 4):
-        try:
-            import ray
-
-            if isinstance(bits_ref, ray.ObjectRef):
-                bits_ref = ray.get(bits_ref)
-        except Exception:
-            pass
-        self.words = np.asarray(bits_ref, dtype=np.uint64)
+        # keep the REF; resolving here would embed the full bit array in
+        # the pickled task fn and the driver heap (at the documented 10^9-
+        # key scale that is ~1.2 GB shipped per task graph). ray.get runs
+        # lazily in __call__ on the worker — per-node object-store dedup +
+        # zero-copy numpy view, exactly what the docstring promises.
+        self._bits_ref = bits_ref
+        self._words = None
         self.key_col = key_col
         self.k = k
 
+    def _resolve(self) -> np.ndarray:
+        if self._words is None:
+            bits = self._bits_ref
+            try:
+                import ray
+
+                if isinstance(bits, ray.ObjectRef):
+                    bits = ray.get(bits)
+            except Exception:
+                pass
+            self._words = np.asarray(bits, dtype=np.uint64)
+        return self._words
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         keys = batch.column(self.key_col).to_numpy()
-        mask = bloom_contains(self.words, keys, self.k)
+        mask = bloom_contains(self._resolve(), keys, self.k)
         return batch.filter(pa.array(mask))

@@ -35,7 +35,11 @@ def binary_views(col) -> list:
     for chunk in chunks:
         off = chunk.offset
         bufs = chunk.buffers()
-        offsets = np.frombuffer(bufs[1], dtype=np.int32)[off : off + len(chunk) + 1]
+        # binary uses int32 offsets, large_binary int64 — reinterpreting
+        # one as the other silently yields garbage slices, so branch on
+        # the actual type
+        odt = np.int64 if pa.types.is_large_binary(chunk.type) else np.int32
+        offsets = np.frombuffer(bufs[1], dtype=odt)[off : off + len(chunk) + 1]
         mv = memoryview(bufs[2])
         for i in range(len(chunk)):
             views.append(mv[offsets[i] : offsets[i + 1]])

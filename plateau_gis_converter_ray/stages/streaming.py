@@ -153,16 +153,20 @@ def stream_running_totals(
 
     StreamBucket = make_bucket_actor()
     actors = [StreamBucket.remote() for _ in range(n_buckets)]
-    ray.get(
-        [
-            a.run_partition.remote(sf_dir, b, n_buckets, bucket_dir)
-            for b, a in enumerate(actors)
-        ]
-    )
-    if bucket_dir is not None:
-        import shutil
+    try:
+        ray.get(
+            [
+                a.run_partition.remote(sf_dir, b, n_buckets, bucket_dir)
+                for b, a in enumerate(actors)
+            ]
+        )
+    finally:
+        # the bucket layout is a full copy of the log in /tmp — clean it
+        # up on failure too, not only on the happy path
+        if bucket_dir is not None:
+            import shutil
 
-        shutil.rmtree(bucket_dir, ignore_errors=True)
+            shutil.rmtree(bucket_dir, ignore_errors=True)
 
     rows = []
     for snap in ray.get([a.snapshot.remote() for a in actors]):
@@ -319,11 +323,17 @@ def stream_windowed_counts(
             }
         )
 
-    (
-        read_table(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
-        .map_batches(prep, batch_format="pyarrow")
-        .write_parquet(bucket_dir, partition_cols=["bucket"])
-    )
+    import shutil
+
+    try:
+        (
+            read_table(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+            .map_batches(prep, batch_format="pyarrow")
+            .write_parquet(bucket_dir, partition_cols=["bucket"])
+        )
+    except BaseException:
+        shutil.rmtree(bucket_dir, ignore_errors=True)
+        raise
 
     WindowBucket = make_window_actor()
     us = 1_000_000

@@ -300,3 +300,19 @@ def test_corpus_dedup_writer_resume(ray_session, tmp_path):
     assert len(recs) == 8
     assert all(r["lineage"]["stage_chain"] for r in recs)
     assert all(r["metrics"]["elapsed_s"] >= 0 for r in recs)
+
+
+def test_corpus_dedup_empty_shards_converge(ray_session, tmp_path):
+    """Shards owning no surviving docs commit as empty, so resume is a
+    no-op instead of re-running the pair pipeline forever (review fix)."""
+    from plateau_gis_converter_ray.pipelines.corpus import write_corpus_dedup
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "corpus_sparse")
+    # doc_id < 500 at sf0.001, so shards 500..1023 own nothing
+    r1 = write_corpus_dedup(sf, out, n_shards=1024)
+    assert r1["written"] + r1["written_empty"] + r1["skipped"] == 1024
+    assert r1["written_empty"] >= 1024 - 500
+    r2 = write_corpus_dedup(sf, out, n_shards=1024)
+    assert r2["written"] == 0 and r2["written_empty"] == 0
+    assert r2["skipped"] == 1024
