@@ -44,9 +44,16 @@ def _bucket_path(base_dir: str, b: int) -> str:
     return os.path.join(base_dir, f"bucket={b:05d}", "data.parquet")
 
 
-def upsert(base_dir: str, updates, key: str, n_buckets: int = 64):
-    """Merge ``updates`` (a Dataset with a ``seq`` column) into the keyed
-    table at ``base_dir``. Returns the number of touched buckets."""
+def upsert(base_dir: str, updates, key: str, n_buckets: int = 64,
+           mode: str = "replace"):
+    """Merge ``updates`` into the keyed table at ``base_dir``.
+
+    ``mode="replace"`` (default): updates carry a ``seq`` column; the
+    highest seq per key wins and replaces the base row.
+    ``mode="sum"``: every non-key numeric column ADDS on key collision —
+    incremental view maintenance (a chunk's partial aggregates fold into
+    the maintained table, so applying chunks one at a time equals the
+    one-shot batch aggregate; pytest-pinned). Returns touched buckets."""
 
     def with_bucket(batch: pa.Table) -> pa.Table:
         b = _bucket_of(batch.column(key).to_numpy(), n_buckets)
@@ -54,18 +61,25 @@ def upsert(base_dir: str, updates, key: str, n_buckets: int = 64):
 
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
         b = int(g["_bucket"].iloc[0])
-        upd = (
-            g.drop(columns=["_bucket"])
-            .sort_values([key, "seq"], kind="stable")
-            .drop_duplicates(key, keep="last")
-        )
         path = _bucket_path(base_dir, b)
-        if os.path.exists(path):
-            base = pq.read_table(path).to_pandas()
-            keep = base[~base[key].isin(upd[key])]
-            out = pd.concat([keep, upd], ignore_index=True)
+        if mode == "sum":
+            upd = g.drop(columns=["_bucket"])
+            if os.path.exists(path):
+                base = pq.read_table(path).to_pandas()
+                upd = pd.concat([base, upd], ignore_index=True)
+            out = upd.groupby(key, as_index=False).sum()
         else:
-            out = upd
+            upd = (
+                g.drop(columns=["_bucket"])
+                .sort_values([key, "seq"], kind="stable")
+                .drop_duplicates(key, keep="last")
+            )
+            if os.path.exists(path):
+                base = pq.read_table(path).to_pandas()
+                keep = base[~base[key].isin(upd[key])]
+                out = pd.concat([keep, upd], ignore_index=True)
+            else:
+                out = upd
         out = out.sort_values(key, kind="stable").reset_index(drop=True)
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = path + ".tmp"

@@ -78,3 +78,40 @@ def test_upsert_merge_and_resume(ray_session, tmp_path):
     assert len(got2) == len(exp)
     upsert(base, _mkds(upd), key="k", n_buckets=8)
     assert not os.path.exists(stale) or os.path.getsize(stale) != 7
+
+
+def test_incremental_view_maintenance(ray_session, tmp_path):
+    """mode='sum': chunked partial aggregates upserted one at a time equal
+    the one-shot batch aggregate — incremental view maintenance."""
+    from plateau_gis_converter_ray.sinks.upsert import read_keyed_table, upsert
+
+    base = str(tmp_path / "ivm")
+    os.makedirs(base, exist_ok=True)
+
+    ev = pd.read_parquet(
+        "/root/testdata/sf0.001/events.parquet",
+        columns=["event_id", "user_id", "value"],
+    )
+    ev["value_c"] = np.round(ev["value"].to_numpy() * 100).astype(np.int64)
+    ev["n"] = np.int64(1)
+    # three arbitrary chunks by event id
+    for lo, hi in ((0, 300), (300, 700), (700, 10**9)):
+        chunk = ev[(ev.event_id >= lo) & (ev.event_id < hi)]
+        part = (
+            chunk.groupby("user_id", as_index=False)
+            .agg(n=("n", "sum"), sum_value_c=("value_c", "sum"))
+        )
+        upsert(base, _mkds(part), key="user_id", n_buckets=8, mode="sum")
+
+    got = (
+        read_keyed_table(base).to_pandas()
+        .sort_values("user_id").reset_index(drop=True)
+    )
+    exp = (
+        ev.groupby("user_id", as_index=False)
+        .agg(n=("n", "sum"), sum_value_c=("value_c", "sum"))
+        .sort_values("user_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["user_id", "n", "sum_value_c"]], exp
+    )
