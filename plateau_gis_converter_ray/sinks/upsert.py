@@ -45,15 +45,22 @@ def _bucket_path(base_dir: str, b: int) -> str:
 
 
 def upsert(base_dir: str, updates, key: str, n_buckets: int = 64,
-           mode: str = "replace"):
+           mode: str = "replace", chunk_id: str | None = None):
     """Merge ``updates`` into the keyed table at ``base_dir``.
 
     ``mode="replace"`` (default): updates carry a ``seq`` column; the
-    highest seq per key wins and replaces the base row.
+    highest seq per key wins and replaces the base row. Idempotent by
+    construction (re-applying is a deterministic rewrite).
     ``mode="sum"``: every non-key numeric column ADDS on key collision —
     incremental view maintenance (a chunk's partial aggregates fold into
     the maintained table, so applying chunks one at a time equals the
-    one-shot batch aggregate; pytest-pinned). Returns touched buckets."""
+    one-shot batch aggregate; pytest-pinned). Addition is NOT naturally
+    idempotent, so pass a ``chunk_id``: each bucket file carries the set
+    of applied chunk ids in its parquet key-value metadata — atomic with
+    the data — and a bucket that already holds the id skips the merge.
+    A crash mid-chunk (some buckets applied) therefore resumes exactly:
+    re-running the same chunk tops up only the unapplied buckets.
+    Returns the number of touched buckets."""
 
     def with_bucket(batch: pa.Table) -> pa.Table:
         b = _bucket_of(batch.column(key).to_numpy(), n_buckets)
@@ -62,12 +69,25 @@ def upsert(base_dir: str, updates, key: str, n_buckets: int = 64,
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
         b = int(g["_bucket"].iloc[0])
         path = _bucket_path(base_dir, b)
+        chunks_meta = None
         if mode == "sum":
             upd = g.drop(columns=["_bucket"])
+            applied = set()
+            base = None
             if os.path.exists(path):
-                base = pq.read_table(path).to_pandas()
+                t = pq.read_table(path)
+                md = t.schema.metadata or {}
+                applied = set(
+                    md.get(b"applied_chunks", b"").decode().split(",")
+                ) - {""}
+                if chunk_id is not None and chunk_id in applied:
+                    return pd.DataFrame({"bucket": [b], "rows": [t.num_rows]})
+                base = t.to_pandas()
+            if base is not None:
                 upd = pd.concat([base, upd], ignore_index=True)
             out = upd.groupby(key, as_index=False).sum()
+            if chunk_id is not None:
+                chunks_meta = ",".join(sorted(applied | {chunk_id}))
         else:
             upd = (
                 g.drop(columns=["_bucket"])
@@ -83,11 +103,11 @@ def upsert(base_dir: str, updates, key: str, n_buckets: int = 64,
         out = out.sort_values(key, kind="stable").reset_index(drop=True)
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = path + ".tmp"
-        pq.write_table(
-            pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None),
-            tmp,
+        t_out = pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(
+            {b"applied_chunks": chunks_meta.encode()} if chunks_meta else None
         )
-        os.replace(tmp, path)  # atomic publish
+        pq.write_table(t_out, tmp)
+        os.replace(tmp, path)  # atomic publish (data + chunk ledger together)
         return pd.DataFrame({"bucket": [b], "rows": [len(out)]})
 
     touched = (

@@ -115,3 +115,22 @@ def test_incremental_view_maintenance(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         got[["user_id", "n", "sum_value_c"]], exp
     )
+
+
+def test_ivm_chunk_exactly_once(ray_session, tmp_path):
+    """mode='sum' + chunk_id: re-applying a chunk is a per-bucket no-op
+    (the chunk ledger travels atomically in the parquet metadata)."""
+    from plateau_gis_converter_ray.sinks.upsert import read_keyed_table, upsert
+
+    base = str(tmp_path / "ivm2")
+    os.makedirs(base, exist_ok=True)
+    part = pd.DataFrame(
+        {"k": np.arange(20, dtype=np.int64), "n": np.ones(20, dtype=np.int64)}
+    )
+    upsert(base, _mkds(part), key="k", n_buckets=4, mode="sum", chunk_id="c0")
+    upsert(base, _mkds(part), key="k", n_buckets=4, mode="sum", chunk_id="c0")
+    got = read_keyed_table(base).to_pandas()
+    assert got["n"].eq(1).all()  # replay did not double-count
+    upsert(base, _mkds(part), key="k", n_buckets=4, mode="sum", chunk_id="c1")
+    got = read_keyed_table(base).to_pandas()
+    assert got["n"].eq(2).all()  # a new chunk applies exactly once
