@@ -5203,6 +5203,131 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# CUBE aggregate: all four grains of (status, year) from ONE finest-grain
+# combiner pass — the rollup's sibling with the cross-grain (year-only)
+# subtotal added; every coarser grain derives from the small finest table.
+
+
+def q_cube_revenue(sf_dir: str):
+    import pyarrow.compute as pc
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderstatus", "o_orderdate", "o_totalprice"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        price_c = np.round(
+            batch.column("o_totalprice").to_numpy() * 100
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "status": batch.column("o_orderstatus"),
+                "yr": pc.cast(pc.year(batch.column("o_orderdate")), pa.int64()),
+                "price_c": pa.array(price_c),
+            }
+        )
+
+    finest = tree_group_agg(
+        orders.map_batches(prep, batch_format="pyarrow"),
+        ["status", "yr"],
+        {"n": (None, "count"), "sum_price_c": ("price_c", "sum")},
+    )
+
+    def add_cube(df: pd.DataFrame) -> pd.DataFrame:
+        by_status = df.groupby("status", as_index=False).agg(
+            n=("n", "sum"), sum_price_c=("sum_price_c", "sum")
+        )
+        by_status["yr"] = np.int64(-1)
+        by_yr = df.groupby("yr", as_index=False).agg(
+            n=("n", "sum"), sum_price_c=("sum_price_c", "sum")
+        )
+        by_yr["status"] = "ALL"
+        grand = pd.DataFrame(
+            {
+                "status": ["ALL"], "yr": np.array([-1], dtype=np.int64),
+                "n": [df["n"].sum()], "sum_price_c": [df["sum_price_c"].sum()],
+            }
+        )
+        cols = ["status", "yr", "n", "sum_price_c"]
+        return pd.concat(
+            [df[cols], by_status[cols], by_yr[cols], grand[cols]],
+            ignore_index=True,
+        )
+
+    return finest.map_batches(add_cube, batch_format="pandas", batch_size=None)
+
+
+_SQL_CUBE_REVENUE = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(EXTRACT(year FROM o_orderdate), -1) AS yr,
+       COUNT(*) AS n,
+       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS sum_price_c
+FROM orders
+GROUP BY CUBE(o_orderstatus, EXTRACT(year FROM o_orderdate))
+"""
+
+
+# ---------------------------------------------------------------------------
+# Correlated-subquery pattern: events strictly above their OWN user's mean
+# value. One group exchange; the mean comparison is exact rational
+# arithmetic (value_c * n > sum_c, both int64) so no float mean can
+# disagree with the oracle's division.
+
+
+def q_above_user_avg(sf_dir: str):
+    from ..stages.treeagg import clean_arrow, tree_group_agg
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = np.round(batch.column("value").to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "user_id": batch.column("user_id"),
+                "value_c": pa.array(v),
+            }
+        )
+
+    def count_above(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["value_c"].to_numpy()
+        n = len(v)
+        s = int(v.sum())
+        # v > s/n  <=>  v*n > s  (exact int compare; v*n < 2^63 at any
+        # realistic per-user count x cents value)
+        above = int((v.astype(object) * n > s).sum()) if n else 0
+        return clean_arrow(
+            pd.DataFrame(
+                {
+                    "user_id": [g["user_id"].iloc[0]],
+                    "n_events": np.int64(n),
+                    "n_above_avg": np.int64(above),
+                }
+            )
+        )
+
+    return (
+        ev.map_batches(prep, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(count_above, batch_format="pandas")
+    )
+
+
+_SQL_ABOVE_USER_AVG = """
+WITH v AS (
+  SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) AS value_c FROM events
+), s AS (
+  SELECT user_id, COUNT(*) AS n, SUM(value_c) AS tot FROM v GROUP BY 1
+)
+SELECT v.user_id, MAX(s.n) AS n_events,
+       CAST(SUM(CASE WHEN v.value_c * s.n > s.tot THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_above_avg
+FROM v JOIN s USING (user_id)
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 QUERIES = {
@@ -5298,6 +5423,8 @@ QUERIES = {
     "stream_dedup_totals": q_stream_dedup_totals,
     "dp_simplify_rings": q_dp_simplify_rings,
     "click_purchase_join": q_click_purchase_join,
+    "cube_revenue": q_cube_revenue,
+    "above_user_avg": q_above_user_avg,
 }
 
 ORACLES = {
@@ -5385,4 +5512,6 @@ ORACLES = {
     "range_window_sum": _SQL_RANGE_WINDOW_SUM,
     "stream_dedup_totals": _SQL_STREAM_DEDUP_TOTALS,
     "click_purchase_join": _SQL_CLICK_PURCHASE_JOIN,
+    "cube_revenue": _SQL_CUBE_REVENUE,
+    "above_user_avg": _SQL_ABOVE_USER_AVG,
 }
