@@ -103,6 +103,13 @@ BENCH_QUERIES = [
     "user_travel_distance",
     "range_window_sum",
     "stream_dedup_totals",
+    # r3 late wave: pareto-combiner skyline, posting-list build, recency
+    # dedup, SCD2 history, SemDeDup cluster-then-dedup
+    "skyline_orders",
+    "inverted_index",
+    "latest_event_per_user",
+    "scd2_intervals",
+    "semdedup",
 ]
 
 

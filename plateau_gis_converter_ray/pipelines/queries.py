@@ -5328,6 +5328,292 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# Skyline / Pareto frontier: orders undominated on (price max, date min).
+# The distributed plan is a local-skyline COMBINER (sound because dominance
+# is transitive: a point dominated inside any block is dominated globally,
+# so every local prune preserves the global skyline) followed by a
+# log-depth repartition tree applying the same prune, exactly like
+# tree_group_agg but for a set-valued, non-decomposable operator. The
+# per-block prune is one sort + two vectorized prefix scans — no pairwise
+# O(n^2) work anywhere.
+
+
+def _skyline_prune(df: pd.DataFrame) -> pd.DataFrame:
+    """Rows NOT dominated inside ``df``: keep x unless some y has
+    (price >= x.price, date <= x.date) with one strict."""
+    if not len(df):
+        return df
+    df = df.sort_values(
+        ["price_c", "date_us"], ascending=[False, True], kind="stable"
+    )
+    p = df["price_c"].to_numpy()
+    d = df["date_us"].to_numpy()
+    cm = np.minimum.accumulate(d)
+    grp_start = np.flatnonzero(np.r_[True, p[1:] != p[:-1]])
+    starts = np.repeat(grp_start, np.diff(np.r_[grp_start, len(p)]))
+    prev = starts - 1
+    inf = np.iinfo(np.int64).max
+    # min date among STRICTLY higher prices (dominates when <= d) ...
+    min_gt = np.where(prev >= 0, cm[np.maximum(prev, 0)], inf)
+    # ... or a same-price row with STRICTLY smaller date (group min is at
+    # the group start because dates ascend within a price group)
+    dominated = (min_gt <= d) | (d[starts] < d)
+    return df[~dominated]
+
+
+def q_skyline_orders(sf_dir: str):
+    from ..stages.treeagg import clean_arrow
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderdate"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        price_c = np.round(
+            batch.column("o_totalprice").to_numpy() * 100
+        ).astype(np.int64)
+        date_us = (
+            batch.column("o_orderdate")
+            .to_numpy()
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey"),
+                "price_c": pa.array(price_c),
+                "date_us": pa.array(date_us),
+            }
+        )
+
+    def sky(df: pd.DataFrame) -> pa.Table:
+        return clean_arrow(_skyline_prune(df))
+
+    ds = ds.map_batches(prep, batch_format="pyarrow").map_batches(
+        sky, batch_format="pandas", batch_size=None
+    )
+    for fan in (8, 1):
+        ds = ds.repartition(fan).map_batches(
+            sky, batch_format="pandas", batch_size=None
+        )
+    return ds
+
+
+# DuckDB twin: O(n log n) window form of NOT EXISTS dominance — min date
+# over strictly-higher prices via a RANGE frame (integer cents ORDER BY
+# DESC, so "1 PRECEDING" = price_c + 1 and above = price > current), plus
+# the same-price partition min for the strict-date arm.
+_SQL_SKYLINE_ORDERS = """
+WITH o AS (
+  SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c,
+         epoch_us(o_orderdate) AS date_us
+  FROM orders
+), w AS (
+  SELECT o_orderkey, price_c, date_us,
+         MIN(date_us) OVER (ORDER BY price_c DESC
+             RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS min_dt_gt,
+         MIN(date_us) OVER (PARTITION BY price_c) AS min_dt_eq
+  FROM o
+)
+SELECT o_orderkey, price_c, date_us FROM w
+WHERE (min_dt_gt IS NULL OR min_dt_gt > date_us) AND date_us = min_dt_eq
+"""
+
+
+# ---------------------------------------------------------------------------
+# Inverted index build (the retrieval-side sibling of bm25_search): term ->
+# document frequency + the sorted posting list, materialized as a string so
+# the driver's value-hash can gate it. One term-hash bucket exchange
+# carrying (term, doc_id) pairs; each of the 64 bucket groups resolves all
+# its terms with one vectorized sort + a C-level join per posting (the same
+# STRING_AGG-shape used by user_event_sequence). min_df prunes the long
+# tail so the output is the useful index, not the hapax list.
+
+
+def q_inverted_index(sf_dir: str, min_df: int = 5, n_buckets: int = 64):
+    from ..stages.treeagg import clean_arrow
+
+    tf = _doc_tf(sf_dir)  # (doc_id, term, tf): distinct per doc already
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        t = np.asarray(batch.column("term").to_pylist(), dtype=object)
+        b = (pd.util.hash_array(t) % n_buckets).astype(np.int64)
+        return batch.append_column("b", pa.array(b))
+
+    def postings(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["term", "doc_id"], kind="stable")
+        g = g.assign(doc_str=g["doc_id"].astype(str))
+        out = g.groupby("term", as_index=False).agg(
+            df=("doc_id", "size"), postings=("doc_str", ",".join)
+        )
+        out = out[out["df"] >= min_df]
+        return clean_arrow(out[["term", "df", "postings"]])
+
+    return (
+        tf.map_batches(bucket, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(postings, batch_format="pandas")
+    )
+
+
+_SQL_INVERTED_INDEX = """
+WITH tok AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term FROM tok WHERE term <> '' GROUP BY 1, 2
+)
+SELECT term, COUNT(*) AS df,
+       STRING_AGG(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM tf GROUP BY term HAVING COUNT(*) >= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Keep-newest-version-per-key (DISTINCT ON / arg_max): the recency dedup
+# every changelog / CDC ingest needs. argmax is associative, so the plan is
+# a pure combiner tree — each block keeps its per-user newest row (whole
+# payload travels WITH the winner, never joined back), then two repartition
+# levels reduce the partials. Ties broken (ts DESC, event_id DESC) on both
+# sides.
+
+
+def q_latest_event_per_user(sf_dir: str):
+    from ..stages.treeagg import clean_arrow
+
+    ds = _read(
+        sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = (
+            batch.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+        )
+        v = np.round(batch.column("value").to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "event_id": batch.column("event_id"),
+                "ts_us": pa.array(ts),
+                "event_type": batch.column("event_type"),
+                "value_c": pa.array(v),
+            }
+        )
+
+    def keep_latest(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(
+            ["user_id", "ts_us", "event_id"],
+            ascending=[True, False, False],
+            kind="stable",
+        )
+        return clean_arrow(df.drop_duplicates("user_id", keep="first"))
+
+    ds = ds.map_batches(prep, batch_format="pyarrow").map_batches(
+        keep_latest, batch_format="pandas", batch_size=None
+    )
+    for fan in (8, 1):
+        ds = ds.repartition(fan).map_batches(
+            keep_latest, batch_format="pandas", batch_size=None
+        )
+    return ds
+
+
+_SQL_LATEST_EVENT = """
+SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+       CAST(ROUND(value * 100) AS BIGINT) AS value_c
+FROM events
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 history build: compress each user's event_type stream into
+# validity intervals [valid_from, valid_to) opened at every change point
+# (change-data-capture -> slowly-changing-dimension, the standard warehouse
+# op). One user-bucket exchange; inside each of the 64 bucket groups the
+# change mask, interval close and version number are three vectorized
+# passes (shift compare, next-change shift, cumcount via repeated starts).
+# valid_to = -1 marks the open (current) interval, matching the oracle's
+# COALESCE.
+
+
+def q_scd2_intervals(sf_dir: str, n_buckets: int = 64):
+    from ..stages.treeagg import clean_arrow
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy()
+        return batch.append_column("b", pa.array(u % n_buckets))
+
+    def intervals(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        uid = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy(dtype=object)
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        first = np.r_[True, uid[1:] != uid[:-1]]
+        prev_et = np.r_[et[:1], et[:-1]]
+        change = first | (et != prev_et)
+        uid_c = uid[change]
+        et_c = et[change]
+        ts_c = ts[change]
+        ustart = np.r_[True, uid_c[1:] != uid_c[:-1]]
+        su = np.flatnonzero(ustart)
+        starts = np.repeat(su, np.diff(np.r_[su, len(uid_c)]))
+        version = np.arange(len(uid_c), dtype=np.int64) - starts + 1
+        valid_to = np.r_[ts_c[1:], np.int64(-1)]
+        last_of_user = np.r_[ustart[1:], True]
+        valid_to[last_of_user] = -1
+        return clean_arrow(
+            pd.DataFrame(
+                {
+                    "user_id": uid_c,
+                    "event_type": et_c,
+                    "valid_from_us": ts_c,
+                    "valid_to_us": valid_to,
+                    "version": version,
+                }
+            )
+        )
+
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(intervals, batch_format="pandas")
+    )
+
+
+_SQL_SCD2_INTERVALS = """
+WITH e AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+), c AS (
+  SELECT user_id, event_type, ts, event_id FROM e
+  WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id, event_type, epoch_us(ts) AS valid_from_us,
+       COALESCE(epoch_us(LEAD(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)), -1)
+         AS valid_to_us,
+       ROW_NUMBER() OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS version
+FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: see stages/knn.py::semdedup. Rows-only (the k-means assignment
+# isn't SQL-expressible); pytest pins the distributed plan equal to the
+# O(n^2) driver brute and the planted structure.
+
+
+def q_semdedup(sf_dir: str):
+    from ..stages.knn import semdedup
+
+    return semdedup(sf_dir)
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 QUERIES = {
@@ -5425,6 +5711,11 @@ QUERIES = {
     "click_purchase_join": q_click_purchase_join,
     "cube_revenue": q_cube_revenue,
     "above_user_avg": q_above_user_avg,
+    "skyline_orders": q_skyline_orders,
+    "inverted_index": q_inverted_index,
+    "latest_event_per_user": q_latest_event_per_user,
+    "scd2_intervals": q_scd2_intervals,
+    "semdedup": q_semdedup,
 }
 
 ORACLES = {
@@ -5514,4 +5805,8 @@ ORACLES = {
     "click_purchase_join": _SQL_CLICK_PURCHASE_JOIN,
     "cube_revenue": _SQL_CUBE_REVENUE,
     "above_user_avg": _SQL_ABOVE_USER_AVG,
+    "skyline_orders": _SQL_SKYLINE_ORDERS,
+    "inverted_index": _SQL_INVERTED_INDEX,
+    "latest_event_per_user": _SQL_LATEST_EVENT,
+    "scd2_intervals": _SQL_SCD2_INTERVALS,
 }

@@ -447,6 +447,119 @@ def brute_self_knn_pd(sf_dir: str) -> "pd.DataFrame":
     )
 
 
+def _semdedup_normalize(emb: np.ndarray) -> np.ndarray:
+    """Unit-normalize then quantize to int at 2^20: every pairwise dot is
+    <= dim * 2^40 < 2^53, so a float64 (BLAS) matmul over these values is
+    EXACT integer arithmetic — deterministic across batch/run order."""
+    norm = np.sqrt((emb.astype(np.float64) ** 2).sum(axis=1, keepdims=True))
+    norm[norm == 0.0] = 1.0
+    return np.round(emb / norm * (1 << 20)).astype(np.int64)
+
+
+def semdedup(sf_dir: str, k: int = 8, cos_e6: int = 400_000, dim: int = 64):
+    """SemDeDup (Abbas et al., arXiv:2303.09540) as a Ray Data composition:
+    k-means-cluster the embedding table (the same distributed int-exact
+    Lloyd build the IVF index uses), then inside each cluster drop every
+    vector whose cosine similarity to a LOWER-ID cluster member reaches
+    the threshold — the deterministic keep-first variant of the paper's
+    keep-one-per-duplicate-set rule.
+
+    Scale shape: the Lloyd build touches only k-row seeds and (k x blocks)
+    partials on the driver; then ONE bucket shuffle by cluster id
+    co-locates each cluster (vectors travel once, quantized), and each
+    cluster group resolves its pairwise check with row-chunked matmuls
+    over unit-normalized 2^20-quantized ints (exact in float64, see
+    :func:`_semdedup_normalize`) — chunking bounds the similarity-matrix
+    temporary to CH x n regardless of cluster size. Cross-cluster
+    near-dups are missed by design; that approximation is the paper's
+    point (documented recall trade for one-shuffle scale).
+
+    Output: (vec_id, cluster, kept) for every vector.
+    """
+    from ..sources.tables import read_table
+
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    centroids = distributed_lloyd_centroids(ds, k, dim)
+    tau = float(cos_e6 * (1 << 40) // 1_000_000)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        emb = np.stack(batch.column("embedding").to_numpy(zero_copy_only=False))
+        ids = batch.column("vec_id").to_numpy().astype(np.int64)
+        v = quantize(emb)
+        d2c = ((v[:, None, :].astype(np.float64) - centroids[None, :, :]) ** 2).sum(
+            axis=2
+        )
+        qn = _semdedup_normalize(emb)
+        return pa.table(
+            {
+                "cluster": pa.array(d2c.argmin(axis=1).astype(np.int64)),
+                "vec_id": pa.array(ids),
+                "qn": pa.FixedSizeListArray.from_arrays(
+                    pa.array(qn.reshape(-1)), dim
+                ),
+            }
+        )
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        from .treeagg import clean_arrow
+
+        g = g.sort_values("vec_id")
+        q = np.stack(g["qn"].to_numpy()).astype(np.float64)
+        n = len(g)
+        kept = np.ones(n, dtype=bool)
+        ch = 2048
+        for c0 in range(1, n, ch):
+            c1 = min(c0 + ch, n)
+            m = q[c0:c1] @ q.T  # exact integer values in float64
+            lower = np.arange(n)[None, :] < np.arange(c0, c1)[:, None]
+            kept[c0:c1] = ~((m >= tau) & lower).any(axis=1)
+        return clean_arrow(
+            pd.DataFrame(
+                {
+                    "vec_id": g["vec_id"].to_numpy(),
+                    "cluster": g["cluster"].to_numpy(),
+                    "kept": kept.astype(np.int8),
+                }
+            )
+        )
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(keep_first, batch_format="pandas")
+    )
+
+
+def semdedup_brute_pd(sf_dir: str, k: int = 8, cos_e6: int = 400_000,
+                      dim: int = 64) -> "pd.DataFrame":
+    """Driver-side brute twin (test oracle): same Lloyd centroids, same
+    assignment tie-break, same quantized-cosine rule, O(n^2) per cluster."""
+    from ..sources.tables import read_table
+
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    centroids = distributed_lloyd_centroids(ds, k, dim)
+    tau = float(cos_e6 * (1 << 40) // 1_000_000)
+    all_pd = ds.to_pandas().sort_values("vec_id")
+    ids = all_pd["vec_id"].to_numpy().astype(np.int64)
+    emb = np.stack(all_pd["embedding"].to_numpy())
+    v = quantize(emb)
+    d2c = ((v[:, None, :].astype(np.float64) - centroids[None, :, :]) ** 2).sum(
+        axis=2
+    )
+    cluster = d2c.argmin(axis=1).astype(np.int64)
+    qn = _semdedup_normalize(emb).astype(np.float64)
+    kept = np.ones(len(ids), dtype=bool)
+    for c in np.unique(cluster):
+        ix = np.flatnonzero(cluster == c)  # ids ascend within ix already
+        for a in range(1, len(ix)):
+            sims = qn[ix[a]] @ qn[ix[:a]].T
+            if (sims >= tau).any():
+                kept[ix[a]] = False
+    return pd.DataFrame(
+        {"vec_id": ids, "cluster": cluster, "kept": kept.astype(np.int8)}
+    )
+
+
 def _lsh_planes(n_tables: int, n_bits: int, dim: int) -> np.ndarray:
     """Deterministic Gaussian hyperplanes (Box-Muller over splitmix64
     uniforms — no RNG state, same planes on every worker/run)."""
