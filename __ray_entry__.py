@@ -576,6 +576,16 @@ def _q_pip_cell_join(sf_dir: str):
     return pip_cell_join(sf_dir)
 
 
+def _q_clip_score_filter(sf_dir: str):
+    """CLIP-style caption<->image alignment filter (encoder towers are
+    deterministic fakes, decode + scoring plumbing real — zero exchanges;
+    stages/clipscore.py). Rows-only; pytest pins determinism, local
+    recompute equality and the tower separation property."""
+    from plateau_gis_converter_ray.stages.clipscore import clip_score_filter
+
+    return clip_score_filter(_sf_of(sf_dir))
+
+
 def _q_audio_features(sf_dir: str):
     """Multimodal audio stage (decode stubbed deterministically, Ray
     plumbing real — stages/av.py); clip count scales with sf."""
@@ -618,6 +628,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "caption_city_stats": _q_caption_city_stats,
             "pip_cell_join": _q_pip_cell_join,
             "image_decode_quarantine": _q_image_decode_quarantine,
+            "clip_score_filter": _q_clip_score_filter,
         }
     )
     return out

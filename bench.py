@@ -110,6 +110,8 @@ BENCH_QUERIES = [
     "latest_event_per_user",
     "scd2_intervals",
     "semdedup",
+    "late_supplier_blame",
+    "clip_score_filter",
 ]
 
 

@@ -5602,6 +5602,92 @@ FROM c
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q21 plan shape ("suppliers who kept orders waiting"): the
+# EXISTS + NOT-EXISTS pair over one fact table, correlated per order. Here:
+# per multi-supplier order, the supplier who was the ONLY one to ship
+# > 45 days after the order's first shipment. One order-bucket exchange;
+# inside each bucket the per-order min-ship, late mask, distinct-supplier
+# and lone-late-supplier resolution are four C-level groupby passes (no
+# self-join materialization — the reference formulation's l1/l2/l3 triple
+# scan collapses into the co-grouped pass). Then a suppkey combiner tree.
+
+
+def q_late_supplier_blame(sf_dir: str, late_us: int = 45 * 86_400_000_000,
+                          n_buckets: int = 64):
+    from ..stages.treeagg import clean_arrow, tree_group_agg
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        ok = batch.column("l_orderkey").to_numpy()
+        ship = (
+            batch.column("l_shipdate")
+            .to_numpy()
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey"),
+                "l_suppkey": batch.column("l_suppkey"),
+                "ship_us": pa.array(ship),
+                "b": pa.array(ok % n_buckets),
+            }
+        )
+
+    def blame(g: pd.DataFrame) -> pa.Table:
+        min_ship = g.groupby("l_orderkey")["ship_us"].transform("min")
+        late = g["ship_us"].to_numpy() > min_ship.to_numpy() + late_us
+        per_order = g.groupby("l_orderkey").agg(
+            n_supp=("l_suppkey", "nunique")
+        )
+        # distinct LATE suppliers per order, vectorized: dedup (order, supp)
+        # pairs on the late subset, then count + max per order
+        ls = g.loc[late, ["l_orderkey", "l_suppkey"]].drop_duplicates()
+        late_stats = ls.groupby("l_orderkey")["l_suppkey"].agg(
+            n_late="size", late_supp="max"
+        )
+        per_order = per_order.join(late_stats)
+        hit = per_order[(per_order["n_supp"] > 1) & (per_order["n_late"] == 1)]
+        out = (
+            hit.groupby("late_supp").size().rename("numwait").reset_index()
+        )
+        out.columns = ["l_suppkey", "numwait"]
+        out["l_suppkey"] = out["l_suppkey"].astype(np.int64)
+        out["numwait"] = out["numwait"].astype(np.int64)
+        return clean_arrow(out)
+
+    partial = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(blame, batch_format="pandas")
+    )
+    return tree_group_agg(
+        partial, ["l_suppkey"], {"numwait": ("numwait", "sum")}
+    )
+
+
+_SQL_LATE_SUPPLIER_BLAME = """
+WITH x AS (
+  SELECT l_orderkey, l_suppkey, l_shipdate,
+         MIN(l_shipdate) OVER (PARTITION BY l_orderkey) AS min_ship
+  FROM lineitem
+), o AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN l_shipdate > min_ship + INTERVAL 45 DAY
+                             THEN l_suppkey END) AS n_late,
+         MAX(CASE WHEN l_shipdate > min_ship + INTERVAL 45 DAY
+                  THEN l_suppkey END) AS late_supp
+  FROM x GROUP BY 1
+)
+SELECT late_supp AS l_suppkey, COUNT(*) AS numwait
+FROM o WHERE n_supp > 1 AND n_late = 1
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # SemDeDup: see stages/knn.py::semdedup. Rows-only (the k-means assignment
 # isn't SQL-expressible); pytest pins the distributed plan equal to the
 # O(n^2) driver brute and the planted structure.
@@ -5716,6 +5802,7 @@ QUERIES = {
     "latest_event_per_user": q_latest_event_per_user,
     "scd2_intervals": q_scd2_intervals,
     "semdedup": q_semdedup,
+    "late_supplier_blame": q_late_supplier_blame,
 }
 
 ORACLES = {
@@ -5809,4 +5896,5 @@ ORACLES = {
     "inverted_index": _SQL_INVERTED_INDEX,
     "latest_event_per_user": _SQL_LATEST_EVENT,
     "scd2_intervals": _SQL_SCD2_INTERVALS,
+    "late_supplier_blame": _SQL_LATE_SUPPLIER_BLAME,
 }
