@@ -112,6 +112,8 @@ BENCH_QUERIES = [
     "semdedup",
     "late_supplier_blame",
     "clip_score_filter",
+    "global_shuffle_rank",
+    "pattern_triples",
 ]
 
 

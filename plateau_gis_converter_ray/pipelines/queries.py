@@ -5688,6 +5688,130 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# Deterministic global shuffle with MATERIALIZED position (the
+# training-data shuffle: every row gets its dense 0-based position in the
+# seeded pseudo-random order — resumable because the order is a pure
+# function of the key). The classic distributed pain here is global
+# ORDER BY + ROW_NUMBER; the plan avoids any global sort: pass 1 builds a
+# 256-bucket histogram of the hash's top bits (one 256-int row per block,
+# combiner tree — bytes exchanged are O(buckets), not O(rows)); its
+# prefix-sum broadcasts as the per-bucket base offset; pass 2 is one
+# bucket exchange where each group sorts locally and adds its base.
+# Multiplicative hashing makes the buckets uniform, so the groups are
+# balanced by construction (no skew salt needed).
+
+
+def q_global_shuffle_rank(sf_dir: str, n_buckets: int = 256):
+    from ..stages.treeagg import clean_arrow, tree_group_agg
+
+    ds = _read(sf_dir, "events", ["event_id"]).materialize()
+
+    def hashed(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy()
+        h = (eid * 2654435761) % (1 << 32)
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "h": pa.array(h.astype(np.int64)),
+                "bucket": pa.array((h >> 24).astype(np.int64)),
+            }
+        )
+
+    hds = ds.map_batches(hashed, batch_format="pyarrow")
+    hist = tree_group_agg(
+        hds, ["bucket"], {"n": (None, "count")}
+    ).to_pandas()  # <= 256 rows on the driver — the broadcast side
+    hist = hist.sort_values("bucket")
+    base = np.zeros(n_buckets, dtype=np.int64)
+    np.add.at(base, hist["bucket"].to_numpy(), hist["n"].to_numpy())
+    base = np.concatenate([[0], np.cumsum(base)[:-1]])
+
+    def rank_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["h", "event_id"], kind="stable")
+        b = int(g["bucket"].iloc[0])
+        pos = base[b] + np.arange(len(g), dtype=np.int64)
+        return clean_arrow(
+            pd.DataFrame(
+                {"event_id": g["event_id"].to_numpy(), "shuffle_pos": pos}
+            )
+        )
+
+    return hds.groupby("bucket").map_groups(
+        rank_bucket, batch_format="pandas"
+    )
+
+
+_SQL_GLOBAL_SHUFFLE_RANK = """
+SELECT event_id,
+       ROW_NUMBER() OVER (ORDER BY (event_id * 2654435761) % 4294967296,
+                          event_id) - 1 AS shuffle_pos
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sequence pattern matching (MATCH_RECOGNIZE-lite): per user, count the
+# CONSECUTIVE view -> click -> purchase triples in event-time order — the
+# strict-adjacency sibling of funnel_steps' ordered-containment. One user
+# bucket exchange; inside each bucket the triple mask is one vectorized
+# double-shift compare (no per-user Python, no window join).
+
+
+def q_pattern_triples(sf_dir: str, n_buckets: int = 64):
+    from ..stages.treeagg import clean_arrow
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy()
+        return batch.append_column("b", pa.array(u % n_buckets))
+
+    def triples(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        uid = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy(dtype=object)
+        n = len(g)
+        hit = np.zeros(n, dtype=bool)
+        if n >= 3:
+            same3 = (uid[:-2] == uid[1:-1]) & (uid[1:-1] == uid[2:])
+            hit[:-2] = (
+                same3
+                & (et[:-2] == "view")
+                & (et[1:-1] == "click")
+                & (et[2:] == "purchase")
+            )
+        out = (
+            pd.DataFrame({"user_id": uid, "hit": hit.astype(np.int64)})
+            .groupby("user_id", as_index=False)
+            .agg(n_triples=("hit", "sum"))
+        )
+        return clean_arrow(out)
+
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(triples, batch_format="pandas")
+    )
+
+
+_SQL_PATTERN_TRIPLES = """
+WITH w AS (
+  SELECT user_id, event_type,
+         LEAD(event_type, 1) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS e1,
+         LEAD(event_type, 2) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS e2
+  FROM events
+)
+SELECT user_id,
+       CAST(SUM(CASE WHEN event_type = 'view' AND e1 = 'click'
+                      AND e2 = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_triples
+FROM w GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # SemDeDup: see stages/knn.py::semdedup. Rows-only (the k-means assignment
 # isn't SQL-expressible); pytest pins the distributed plan equal to the
 # O(n^2) driver brute and the planted structure.
@@ -5803,6 +5927,8 @@ QUERIES = {
     "scd2_intervals": q_scd2_intervals,
     "semdedup": q_semdedup,
     "late_supplier_blame": q_late_supplier_blame,
+    "global_shuffle_rank": q_global_shuffle_rank,
+    "pattern_triples": q_pattern_triples,
 }
 
 ORACLES = {
@@ -5897,4 +6023,6 @@ ORACLES = {
     "latest_event_per_user": _SQL_LATEST_EVENT,
     "scd2_intervals": _SQL_SCD2_INTERVALS,
     "late_supplier_blame": _SQL_LATE_SUPPLIER_BLAME,
+    "global_shuffle_rank": _SQL_GLOBAL_SHUFFLE_RANK,
+    "pattern_triples": _SQL_PATTERN_TRIPLES,
 }
