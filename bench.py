@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "clip_score_filter",
     "global_shuffle_rank",
     "pattern_triples",
+    "bfs_hops",
 ]
 
 

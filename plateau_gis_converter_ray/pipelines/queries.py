@@ -3453,6 +3453,147 @@ _SQL_PAGERANK = _sql_pagerank()
 
 
 # ---------------------------------------------------------------------------
+# 49b. Multi-source BFS hop distance over the near-dup pair graph (the
+# iterative frontier-expansion sibling of pagerank_dupgraph, twinned by a
+# DuckDB RECURSIVE CTE): distance to the nearest seed (deterministic seed
+# set: node id % 50 == 0 — multi-source because the dup graph is a sea of
+# small components, so single-source BFS would touch one island), capped
+# at MAX_HOPS rounds; unreached nodes report -1. Each distributed round is
+# ONE hash-join exchange (frontier -> out-edges) plus one min combiner
+# tree; the frontier filter is a vectorized mask. Size-gated driver fast
+# path below local_max_edges (dup_clusters hybrid pattern); the
+# distributed rounds are force-tested equal via local_max_edges=0.
+
+_BFS_MAX_HOPS = 6
+_BFS_INF = np.int64(1 << 40)
+
+
+def q_bfs_hops(sf_dir: str, local_max_edges: int = 2_000_000):
+    import ray.data
+
+    from ..stages.dedup import ngram_jaccard_blocked
+    from ..stages.treeagg import tree_group_agg
+
+    pairs = ngram_jaccard_blocked(sf_dir).select_columns(
+        ["doc_a", "doc_b"]
+    ).materialize()
+
+    if pairs.count() * 2 <= local_max_edges:
+        pt = pairs.to_pandas()
+        a = pt["doc_a"].to_numpy()
+        b = pt["doc_b"].to_numpy()
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        nodes, src_ix = np.unique(src, return_inverse=True)
+        dst_ix = np.searchsorted(nodes, dst)
+        dist = np.full(len(nodes), -1, dtype=np.int64)
+        dist[nodes % 50 == 0] = 0
+        for k in range(_BFS_MAX_HOPS):
+            mask = dist[src_ix] == k
+            nd = np.unique(dst_ix[mask])
+            nd = nd[dist[nd] == -1]
+            dist[nd] = k + 1
+        return ray.data.from_arrow(
+            pa.table({"doc_id": pa.array(nodes), "dist": pa.array(dist)})
+        )
+
+    def sym(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy()
+        b = batch.column("doc_b").to_numpy()
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b])),
+                "dst": pa.array(np.concatenate([b, a])),
+            }
+        )
+
+    edges = pairs.map_batches(sym, batch_format="pyarrow").materialize()
+
+    def init_dist(t: pa.Table) -> pa.Table:
+        n = t.column("src").to_numpy()
+        d = np.where(n % 50 == 0, np.int64(0), _BFS_INF)
+        return pa.table({"node": t.column("src"), "dist": pa.array(d)})
+
+    # one row per node with current best dist (INF = unreached)
+    dist = tree_group_agg(
+        edges.map_batches(init_dist, batch_format="pyarrow"),
+        ["node"], {"dist": ("dist", "min")},
+    ).materialize()
+
+    for k in range(_BFS_MAX_HOPS):
+        # join the full dist vector to the out-edges (the pagerank round
+        # shape — a filtered frontier right side would hand the hash-join
+        # schema-less empty blocks); the frontier mask applies inside the
+        # step map, vectorized
+        cand = edges.join(
+            dist, "inner", num_partitions=JOIN_PARTS,
+            on=("src",), right_on=("node",),
+        )
+
+        def step(batch: pa.Table, k=k) -> pa.Table:
+            d = batch.column("dist").to_numpy()
+            m = d == k
+            n = int(m.sum())
+            return pa.table(
+                {
+                    "node": batch.column("dst").filter(pa.array(m)),
+                    "dist": pa.array(np.full(n, k + 1, dtype=np.int64)),
+                }
+            )
+
+        dist = tree_group_agg(
+            dist.union(cand.map_batches(step, batch_format="pyarrow")),
+            ["node"], {"dist": ("dist", "min")},
+        ).materialize()
+
+    def finish(batch: pa.Table) -> pa.Table:
+        d = batch.column("dist").to_numpy()
+        return pa.table(
+            {
+                "doc_id": batch.column("node"),
+                "dist": pa.array(np.where(d >= _BFS_INF, -1, d)),
+            }
+        )
+
+    return dist.map_batches(finish, batch_format="pyarrow")
+
+
+def _sql_bfs_hops() -> str:
+    return f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id, lang, source, n_chars // 32 AS lb,
+         list_distinct(
+           list_transform(range(1, length(text) - 1),
+                          i -> substring(text, i, 3))) AS grams
+  FROM documents
+), p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b
+    ON a.lang = b.lang AND a.source = b.source AND a.lb = b.lb
+   AND a.doc_id < b.doc_id
+  WHERE len(list_distinct(list_concat(a.grams, b.grams))) > 0
+    AND (len(list_intersect(a.grams, b.grams)) * 1000000)
+        // len(list_distinct(list_concat(a.grams, b.grams))) >= 300000
+), e AS (
+  SELECT doc_a AS src, doc_b AS dst FROM p
+  UNION ALL SELECT doc_b, doc_a FROM p
+), bfs AS (
+  SELECT DISTINCT src AS node, 0 AS dist FROM e WHERE src % 50 = 0
+  UNION
+  SELECT e.dst, b.dist + 1 FROM bfs b JOIN e ON e.src = b.node
+  WHERE b.dist < {_BFS_MAX_HOPS}
+)
+SELECT n.node AS doc_id, CAST(COALESCE(m.dist, -1) AS BIGINT) AS dist
+FROM (SELECT DISTINCT src AS node FROM e) n
+LEFT JOIN (SELECT node, MIN(dist) AS dist FROM bfs GROUP BY 1) m
+  USING (node)
+"""
+
+
+_SQL_BFS_HOPS = _sql_bfs_hops()
+
+
+# ---------------------------------------------------------------------------
 # 50. Per-group linear trend (grouped OLS): the slope of event value over
 # time per user, as the EXACT integer rational num/den with
 # num = n*Sxy - Sx*Sy, den = n*Sxx - Sx^2 — one combiner-tree exchange
@@ -5929,6 +6070,7 @@ QUERIES = {
     "late_supplier_blame": q_late_supplier_blame,
     "global_shuffle_rank": q_global_shuffle_rank,
     "pattern_triples": q_pattern_triples,
+    "bfs_hops": q_bfs_hops,
 }
 
 ORACLES = {
@@ -6025,4 +6167,5 @@ ORACLES = {
     "late_supplier_blame": _SQL_LATE_SUPPLIER_BLAME,
     "global_shuffle_rank": _SQL_GLOBAL_SHUFFLE_RANK,
     "pattern_triples": _SQL_PATTERN_TRIPLES,
+    "bfs_hops": _SQL_BFS_HOPS,
 }

@@ -89,6 +89,24 @@ def test_skyline_prune_local_properties():
     assert set(merged["o_orderkey"]) == want
 
 
+def test_bfs_hops_distributed_equals_local(ray_session):
+    """Force the per-round join + min-combiner path (local_max_edges=0)
+    and pin it equal to the driver fast path."""
+    from plateau_gis_converter_ray.pipelines.queries import q_bfs_hops
+
+    fast = (
+        q_bfs_hops(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    dist = (
+        q_bfs_hops(SF, local_max_edges=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(fast, dist)
+    assert (fast["dist"] == 0).sum() > 0  # seeds present in the graph
+
+
 def test_semdedup_equals_brute(ray_session):
     from plateau_gis_converter_ray.stages.knn import (
         semdedup,
