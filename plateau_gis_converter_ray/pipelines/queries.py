@@ -5483,7 +5483,7 @@ def _skyline_prune(df: pd.DataFrame) -> pd.DataFrame:
     """Rows NOT dominated inside ``df``: keep x unless some y has
     (price >= x.price, date <= x.date) with one strict."""
     if not len(df):
-        return df
+        return df  # empty blocks pass through with their dtypes intact
     df = df.sort_values(
         ["price_c", "date_us"], ascending=[False, True], kind="stable"
     )
