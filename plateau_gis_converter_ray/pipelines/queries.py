@@ -1811,8 +1811,12 @@ def q_dup_clusters(sf_dir: str):
     return connected_components(pairs)
 
 
-_SQL_DUP_CLUSTERS = """
-WITH RECURSIVE sh AS (
+# shared near-dup pair CTE: the SQL twin of stages/dedup.py::
+# ngram_jaccard_blocked (blocked exact word-trigram Jaccard >= 0.3).
+# Interpolated into every graph-oracle that builds on the pair set
+# (dup_clusters, corpus_dedup, pagerank, triangle_count, bfs_hops) so the
+# blocking rule / threshold lives in ONE place.
+_SQL_DUP_PAIRS_CTE = """sh AS (
   SELECT doc_id, lang, source, n_chars // 32 AS lb,
          list_distinct(
            list_transform(range(1, length(text) - 1),
@@ -1826,7 +1830,11 @@ WITH RECURSIVE sh AS (
   WHERE len(list_distinct(list_concat(a.grams, b.grams))) > 0
     AND (len(list_intersect(a.grams, b.grams)) * 1000000)
         // len(list_distinct(list_concat(a.grams, b.grams))) >= 300000
-), sym AS (
+)"""
+
+
+_SQL_DUP_CLUSTERS = f"""
+WITH RECURSIVE {_SQL_DUP_PAIRS_CTE}, sym AS (
   SELECT doc_a AS u, doc_b AS v FROM p
   UNION ALL SELECT doc_b, doc_a FROM p
 ), reach AS (
@@ -2952,22 +2960,8 @@ def q_corpus_dedup(sf_dir: str):
     return j.map_batches(finish, batch_format="pyarrow")
 
 
-_SQL_CORPUS_DEDUP = """
-WITH RECURSIVE sh AS (
-  SELECT doc_id, lang, source, n_chars // 32 AS lb,
-         list_distinct(
-           list_transform(range(1, length(text) - 1),
-                          i -> substring(text, i, 3))) AS grams
-  FROM documents
-), p AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM sh a JOIN sh b
-    ON a.lang = b.lang AND a.source = b.source AND a.lb = b.lb
-   AND a.doc_id < b.doc_id
-  WHERE len(list_distinct(list_concat(a.grams, b.grams))) > 0
-    AND (len(list_intersect(a.grams, b.grams)) * 1000000)
-        // len(list_distinct(list_concat(a.grams, b.grams))) >= 300000
-), sym AS (
+_SQL_CORPUS_DEDUP = f"""
+WITH RECURSIVE {_SQL_DUP_PAIRS_CTE}, sym AS (
   SELECT doc_a AS u, doc_b AS v FROM p
   UNION ALL SELECT doc_b, doc_a FROM p
 ), reach AS (
@@ -3403,22 +3397,8 @@ def q_pagerank_dupgraph(sf_dir: str, iters: int = 5,
 
 
 def _sql_pagerank(iters: int = 5) -> str:
-    pair_cte = """
-WITH sh AS (
-  SELECT doc_id, lang, source, n_chars // 32 AS lb,
-         list_distinct(
-           list_transform(range(1, length(text) - 1),
-                          i -> substring(text, i, 3))) AS grams
-  FROM documents
-), p AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM sh a JOIN sh b
-    ON a.lang = b.lang AND a.source = b.source AND a.lb = b.lb
-   AND a.doc_id < b.doc_id
-  WHERE len(list_distinct(list_concat(a.grams, b.grams))) > 0
-    AND (len(list_intersect(a.grams, b.grams)) * 1000000)
-        // len(list_distinct(list_concat(a.grams, b.grams))) >= 300000
-), e AS (
+    pair_cte = f"""
+WITH {_SQL_DUP_PAIRS_CTE}, e AS (
   SELECT doc_a AS src, doc_b AS dst FROM p
   UNION ALL SELECT doc_b, doc_a FROM p
 ), deg AS (
@@ -3560,21 +3540,7 @@ def q_bfs_hops(sf_dir: str, local_max_edges: int = 2_000_000):
 
 def _sql_bfs_hops() -> str:
     return f"""
-WITH RECURSIVE sh AS (
-  SELECT doc_id, lang, source, n_chars // 32 AS lb,
-         list_distinct(
-           list_transform(range(1, length(text) - 1),
-                          i -> substring(text, i, 3))) AS grams
-  FROM documents
-), p AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM sh a JOIN sh b
-    ON a.lang = b.lang AND a.source = b.source AND a.lb = b.lb
-   AND a.doc_id < b.doc_id
-  WHERE len(list_distinct(list_concat(a.grams, b.grams))) > 0
-    AND (len(list_intersect(a.grams, b.grams)) * 1000000)
-        // len(list_distinct(list_concat(a.grams, b.grams))) >= 300000
-), e AS (
+WITH RECURSIVE {_SQL_DUP_PAIRS_CTE}, e AS (
   SELECT doc_a AS src, doc_b AS dst FROM p
   UNION ALL SELECT doc_b, doc_a FROM p
 ), bfs AS (
@@ -3782,22 +3748,8 @@ def q_triangle_count(sf_dir: str, local_max_edges: int = 2_000_000):
     )
 
 
-_SQL_TRIANGLE_COUNT = """
-WITH sh AS (
-  SELECT doc_id, lang, source, n_chars // 32 AS lb,
-         list_distinct(
-           list_transform(range(1, length(text) - 1),
-                          i -> substring(text, i, 3))) AS grams
-  FROM documents
-), p AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM sh a JOIN sh b
-    ON a.lang = b.lang AND a.source = b.source AND a.lb = b.lb
-   AND a.doc_id < b.doc_id
-  WHERE len(list_distinct(list_concat(a.grams, b.grams))) > 0
-    AND (len(list_intersect(a.grams, b.grams)) * 1000000)
-        // len(list_distinct(list_concat(a.grams, b.grams))) >= 300000
-), w AS (
+_SQL_TRIANGLE_COUNT = f"""
+WITH {_SQL_DUP_PAIRS_CTE}, w AS (
   SELECT e1.doc_b AS b, e2.doc_b AS c
   FROM p e1 JOIN p e2
     ON e1.doc_a = e2.doc_a AND e1.doc_b < e2.doc_b
@@ -5845,6 +5797,10 @@ GROUP BY 1
 def q_global_shuffle_rank(sf_dir: str, n_buckets: int = 256):
     from ..stages.treeagg import clean_arrow, tree_group_agg
 
+    if n_buckets & (n_buckets - 1):
+        raise ValueError("n_buckets must be a power of two")
+    shift = 32 - int(n_buckets).bit_length() + 1  # h >> shift in [0, n_buckets)
+
     ds = _read(sf_dir, "events", ["event_id"]).materialize()
 
     def hashed(batch: pa.Table) -> pa.Table:
@@ -5854,7 +5810,7 @@ def q_global_shuffle_rank(sf_dir: str, n_buckets: int = 256):
             {
                 "event_id": batch.column("event_id"),
                 "h": pa.array(h.astype(np.int64)),
-                "bucket": pa.array((h >> 24).astype(np.int64)),
+                "bucket": pa.array((h >> shift).astype(np.int64)),
             }
         )
 

@@ -33,26 +33,34 @@ from ..state.manifest import PartitionManifest, atomic_write_dir
 
 
 def plan_bins(in_dir: str, target_bytes: int) -> list[list[str]]:
-    """First-fit-decreasing pack of the directory's parquet files into
+    """Best-fit-decreasing pack of the directory's parquet files into
     bins of at most ``target_bytes`` (a single file larger than the
-    target gets its own bin). Deterministic: sizes descending, names
-    ascending on ties, and the final plan re-sorted for stable bin ids."""
+    target gets its own bin). O(n log n) via a sorted free-capacity list
+    (a linear first-fit scan is quadratic at the millions-of-files scale
+    this module targets). Deterministic: sizes descending, names
+    ascending on ties; best-fit chooses the tightest capacity and breaks
+    capacity ties by lowest bin id, so a resumed run re-derives the same
+    plan; the final plan is re-sorted for stable bin ids."""
+    import bisect
+
     files = [
         (f, os.stat(os.path.join(in_dir, f)).st_size)
         for f in sorted(os.listdir(in_dir))
         if f.endswith(".parquet")
     ]
     bins: list[list[str]] = []
-    free: list[int] = []
+    # sorted list of (free_capacity, bin_index): best fit = the smallest
+    # capacity >= size; the bin_index tiebreak keeps it deterministic
+    free: list[tuple[int, int]] = []
     for name, size in sorted(files, key=lambda t: (-t[1], t[0])):
-        for i in range(len(bins)):
-            if free[i] >= size:
-                bins[i].append(name)
-                free[i] -= size
-                break
+        pos = bisect.bisect_left(free, (size, -1))
+        if pos < len(free):
+            cap, i = free.pop(pos)
+            bins[i].append(name)
+            bisect.insort(free, (cap - size, i))
         else:
             bins.append([name])
-            free.append(max(0, target_bytes - size))
+            bisect.insort(free, (max(0, target_bytes - size), len(bins) - 1))
     for b in bins:
         b.sort()
     bins.sort(key=lambda b: b[0])
@@ -71,6 +79,32 @@ def compact_parquet_dir(in_dir: str, out_dir: str,
     bins = plan_bins(in_dir, target_bytes)
     manifest = PartitionManifest(out_dir)
     done = manifest.completed_keys()
+    # resume-safety: a completed bin is only skipped if its recorded file
+    # lineage matches the re-derived plan — if the SOURCE directory
+    # changed between crash and resume, positional bin ids no longer mean
+    # the same file set and silently skipping would duplicate some rows
+    # and drop others; fail loudly instead
+    if done and os.path.exists(manifest.path):
+        recorded: dict[str, list] = {}
+        with open(manifest.path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                recorded[rec["key"]] = rec.get("lineage", {}).get("files")
+        for i, fs in enumerate(bins):
+            k = str(i)
+            if k in done and recorded.get(k) is not None and recorded[k] != fs:
+                raise ValueError(
+                    f"compaction resume: bin {k} was committed for files "
+                    f"{recorded[k]} but the re-derived plan assigns {fs} — "
+                    "the source directory changed since the previous run; "
+                    "compact into a fresh out_dir"
+                )
     todo = [
         {"bin": i, "files": json.dumps(fs)}
         for i, fs in enumerate(bins)
@@ -86,38 +120,46 @@ def compact_parquet_dir(in_dir: str, out_dir: str,
                 t0 = time.monotonic()
                 key = str(rec["bin"])
                 files = json.loads(rec["files"])
-                tables = [
-                    pq.read_table(os.path.join(in_dir, f)) for f in files
-                ]
-                merged = pa.concat_tables(tables, promote_options="default")
                 part_dir = manifest.partition_dir(key)
-
-                def do_write(tmp, merged=merged):
-                    pq.write_table(
-                        merged, os.path.join(tmp, "data.parquet")
+                data_path = os.path.join(part_dir, "data.parquet")
+                if os.path.exists(data_path):
+                    # crash landed between the atomic rename and the
+                    # manifest commit: the payload is complete — recommit
+                    # from the parquet footer instead of re-reading and
+                    # re-writing the whole bin
+                    n_rows = pq.read_metadata(data_path).num_rows
+                else:
+                    tables = [
+                        pq.read_table(os.path.join(in_dir, f))
+                        for f in files
+                    ]
+                    merged = pa.concat_tables(
+                        tables, promote_options="default"
                     )
+                    n_rows = merged.num_rows
 
-                atomic_write_dir(part_dir, do_write)
-                size = os.stat(
-                    os.path.join(part_dir, "data.parquet")
-                ).st_size
+                    def do_write(tmp, merged=merged):
+                        pq.write_table(
+                            merged, os.path.join(tmp, "data.parquet")
+                        )
+
+                    atomic_write_dir(part_dir, do_write)
+                size = os.stat(data_path).st_size
                 elapsed = time.monotonic() - t0
                 manifest.commit_partition(
                     key,
-                    rows=merged.num_rows,
+                    rows=n_rows,
                     checksum=size,
                     lineage={"files": files},
                     metrics={
                         "elapsed_s": round(elapsed, 4),
                         "bytes": size,
                         "rows_per_s": round(
-                            merged.num_rows / max(elapsed, 1e-9), 1
+                            n_rows / max(elapsed, 1e-9), 1
                         ),
                     },
                 )
-                out.append(
-                    {"bin": int(rec["bin"]), "rows": merged.num_rows}
-                )
+                out.append({"bin": int(rec["bin"]), "rows": n_rows})
             return pd.DataFrame(out)
 
         stats = (

@@ -22,7 +22,7 @@ def _oracle_df(name):
     from plateau_gis_converter_ray.pipelines.queries import ORACLES
 
     con = duckdb.connect()
-    for t in "orders events documents embeddings".split():
+    for t in "orders lineitem events documents embeddings".split():
         con.sql(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
         )
@@ -50,7 +50,8 @@ def _assert_same(a: pd.DataFrame, b: pd.DataFrame):
 @pytest.mark.parametrize(
     "name",
     ["skyline_orders", "inverted_index", "latest_event_per_user",
-     "scd2_intervals"],
+     "scd2_intervals", "late_supplier_blame", "global_shuffle_rank",
+     "pattern_triples", "bfs_hops"],
 )
 def test_wave4_oracle_parity(ray_session, name):
     _assert_same(_ray_df(name), _oracle_df(name))
