@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "global_shuffle_rank",
     "pattern_triples",
     "bfs_hops",
+    "fuzzy_token_join",
 ]
 
 

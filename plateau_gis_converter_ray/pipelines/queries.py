@@ -5920,6 +5920,19 @@ def q_semdedup(sf_dir: str):
     return semdedup(sf_dir)
 
 
+def q_fuzzy_token_join(sf_dir: str):
+    """FastSS edit-distance<=1 similarity join over caption tokens
+    (stages/fuzzy.py). Rows-only (image table is outside the SQL views);
+    pytest pins the pair set == O(V^2) DP brute force."""
+    import os
+
+    from ..stages.fuzzy import fuzzy_token_join
+
+    base = os.path.basename(sf_dir.rstrip("/"))
+    sf = float(base.replace("sf", "")) if base.startswith("sf") else 0.01
+    return fuzzy_token_join(sf)
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -6023,6 +6036,7 @@ QUERIES = {
     "latest_event_per_user": q_latest_event_per_user,
     "scd2_intervals": q_scd2_intervals,
     "semdedup": q_semdedup,
+    "fuzzy_token_join": q_fuzzy_token_join,
     "late_supplier_blame": q_late_supplier_blame,
     "global_shuffle_rank": q_global_shuffle_rank,
     "pattern_triples": q_pattern_triples,

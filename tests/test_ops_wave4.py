@@ -126,6 +126,40 @@ def test_semdedup_equals_brute(ray_session):
     assert (kept_per_cluster > 0).all()
 
 
+def test_fuzzy_token_join_equals_brute(ray_session):
+    """Deletion-neighborhood blocking + vectorized verify == O(V^2) DP."""
+    from plateau_gis_converter_ray.stages.fuzzy import (
+        brute_ed1_pairs,
+        fuzzy_token_join,
+    )
+
+    got = (
+        fuzzy_token_join(0.001)
+        .to_pandas()
+        .sort_values(["term_a", "term_b"])
+        .reset_index(drop=True)
+    )
+    want = (
+        brute_ed1_pairs(0.001)
+        .sort_values(["term_a", "term_b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert len(got) > 1000  # the #tag space is a dense near-miss population
+
+
+def test_fuzzy_verify_kernel():
+    """The ed<=1 verifier alone, on adversarial cases the blocking admits."""
+    from plateau_gis_converter_ray.stages.fuzzy import _verify_ed1
+
+    ta = np.array(["ab", "abc", "abc", "abc", "abcd", "x", "same"],
+                  dtype=object)
+    tb = np.array(["ba", "abd", "ac", "abcd", "abc", "xy", "same"],
+                  dtype=object)
+    want = np.array([False, True, True, True, True, True, True])
+    np.testing.assert_array_equal(_verify_ed1(ta, tb), want)
+
+
 def test_semdedup_normalize_exactness():
     """Quantized-normalized dots stay below 2^53 (float64-exact regime)."""
     from plateau_gis_converter_ray.stages.knn import _semdedup_normalize
