@@ -76,7 +76,42 @@ def main(argv=None):
     dd.add_argument("--no-resume", action="store_true")
     dd.add_argument("--num-cpus", type=int, default=8)
 
+    cc = sub.add_parser(
+        "clean-corpus",
+        help="end-to-end training-corpus clean: quality filter -> exact + "
+             "near-dup dedup -> eval decontamination -> sequence packing; "
+             "staged, resumable (complete stages skip on rerun)",
+    )
+    cc.add_argument("sf_dir", help="testdata dir holding documents.parquet")
+    cc.add_argument("output", help="output directory (per-stage part=K/)")
+    cc.add_argument("--budget", type=int, default=256,
+                    help="tokens per packed training sequence")
+    cc.add_argument("--num-cpus", type=int, default=8)
+
     args = p.parse_args(argv)
+
+    if args.cmd == "clean-corpus":
+        import ray
+
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+        from plateau_gis_converter_ray.pipelines.textclean import (
+            run_text_clean,
+        )
+
+        t0 = time.perf_counter()
+        try:
+            res = run_text_clean(args.sf_dir, args.output,
+                                 budget=args.budget)
+            res["elapsed_s"] = round(time.perf_counter() - t0, 3)
+            print(json.dumps(res))
+            return 0
+        finally:
+            ray.shutdown()
 
     if args.cmd == "dedup-corpus":
         import ray

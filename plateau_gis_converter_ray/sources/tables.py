@@ -17,10 +17,20 @@ from functools import lru_cache
 
 @lru_cache(maxsize=256)
 def _clean_schema(path: str, columns: tuple | None):
+    import os
+
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    schema = pq.read_schema(path).remove_metadata()
+    if os.path.isdir(path):
+        # stage-output directories (pipelines/textclean.py) hold N part
+        # files with one schema; read it off the first footer
+        first = sorted(
+            f for f in os.listdir(path) if f.endswith(".parquet")
+        )[0]
+        schema = pq.read_schema(os.path.join(path, first)).remove_metadata()
+    else:
+        schema = pq.read_schema(path).remove_metadata()
     if columns:
         schema = pa.schema([schema.field(c) for c in columns])
     return schema
