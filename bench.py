@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "pattern_triples",
     "bfs_hops",
     "fuzzy_token_join",
+    "grouped_quantiles",
 ]
 
 

@@ -4397,6 +4397,71 @@ FROM events
 
 
 # ---------------------------------------------------------------------------
+# Per-group exact quantiles (the p50/p95/p99-per-service aggregate) in ONE
+# pass: values are 2-decimal money, so the (group, cents) histogram is
+# DOMAIN-bounded — types x distinct cent values, independent of row count —
+# and folds through the combiner tree; each group's quantiles then come
+# from one vectorized cumsum + searchsorted rank pick. Contrast with
+# exact_quantiles, whose bit-prefix refinement handles UNBOUNDED float
+# domains in two passes. Rank k = ceil(p*n), 1-based (quantile_disc).
+
+
+def q_grouped_quantiles(sf_dir: str):
+    from ..stages.treeagg import clean_arrow
+
+    _PS = [(1, 2), (19, 20), (99, 100)]  # p50 p95 p99
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = np.round(batch.column("value").to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {"event_type": batch.column("event_type"), "value_c": pa.array(v)}
+        )
+
+    histo = tree_group_agg(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        ["event_type", "value_c"], {"cnt": (None, "count")},
+    )
+
+    def pick(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values("value_c")
+        c = g["cnt"].cumsum().to_numpy()
+        v = g["value_c"].to_numpy()
+        n = int(c[-1])
+        ranks = np.array([(num * n + den - 1) // den for num, den in _PS])
+        j = np.searchsorted(c, ranks, side="left")
+        return clean_arrow(
+            pd.DataFrame(
+                {
+                    "event_type": [g["event_type"].iloc[0]],
+                    "p50_c": np.int64(v[j[0]]),
+                    "p95_c": np.int64(v[j[1]]),
+                    "p99_c": np.int64(v[j[2]]),
+                    "n": np.int64(n),
+                }
+            )
+        )
+
+    return histo.groupby("event_type").map_groups(
+        pick, batch_format="pandas"
+    )
+
+
+_SQL_GROUPED_QUANTILES = """
+WITH v AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS value_c
+  FROM events
+)
+SELECT event_type,
+       quantile_disc(value_c, 0.50) AS p50_c,
+       quantile_disc(value_c, 0.95) AS p95_c,
+       quantile_disc(value_c, 0.99) AS p99_c,
+       COUNT(*) AS n
+FROM v GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Predicate pushdown at the read: the date-range filter is a pyarrow.dataset
 # expression handed to the parquet scan, so row groups whose min/max
 # statistics exclude 1997 are never deserialized (and with a date-sorted
@@ -6013,6 +6078,7 @@ QUERIES = {
     "salted_join_skew": q_salted_join_skew,
     "pivot_events": q_pivot_events,
     "exact_quantiles": q_exact_quantiles,
+    "grouped_quantiles": q_grouped_quantiles,
     "pruned_daterange": q_pruned_daterange,
     "ngram_lm_score": q_ngram_lm_score,
     "pq_ann_search": q_pq_ann_search,
@@ -6117,6 +6183,7 @@ ORACLES = {
     "salted_join_skew": _SQL_SALTED_JOIN_SKEW,
     "pivot_events": _SQL_PIVOT_EVENTS,
     "exact_quantiles": _SQL_EXACT_QUANTILES,
+    "grouped_quantiles": _SQL_GROUPED_QUANTILES,
     "pruned_daterange": _SQL_PRUNED_DATERANGE,
     "ngram_lm_score": _SQL_NGRAM_LM_SCORE,
     "events_cust_full_outer": _SQL_EVENTS_CUST_FULL_OUTER,
