@@ -31,7 +31,15 @@ MAXLEN = 16  # caption tokens are <= 9 bytes; padded matrix width
 
 
 def _char_matrix(terms: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """(n, MAXLEN) uint8 matrix (zero-padded) + byte lengths."""
+    """(n, MAXLEN) uint8 matrix (zero-padded) + byte lengths.
+
+    ``astype("S16")`` would TRUNCATE longer tokens silently (wrong pairs,
+    no error), so overlength input is rejected loudly; a wider corpus
+    raises MAXLEN rather than corrupting results."""
+    if len(terms) and max(len(t) for t in terms) > MAXLEN - 1:
+        raise ValueError(
+            f"token longer than {MAXLEN - 1} bytes; raise fuzzy.MAXLEN"
+        )
     b = terms.astype(f"S{MAXLEN}")
     m = b.view(np.uint8).reshape(len(terms), MAXLEN)
     lens = (m != 0).sum(axis=1).astype(np.int64)
