@@ -4462,6 +4462,112 @@ FROM v GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# Declarative data-quality audit (the expectations gate a production
+# pipeline runs before publishing a table): per-rule violation counts in
+# ONE pass — set-membership / range / date-window / regex rules as
+# vectorized indicator partials through the combiner tree, plus a
+# referential-integrity rule (orders.o_custkey must exist in customer)
+# probed against a broadcast sorted key array (dimension side; at fact-
+# sized key sets this becomes the bloom-prune semi plan, stages/bloom.py).
+
+
+def q_data_quality_audit(sf_dir: str):
+    import pyarrow.compute as pc
+
+    cust_keys = np.sort(
+        _read(sf_dir, "customer", ["c_custkey"])
+        .to_pandas()["c_custkey"]
+        .to_numpy()
+    )
+    lo = np.datetime64("1992-01-01", "us").astype(np.int64)
+    hi = np.datetime64("1998-08-02", "us").astype(np.int64)
+
+    def audit(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        status = batch.column("o_orderstatus")
+        in_set = pc.is_in(
+            status, value_set=pa.array(["O", "F", "P"])
+        ).to_numpy(zero_copy_only=False)
+        price = batch.column("o_totalprice").to_numpy()
+        d = (
+            batch.column("o_orderdate")
+            .to_numpy()
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        prio_ok = pc.match_substring_regex(
+            batch.column("o_orderpriority"), "^[1-5]-"
+        ).to_numpy(zero_copy_only=False)
+        ck = batch.column("o_custkey").to_numpy()
+        pos = np.searchsorted(cust_keys, ck)
+        fk_ok = (pos < len(cust_keys)) & (
+            cust_keys[np.minimum(pos, len(cust_keys) - 1)] == ck
+        )
+        viol = np.array(
+            [
+                int((~in_set).sum()),
+                int(((price <= 0) | (price >= 600_000)).sum()),
+                int(((d < lo) | (d > hi)).sum()),
+                int((~prio_ok).sum()),
+                int((~fk_ok).sum()),
+            ],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                "rule": pa.array(
+                    ["status_in_set", "price_range", "date_range",
+                     "priority_pattern", "fk_customer"]
+                ),
+                "n_violations": pa.array(viol),
+                "n_checked": pa.array(np.full(5, n, dtype=np.int64)),
+            }
+        )
+
+    orders = _read(
+        sf_dir, "orders",
+        ["o_orderstatus", "o_totalprice", "o_orderdate",
+         "o_orderpriority", "o_custkey"],
+    )
+    return tree_group_agg(
+        orders.map_batches(audit, batch_format="pyarrow"),
+        ["rule"],
+        {"n_violations": ("n_violations", "sum"),
+         "n_checked": ("n_checked", "sum")},
+    )
+
+
+_SQL_DATA_QUALITY_AUDIT = """
+WITH v AS (
+  SELECT o_orderstatus AS s, o_totalprice AS p, o_orderdate AS d,
+         o_orderpriority AS pr, o_custkey AS ck
+  FROM orders
+)
+SELECT 'status_in_set' AS rule,
+       CAST(SUM(CASE WHEN s NOT IN ('O','F','P') THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_violations,
+       COUNT(*) AS n_checked FROM v
+UNION ALL
+SELECT 'price_range',
+       CAST(SUM(CASE WHEN p <= 0 OR p >= 600000 THEN 1 ELSE 0 END)
+            AS BIGINT), COUNT(*) FROM v
+UNION ALL
+SELECT 'date_range',
+       CAST(SUM(CASE WHEN d < TIMESTAMP '1992-01-01'
+                       OR d > TIMESTAMP '1998-08-02'
+                     THEN 1 ELSE 0 END) AS BIGINT), COUNT(*) FROM v
+UNION ALL
+SELECT 'priority_pattern',
+       CAST(SUM(CASE WHEN NOT regexp_matches(pr, '^[1-5]-')
+                     THEN 1 ELSE 0 END) AS BIGINT), COUNT(*) FROM v
+UNION ALL
+SELECT 'fk_customer',
+       CAST(SUM(CASE WHEN ck NOT IN (SELECT c_custkey FROM customer)
+                     THEN 1 ELSE 0 END) AS BIGINT), COUNT(*) FROM v
+"""
+
+
+# ---------------------------------------------------------------------------
 # Predicate pushdown at the read: the date-range filter is a pyarrow.dataset
 # expression handed to the parquet scan, so row groups whose min/max
 # statistics exclude 1997 are never deserialized (and with a date-sorted
@@ -6079,6 +6185,7 @@ QUERIES = {
     "pivot_events": q_pivot_events,
     "exact_quantiles": q_exact_quantiles,
     "grouped_quantiles": q_grouped_quantiles,
+    "data_quality_audit": q_data_quality_audit,
     "pruned_daterange": q_pruned_daterange,
     "ngram_lm_score": q_ngram_lm_score,
     "pq_ann_search": q_pq_ann_search,
@@ -6184,6 +6291,7 @@ ORACLES = {
     "pivot_events": _SQL_PIVOT_EVENTS,
     "exact_quantiles": _SQL_EXACT_QUANTILES,
     "grouped_quantiles": _SQL_GROUPED_QUANTILES,
+    "data_quality_audit": _SQL_DATA_QUALITY_AUDIT,
     "pruned_daterange": _SQL_PRUNED_DATERANGE,
     "ngram_lm_score": _SQL_NGRAM_LM_SCORE,
     "events_cust_full_outer": _SQL_EVENTS_CUST_FULL_OUTER,
