@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "fuzzy_token_join",
     "grouped_quantiles",
     "data_quality_audit",
+    "radius_count_join",
 ]
 
 

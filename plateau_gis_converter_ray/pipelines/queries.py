@@ -193,6 +193,57 @@ SELECT event_id, qid AS nearest_qid FROM d WHERE rn = 1
 
 
 # ---------------------------------------------------------------------------
+# 4b. Radius join (ST_DWithin analogue), aggregated: events within radius
+# r of each fixed query point, counted — the distance-threshold sibling
+# of knn_points. The tiny query side ships with the task fn; each batch
+# reduces to a (n_queries,)-int indicator partial through the combiner
+# tree, so no point ever shuffles. The d2 <= r2 compare is the same IEEE
+# expression on both sides. A corpus-sized query side switches this to
+# the cell-bucket plan (knn_points_cellring's ring bound at fixed radius).
+
+
+def q_radius_count_join(sf_dir: str, n_queries: int = 16, r2: float = 4.0):
+    from ..stages.geocode import add_lnglat_arith
+
+    qids = np.arange(n_queries, dtype=np.int64)
+    qx = 122.0 + (qids * 17) % 24
+    qy = 24.0 + (qids * 13) % 22
+
+    ds = _read(sf_dir, "events", ["event_id"]).map_batches(
+        lambda b: add_lnglat_arith(b, "event_id"), batch_format="pyarrow"
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lng = batch.column("lng").to_numpy()
+        lat = batch.column("lat").to_numpy()
+        d2 = (lng[:, None] - qx[None, :]) ** 2 + (lat[:, None] - qy[None, :]) ** 2
+        n = (d2 <= r2).sum(axis=0).astype(np.int64)
+        return pa.table({"qid": pa.array(qids), "n_within": pa.array(n)})
+
+    return tree_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["qid"], {"n_within": ("n_within", "sum")},
+    )
+
+
+def _sql_radius_count_join() -> str:
+    lng, lat = _geo_sql("event_id")
+    return f"""
+WITH q AS (
+  SELECT qid, 122.0 + (qid * 17) % 24 AS qx, 24.0 + (qid * 13) % 22 AS qy
+  FROM (SELECT UNNEST(RANGE(0, 16)) AS qid)
+), pts AS (
+  SELECT event_id, {lng} AS lng, {lat} AS lat FROM events
+)
+SELECT qid,
+       CAST(SUM(CASE WHEN (lng - qx) * (lng - qx)
+                       + (lat - qy) * (lat - qy) <= 4.0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_within
+FROM pts, q GROUP BY qid
+"""
+
+
+# ---------------------------------------------------------------------------
 # 5. Q1-style pricing summary (integer-scaled; the groupby-agg workhorse)
 
 
@@ -6113,6 +6164,7 @@ QUERIES = {
     "pip_mesh": q_pip_mesh,
     "knn_points": q_knn_points,
     "knn_points_cellring": q_knn_points_cellring,
+    "radius_count_join": q_radius_count_join,
     "pricing_summary": q_pricing_summary,
     "top_orders": q_top_orders,
     "nation_revenue": q_nation_revenue,
@@ -6222,6 +6274,7 @@ ORACLES = {
     "pip_mesh": _sql_pip_mesh(),
     "knn_points": _sql_knn_points(),
     "knn_points_cellring": _sql_knn_points(),
+    "radius_count_join": _sql_radius_count_join(),
     "pricing_summary": _SQL_PRICING,
     "top_orders": _SQL_TOP_ORDERS,
     "nation_revenue": _SQL_NATION_REVENUE,
