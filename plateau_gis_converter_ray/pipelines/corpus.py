@@ -33,11 +33,27 @@ def write_corpus_dedup(sf_dir: str, out_dir: str, n_shards: int = 8,
     """Write the deduplicated corpus under ``out_dir``; returns a summary
     dict. ``max_shards`` caps how many shards this invocation may write
     (test hook for simulating a killed run)."""
+    import json
+
     from .queries import JOIN_PARTS, _read, q_corpus_dedup
 
-    manifest = PartitionManifest(
-        out_dir, {"sf_dir": sf_dir, "n_shards": n_shards}
-    )
+    config = {"sf_dir": sf_dir, "n_shards": n_shards}
+    manifest = PartitionManifest(out_dir, config)
+    # resume-safety: the shard key is doc_id % n_shards, so committed
+    # shards from a run with DIFFERENT config would silently mix two
+    # incompatible shardings (docs duplicated or dropped) — pin the
+    # config on first run and fail loudly on mismatch
+    cfg_path = os.path.join(out_dir, "config.json")
+    if os.path.exists(cfg_path):
+        prev = json.loads(open(cfg_path).read())
+        if prev != config:
+            raise ValueError(
+                f"corpus resume config mismatch: previous run used {prev}, "
+                f"this invocation asks {config}; use a fresh out_dir"
+            )
+    else:
+        with open(cfg_path, "w") as f:
+            json.dump(config, f)
     done = manifest.completed_keys() if resume else set()
     remaining = [s for s in range(n_shards) if str(s) not in done]
     if max_shards is not None:

@@ -3736,10 +3736,11 @@ def q_triangle_count(sf_dir: str, local_max_edges: int = 2_000_000):
             if total == 0:
                 n_tri = 0
             else:
+                from ..kernels.segments import segmented_arange
+
                 c_idx = np.repeat(np.arange(len(a)), w)
                 off = np.repeat(starts, w)
-                r = np.arange(total) - np.repeat(np.cumsum(w) - w, w)
-                b_idx = off + r
+                b_idx = off + segmented_arange(w)
                 # wedge (b[b_idx] < b[c_idx]) both attached to a; closed
                 # iff (b[b_idx], b[c_idx]) is an edge. Relabel node ids to
                 # dense ints first so the packed key can't overflow int64
@@ -6151,8 +6152,13 @@ def q_fuzzy_token_join(sf_dir: str):
     from ..stages.fuzzy import fuzzy_token_join
 
     base = os.path.basename(sf_dir.rstrip("/"))
-    sf = float(base.replace("sf", "")) if base.startswith("sf") else 0.01
-    return fuzzy_token_join(sf)
+    if not base.startswith("sf"):
+        # the vocabulary comes from the sf-scaled image table; silently
+        # defaulting would run against a DIFFERENT dataset than asked
+        raise ValueError(
+            f"fuzzy_token_join needs an sf-named dir (got {sf_dir!r})"
+        )
+    return fuzzy_token_join(float(base.replace("sf", "")))
 
 
 # ---------------------------------------------------------------------------

@@ -176,6 +176,12 @@ def run_text_clean(sf_dir: str, out_dir: str, budget: int = 256) -> dict:
         ).join(kept_ids, "inner", num_partitions=JOIN_PARTS, on=("doc_id",))
         rows_out = _write_docs(survivors, d_dedup)
         commit("dedup", rows_in, rows_out, t0)
+        # the exact-dedup intermediate is only an input to this stage;
+        # drop it once the stage commit lands (it would otherwise double
+        # the pipeline's persistent footprint at corpus scale)
+        import shutil
+
+        shutil.rmtree(exact_dir, ignore_errors=True)
 
     # -- stage 3: decontamination (3-gram overlap with the eval split) ---
     if "decontam" not in done:

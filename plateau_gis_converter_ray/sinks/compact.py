@@ -8,9 +8,9 @@ maintenance pass the north rule's resumable-output contract implies.
 
 Design:
 - the PLAN is metadata-only on the driver: file sizes via ``os.stat``
-  (no data read), first-fit-decreasing into bins of ``target_bytes`` —
-  deterministic (ties broken by name) so a resumed run re-derives the
-  same plan;
+  (no data read), best-fit-decreasing into bins of ``target_bytes`` —
+  deterministic (ties broken by name / lowest bin id) so a resumed run
+  re-derives the same plan;
 - each bin compacts in its own Ray task (read its files, write ONE
   contiguous parquet) via temp-dir + atomic rename, committing a
   manifest line (rows, byte size, file lineage, elapsed) per bin —
@@ -102,9 +102,20 @@ def compact_parquet_dir(in_dir: str, out_dir: str,
                 raise ValueError(
                     f"compaction resume: bin {k} was committed for files "
                     f"{recorded[k]} but the re-derived plan assigns {fs} — "
-                    "the source directory changed since the previous run; "
-                    "compact into a fresh out_dir"
+                    "the source directory (or the packing algorithm) "
+                    "changed since the previous run; compact into a fresh "
+                    "out_dir"
                 )
+        # a shrunk source can leave committed bins BEYOND the new plan:
+        # their part dirs would silently keep rows for files that no
+        # longer exist — refuse rather than serve stale data
+        stale = sorted(done - {str(i) for i in range(len(bins))}, key=int)
+        if stale:
+            raise ValueError(
+                f"compaction resume: committed bins {stale} are not in the "
+                f"re-derived {len(bins)}-bin plan — the source directory "
+                "shrank since the previous run; compact into a fresh out_dir"
+            )
     todo = [
         {"bin": i, "files": json.dumps(fs)}
         for i, fs in enumerate(bins)
@@ -122,19 +133,33 @@ def compact_parquet_dir(in_dir: str, out_dir: str,
                 files = json.loads(rec["files"])
                 part_dir = manifest.partition_dir(key)
                 data_path = os.path.join(part_dir, "data.parquet")
+                lineage_json = json.dumps(files)
+                n_rows = None
                 if os.path.exists(data_path):
                     # crash landed between the atomic rename and the
-                    # manifest commit: the payload is complete — recommit
-                    # from the parquet footer instead of re-reading and
-                    # re-writing the whole bin
-                    n_rows = pq.read_metadata(data_path).num_rows
-                else:
+                    # manifest commit: recommit from the parquet footer —
+                    # but ONLY if the payload's own recorded file list
+                    # (written into its key-value metadata) matches the
+                    # re-derived plan; a source change in that window
+                    # otherwise recommits stale rows under fresh lineage
+                    md = pq.read_metadata(data_path)
+                    kv = md.metadata or {}
+                    if kv.get(b"compact_files") == lineage_json.encode():
+                        n_rows = md.num_rows
+                    else:
+                        import shutil
+
+                        shutil.rmtree(part_dir)
+                if n_rows is None:
                     tables = [
                         pq.read_table(os.path.join(in_dir, f))
                         for f in files
                     ]
                     merged = pa.concat_tables(
                         tables, promote_options="default"
+                    )
+                    merged = merged.replace_schema_metadata(
+                        {"compact_files": lineage_json}
                     )
                     n_rows = merged.num_rows
 

@@ -15,25 +15,34 @@ from __future__ import annotations
 from functools import lru_cache
 
 
-@lru_cache(maxsize=256)
-def _clean_schema(path: str, columns: tuple | None):
-    import os
-
+def _schema_of(path: str, columns: tuple | None):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    if os.path.isdir(path):
-        # stage-output directories (pipelines/textclean.py) hold N part
-        # files with one schema; read it off the first footer
-        first = sorted(
-            f for f in os.listdir(path) if f.endswith(".parquet")
-        )[0]
-        schema = pq.read_schema(os.path.join(path, first)).remove_metadata()
-    else:
-        schema = pq.read_schema(path).remove_metadata()
+    schema = pq.read_schema(path).remove_metadata()
     if columns:
         schema = pa.schema([schema.field(c) for c in columns])
     return schema
+
+
+_clean_schema_cached = lru_cache(maxsize=256)(_schema_of)
+
+
+def _clean_schema(path: str, columns: tuple | None):
+    import os
+
+    if os.path.isdir(path):
+        # stage-output directories (pipelines/textclean.py) hold N part
+        # files with one schema; read it off the first footer. NOT cached:
+        # unlike the immutable testdata files, stage dirs can be
+        # rewritten within one process.
+        parts = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))
+        if not parts:
+            raise FileNotFoundError(
+                f"{path} contains no parquet files (empty stage output?)"
+            )
+        return _schema_of(os.path.join(path, parts[0]), columns)
+    return _clean_schema_cached(path, columns)
 
 
 def read_table(

@@ -415,10 +415,11 @@ def phash_hamming_near_dup(image_files: list[str], max_hamming: int = 3,
         total = int(w.sum())
         if total == 0:
             return empty
+        from ..kernels.segments import segmented_arange
+
         b_idx = np.repeat(np.arange(len(key)), w)
         off = np.repeat(seg_start, w)
-        r = np.arange(total) - np.repeat(np.cumsum(w) - w, w)
-        a_idx = off + r
+        a_idx = off + segmented_arange(w)
         d = hamming64(ph[a_idx], ph[b_idx])
         keep = d <= max_hamming
         ia, ib = ids[a_idx][keep], ids[b_idx][keep]

@@ -33,14 +33,15 @@ MAXLEN = 16  # caption tokens are <= 9 bytes; padded matrix width
 def _char_matrix(terms: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """(n, MAXLEN) uint8 matrix (zero-padded) + byte lengths.
 
-    ``astype("S16")`` would TRUNCATE longer tokens silently (wrong pairs,
-    no error), so overlength input is rejected loudly; a wider corpus
-    raises MAXLEN rather than corrupting results."""
-    if len(terms) and max(len(t) for t in terms) > MAXLEN - 1:
+    Assumes ASCII tokens <= MAXLEN-1 bytes — enforced ONCE at the vocab
+    entry point (:func:`deletion_variants`); pair-expanded verify arrays
+    re-use already-validated terms, so no per-pair guard runs here."""
+    try:
+        b = terms.astype(f"S{MAXLEN}")
+    except UnicodeEncodeError as e:
         raise ValueError(
-            f"token longer than {MAXLEN - 1} bytes; raise fuzzy.MAXLEN"
-        )
-    b = terms.astype(f"S{MAXLEN}")
+            "fuzzy join is byte-level ASCII; non-ASCII token in input"
+        ) from e
     m = b.view(np.uint8).reshape(len(terms), MAXLEN)
     lens = (m != 0).sum(axis=1).astype(np.int64)
     return m, lens
@@ -52,7 +53,17 @@ def _decode(m: np.ndarray) -> np.ndarray:
 
 
 def deletion_variants(terms: np.ndarray) -> pa.Table:
-    """(variant, term) rows: the term itself plus every 1-deletion."""
+    """(variant, term) rows: the term itself plus every 1-deletion.
+
+    ``astype("S16")`` would TRUNCATE longer tokens silently (wrong pairs,
+    no error), so overlength vocabulary is rejected loudly here — the one
+    vocab-scale entry point; a wider corpus raises MAXLEN."""
+    if len(terms) and max(
+        len(t.encode("utf-8")) for t in terms
+    ) > MAXLEN - 1:
+        raise ValueError(
+            f"token longer than {MAXLEN - 1} BYTES; raise fuzzy.MAXLEN"
+        )
     m, lens = _char_matrix(terms)
     out_v = [terms.astype(str)]
     out_t = [terms.astype(str)]
@@ -179,14 +190,7 @@ def fuzzy_token_join(sf: float, n_buckets: int = 64):
     return uniq.drop_columns(["n"])
 
 
-def _ramp(span: np.ndarray) -> np.ndarray:
-    """concatenate(arange(s) for s in span), vectorized."""
-    if not len(span):
-        return np.zeros(0, dtype=np.int64)
-    total = int(span.sum())
-    ends = np.cumsum(span)
-    r = np.arange(total, dtype=np.int64)
-    return r - np.repeat(ends - span, span)
+from ..kernels.segments import segmented_arange as _ramp  # noqa: E402
 
 
 def brute_ed1_pairs(sf: float) -> pd.DataFrame:

@@ -161,3 +161,85 @@ def test_compact_parquet_dir(ray_session, tmp_path):
     assert os.stat(survivor).st_mtime_ns == mtime_before
     keys = {json.loads(ln)["key"] for ln in manifest.read_text().splitlines()}
     assert keys == {str(i) for i in range(len(bins))}
+
+
+def test_compact_resume_guards(ray_session, tmp_path):
+    """The three resume-window corruption cases fail loudly / self-heal."""
+    from plateau_gis_converter_ray.sinks.compact import compact_parquet_dir
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(8):
+        pd.DataFrame({"k": np.arange(i * 50, (i + 1) * 50)}).to_parquet(
+            src / f"p{i}.parquet", index=False
+        )
+    sizes = [os.stat(src / f).st_size for f in os.listdir(src)]
+    target = sum(sizes) // 3 + max(sizes)
+    out = tmp_path / "out"
+    res = compact_parquet_dir(str(src), str(out), target)
+    assert res["compacted"] >= 2
+
+    # (a) committed-bin lineage mismatch after a source change -> raise:
+    # blowing p0 up to many times its size reshuffles the packing of the
+    # already-committed bins
+    pd.DataFrame({"k": np.arange(5000)}).to_parquet(
+        src / "p0.parquet", index=False
+    )
+    with pytest.raises(ValueError, match="resume"):
+        compact_parquet_dir(str(src), str(out), target)
+    pd.DataFrame({"k": np.arange(50)}).to_parquet(  # restore
+        src / "p0.parquet", index=False
+    )
+
+    # (b) shrunk source: committed bins beyond the new plan -> raise
+    out2 = tmp_path / "out2"
+    compact_parquet_dir(str(src), str(out2), target)
+    for f in list(os.listdir(src))[:6]:
+        (src / f).unlink()
+    with pytest.raises(ValueError, match="resume"):
+        compact_parquet_dir(str(src), str(out2), target)
+
+    # (c) rename-committed but manifest-uncommitted payload whose
+    # recorded file list mismatches the plan -> rewritten, not recommitted
+    src3 = tmp_path / "src3"
+    src3.mkdir()
+    for i in range(4):
+        pd.DataFrame({"k": np.arange(i * 50, (i + 1) * 50)}).to_parquet(
+            src3 / f"p{i}.parquet", index=False
+        )
+    out3 = tmp_path / "out3"
+    compact_parquet_dir(str(src3), str(out3), 10 << 20)  # one bin
+    # wipe the manifest (simulate crash before commit), change the source
+    (out3 / "manifest.jsonl").unlink()
+    pd.DataFrame({"k": np.arange(200, 250)}).to_parquet(
+        src3 / "p4.parquet", index=False
+    )
+    compact_parquet_dir(str(src3), str(out3), 10 << 20)
+    got = pd.concat(
+        [pd.read_parquet(f) for f in
+         sorted(glob.glob(str(out3 / "part=*" / "data.parquet")))]
+    )
+    assert set(got["k"]) == set(range(250))  # new file's rows present
+
+
+def test_corpus_resume_config_guard(ray_session, tmp_path):
+    from plateau_gis_converter_ray.pipelines.corpus import write_corpus_dedup
+
+    out = str(tmp_path / "corpus")
+    write_corpus_dedup("/root/testdata/sf0.001", out, n_shards=2)
+    with pytest.raises(ValueError, match="config mismatch"):
+        write_corpus_dedup("/root/testdata/sf0.001", out, n_shards=4)
+
+
+def test_fuzzy_input_guards():
+    import pytest as _pytest
+
+    from plateau_gis_converter_ray.pipelines.queries import (
+        q_fuzzy_token_join,
+    )
+    from plateau_gis_converter_ray.stages.fuzzy import deletion_variants
+
+    with _pytest.raises(ValueError, match="BYTES"):
+        deletion_variants(np.array(["x" * 40], dtype=object))
+    with _pytest.raises(ValueError, match="sf-named"):
+        q_fuzzy_token_join("/data/prod_docs")
