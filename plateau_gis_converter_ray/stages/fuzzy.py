@@ -53,7 +53,17 @@ def _decode(m: np.ndarray) -> np.ndarray:
 
 
 def deletion_variants(terms: np.ndarray) -> pa.Table:
-    """(variant, term) rows: the term itself plus every 1-deletion.
+    """DISTINCT (variant, term) rows: the term itself plus every distinct
+    1-deletion string.
+
+    Distinctness is load-bearing: repeated characters make several
+    deletion POSITIONS yield the same variant STRING ("aaab" del at
+    0/1/2 -> "aab"), and with per-term distinct variants every ed<=1
+    pair shares EXACTLY ONE variant string (substitution at position i:
+    only the delete-at-i variant matches; insertion: only the shorter
+    word itself; the shared string's length pins which case). That
+    uniqueness lets the join emit each pair from exactly one bucket —
+    no cross-bucket dedup exchange (see :func:`fuzzy_token_join`).
 
     ``astype("S16")`` would TRUNCATE longer tokens silently (wrong pairs,
     no error), so overlength vocabulary is rejected loudly here — the one
@@ -79,12 +89,15 @@ def deletion_variants(terms: np.ndarray) -> pa.Table:
         )
         out_v.append(_decode(var))
         out_t.append(terms[rows].astype(str))
-    return pa.table(
+    from .treeagg import clean_arrow
+
+    df = pd.DataFrame(
         {
-            "variant": pa.array(np.concatenate(out_v)),
-            "term": pa.array(np.concatenate(out_t)),
+            "variant": np.concatenate(out_v),
+            "term": np.concatenate(out_t),
         }
-    )
+    ).drop_duplicates()
+    return clean_arrow(df)
 
 
 def _verify_ed1(ta: np.ndarray, tb: np.ndarray) -> np.ndarray:
@@ -117,7 +130,14 @@ def _verify_ed1(ta: np.ndarray, tb: np.ndarray) -> np.ndarray:
 def fuzzy_token_join(sf: float, n_buckets: int = 64):
     """All caption-token pairs at Levenshtein distance exactly 1
     (distinct tokens, so ed 0 is impossible). Output: (term_a, term_b)
-    with term_a < term_b, deduped across buckets by a tree merge."""
+    with term_a < term_b.
+
+    NO cross-bucket dedup exchange: with per-term DISTINCT variants
+    (:func:`deletion_variants`), every ed<=1 pair shares exactly one
+    variant string, so it is generated in exactly one bucket and at most
+    once inside it — the verified pair stream IS the answer. The final
+    exchange this removes carried the full pair set (1.4M string pairs
+    at sf0.1); pytest still pins the result equal to the O(V^2) brute."""
     from ..sources.images import ensure_image_table, read_images
     from .treeagg import clean_arrow, tree_group_agg
 
@@ -174,20 +194,16 @@ def fuzzy_token_join(sf: float, n_buckets: int = 64):
         ta, tb = ta[keep], tb[keep]
         ok = _verify_ed1(ta, tb)
         ta, tb = ta[ok], tb[ok]
+        # exactly-one-shared-variant (deletion_variants docstring) ->
+        # each verified pair occurs once in one bucket; no dedup needed
         lo = np.minimum(ta, tb)
         hi = np.maximum(ta, tb)
-        out = pd.DataFrame({"term_a": lo, "term_b": hi}).drop_duplicates()
+        out = pd.DataFrame({"term_a": lo, "term_b": hi})
         return clean_arrow(out.astype({"term_a": str, "term_b": str}))
 
-    pairs = fanned.groupby("b").map_groups(
+    return fanned.groupby("b").map_groups(
         bucket_pairs, batch_format="pandas"
     )
-    # cross-bucket dedup (a pair can surface under several shared
-    # variants): count-agg then drop the count
-    uniq = tree_group_agg(
-        pairs, ["term_a", "term_b"], {"n": (None, "count")}
-    )
-    return uniq.drop_columns(["n"])
 
 
 from ..kernels.segments import segmented_arange as _ramp  # noqa: E402
