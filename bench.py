@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "bfs_hops",
     "fuzzy_token_join",
     "grouped_quantiles",
+    "quantiles_cont",
     "data_quality_audit",
     "radius_count_join",
 ]

@@ -4449,6 +4449,91 @@ FROM events
 
 
 # ---------------------------------------------------------------------------
+# Interpolated (continuous) quantiles — the PERCENTILE_CONT sibling of
+# exact_quantiles, same two-pass bit-prefix histogram, but each quantile
+# needs the order statistics at 0-based positions floor(h) and floor(h)+1
+# for h = p*(n-1), blended as lo*(1-frac) + hi*frac — DuckDB's own
+# association, verified bit-equal across n in {1..1000} x p probes (the
+# naive lo + frac*(hi-lo) differs in the last ulp).
+
+
+def q_quantiles_cont(sf_dir: str):
+    _PS = [0.25, 0.50, 0.75, 0.95, 0.99]
+    ev = _read(sf_dir, "events", ["value"])
+
+    def p1(batch: pa.Table) -> pa.Table:
+        key = _f64_sortkey(batch.column("value").to_numpy()) >> np.uint64(48)
+        pref, cnt = np.unique(key.astype(np.int64), return_counts=True)
+        return pa.table({"prefix": pa.array(pref), "cnt": pa.array(cnt)})
+
+    hist = (
+        tree_group_agg(
+            ev.map_batches(p1, batch_format="pyarrow"),
+            ["prefix"], {"cnt": ("cnt", "sum")},
+        )
+        .to_pandas()
+        .sort_values("prefix")
+        .reset_index(drop=True)
+    )
+    cum = hist["cnt"].cumsum().to_numpy()
+    n = int(cum[-1])
+    # 1-based ranks of every order statistic any quantile touches
+    spec = []
+    ranks = set()
+    for p in _PS:
+        h = p * (n - 1)
+        lo = int(np.floor(h))
+        hi = min(lo + 1, n - 1)
+        frac = h - lo
+        spec.append((p, lo + 1, hi + 1, frac))
+        ranks.update((lo + 1, hi + 1))
+    ranks = sorted(ranks)
+    bidx = np.searchsorted(cum, ranks, side="left")
+    below = {int(b): (0 if b == 0 else int(cum[b - 1])) for b in bidx}
+    need = {int(hist["prefix"][int(b)]): int(b) for b in bidx}
+
+    def p2(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy()
+        key = (_f64_sortkey(v) >> np.uint64(48)).astype(np.int64)
+        mask = np.isin(key, np.fromiter(need, dtype=np.int64))
+        return pa.table(
+            {"prefix": pa.array(key[mask]), "value": pa.array(v[mask])}
+        )
+
+    vals = (
+        tree_group_agg(
+            ev.map_batches(p2, batch_format="pyarrow"),
+            ["prefix", "value"], {"cnt": (None, "count")},
+        )
+        .to_pandas()
+        .sort_values(["prefix", "value"])
+    )
+    at_rank = {}
+    for k, b in zip(ranks, bidx):
+        pref = int(hist["prefix"][int(b)])
+        sub = vals[vals["prefix"] == pref]
+        c = sub["cnt"].cumsum().to_numpy()
+        j = int(np.searchsorted(c, k - below[int(b)], side="left"))
+        at_rank[k] = float(sub["value"].to_numpy()[j])
+    out = {}
+    for p, k_lo, k_hi, frac in spec:
+        vl, vh = at_rank[k_lo], at_rank[k_hi]
+        name = f"p{int(round(p * 100))}"
+        out[name] = vl * (1 - frac) + vh * frac
+    return pd.DataFrame([out])
+
+
+_SQL_QUANTILES_CONT = """
+SELECT quantile_cont(value, 0.25) AS p25,
+       quantile_cont(value, 0.50) AS p50,
+       quantile_cont(value, 0.75) AS p75,
+       quantile_cont(value, 0.95) AS p95,
+       quantile_cont(value, 0.99) AS p99
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
 # Per-group exact quantiles (the p50/p95/p99-per-service aggregate) in ONE
 # pass: values are 2-decimal money, so the (group, cents) histogram is
 # DOMAIN-bounded — types x distinct cent values, independent of row count —
@@ -6243,6 +6328,7 @@ QUERIES = {
     "pivot_events": q_pivot_events,
     "exact_quantiles": q_exact_quantiles,
     "grouped_quantiles": q_grouped_quantiles,
+    "quantiles_cont": q_quantiles_cont,
     "data_quality_audit": q_data_quality_audit,
     "pruned_daterange": q_pruned_daterange,
     "ngram_lm_score": q_ngram_lm_score,
@@ -6350,6 +6436,7 @@ ORACLES = {
     "pivot_events": _SQL_PIVOT_EVENTS,
     "exact_quantiles": _SQL_EXACT_QUANTILES,
     "grouped_quantiles": _SQL_GROUPED_QUANTILES,
+    "quantiles_cont": _SQL_QUANTILES_CONT,
     "data_quality_audit": _SQL_DATA_QUALITY_AUDIT,
     "pruned_daterange": _SQL_PRUNED_DATERANGE,
     "ngram_lm_score": _SQL_NGRAM_LM_SCORE,
