@@ -4389,8 +4389,12 @@ def _f64_sortkey(v: np.ndarray) -> np.ndarray:
     )
 
 
-def q_exact_quantiles(sf_dir: str):
-    _PS = [(1, 4), (1, 2), (3, 4), (19, 20)]  # p25 p50 p75 p95
+def _order_stats_at_ranks(sf_dir: str, ranks_of_n) -> tuple[dict, int]:
+    """value of events.value at each requested 1-based rank, via the
+    two-pass bit-prefix histogram (the shared machinery of
+    exact_quantiles and quantiles_cont). ``ranks_of_n(n) -> iterable of
+    1-based ranks`` runs after pass 1 (ranks usually depend on n).
+    Returns ({rank: value}, n)."""
     ev = _read(sf_dir, "events", ["value"])
 
     def p1(batch: pa.Table) -> pa.Table:
@@ -4409,85 +4413,8 @@ def q_exact_quantiles(sf_dir: str):
     )
     cum = hist["cnt"].cumsum().to_numpy()
     n = int(cum[-1])
-    ranks = [(num * n + den - 1) // den for num, den in _PS]
+    ranks = sorted(set(int(k) for k in ranks_of_n(n)))
     # bucket index + ranks-below for each target rank
-    bidx = np.searchsorted(cum, ranks, side="left")
-    below = {int(b): (0 if b == 0 else int(cum[b - 1])) for b in bidx}
-    need = {int(hist["prefix"][int(b)]): int(b) for b in bidx}
-
-    def p2(batch: pa.Table) -> pa.Table:
-        v = batch.column("value").to_numpy()
-        key = (_f64_sortkey(v) >> np.uint64(48)).astype(np.int64)
-        mask = np.isin(key, np.fromiter(need, dtype=np.int64))
-        return pa.table({"prefix": pa.array(key[mask]), "value": pa.array(v[mask])})
-
-    vals = (
-        tree_group_agg(
-            ev.map_batches(p2, batch_format="pyarrow"),
-            ["prefix", "value"], {"cnt": (None, "count")},
-        )
-        .to_pandas()
-        .sort_values(["prefix", "value"])
-    )
-    out = {}
-    for (name, k, b) in zip(["p25", "p50", "p75", "p95"], ranks, bidx):
-        pref = int(hist["prefix"][int(b)])
-        sub = vals[vals["prefix"] == pref]
-        c = sub["cnt"].cumsum().to_numpy()
-        j = int(np.searchsorted(c, k - below[int(b)], side="left"))
-        out[name] = float(sub["value"].to_numpy()[j])
-    return pd.DataFrame([out])
-
-
-_SQL_EXACT_QUANTILES = """
-SELECT quantile_disc(value, 0.25) AS p25,
-       quantile_disc(value, 0.50) AS p50,
-       quantile_disc(value, 0.75) AS p75,
-       quantile_disc(value, 0.95) AS p95
-FROM events
-"""
-
-
-# ---------------------------------------------------------------------------
-# Interpolated (continuous) quantiles — the PERCENTILE_CONT sibling of
-# exact_quantiles, same two-pass bit-prefix histogram, but each quantile
-# needs the order statistics at 0-based positions floor(h) and floor(h)+1
-# for h = p*(n-1), blended as lo*(1-frac) + hi*frac — DuckDB's own
-# association, verified bit-equal across n in {1..1000} x p probes (the
-# naive lo + frac*(hi-lo) differs in the last ulp).
-
-
-def q_quantiles_cont(sf_dir: str):
-    _PS = [0.25, 0.50, 0.75, 0.95, 0.99]
-    ev = _read(sf_dir, "events", ["value"])
-
-    def p1(batch: pa.Table) -> pa.Table:
-        key = _f64_sortkey(batch.column("value").to_numpy()) >> np.uint64(48)
-        pref, cnt = np.unique(key.astype(np.int64), return_counts=True)
-        return pa.table({"prefix": pa.array(pref), "cnt": pa.array(cnt)})
-
-    hist = (
-        tree_group_agg(
-            ev.map_batches(p1, batch_format="pyarrow"),
-            ["prefix"], {"cnt": ("cnt", "sum")},
-        )
-        .to_pandas()
-        .sort_values("prefix")
-        .reset_index(drop=True)
-    )
-    cum = hist["cnt"].cumsum().to_numpy()
-    n = int(cum[-1])
-    # 1-based ranks of every order statistic any quantile touches
-    spec = []
-    ranks = set()
-    for p in _PS:
-        h = p * (n - 1)
-        lo = int(np.floor(h))
-        hi = min(lo + 1, n - 1)
-        frac = h - lo
-        spec.append((p, lo + 1, hi + 1, frac))
-        ranks.update((lo + 1, hi + 1))
-    ranks = sorted(ranks)
     bidx = np.searchsorted(cum, ranks, side="left")
     below = {int(b): (0 if b == 0 else int(cum[b - 1])) for b in bidx}
     need = {int(hist["prefix"][int(b)]): int(b) for b in bidx}
@@ -4515,11 +4442,60 @@ def q_quantiles_cont(sf_dir: str):
         c = sub["cnt"].cumsum().to_numpy()
         j = int(np.searchsorted(c, k - below[int(b)], side="left"))
         at_rank[k] = float(sub["value"].to_numpy()[j])
+    return at_rank, n
+
+
+def q_exact_quantiles(sf_dir: str):
+    _PS = [(1, 4), (1, 2), (3, 4), (19, 20)]  # p25 p50 p75 p95
+
+    def ranks_of_n(n):
+        return [(num * n + den - 1) // den for num, den in _PS]
+
+    at_rank, n = _order_stats_at_ranks(sf_dir, ranks_of_n)
+    names = ["p25", "p50", "p75", "p95"]
+    ranks = ranks_of_n(n)
+    return pd.DataFrame([{nm: at_rank[k] for nm, k in zip(names, ranks)}])
+
+
+_SQL_EXACT_QUANTILES = """
+SELECT quantile_disc(value, 0.25) AS p25,
+       quantile_disc(value, 0.50) AS p50,
+       quantile_disc(value, 0.75) AS p75,
+       quantile_disc(value, 0.95) AS p95
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# Interpolated (continuous) quantiles — the PERCENTILE_CONT sibling of
+# exact_quantiles, same two-pass bit-prefix histogram, but each quantile
+# needs the order statistics at 0-based positions floor(h) and floor(h)+1
+# for h = p*(n-1), blended as lo*(1-frac) + hi*frac — DuckDB's own
+# association, verified bit-equal across n in {1..1000} x p probes (the
+# naive lo + frac*(hi-lo) differs in the last ulp).
+
+
+def q_quantiles_cont(sf_dir: str):
+    _PS = [0.25, 0.50, 0.75, 0.95, 0.99]
+
+    def spec_of_n(n):
+        spec = []
+        for p in _PS:
+            h = p * (n - 1)
+            lo = int(np.floor(h))
+            hi = min(lo + 1, n - 1)
+            spec.append((p, lo + 1, hi + 1, h - lo))
+        return spec
+
+    def ranks_of_n(n):
+        return [k for (_, k_lo, k_hi, _) in spec_of_n(n)
+                for k in (k_lo, k_hi)]
+
+    at_rank, n = _order_stats_at_ranks(sf_dir, ranks_of_n)
     out = {}
-    for p, k_lo, k_hi, frac in spec:
+    for p, k_lo, k_hi, frac in spec_of_n(n):
         vl, vh = at_rank[k_lo], at_rank[k_hi]
-        name = f"p{int(round(p * 100))}"
-        out[name] = vl * (1 - frac) + vh * frac
+        out[f"p{int(round(p * 100))}"] = vl * (1 - frac) + vh * frac
     return pd.DataFrame([out])
 
 

@@ -40,19 +40,22 @@ def _hilbert_key(batch: pa.Table) -> pa.Table:
     return batch.append_column("hkey", pa.array(zxy_to_id(_Z, x, y)))
 
 
+def _events_with_hkey(sf_dir: str):
+    from ..sources.tables import read_table
+
+    ds = read_table(sf_dir, "events", ["event_id", "value"])
+    return ds.map_batches(
+        lambda b: add_lnglat_arith(b, "event_id"), batch_format="pyarrow"
+    ).map_batches(_hilbert_key, batch_format="pyarrow")
+
+
 def write_clustered_events(sf_dir: str, out_dir: str,
                            rows_per_group: int = 2048) -> str:
     """Write events (with derived lng/lat) Hilbert-clustered; returns the
     parquet directory. Sort is Ray's distributed range sort — no driver
     materialization."""
-    from ..sources.tables import read_table
-
-    ds = read_table(sf_dir, "events", ["event_id", "value"])
-    ds = ds.map_batches(
-        lambda b: add_lnglat_arith(b, "event_id"), batch_format="pyarrow"
-    ).map_batches(_hilbert_key, batch_format="pyarrow")
     os.makedirs(out_dir, exist_ok=True)
-    ds.sort("hkey").write_parquet(
+    _events_with_hkey(sf_dir).sort("hkey").write_parquet(
         out_dir, row_group_size=rows_per_group
     )
     return out_dir
@@ -61,24 +64,22 @@ def write_clustered_events(sf_dir: str, out_dir: str,
 def write_unclustered_events(sf_dir: str, out_dir: str,
                              rows_per_group: int = 2048) -> str:
     """Same table, arrival order (the layout a naive ingest leaves)."""
-    from ..sources.tables import read_table
-
-    ds = read_table(sf_dir, "events", ["event_id", "value"])
-    ds = ds.map_batches(
-        lambda b: add_lnglat_arith(b, "event_id"), batch_format="pyarrow"
-    ).map_batches(_hilbert_key, batch_format="pyarrow")
     os.makedirs(out_dir, exist_ok=True)
-    ds.write_parquet(out_dir, row_group_size=rows_per_group)
+    _events_with_hkey(sf_dir).write_parquet(
+        out_dir, row_group_size=rows_per_group
+    )
     return out_dir
 
 
 def row_groups_scanned(parquet_dir: str, lng_lo: float, lng_hi: float,
-                       lat_lo: float, lat_hi: float) -> tuple[int, int]:
-    """(row groups a bbox pushdown scan must read, total row groups) —
-    decided purely from footer statistics, no data bytes touched."""
+                       lat_lo: float, lat_hi: float) -> tuple[int, int, int]:
+    """(row groups a bbox pushdown scan must read, total row groups,
+    rows inside those matched groups) — decided purely from footer
+    statistics, no data bytes touched. A group with missing/disabled
+    statistics counts as a hit (a pushdown scanner must read it)."""
     import pyarrow.parquet as pq
 
-    hit = total = 0
+    hit = total = hit_rows = 0
     for f in sorted(os.listdir(parquet_dir)):
         if not f.endswith(".parquet"):
             continue
@@ -91,7 +92,14 @@ def row_groups_scanned(parquet_dir: str, lng_lo: float, lng_hi: float,
             s_lng = rg.column(i_lng).statistics
             s_lat = rg.column(i_lat).statistics
             total += 1
-            if (s_lng.min <= lng_hi and s_lng.max >= lng_lo
-                    and s_lat.min <= lat_hi and s_lat.max >= lat_lo):
+            no_stats = (
+                s_lng is None or s_lat is None
+                or not s_lng.has_min_max or not s_lat.has_min_max
+            )
+            if no_stats or (
+                s_lng.min <= lng_hi and s_lng.max >= lng_lo
+                and s_lat.min <= lat_hi and s_lat.max >= lat_lo
+            ):
                 hit += 1
-    return hit, total
+                hit_rows += rg.num_rows
+    return hit, total, hit_rows
