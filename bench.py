@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "quantiles_cont",
     "data_quality_audit",
     "radius_count_join",
+    "bpe_encode_stats",
 ]
 
 

@@ -6204,6 +6204,19 @@ def q_semdedup(sf_dir: str):
     return semdedup(sf_dir)
 
 
+def q_bpe_encode_stats(sf_dir: str, n_merges: int = 8):
+    """The tokenizer's inference side: train the merge table once
+    (bpe_merges' distributed loop), then a ZERO-exchange encode pass maps
+    per-doc word/symbol/BPE-token counts (stages/bpe.py). Rows-only
+    (merge application isn't SQL); pytest pins == the pure-Python
+    reference tokenizer per doc."""
+    from ..stages.bpe import bpe_encode_stats_ds, bpe_train_ds
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    merges = bpe_train_ds(docs, n_merges=n_merges)
+    return bpe_encode_stats_ds(docs, merges)
+
+
 def q_fuzzy_token_join(sf_dir: str):
     """FastSS edit-distance<=1 similarity join over caption tokens
     (stages/fuzzy.py). Rows-only (image table is outside the SQL views);
@@ -6329,6 +6342,7 @@ QUERIES = {
     "latest_event_per_user": q_latest_event_per_user,
     "scd2_intervals": q_scd2_intervals,
     "semdedup": q_semdedup,
+    "bpe_encode_stats": q_bpe_encode_stats,
     "fuzzy_token_join": q_fuzzy_token_join,
     "late_supplier_blame": q_late_supplier_blame,
     "global_shuffle_rank": q_global_shuffle_rank,

@@ -122,6 +122,69 @@ def bpe_train_ds(ds, n_merges: int = 8, text_col: str = "text") -> pd.DataFrame:
     return pd.DataFrame(merges)
 
 
+def apply_merges_token_counts(words: pd.Series,
+                              merges: pd.DataFrame) -> np.ndarray:
+    """Symbols per word after applying the merge table in rank order —
+    the trained tokenizer's ENCODE side, on unique words (same regex
+    greedy-left-to-right semantics as training)."""
+    rep = _rep_of(words.reset_index(drop=True))
+    for _, m in merges.iterrows():
+        pat = re.compile(
+            r"(?<!\S)" + re.escape(str(m["left"])) + r" "
+            + re.escape(str(m["right"])) + r"(?!\S)"
+        )
+        rep = rep.str.replace(pat, str(m["left"]) + str(m["right"]),
+                              regex=True)
+    return (rep.str.count(" ") + 1).to_numpy(dtype=np.int64)
+
+
+def bpe_encode_stats_ds(ds, merges: pd.DataFrame, text_col: str = "text"):
+    """Per-document token counts under a trained BPE tokenizer.
+
+    The inference side of the pipeline: embarrassingly parallel (ZERO
+    exchanges) — each batch reduces its texts to the batch-local UNIQUE
+    word set (Zipf makes that far smaller than the token stream), applies
+    the merge table once per unique word, and maps counts back through
+    the unique-inverse. The merge table is the model artifact and ships
+    with the task fn; with a real vocab-sized tokenizer this becomes the
+    actor-pool + ``ray.put`` pattern.
+
+    Output: (doc_id, n_words, n_sym0, n_bpe) — words, char-level symbols
+    (chars + </w> per word), and post-merge BPE tokens."""
+
+    def encode(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        toks = pc.split_pattern(
+            pc.cast(batch.column(text_col), pa.string()), " "
+        )
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        docs = batch.column("doc_id").to_numpy()
+        row_full = np.repeat(np.arange(len(docs)), lens)
+        flat = np.asarray(pc.list_flatten(toks).to_pylist(), dtype=object)
+        keep = flat != ""
+        flat, row = flat[keep], row_full[keep]
+        uniq, inv = np.unique(flat, return_inverse=True)
+        bpe_u = apply_merges_token_counts(pd.Series(uniq), merges)
+        sym0_u = np.array([len(w) + 1 for w in uniq], dtype=np.int64)
+        n_words = np.zeros(len(docs), dtype=np.int64)
+        n_sym0 = np.zeros(len(docs), dtype=np.int64)
+        n_bpe = np.zeros(len(docs), dtype=np.int64)
+        np.add.at(n_words, row, 1)
+        np.add.at(n_sym0, row, sym0_u[inv])
+        np.add.at(n_bpe, row, bpe_u[inv])
+        return pa.table(
+            {
+                "doc_id": pa.array(docs),
+                "n_words": pa.array(n_words),
+                "n_sym0": pa.array(n_sym0),
+                "n_bpe": pa.array(n_bpe),
+            }
+        )
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
 def bpe_train_reference(texts: list[str], n_merges: int = 8) -> pd.DataFrame:
     """Pure-Python reference (test oracle): same tie-break, same overlap
     counting, same greedy left-to-right merge application."""
