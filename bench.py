@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "data_quality_audit",
     "radius_count_join",
     "bpe_encode_stats",
+    "grouped_mad",
 ]
 
 

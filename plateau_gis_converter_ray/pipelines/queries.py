@@ -4560,6 +4560,88 @@ def q_grouped_quantiles(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# Grouped Median Absolute Deviation — the robust-statistics outlier scale
+# (MAD = median(|v - median|)), a TWO-LEVEL dependent aggregate: the inner
+# median must complete before the outer one can start. Both levels reuse
+# the domain-bounded (group, cents) histogram: pass 1's per-group medians
+# are a <= |groups|-row driver table shipped with pass 2's task fn, and
+# pass 2 histograms the absolute residuals. Rank k = ceil(p*n) both
+# levels (quantile_disc semantics).
+
+
+def q_grouped_mad(sf_dir: str):
+    from ..stages.treeagg import clean_arrow
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = np.round(batch.column("value").to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {"event_type": batch.column("event_type"), "value_c": pa.array(v)}
+        )
+
+    prepped = ev.map_batches(prep, batch_format="pyarrow").materialize()
+    histo = tree_group_agg(
+        prepped, ["event_type", "value_c"], {"cnt": (None, "count")},
+    ).to_pandas()
+
+    def median_of(h: pd.DataFrame) -> dict:
+        med = {}
+        for et, g in h.groupby("event_type"):
+            g = g.sort_values("value_c")
+            c = g["cnt"].cumsum().to_numpy()
+            n = int(c[-1])
+            k = (n + 1) // 2
+            med[et] = int(
+                g["value_c"].to_numpy()[np.searchsorted(c, k, side="left")]
+            )
+        return med
+
+    med = median_of(histo)  # <= |event types| entries — the broadcast side
+
+    def resid(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        v = batch.column("value_c").to_numpy()
+        codes, uniq = pd.factorize(et)  # loop only over the <=8 types
+        m = np.array([med[u] for u in uniq], dtype=np.int64)[codes]
+        return pa.table(
+            {"event_type": batch.column("event_type"),
+             "value_c": pa.array(np.abs(v - m))}
+        )
+
+    histo2 = tree_group_agg(
+        prepped.map_batches(resid, batch_format="pyarrow"),
+        ["event_type", "value_c"], {"cnt": (None, "count")},
+    ).to_pandas()
+    mad = median_of(histo2)
+    out = pd.DataFrame(
+        sorted(
+            ({"event_type": et, "median_c": med[et], "mad_c": mad[et]}
+             for et in med),
+            key=lambda r: r["event_type"],
+        )
+    )
+    out["median_c"] = out["median_c"].astype(np.int64)
+    out["mad_c"] = out["mad_c"].astype(np.int64)
+    return out
+
+
+_SQL_GROUPED_MAD = """
+WITH v AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS value_c
+  FROM events
+), m AS (
+  SELECT event_type, quantile_disc(value_c, 0.5) AS median_c
+  FROM v GROUP BY 1
+)
+SELECT v.event_type, MAX(m.median_c) AS median_c,
+       quantile_disc(ABS(v.value_c - m.median_c), 0.5) AS mad_c
+FROM v JOIN m USING (event_type)
+GROUP BY 1
+"""
+
+
 _SQL_GROUPED_QUANTILES = """
 WITH v AS (
   SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS value_c
@@ -6317,6 +6399,7 @@ QUERIES = {
     "pivot_events": q_pivot_events,
     "exact_quantiles": q_exact_quantiles,
     "grouped_quantiles": q_grouped_quantiles,
+    "grouped_mad": q_grouped_mad,
     "quantiles_cont": q_quantiles_cont,
     "data_quality_audit": q_data_quality_audit,
     "pruned_daterange": q_pruned_daterange,
@@ -6426,6 +6509,7 @@ ORACLES = {
     "pivot_events": _SQL_PIVOT_EVENTS,
     "exact_quantiles": _SQL_EXACT_QUANTILES,
     "grouped_quantiles": _SQL_GROUPED_QUANTILES,
+    "grouped_mad": _SQL_GROUPED_MAD,
     "quantiles_cont": _SQL_QUANTILES_CONT,
     "data_quality_audit": _SQL_DATA_QUALITY_AUDIT,
     "pruned_daterange": _SQL_PRUNED_DATERANGE,
