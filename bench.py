@@ -122,6 +122,10 @@ BENCH_QUERIES = [
     "radius_count_join",
     "bpe_encode_stats",
     "grouped_mad",
+    # r4: persistent IVF-PQ index — min-of-reps makes the second (search-
+    # only, resume-skipped build) rep the recorded figure
+    "ivfpq_index_build",
+    "ivfpq_search_cached",
 ]
 
 
@@ -326,4 +330,11 @@ if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
-        print(json.dumps(run_bench()))
+        result = run_bench()
+        # full record (incl. the large per-query dict) on its own line,
+        # then a compact headline-only line LAST: the driver's tail-capture
+        # window is bounded and must always see a parseable final line
+        print(json.dumps(result))
+        compact = {k: v for k, v in result.items() if k != "queries"}
+        compact["n_queries_timed"] = len(result.get("queries", {}))
+        print(json.dumps(compact))

@@ -5404,6 +5404,45 @@ def q_ivfpq_ann_search(sf_dir: str, nprobe: int = 4):
 
 
 # ---------------------------------------------------------------------------
+# Persistent IVF-PQ index (stages/ann_index.py): the build/search split of
+# the FAISS workflow. `ivfpq_index_build` writes a bucket-partitioned
+# parquet index (atomic per-bucket dirs, driver-side manifest, meta.json
+# completion marker keyed by input fingerprint) and resume-SKIPS a complete
+# index; `ivfpq_search_cached` loads the tiny meta and reads only the
+# probed bucket partitions — scan-level pruning, bit-identical results to
+# the composed ivfpq_ann_search (pytest-pinned). Rows-only.
+
+
+def q_ivfpq_index_build(sf_dir: str):
+    from ..stages.ann_index import ivfpq_index_build
+
+    res = ivfpq_index_build(sf_dir)
+    return pd.DataFrame(
+        {
+            "bucket": [b for b, _ in res["buckets"]],
+            "rows": [r for _, r in res["buckets"]],
+            "built": [bool(res["built"])] * len(res["buckets"]),
+        }
+    )
+
+
+def q_ivfpq_search_cached(sf_dir: str, nprobe: int = 4):
+    from ..stages.ann_index import ivfpq_index_build, ivfpq_search_cached
+
+    res = ivfpq_index_build(sf_dir)  # no-op when the index is complete
+    head = (
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .sort("vec_id").limit(8).to_pandas()
+    )
+    return ivfpq_search_cached(
+        res["index_dir"],
+        {"qid": head["vec_id"].to_numpy(),
+         "vecs": np.stack(head["embedding"].to_numpy())},
+        topk=10, nprobe=nprobe,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Trajectory length: per-user sum of consecutive-event step distances in
 # ts order — the movement-analytics op over the deterministic geocode. One
 # group exchange; steps computed by a vectorized shift inside each bounded
@@ -6431,6 +6470,8 @@ QUERIES = {
     "global_shuffle_rank": q_global_shuffle_rank,
     "pattern_triples": q_pattern_triples,
     "bfs_hops": q_bfs_hops,
+    "ivfpq_index_build": q_ivfpq_index_build,
+    "ivfpq_search_cached": q_ivfpq_search_cached,
 }
 
 ORACLES = {

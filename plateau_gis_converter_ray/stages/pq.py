@@ -182,13 +182,18 @@ def pq_adc_search(codes_ds, books: np.ndarray, queries: dict, topk: int = 10):
         vid = batch.column("vec_id").to_numpy()
         raw = batch.column("code").to_numpy(zero_copy_only=False)
         codes = np.frombuffer(b"".join(raw), dtype=np.uint8).reshape(-1, n_sub)
+        # rows sorted by vec_id so a STABLE per-query sort on distance
+        # realises the (dist, vec_id) composite order exactly — an
+        # argpartition on distance alone can drop the smallest ann_id
+        # among >topk boundary-distance ties (identical PQ codes)
+        ordv = np.argsort(vid, kind="stable")
+        vid, codes = vid[ordv], codes[ordv]
         # dist[q, n] = sum over m of LUT[q, m, codes[n, m]]
         dist = np.zeros((len(qids_), len(vid)), dtype=np.int64)
         for m in range(n_sub):
             dist += lut_[:, m, codes[:, m]]
         t = min(topk, len(vid))
-        # vectorized per-query top-t with (dist, vec_id) tie order
-        part = np.argpartition(dist, t - 1, axis=1)[:, :t]
+        part = np.argsort(dist, axis=1, kind="stable")[:, :t]
         rows = {
             "qid": np.repeat(qids_, t),
             "ann_id": vid[part].ravel(),
@@ -325,13 +330,18 @@ def ivfpq_adc_search(codes_ds, coarse: np.ndarray, books: np.ndarray,
         bkt = batch.column("bucket").to_numpy()
         raw = batch.column("code").to_numpy(zero_copy_only=False)
         codes = np.frombuffer(b"".join(raw), dtype=np.uint8).reshape(-1, n_sub)
+        # vec_id-sorted rows + stable per-query sort = exact (dist, vec_id)
+        # composite order even with >topk boundary-distance ties (see
+        # pq_adc_search.block_topk)
+        ordv = np.argsort(vid, kind="stable")
+        vid, bkt, codes = vid[ordv], bkt[ordv], codes[ordv]
         nq = len(qids_)
         dist = np.zeros((nq, len(vid)), dtype=np.int64)
         for m in range(n_sub):
             dist += lut_[:, bkt, m, codes[:, m]]
         dist[~probed_[:, bkt]] = SENTINEL  # rows outside each query's probes
         t = min(topk, len(vid))
-        part = np.argpartition(dist, t - 1, axis=1)[:, :t]
+        part = np.argsort(dist, axis=1, kind="stable")[:, :t]
         d = np.take_along_axis(dist, part, axis=1)
         rows = pd.DataFrame(
             {
