@@ -2999,8 +2999,16 @@ def q_corpus_dedup(sf_dir: str):
     pairs = ngram_jaccard_blocked(sf_dir).select_columns(["doc_a", "doc_b"])
     comp = connected_components(pairs)  # (doc_id, comp), dup docs only
     docs = _read(sf_dir, "documents", ["doc_id"])
-    j = docs.join(comp, "left_outer", num_partitions=JOIN_PARTS,
-                  on=("doc_id",))
+    # the comp side holds one 16-byte row per DUP doc — usually tiny, so
+    # materialize it (already the CC output, small by construction) and
+    # let the planner broadcast on measured size; a pathological corpus
+    # where half the docs are dups falls back to the shuffle join
+    from ..stages.joins import auto_join
+
+    comp = comp.materialize()
+    j = auto_join(docs, comp, on=("doc_id",), how="left_outer",
+                  num_partitions=JOIN_PARTS,
+                  right_size_hint=comp.size_bytes())
 
     def finish(batch: pa.Table) -> pa.Table:
         did = batch.column("doc_id")

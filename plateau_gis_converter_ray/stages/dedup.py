@@ -39,18 +39,23 @@ def exact_dedup_docs(sf_dir: str):
 
     ds = read_table(sf_dir, "documents", ["doc_id", "text"])
 
-    def hash_stage(batch: pd.DataFrame) -> pd.DataFrame:
+    def hash_stage(batch: pa.Table) -> pa.Table:
+        # only the text column crosses into pandas (the hash kernel's input
+        # type); the stage consumes and emits Arrow so the exchange it
+        # feeds never sees a pandas block or its schema-metadata blob
+        txt = batch.column("text").to_pandas()
         h1 = pd.util.hash_pandas_object(
-            batch["text"], index=False, hash_key="plateau-dedup-h1"
+            txt, index=False, hash_key="plateau-dedup-h1"
         ).to_numpy().astype(np.int64)
         h2 = pd.util.hash_pandas_object(
-            batch["text"], index=False, hash_key="plateau-dedup-h2"
+            txt, index=False, hash_key="plateau-dedup-h2"
         ).to_numpy().astype(np.int64)
-        return pd.DataFrame(
-            {"doc_id": batch["doc_id"].to_numpy(), "h1": h1, "h2": h2}
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "h1": pa.array(h1),
+             "h2": pa.array(h2)}
         )
 
-    ds = ds.map_batches(hash_stage, batch_format="pandas")
+    ds = ds.map_batches(hash_stage, batch_format="pyarrow")
     agg = tree_group_agg(
         ds, ["h1", "h2"],
         {"doc_id_keep": ("doc_id", "min"), "n_dups": (None, "count")},
@@ -268,22 +273,27 @@ def ngram_jaccard_blocked(sf_dir: str, n: int = 3, block_chars: int = 32,
 
     ds = read_table(sf_dir, "documents", ["doc_id", "text", "lang", "source", "n_chars"])
 
-    # vectorized block key (lang|source|bucket) without per-row Python;
-    # one flat string key -> one groupby column in the shuffle
-    def add_block(batch: pd.DataFrame) -> pd.DataFrame:
-        lb = (batch["n_chars"].to_numpy() // block_chars).astype(np.int64)
-        blk = (
-            batch["lang"].astype(str)
-            + "|"
-            + batch["source"].astype(str)
-            + "|"
-            + pd.Series(lb, index=batch.index).astype(str)
-        )
-        out = batch[["doc_id", "text"]].copy()
-        out["blk"] = blk
-        return out
+    # vectorized block key (lang|source|bucket) — pure-columnar Arrow, no
+    # pandas round-trip in the stage that feeds the block exchange
+    def add_block(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-    blocked = ds.map_batches(add_block, batch_format="pandas")
+        lb = batch.column("n_chars").to_numpy() // block_chars
+        blk = pc.binary_join_element_wise(
+            pc.cast(batch.column("lang"), pa.string()),
+            pc.cast(batch.column("source"), pa.string()),
+            pc.cast(pa.array(lb.astype(np.int64)), pa.string()),
+            "|",
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "text": batch.column("text"),
+                "blk": blk,
+            }
+        )
+
+    blocked = ds.map_batches(add_block, batch_format="pyarrow")
 
     empty = pd.DataFrame(
         {"doc_a": [], "doc_b": [], "inter": [], "uni": [], "jac_e6": []}
@@ -292,38 +302,89 @@ def ngram_jaccard_blocked(sf_dir: str, n: int = 3, block_chars: int = 32,
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("doc_id")
         ids = g["doc_id"].to_numpy()
-        if len(ids) < 2:
+        k = len(ids)
+        if k < 2:
             return empty
-        grams = [
-            frozenset(t[i : i + n] for i in range(len(t) - n + 1))
-            for t in g["text"]
-        ]
-        a_idx, b_idx = np.triu_indices(len(ids), k=1)
-        rows_a, rows_b, inter, uni = [], [], [], []
-        for ai, bi in zip(a_idx, b_idx):
-            ga, gb = grams[ai], grams[bi]
-            i = len(ga & gb)
-            u = len(ga) + len(gb) - i
-            if u > 0 and i * 1_000_000 // u >= jac_e6_threshold:
-                rows_a.append(int(ids[ai]))
-                rows_b.append(int(ids[bi]))
-                inter.append(i)
-                uni.append(u)
-        if not rows_a:
+        # exact distinct-gram codes per doc: each char n-gram is packed
+        # injectively into one int64 (codepoints < 2^21, n <= 3 fits 63
+        # bits), so np.unique over codes == the Python set of substrings
+        # bit-for-bit — no hashing, no collisions (the oracle is exact)
+        codes_per_doc = _doc_gram_codes(list(g["text"]), n)
+        sizes = np.array([len(c) for c in codes_per_doc], dtype=np.int64)
+        allg = (
+            np.concatenate(codes_per_doc)
+            if len(codes_per_doc)
+            else np.empty(0, np.int64)
+        )
+        uniq, inv = np.unique(allg, return_inverse=True)
+        # docs x distinct-grams indicator; intersections for ALL pairs in
+        # one BLAS matmul (float32 0/1 sums are exact below 2^24, and a
+        # doc's gram count is far below that). Block population is the
+        # documented quadratic-cost lever — k and D are both bounded by
+        # the blocking key, so the matrix stays small per task.
+        M = np.zeros((k, len(uniq)), dtype=np.float32)
+        M[np.repeat(np.arange(k), sizes), inv] = 1.0
+        inter_m = np.rint(M @ M.T).astype(np.int64)
+        a_idx, b_idx = np.triu_indices(k, k=1)
+        inter_np = inter_m[a_idx, b_idx]
+        uni_np = sizes[a_idx] + sizes[b_idx] - inter_np
+        jac = inter_np * 1_000_000 // np.maximum(uni_np, 1)
+        m = (uni_np > 0) & (jac >= jac_e6_threshold)
+        if not m.any():
             return empty
-        inter_np = np.array(inter, dtype=np.int64)
-        uni_np = np.array(uni, dtype=np.int64)
         return pd.DataFrame(
             {
-                "doc_a": np.array(rows_a, dtype=np.int64),
-                "doc_b": np.array(rows_b, dtype=np.int64),
-                "inter": inter_np,
-                "uni": uni_np,
-                "jac_e6": inter_np * 1_000_000 // uni_np,
+                "doc_a": ids[a_idx[m]].astype(np.int64),
+                "doc_b": ids[b_idx[m]].astype(np.int64),
+                "inter": inter_np[m],
+                "uni": uni_np[m],
+                "jac_e6": jac[m],
             }
         )
 
     return blocked.groupby("blk").map_groups(pairs, batch_format="pandas")
+
+
+def _doc_gram_codes(texts: list[str], n: int) -> list[np.ndarray]:
+    """Per-doc sorted distinct char-``n``-gram codes, exactly equal (as
+    sets) to ``{t[i:i+n]}``: codepoints via utf-32-le (Python str slicing
+    is codepoint slicing), packed 21 bits each for n <= 3, else compared
+    as codepoint rows (``np.unique(axis=0)`` -> dense row ids)."""
+    if n <= 3:
+        out = []
+        for t in texts:
+            cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(
+                np.int64
+            )
+            w = len(cp) - n + 1
+            if w <= 0:
+                out.append(np.empty(0, np.int64))
+                continue
+            code = cp[:w].copy()
+            for j in range(1, n):
+                code |= cp[j : w + j] << (21 * j)
+            out.append(np.unique(code))
+        return out
+    # general n: block-local dense ids from row-wise unique over the
+    # (num_grams, n) codepoint window matrix — still exact, no hashing
+    mats, doc_of = [], []
+    for d, t in enumerate(texts):
+        cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+        w = len(cp) - n + 1
+        if w <= 0:
+            continue
+        win = np.lib.stride_tricks.sliding_window_view(cp, n)
+        mats.append(win)
+        doc_of.append(np.full(w, d, dtype=np.int64))
+    if not mats:
+        return [np.empty(0, np.int64) for _ in texts]
+    allwin = np.concatenate(mats)
+    _, inv = np.unique(allwin, axis=0, return_inverse=True)
+    doc_all = np.concatenate(doc_of)
+    return [
+        np.unique(inv[doc_all == d]).astype(np.int64)
+        for d in range(len(texts))
+    ]
 
 
 def phash_hamming_near_dup(image_files: list[str], max_hamming: int = 3,
