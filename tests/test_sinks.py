@@ -435,6 +435,60 @@ def test_ply_writer_roundtrip(ray_session, tmp_path):
     assert len(set(back["faces"][0]) & set(back["faces"][1])) == 2
 
 
+def test_ply_writer_distributed_matches_sequential_indexset(
+    ray_session, tmp_path
+):
+    """The distributed first-occurrence dedup (hash exchange + range sort,
+    no driver dict) must produce BYTE-identical output to the sequential
+    IndexSet pass of ply/mod.rs:192-202 — on a multi-block dataset with
+    duplicate vertices both within and ACROSS blocks."""
+    import numpy as np
+    import ray.data
+
+    from plateau_gis_converter_ray.sinks.ply import (
+        PLY_HEADER_TEMPLATE,
+        write_ply_from_triangles,
+    )
+
+    rng = np.random.default_rng(7)
+    # 60 triangles drawn from a 15-point vertex pool => heavy sharing
+    pool = rng.normal(size=(15, 3)) * 10
+    tris = pool[rng.integers(0, 15, size=(60, 3))]
+    items = [{"tri_xyz": t.reshape(-1).tolist()} for t in tris]
+    ds = ray.data.from_items(items).repartition(7)  # force cross-block dups
+
+    path = str(tmp_path / "dist.ply")
+    info = write_ply_from_triangles(ds, path)
+
+    # sequential reference: the exact IndexSet semantics
+    corners = tris.reshape(-1, 3)
+    um = np.round(corners * 1e6).astype(np.int64)
+    mu = um.sum(axis=0).astype(np.float64) / (1e6 * len(corners))
+    rec = corners - mu[None, :]
+    vindex: dict = {}
+    vbuf = bytearray()
+    idxs = []
+    for row in np.ascontiguousarray(rec, dtype="<f8").view(np.uint8).reshape(-1, 24):
+        key = row.tobytes()
+        vi = vindex.get(key)
+        if vi is None:
+            vi = vindex[key] = len(vindex)
+            vbuf += key
+        idxs.append(vi)
+    fbuf = bytearray()
+    for a, b, c in np.array(idxs, dtype=np.uint32).reshape(-1, 3):
+        fbuf += b"\x03" + np.array([a, b, c], dtype="<u4").tobytes()
+    expected = (
+        PLY_HEADER_TEMPLATE.format(n_verts=len(vindex), n_faces=60).encode()
+        + bytes(vbuf)
+        + bytes(fbuf)
+    )
+    with open(path, "rb") as f:
+        got = f.read()
+    assert info["n_verts"] == len(vindex) < len(corners)
+    assert got == expected  # byte-identical
+
+
 def test_write_tiles_layer_column(ray_session, tmp_path):
     """Per-typename MVT layers: a 'layer' column splits features into
     separate Tile.Layer messages (mod.rs layers HashMap)."""
