@@ -119,51 +119,203 @@ def polygonz_record(rings: list[np.ndarray]) -> bytes:
     return bytes(out)
 
 
+def polygonz_single_ring_block(
+    pts: np.ndarray, lens: np.ndarray
+) -> tuple[bytes, np.ndarray, np.ndarray]:
+    """Vectorized .shp record framing for ONE closed ring per feature —
+    byte-identical to ``polygonz_record`` (pytest-pinned), with the
+    lengths/offsets/bboxes computed as arrays and every byte landed by
+    buffer slicing (no per-record Python; the r3 verdict's iterrows fix).
+
+    ``pts``: (sum(lens), 3) closed rings back to back; ``lens``: points
+    per feature (>= 4, first == last). Returns (record_block_bytes,
+    record_words, record_offsets_words) with offsets relative to the
+    100-byte file header.
+    """
+    from ..kernels.segments import segmented_arange
+
+    k = len(lens)
+    lens = np.asarray(lens, dtype=np.int64)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    n_pts = int(lens.sum())
+
+    # outer-ring orientation (ESRI: CW): per-edge cross terms, boundary
+    # terms zeroed, one reduceat per record — then a segmented gather
+    # reverses exactly the CCW rings (ring[::-1] of a closed ring)
+    x, y = pts[:, 0], pts[:, 1]
+    cross = x[:-1] * y[1:] - x[1:] * y[:-1]
+    if k > 1:
+        cross[starts[1:] - 1] = 0.0
+    area2 = np.add.reduceat(
+        np.concatenate([cross, [0.0]]), np.clip(starts, 0, n_pts - 1)
+    )
+    flip = area2 > 0
+    pos_in = segmented_arange(lens)
+    lens_rep = np.repeat(lens, lens)
+    starts_rep = np.repeat(starts, lens)
+    idx = np.where(
+        np.repeat(flip, lens), starts_rep + lens_rep - 1 - pos_in,
+        starts_rep + pos_in,
+    )
+    P = pts[idx]
+
+    cs = np.clip(starts, 0, n_pts - 1)
+    xmin = np.minimum.reduceat(P[:, 0], cs)
+    xmax = np.maximum.reduceat(P[:, 0], cs)
+    ymin = np.minimum.reduceat(P[:, 1], cs)
+    ymax = np.maximum.reduceat(P[:, 1], cs)
+    zmin = np.minimum.reduceat(P[:, 2], cs)
+    zmax = np.maximum.reduceat(P[:, 2], cs)
+
+    content_len = 80 + 32 * lens
+    rec_len = 8 + content_len
+    roffs = np.concatenate([[0], np.cumsum(rec_len)[:-1]])
+    total = int(rec_len.sum())
+    buf = np.zeros(total, dtype=np.uint8)
+
+    # 8-byte big-endian record headers (recno, content words)
+    hdr = np.empty((k, 2), dtype=">i4")
+    hdr[:, 0] = np.arange(1, k + 1)
+    hdr[:, 1] = content_len // 2
+    buf[roffs[:, None] + np.arange(8)] = hdr.view(np.uint8).reshape(k, 8)
+
+    # fixed 48-byte prefix: type, bbox, nparts=1, npts, part0=0
+    fixed = np.zeros((k, 48), dtype=np.uint8)
+    fixed[:, 0:4] = np.frombuffer(struct.pack("<i", SHAPE_POLYGONZ), np.uint8)
+    bbox = np.column_stack([xmin, ymin, xmax, ymax]).astype("<f8")
+    fixed[:, 4:36] = bbox.view(np.uint8).reshape(k, 32)
+    counts = np.empty((k, 2), dtype="<i4")
+    counts[:, 0] = 1
+    counts[:, 1] = lens
+    fixed[:, 36:44] = counts.view(np.uint8).reshape(k, 8)
+    buf[roffs[:, None] + 8 + np.arange(48)] = fixed
+
+    # xy payload: source order == record order, one segmented scatter
+    xy_u8 = np.ascontiguousarray(P[:, :2], dtype="<f8").view(np.uint8).ravel()
+    xy_off = roffs + 56
+    tgt = np.repeat(xy_off, 16 * lens) + segmented_arange(16 * lens)
+    buf[tgt] = xy_u8
+
+    # z range + z values
+    zr_off = xy_off + 16 * lens
+    zr = np.column_stack([zmin, zmax]).astype("<f8")
+    buf[zr_off[:, None] + np.arange(16)] = zr.view(np.uint8).reshape(k, 16)
+    z_u8 = np.ascontiguousarray(P[:, 2], dtype="<f8").view(np.uint8)
+    z_off = zr_off + 16
+    buf[np.repeat(z_off, 8 * lens) + segmented_arange(8 * lens)] = z_u8
+
+    # M range (0,0) + "no data" M values
+    m_off = z_off + 8 * lens
+    buf[m_off[:, None] + np.arange(16)] = 0  # <2d zeros
+    mv = np.full(n_pts, -1e40, dtype="<f8").view(np.uint8)
+    buf[np.repeat(m_off + 16, 8 * lens) + segmented_arange(8 * lens)] = mv
+
+    words = rec_len // 2 - 4  # content words per record
+    off_words = 50 + roffs // 2
+    return buf.tobytes(), words, off_words
+
+
+def dbf_record_block(
+    fields: list[tuple[str, str, int]], columns: dict,
+    n_records: int | None = None,
+) -> bytes:
+    """Vectorized dBase III record area: per-field truncate/pad/encode as
+    numpy char kernels, rows assembled through one packed structured
+    array — byte-identical to the per-row str.ljust/rjust path."""
+    nrec = (
+        n_records
+        if n_records is not None
+        else (len(next(iter(columns.values()))) if columns else 0)
+    )
+    dt = np.dtype(
+        [("_del", "S1")]
+        + [(f"f{i}", f"S{w}") for i, (_, _, w) in enumerate(fields)]
+    )
+    rec = np.empty(nrec, dtype=dt)
+    rec["_del"] = b" "
+    for i, (name, ftype, width) in enumerate(fields):
+        vals = np.asarray(
+            [str(v) for v in columns.get(name, [""] * nrec)], dtype=f"U{width}"
+        )  # the U-cast truncates exactly like str[:width]
+        b = np.char.encode(vals, "ascii", "replace")
+        rec[f"f{i}"] = (
+            np.char.rjust(b, width) if ftype == "N" else np.char.ljust(b, width)
+        )
+    return rec.tobytes()
+
+
 def write_polygonz_shp(path_base: str, shapes: list[list[np.ndarray]],
                        fields: list[tuple[str, str, int]],
                        records: list[dict], prj: str = "jgd2011") -> dict:
     """Write the four-file shapefile set; returns per-file byte sizes.
 
     ``shapes``: one list of closed (n,3) rings per feature. ``fields``:
-    (name<=10 chars, 'C'|'N', width); ``records``: one dict per feature.
+    (name<=10 chars, 'C'|'N', width); ``records``: one dict per feature OR
+    a dict of per-field value arrays (the vectorized column form the
+    grouped sink passes).
     """
-    contents = [polygonz_record(s) for s in shapes]
     all_pts = np.concatenate([np.concatenate(s) for s in shapes]) if shapes else np.zeros((1, 3))
     bbox = (all_pts[:, 0].min(), all_pts[:, 1].min(),
             all_pts[:, 0].max(), all_pts[:, 1].max())
     z_range = (all_pts[:, 2].min(), all_pts[:, 2].max())
 
-    # .shp
-    shp = bytearray()
-    offsets_words = []
-    pos_words = 50  # header = 100 bytes
-    for i, content in enumerate(contents):
-        words = len(content) // 2
-        offsets_words.append((pos_words, words))
-        shp += struct.pack(">ii", i + 1, words) + content
-        pos_words += 4 + words
-    shp_bytes = _main_header(SHAPE_POLYGONZ, pos_words, bbox, z_range) + bytes(shp)
+    # .shp / .shx record framing: the one-ring-per-feature case (the
+    # grouped sink's shape) is fully vectorized — lengths/offsets/bboxes
+    # as arrays, bytes landed by buffer slicing; multi-ring features take
+    # the per-record path (byte-identical on the shared case, pinned)
+    if shapes and all(len(s) == 1 for s in shapes):
+        lens = np.array([len(s[0]) for s in shapes], dtype=np.int64)
+        pts = np.concatenate([s[0] for s in shapes]).astype(np.float64)
+        block, words_arr, off_words = polygonz_single_ring_block(pts, lens)
+        pos_words = int(off_words[-1] + 4 + words_arr[-1])
+        shp_bytes = (
+            _main_header(SHAPE_POLYGONZ, pos_words, bbox, z_range) + block
+        )
+        shx_entries = np.column_stack([off_words, words_arr]).astype(">i4")
+        shx_body = shx_entries.tobytes()
+    else:
+        contents = [polygonz_record(s) for s in shapes]
+        shp = bytearray()
+        offsets_words = []
+        pos_words = 50  # header = 100 bytes
+        for i, content in enumerate(contents):
+            words = len(content) // 2
+            offsets_words.append((pos_words, words))
+            shp += struct.pack(">ii", i + 1, words) + content
+            pos_words += 4 + words
+        shp_bytes = (
+            _main_header(SHAPE_POLYGONZ, pos_words, bbox, z_range) + bytes(shp)
+        )
+        shx = bytearray()
+        for off, words in offsets_words:
+            shx += struct.pack(">ii", off, words)
+        shx_body = bytes(shx)
     with open(path_base + ".shp", "wb") as f:
         f.write(shp_bytes)
 
-    # .shx
-    shx = bytearray()
-    for off, words in offsets_words:
-        shx += struct.pack(">ii", off, words)
     shx_bytes = (
-        _main_header(SHAPE_POLYGONZ, 50 + len(shx) // 2, bbox, z_range)
-        + bytes(shx)
+        _main_header(SHAPE_POLYGONZ, 50 + len(shx_body) // 2, bbox, z_range)
+        + shx_body
     )
     with open(path_base + ".shx", "wb") as f:
         f.write(shx_bytes)
 
     # .dbf (dBase III): 11-byte NUL-padded names == the 10-char limit the
     # renamer enforces (transforms.py shorten_field_name)
+    if isinstance(records, dict):
+        columns = records
+        n_records = len(next(iter(columns.values()))) if columns else 0
+    else:
+        n_records = len(records)
+        columns = {
+            name: [rec.get(name, "") for rec in records]
+            for name, _, _ in fields
+        }
     nfields = len(fields)
     record_size = 1 + sum(w for _, _, w in fields)
     header_size = 32 + 32 * nfields + 1
     dbf = bytearray()
-    dbf += struct.pack("<B3BIHH", 0x03, 95, 7, 26, len(records),
+    dbf += struct.pack("<B3BIHH", 0x03, 95, 7, 26, n_records,
                        header_size, record_size)
     dbf += b"\x00" * 20
     for name, ftype, width in fields:
@@ -174,15 +326,7 @@ def write_polygonz_shp(path_base: str, shapes: list[list[np.ndarray]],
         dbf += struct.pack("<BB", width, 0)
         dbf += b"\x00" * 14
     dbf += b"\x0d"
-    for rec in records:
-        dbf += b" "
-        for name, ftype, width in fields:
-            v = rec.get(name, "")
-            s = str(v)[:width]
-            if ftype == "N":
-                dbf += s.rjust(width).encode("ascii", "replace")
-            else:
-                dbf += s.ljust(width).encode("ascii", "replace")
+    dbf += dbf_record_block(fields, columns, n_records)
     dbf += b"\x1a"
     with open(path_base + ".dbf", "wb") as f:
         f.write(bytes(dbf))
@@ -193,7 +337,7 @@ def write_polygonz_shp(path_base: str, shapes: list[list[np.ndarray]],
 
     return {
         "shp_bytes": len(shp_bytes), "shx_bytes": len(shx_bytes),
-        "dbf_bytes": len(dbf), "n_records": len(records),
+        "dbf_bytes": len(dbf), "n_records": n_records,
     }
 
 
@@ -272,17 +416,17 @@ def write_per_type_shapefiles(ds, out_dir: str, type_col: str,
                              if c not in (type_col, ring_col)]
         taken: set = set()
         fields = [(shorten_field_name(c, taken), "C", 32) for c in cols]
+        # close each ring by a first-point gather (per-feature list access
+        # only; all framing downstream is array-vectorized)
         shapes = []
-        records = []
-        for _, row in g.iterrows():
-            flat = np.asarray(row[ring_col], dtype=np.float64).reshape(-1, 3)
-            ring = np.concatenate([flat, flat[:1]])  # close the ring
-            shapes.append([ring])
-            records.append(
-                {f[0]: row[c] for f, c in zip(fields, cols)}
-            )
+        for flat_raw in g[ring_col]:
+            flat = np.asarray(flat_raw, dtype=np.float64).reshape(-1, 3)
+            shapes.append([np.concatenate([flat, flat[:1]])])
+        columns = {
+            f[0]: g[c].astype(str).to_numpy() for f, c in zip(fields, cols)
+        }
         info = write_polygonz_shp(
-            os.path.join(out_dir, typename), shapes, fields, records
+            os.path.join(out_dir, typename), shapes, fields, columns
         )
         return pd.DataFrame(
             {"typename": [typename], "n_records": [info["n_records"]],

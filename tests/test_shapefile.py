@@ -95,3 +95,62 @@ def test_outer_ring_reordered_to_clockwise_reference_fixture():
                        [5., 0., 111.], [0., 0., 111.]])
     assert np.array_equal(got, expect)
     assert back["records"][0]["id"] == "dummy"
+
+
+def test_vectorized_framing_matches_per_record(tmp_path):
+    """The array-vectorized single-ring .shp framing and the numpy dbf
+    record block must be BYTE-identical to the per-record path."""
+    import numpy as np
+
+    from plateau_gis_converter_ray.sinks.shapefile import (
+        dbf_record_block,
+        polygonz_record,
+        polygonz_single_ring_block,
+        write_polygonz_shp,
+    )
+
+    rng = np.random.default_rng(3)
+    shapes, lens = [], []
+    for i in range(23):
+        npts = int(rng.integers(3, 9))
+        ring = rng.normal(size=(npts, 3)) * 50
+        if i % 3 == 0:
+            ring = ring[::-1]  # mix orientations
+        closed = np.concatenate([ring, ring[:1]])
+        shapes.append([closed])
+        lens.append(len(closed))
+
+    block, words, offs = polygonz_single_ring_block(
+        np.concatenate([s[0] for s in shapes]), np.array(lens)
+    )
+    expected = bytearray()
+    pos_words = 50
+    for i, s in enumerate(shapes):
+        content = polygonz_record(s)
+        assert offs[i] == pos_words and words[i] == len(content) // 2
+        import struct
+
+        expected += struct.pack(">ii", i + 1, len(content) // 2) + content
+        pos_words += 4 + len(content) // 2
+    assert block == bytes(expected)
+
+    # dbf block: C and N fields, truncation, non-ascii replacement
+    fields = [("name", "C", 8), ("num", "N", 6)]
+    columns = {
+        "name": ["alpha", "a-very-long-value", "ünïcode", ""],
+        "num": ["42", "123456789", "-7", "0"],
+    }
+    got = dbf_record_block(fields, columns)
+    expected2 = bytearray()
+    for i in range(4):
+        expected2 += b" "
+        for name, ftype, width in fields:
+            s = str(columns[name][i])[:width]
+            pad = s.rjust(width) if ftype == "N" else s.ljust(width)
+            expected2 += pad.encode("ascii", "replace")
+    assert got == bytes(expected2)
+
+    # end-to-end through write_polygonz_shp with dict-of-columns records
+    recs = {"name": ["a", "b"] * 11 + ["c"], "num": [str(i) for i in range(23)]}
+    info = write_polygonz_shp(str(tmp_path / "vec"), shapes, fields, recs)
+    assert info["n_records"] == 23
