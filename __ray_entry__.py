@@ -600,6 +600,37 @@ def _q_video_frame_sample(sf_dir: str):
     return video_frame_sample_ds(n_clips=max(16, int(_sf_of(sf_dir) * 3200)))
 
 
+def _q_citygml_chain(sf_dir: str):
+    """Transform chain off REAL parsed XML (v2 corpus: 3 feature types,
+    2 LODs, nested generic-attribute trees, BuildingParts): parse ->
+    flatten -> lod-filter(highest) -> dot-flatten -> golden-count
+    aggregate. Rows-only; counts pinned vs generator arithmetic in
+    pytest (tests/test_citygml_chain.py)."""
+    from plateau_gis_converter_ray.pipelines.citygml_chain import (
+        citygml_chain_counts,
+    )
+    from plateau_gis_converter_ray.sources.citygml_xml import (
+        ensure_citygml_corpus_v2,
+    )
+
+    return citygml_chain_counts(ensure_citygml_corpus_v2(_sf_of(sf_dir)))
+
+
+def _q_appearance_xml_two_phase(sf_dir: str):
+    """Two-phase appearance resolve off parsed XML theme stores
+    (appearance.rs:17-21 theme selection + Theme map lookups) — the
+    XML-driven sibling of the tabular appearance_two_phase. Rows-only;
+    pinned vs generator arithmetic in pytest."""
+    from plateau_gis_converter_ray.pipelines.citygml_chain import (
+        appearance_resolve_xml_ds,
+    )
+    from plateau_gis_converter_ray.sources.citygml_xml import (
+        ensure_citygml_corpus_v2,
+    )
+
+    return appearance_resolve_xml_ds(ensure_citygml_corpus_v2(_sf_of(sf_dir)))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from plateau_gis_converter_ray.pipelines.queries import QUERIES
 
@@ -622,6 +653,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "image_feature_knn": _q_image_feature_knn,
             "earcut_triangulate": _q_earcut_triangulate,
             "citygml_parse": _q_citygml_parse,
+            "citygml_chain": _q_citygml_chain,
+            "appearance_xml_two_phase": _q_appearance_xml_two_phase,
             "audio_features": _q_audio_features,
             "video_frame_sample": _q_video_frame_sample,
             "image_dup_clusters": _q_image_dup_clusters,

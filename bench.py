@@ -126,6 +126,10 @@ BENCH_QUERIES = [
     # only, resume-skipped build) rep the recorded figure
     "ivfpq_index_build",
     "ivfpq_search_cached",
+    # r4: transform chain + two-phase appearance resolve off REAL parsed
+    # XML (v2 corpus: 3 types, 2 LODs, nested attr trees, theme stores)
+    "citygml_chain",
+    "appearance_xml_two_phase",
 ]
 
 

@@ -33,6 +33,9 @@ NS = {
     "bldg": "http://www.opengis.net/citygml/building/2.0",
     "gen": "http://www.opengis.net/citygml/generics/2.0",
     "gml": "http://www.opengis.net/gml",
+    "tran": "http://www.opengis.net/citygml/transportation/2.0",
+    "luse": "http://www.opengis.net/citygml/landuse/2.0",
+    "app": "http://www.opengis.net/citygml/appearance/2.0",
 }
 
 USAGE_CODES = {f"u{k}": name for k, name in enumerate(
@@ -196,3 +199,431 @@ def ensure_citygml_corpus(sf: float, base: str = "/tmp/plateau_ray_data") -> str
     n_files = max(4, n_feats // per_file)
     out = os.path.join(base, f"citygml_{GENERATOR_VERSION}_sf{sf:g}")
     return write_citygml_files(out, n_files, per_file)
+
+
+# ---------------------------------------------------------------------------
+# v2 corpus: multi-type / multi-LOD / nested-attribute-tree / appearance
+# documents — the parser.rs:165-345 shape (recursive Value/Object attribute
+# trees, LOD-spanned geometry, child features) plus appearance.rs:119+
+# two-phase theme stores, so the flatten/jsonify/lod-filter/mergedown
+# transform chain and the appearance resolve run off REAL parsed XML.
+
+GENERATOR_V2 = "v2"
+
+
+def _ring_xml(ring_id: str, idx: int, n_pts: int = 4) -> str:
+    from ..stages.geocode import geocode_arith
+
+    lng, lat = geocode_arith(np.array([idx], dtype=np.int64))
+    lng, lat = float(lng[0]), float(lat[0])
+    d = 0.0005 + (idx % 5) * 0.0001
+    pts = [(lat, lng), (lat, lng + d), (lat + d, lng + d), (lat + d, lng)]
+    pts = pts[:n_pts] + [pts[0]]
+    pos = " ".join(f"{a:.7f} {b:.7f} 0" for a, b in pts)
+    return (
+        f'<gml:Polygon gml:id="surf_{idx}"><gml:exterior>'
+        f'<gml:LinearRing gml:id="{ring_id}">'
+        f"<gml:posList>{pos}</gml:posList>"
+        f"</gml:LinearRing></gml:exterior></gml:Polygon>"
+    )
+
+
+def _generic_attrs_xml(idx: int) -> str:
+    """Depth-2 generic-attribute tree: set 'extra' holding a string, a
+    measure, and a NESTED set 'meta' (the recursive Object/Value shape of
+    parser.rs attribute trees)."""
+    score = (idx % 50) / 2
+    return (
+        '<gen:genericAttributeSet name="extra">'
+        f'<gen:stringAttribute name="district">'
+        f"<gen:value>d{idx % 16}</gen:value></gen:stringAttribute>"
+        f'<gen:measureAttribute name="score">'
+        f'<gen:value uom="pt">{score:.1f}</gen:value></gen:measureAttribute>'
+        f'<gen:genericAttributeSet name="meta">'
+        f'<gen:stringAttribute name="grade">'
+        f"<gen:value>g{idx % 5}</gen:value></gen:stringAttribute>"
+        f"</gen:genericAttributeSet>"
+        f"</gen:genericAttributeSet>"
+    )
+
+
+def _member_xml_v2(idx: int) -> str:
+    ftype = idx % 3
+    if ftype == 0:
+        h = (idx * 7) % 200 + 3
+        part = ""
+        if idx % 4 == 0:
+            part = (
+                "<bldg:consistsOfBuildingPart>"
+                f'<bldg:BuildingPart gml:id="part_{idx}">'
+                "<bldg:lod1Solid><gml:Solid><gml:exterior>"
+                "<gml:CompositeSurface><gml:surfaceMember>"
+                + _ring_xml(f"ring_p{idx}", idx + 1)
+                + "</gml:surfaceMember></gml:CompositeSurface>"
+                "</gml:exterior></gml:Solid></bldg:lod1Solid>"
+                "</bldg:BuildingPart></bldg:consistsOfBuildingPart>"
+            )
+        return (
+            f'<core:cityObjectMember><bldg:Building gml:id="bldg_{idx:08d}">'
+            f"<bldg:measuredHeight>{h}</bldg:measuredHeight>"
+            f'<bldg:usage codeSpace="../../codelists/usage.xml">u{idx % 8}</bldg:usage>'
+            + _generic_attrs_xml(idx)
+            + "<bldg:lod0FootPrint><gml:MultiSurface><gml:surfaceMember>"
+            + _ring_xml(f"ring_{idx}", idx)
+            + "</gml:surfaceMember></gml:MultiSurface></bldg:lod0FootPrint>"
+            "<bldg:lod1Solid><gml:Solid><gml:exterior>"
+            "<gml:CompositeSurface><gml:surfaceMember>"
+            + _ring_xml(f"ring_l1_{idx}", idx)
+            + "</gml:surfaceMember></gml:CompositeSurface>"
+            "</gml:exterior></gml:Solid></bldg:lod1Solid>"
+            + part
+            + "</bldg:Building></core:cityObjectMember>"
+        )
+    if ftype == 1:
+        return (
+            f'<core:cityObjectMember><tran:Road gml:id="road_{idx:08d}">'
+            f"<tran:function>f{idx % 6}</tran:function>"
+            + _generic_attrs_xml(idx)
+            + "<tran:lod1MultiSurface><gml:MultiSurface><gml:surfaceMember>"
+            + _ring_xml(f"ring_{idx}", idx)
+            + "</gml:surfaceMember></gml:MultiSurface></tran:lod1MultiSurface>"
+            "</tran:Road></core:cityObjectMember>"
+        )
+    return (
+        f'<core:cityObjectMember><luse:LandUse gml:id="luse_{idx:08d}">'
+        f"<luse:class>c{idx % 4}</luse:class>"
+        + _generic_attrs_xml(idx)
+        + "<luse:lod0MultiSurface><gml:MultiSurface><gml:surfaceMember>"
+        + _ring_xml(f"ring_{idx}", idx)
+        + "</gml:surfaceMember></gml:MultiSurface></luse:lod0MultiSurface>"
+        "</luse:LandUse></core:cityObjectMember>"
+    )
+
+
+def _appearance_xml_v2(theme: str, idxs: list[int]) -> str:
+    """One app:Appearance per theme: ParameterizedTexture entries keyed to
+    ring ids, X3DMaterial entries keyed to surface ids (appearance.rs
+    Theme stores). Resolution arithmetic is deterministic in idx."""
+    off = 0 if theme == "rgbTexture" else 3
+    parts = [f"<app:appearanceMember><app:Appearance><app:theme>{theme}"
+             "</app:theme>"]
+    for idx in idxs:
+        if idx % 5 != 0:
+            parts.append(
+                "<app:surfaceDataMember><app:ParameterizedTexture>"
+                f"<app:imageURI>tex_{(idx * 7 + off) % 100}.jpg</app:imageURI>"
+                f'<app:target uri="#ring_{idx}"/>'
+                "</app:ParameterizedTexture></app:surfaceDataMember>"
+            )
+        if idx % 7 != 0:
+            c = ((idx + off) % 9) / 8
+            parts.append(
+                "<app:surfaceDataMember><app:X3DMaterial>"
+                f"<app:diffuseColor>{c:.3f} {c:.3f} {c:.3f}</app:diffuseColor>"
+                f"<app:target>#surf_{idx}</app:target>"
+                "</app:X3DMaterial></app:surfaceDataMember>"
+            )
+    parts.append("</app:Appearance></app:appearanceMember>")
+    return "".join(parts)
+
+
+def write_citygml_files_v2(out_dir: str, n_files: int,
+                           feats_per_file: int) -> str:
+    """v2 corpus: 3 feature types, 2 LODs, nested attribute trees, building
+    parts, per-file appearance themes. File f carries BOTH an rgbTexture
+    and an FMETheme appearance when f % 4 != 0, else FMETheme only — the
+    'rgbTexture when present, else FME fallback' selection of
+    appearance.rs:17-21 is exercised both ways."""
+    from ..stages.codelist import write_codelist_xml
+
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    write_codelist_xml(os.path.join(out_dir, "codelists", "usage.xml"),
+                       USAGE_CODES)
+    header = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        "<core:CityModel "
+        + " ".join(f'xmlns:{k}="{v}"' for k, v in NS.items())
+        + ">"
+    )
+    for f in range(n_files):
+        idxs = [f * feats_per_file + j for j in range(feats_per_file)]
+        parts = [header]
+        parts.extend(_member_xml_v2(i) for i in idxs)
+        if f % 4 != 0:
+            parts.append(_appearance_xml_v2("rgbTexture", idxs))
+        parts.append(_appearance_xml_v2("FMETheme", idxs))
+        parts.append("</core:CityModel>")
+        tmp = os.path.join(out_dir, f".tmp_{f:05d}.gml")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write("".join(parts))
+        os.replace(tmp, os.path.join(out_dir, f"{f:05d}.gml"))
+    with open(marker, "w") as fh:
+        fh.write(str(n_files * feats_per_file))
+    return out_dir
+
+
+_ATTRS_TYPE = None
+
+
+def _attrs_type():
+    """Fixed union schema for the per-type attribute trees (null where a
+    field is absent on a type) — nested structs drive dot_flatten/jsonify
+    with real Arrow nesting."""
+    global _ATTRS_TYPE
+    if _ATTRS_TYPE is None:
+        _ATTRS_TYPE = pa.struct(
+            [
+                ("usage", pa.string()),
+                ("function", pa.string()),
+                ("class", pa.string()),
+                (
+                    "extra",
+                    pa.struct(
+                        [
+                            ("district", pa.string()),
+                            ("score", pa.float64()),
+                            ("meta", pa.struct([("grade", pa.string())])),
+                        ]
+                    ),
+                ),
+            ]
+        )
+    return _ATTRS_TYPE
+
+
+_CHILD_TYPE = None
+
+
+def _child_type():
+    global _CHILD_TYPE
+    if _CHILD_TYPE is None:
+        _CHILD_TYPE = pa.list_(
+            pa.struct(
+                [
+                    ("gml_id", pa.string()),
+                    ("lods", pa.list_(pa.int64())),
+                    ("ring_ids", pa.list_(pa.string())),
+                    ("n_pts", pa.int64()),
+                ]
+            )
+        )
+    return _CHILD_TYPE
+
+
+_FEATURE_TAGS = None
+
+
+def _feature_tags():
+    global _FEATURE_TAGS
+    if _FEATURE_TAGS is None:
+        _FEATURE_TAGS = {
+            f"{{{NS['bldg']}}}Building": "bldg:Building",
+            f"{{{NS['tran']}}}Road": "tran:Road",
+            f"{{{NS['luse']}}}LandUse": "luse:LandUse",
+        }
+    return _FEATURE_TAGS
+
+
+def _parse_generic_tree(elem) -> dict:
+    """gen:genericAttributeSet -> nested dict; gen:stringAttribute /
+    gen:measureAttribute -> leaf values (the recursive Value/Object parse
+    of parser.rs:165-345, on ElementTree)."""
+    out: dict = {}
+    for child in elem:
+        tag = child.tag
+        name = child.get("name")
+        if tag == f"{{{NS['gen']}}}genericAttributeSet":
+            out[name] = _parse_generic_tree(child)
+        elif tag == f"{{{NS['gen']}}}stringAttribute":
+            v = child.find(f"{{{NS['gen']}}}value")
+            out[name] = v.text if v is not None else None
+        elif tag == f"{{{NS['gen']}}}measureAttribute":
+            v = child.find(f"{{{NS['gen']}}}value")
+            out[name] = float(v.text) if v is not None else None
+    return out
+
+
+def _geometry_of(elem) -> tuple[list[int], list[str], int]:
+    """All LOD geometry spans DIRECTLY under a feature element (children
+    of child features are collected by their own call): (lods, ring_ids,
+    total points)."""
+    lods, ring_ids, n_pts = [], [], 0
+    for child in elem:
+        local = child.tag.rsplit("}", 1)[-1]
+        if not local.startswith("lod"):
+            continue
+        lod = int(local[3])
+        rings = child.findall(f".//{{{NS['gml']}}}LinearRing")
+        if not rings:
+            continue
+        lods.append(lod)
+        for r in rings:
+            ring_ids.append(r.get(f"{{{NS['gml']}}}id"))
+            pos = r.find(f"{{{NS['gml']}}}posList")
+            if pos is not None and pos.text:
+                n_pts += len(pos.text.split()) // 3
+    return lods, ring_ids, n_pts
+
+
+class CityGmlParseV2:
+    """Full-member parse: feature type, nested attribute tree (fixed union
+    struct), multi-LOD geometry spans, child features (BuildingParts) and
+    per-feature surface ids — one Arrow row per top-level feature."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import xml.etree.ElementTree as ET
+
+        tags = _feature_tags()
+        rows = {
+            "gml_id": [], "file": [], "ftype": [], "attrs": [],
+            "lods": [], "ring_ids": [], "surf_id": [], "n_pts": [],
+            "children": [],
+        }
+        for path, blob in zip(
+            batch.column("path").to_pylist(),
+            batch.column("bytes").to_pylist(),
+        ):
+            root = ET.fromstring(blob)
+            fname = os.path.basename(path)
+            for member in root.iter(f"{{{NS['core']}}}cityObjectMember"):
+                for feat in member:
+                    ftype = tags.get(feat.tag)
+                    if ftype is None:
+                        continue
+                    attrs = {"usage": None, "function": None,
+                             "class": None, "extra": None}
+                    usage = feat.find(f"{{{NS['bldg']}}}usage")
+                    if usage is not None:
+                        attrs["usage"] = usage.text
+                    fn = feat.find(f"{{{NS['tran']}}}function")
+                    if fn is not None:
+                        attrs["function"] = fn.text
+                    cl = feat.find(f"{{{NS['luse']}}}class")
+                    if cl is not None:
+                        attrs["class"] = cl.text
+                    gset = feat.find(f"{{{NS['gen']}}}genericAttributeSet")
+                    if gset is not None:
+                        tree = _parse_generic_tree(gset)
+                        meta = tree.get("meta") or {}
+                        attrs["extra"] = {
+                            "district": tree.get("district"),
+                            "score": tree.get("score"),
+                            "meta": {"grade": meta.get("grade")},
+                        }
+                    lods, ring_ids, n_pts = _geometry_of(feat)
+                    children = []
+                    for bp in feat.iter(f"{{{NS['bldg']}}}BuildingPart"):
+                        c_lods, c_rings, c_pts = _geometry_of(bp)
+                        children.append(
+                            {
+                                "gml_id": bp.get(f"{{{NS['gml']}}}id"),
+                                "lods": c_lods,
+                                "ring_ids": c_rings,
+                                "n_pts": c_pts,
+                            }
+                        )
+                    poly = feat.find(f".//{{{NS['gml']}}}Polygon")
+                    rows["gml_id"].append(feat.get(f"{{{NS['gml']}}}id"))
+                    rows["file"].append(fname)
+                    rows["ftype"].append(ftype)
+                    rows["attrs"].append(attrs)
+                    rows["lods"].append(lods)
+                    rows["ring_ids"].append(ring_ids)
+                    rows["surf_id"].append(
+                        poly.get(f"{{{NS['gml']}}}id") if poly is not None else None
+                    )
+                    rows["n_pts"].append(n_pts)
+                    rows["children"].append(children)
+        return pa.table(
+            {
+                "gml_id": pa.array(rows["gml_id"], pa.string()),
+                "file": pa.array(rows["file"], pa.string()),
+                "ftype": pa.array(rows["ftype"], pa.string()),
+                "attrs": pa.array(rows["attrs"], _attrs_type()),
+                "lods": pa.array(rows["lods"], pa.list_(pa.int64())),
+                "ring_ids": pa.array(rows["ring_ids"], pa.list_(pa.string())),
+                "surf_id": pa.array(rows["surf_id"], pa.string()),
+                "n_pts": pa.array(rows["n_pts"], pa.int64()),
+                "children": pa.array(rows["children"], _child_type()),
+            }
+        )
+
+
+class AppearanceParseV2:
+    """Phase-1 store parse: one row per (file, theme, kind, target, value)
+    from app:appearanceMember (appearance.rs:119+ Theme maps)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import xml.etree.ElementTree as ET
+
+        files, themes, kinds, targets, values = [], [], [], [], []
+        for path, blob in zip(
+            batch.column("path").to_pylist(),
+            batch.column("bytes").to_pylist(),
+        ):
+            root = ET.fromstring(blob)
+            fname = os.path.basename(path)
+            for ap in root.iter(f"{{{NS['app']}}}Appearance"):
+                th = ap.find(f"{{{NS['app']}}}theme")
+                theme = th.text if th is not None else ""
+                for tex in ap.iter(f"{{{NS['app']}}}ParameterizedTexture"):
+                    uri = tex.find(f"{{{NS['app']}}}imageURI")
+                    tgt = tex.find(f"{{{NS['app']}}}target")
+                    ref = (tgt.get("uri") if tgt is not None else "") or ""
+                    files.append(fname)
+                    themes.append(theme)
+                    kinds.append("texture")
+                    targets.append(ref.lstrip("#"))
+                    values.append(uri.text if uri is not None else "")
+                for mat in ap.iter(f"{{{NS['app']}}}X3DMaterial"):
+                    col = mat.find(f"{{{NS['app']}}}diffuseColor")
+                    tgt = mat.find(f"{{{NS['app']}}}target")
+                    ref = (tgt.text if tgt is not None else "") or ""
+                    files.append(fname)
+                    themes.append(theme)
+                    kinds.append("material")
+                    targets.append(ref.lstrip("#"))
+                    values.append(col.text if col is not None else "")
+        return pa.table(
+            {
+                "file": pa.array(files, pa.string()),
+                "theme": pa.array(themes, pa.string()),
+                "kind": pa.array(kinds, pa.string()),
+                "target": pa.array(targets, pa.string()),
+                "value": pa.array(values, pa.string()),
+            }
+        )
+
+
+def _gml_files(gml_dir: str) -> list[str]:
+    return sorted(
+        os.path.join(gml_dir, f)
+        for f in os.listdir(gml_dir)
+        if f.endswith(".gml")
+    )
+
+
+def read_citygml_v2(gml_dir: str):
+    import ray.data
+
+    ds = ray.data.read_binary_files(_gml_files(gml_dir), include_paths=True)
+    return ds.map_batches(CityGmlParseV2(), batch_format="pyarrow")
+
+
+def read_appearances_v2(gml_dir: str):
+    import ray.data
+
+    ds = ray.data.read_binary_files(_gml_files(gml_dir), include_paths=True)
+    return ds.map_batches(AppearanceParseV2(), batch_format="pyarrow")
+
+
+def ensure_citygml_corpus_v2(sf: float,
+                             base: str = "/tmp/plateau_ray_data") -> str:
+    n_feats = max(64, int(sf * 320000))
+    per_file = 64
+    n_files = max(4, n_feats // per_file)
+    out = os.path.join(base, f"citygml_{GENERATOR_V2}_sf{sf:g}")
+    return write_citygml_files_v2(out, n_files, per_file)

@@ -1,0 +1,149 @@
+"""Transform chain + appearance resolve driven end-to-end by REAL parsed
+CityGML XML (v2 corpus) — golden counts pinned against the generator
+arithmetic, the load_examples.rs:107-135 pattern."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = 0.001  # 5 files x 64 features
+
+
+@pytest.fixture(scope="module")
+def corpus_dir():
+    from plateau_gis_converter_ray.sources.citygml_xml import (
+        ensure_citygml_corpus_v2,
+    )
+
+    return ensure_citygml_corpus_v2(SF)
+
+
+def _expected_counts(n: int) -> pd.DataFrame:
+    idx = np.arange(n)
+    rows = []
+    # buildings keep lod1 (lods [0,1] -> highest), 2 rings x 5 pts
+    b = idx[idx % 3 == 0]
+    rows.append(("bldg:Building", 1, len(b), 10 * len(b), len(b)))
+    p = idx[(idx % 3 == 0) & (idx % 4 == 0)]
+    rows.append(("bldg:BuildingPart", 1, len(p), 5 * len(p), 0))
+    lu = idx[idx % 3 == 2]
+    rows.append(("luse:LandUse", 0, len(lu), 5 * len(lu), len(lu)))
+    rd = idx[idx % 3 == 1]
+    rows.append(("tran:Road", 1, len(rd), 5 * len(rd), len(rd)))
+    return pd.DataFrame(
+        rows, columns=["ftype", "lod_kept", "n_features", "sum_pts", "n_grade"]
+    )
+
+
+def test_chain_golden_counts(ray_session, corpus_dir):
+    from plateau_gis_converter_ray.pipelines.citygml_chain import (
+        citygml_chain_counts,
+    )
+
+    got = (
+        citygml_chain_counts(corpus_dir)
+        .to_pandas()
+        .sort_values(["ftype", "lod_kept"])
+        .reset_index(drop=True)
+    )
+    n = 5 * 64
+    exp = _expected_counts(n).sort_values(["ftype", "lod_kept"]).reset_index(
+        drop=True
+    )
+    pd.testing.assert_frame_equal(
+        got[exp.columns].astype({"lod_kept": np.int64}), exp,
+        check_dtype=False,
+    )
+
+
+def test_chain_rows_attribute_tree_depth(ray_session, corpus_dir):
+    """The depth-2 generic-attribute tree survives parse -> dot_flatten:
+    leaves land as flat columns with the generator's values."""
+    from plateau_gis_converter_ray.pipelines.citygml_chain import (
+        citygml_chain_ds,
+    )
+
+    df = citygml_chain_ds(corpus_dir).to_pandas()
+    b = df[df["ftype"] == "bldg:Building"].copy()
+    idx = b["gml_id"].str.replace("bldg_", "").astype(int)
+    assert (b["usage"].to_numpy() == [f"u{i % 8}" for i in idx]).all()
+    assert (b["district"].to_numpy() == [f"d{i % 16}" for i in idx]).all()
+    assert (b["grade"].to_numpy() == [f"g{i % 5}" for i in idx]).all()
+    # flattened parts carry parent attribution (flatten.rs role)
+    parts = df[df["ftype"] == "bldg:BuildingPart"]
+    pidx = parts["gml_id"].str.replace("part_", "").astype(int)
+    assert (parts["parentId"].to_numpy()
+            == [f"bldg_{i:08d}" for i in pidx]).all()
+    assert (parts["parentType"] == "bldg:Building").all()
+
+
+def test_jsonify_from_parsed_xml(ray_session, corpus_dir):
+    """JsonifyTransform over the REAL nested attrs struct: the JSON string
+    round-trips to the parsed tree."""
+    import json
+
+    from plateau_gis_converter_ray.sources.citygml_xml import read_citygml_v2
+    from plateau_gis_converter_ray.stages.transforms import jsonify
+
+    ds = read_citygml_v2(corpus_dir).map_batches(
+        lambda b: jsonify(b.select(["gml_id", "attrs"])),
+        batch_format="pyarrow",
+    )
+    df = ds.to_pandas()
+    row = df[df["gml_id"] == "bldg_00000003"].iloc[0]
+    tree = json.loads(row["attrs"])
+    assert tree["usage"] == "u3"
+    assert tree["extra"]["district"] == "d3"
+    assert tree["extra"]["meta"]["grade"] == "g3"
+    assert tree["extra"]["score"] == 1.5
+
+
+def test_mergedown_from_parsed_xml(ray_session, corpus_dir):
+    """GeometricMergedownTransform off parsed XML: part rings merge into
+    the root; features without parts keep their own ring count."""
+    from plateau_gis_converter_ray.pipelines.citygml_chain import (
+        citygml_mergedown_ds,
+    )
+
+    df = citygml_mergedown_ds(corpus_dir).to_pandas()
+    b = df[df["ftype"] == "bldg:Building"].copy()
+    idx = b["gml_id"].str.replace("bldg_", "").astype(int)
+    # building own rings = 2 (lod0 + lod1); +1 part ring when idx%4==0
+    exp = np.where(idx % 4 == 0, 3, 2)
+    assert (b["n_rings_merged"].to_numpy() == exp).all()
+    assert (df[df["ftype"] == "tran:Road"]["n_rings_merged"] == 1).all()
+
+
+def test_appearance_xml_two_phase(ray_session, corpus_dir):
+    """Phase-1 XML theme stores + phase-2 resolve == generator arithmetic:
+    theme selection per file, texture by ring target (+3 uri offset under
+    the FME fallback), material by surface target, dummy/no-material
+    demotion."""
+    from plateau_gis_converter_ray.pipelines.citygml_chain import (
+        appearance_resolve_xml_ds,
+    )
+    from plateau_gis_converter_ray.stages.appearance import (
+        DUMMY_TEXTURE,
+        NO_MATERIAL,
+    )
+
+    df = appearance_resolve_xml_ds(corpus_dir).to_pandas()
+    assert len(df) == 5 * 64
+    f = df["file"].str.replace(".gml", "", regex=False).astype(int)
+    idx = df["gml_id"].str.split("_").str[-1].astype(int)
+    rgb = (f % 4 != 0).to_numpy()
+    assert (df["theme"].to_numpy() == np.where(rgb, "rgbTexture", "FMETheme")).all()
+    off = np.where(rgb, 0, 3)
+    exp_tex = np.where(
+        (idx % 5 != 0).to_numpy(),
+        [f"tex_{(i * 7 + o) % 100}.jpg" for i, o in zip(idx, off)],
+        DUMMY_TEXTURE,
+    )
+    assert (df["texture"].to_numpy() == exp_tex).all()
+    c = ((idx + off) % 9) / 8
+    exp_mat = np.where(
+        (idx % 7 != 0).to_numpy(),
+        [f"{v:.3f} {v:.3f} {v:.3f}" for v in c],
+        NO_MATERIAL,
+    )
+    assert (df["material"].to_numpy() == exp_mat).all()
