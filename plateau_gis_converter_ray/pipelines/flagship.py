@@ -383,9 +383,21 @@ def write_flagship_glb_tiles(out_dir: str, tiles_dir: str | None = None):
         x = int(g["tile_x"].iloc[0])
         y = int(g["tile_y"].iloc[0])
         final = os.path.join(tiles_dir, str(z), str(x), f"{y}.glb")
-        if os.path.exists(final):
-            # resume: a prior run already wrote this tile atomically;
-            # skip the encode entirely (n_materials -1 marks the skip)
+        from ..sinks.tiles3d import (
+            commit_tile_lineage,
+            tile_lineage_digest,
+            tile_skip_ok,
+        )
+
+        digest = tile_lineage_digest(
+            g, ["muni_id", "n_assignments", "lng_min", "lng_max",
+                "lat_min", "lat_max"]
+        )
+        if tile_skip_ok(final, digest):
+            # resume: a prior run wrote this tile atomically AND its input
+            # content digest matches — a changed upstream aggregate
+            # rewrites instead of serving stale bytes (ADVICE r3);
+            # n_materials -1 marks the skip
             return pd.DataFrame(
                 {"zoom": [z], "tile_x": [x], "tile_y": [y],
                  "n_munis": [len(g)], "n_materials": [-1],
@@ -476,7 +488,8 @@ def write_flagship_glb_tiles(out_dir: str, tiles_dir: str | None = None):
         tmp = os.path.join(path_dir, f".tmp_{y}.glb")
         with open(tmp, "wb") as f:
             f.write(glb)
-        os.replace(tmp, os.path.join(path_dir, f"{y}.glb"))
+        os.replace(tmp, final)
+        commit_tile_lineage(final, digest)
         return pd.DataFrame(
             {"zoom": [z], "tile_x": [x], "tile_y": [y],
              "n_munis": [n_features], "n_materials": [len(materials)],

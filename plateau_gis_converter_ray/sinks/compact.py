@@ -19,6 +19,17 @@ Design:
 - the source directory is never touched: compaction writes a NEW
   directory and the final swap is the caller's single atomic rename,
   so concurrent readers stay consistent throughout.
+
+**Deployment requirement — shared filesystem.** Bin tasks rename their
+part directories and append manifest lines from INSIDE Ray worker tasks,
+so on a multi-node cluster ``in_dir``/``out_dir`` MUST be on storage every
+node mounts at the same path (NFS/EFS/FSx or an object-store FUSE mount —
+the standard data-lake layout this sink models). On node-local disks the
+manifests and payloads would scatter across nodes and resume would re-run
+or miss bins. The same contract applies to the corpus shard writer
+(pipelines/corpus.py) and the keyed upsert sink (sinks/upsert.py); the
+ANN index builder (stages/ann_index.py) instead returns commit records to
+the driver and only the payload rename runs worker-side.
 """
 
 from __future__ import annotations

@@ -27,6 +27,49 @@ from ..kernels.earcut import triangulate_rings
 from .glb import MetadataEncoder, tile_glb_bytes
 
 
+def tile_lineage_digest(g: "pd.DataFrame", cols: list[str]) -> str:
+    """Order-insensitive digest of the rows that determine a tile's bytes
+    — the resume-skip validation marker. A bare ``exists()`` skip serves
+    STALE tiles after the upstream aggregate changed (ADVICE r3); the
+    compaction sink validates recorded lineage on resume, tile writers
+    validate this digest the same way."""
+    import hashlib
+
+    acc = 0
+    arrays = [g[c].to_numpy() for c in cols]
+    for row in zip(*arrays):  # per FEATURE (not per vertex): digest cost
+        h = hashlib.blake2b(digest_size=8)  # is noise next to the encode
+        for v in row:
+            if isinstance(v, (list, tuple, np.ndarray)):
+                h.update(np.asarray(v, dtype=np.float64).tobytes())
+            else:
+                h.update(str(v).encode())
+            h.update(b"\x1f")
+        acc ^= int.from_bytes(h.digest(), "little")  # order-insensitive
+    return format(acc, "016x")
+
+
+def tile_skip_ok(final: str, digest: str) -> bool:
+    """Skip only when the tile AND its lineage sidecar exist and the
+    digest matches; a tile without a sidecar (crash window) or with a
+    stale digest is rewritten (idempotent)."""
+    side = final + ".lineage"
+    if not (os.path.exists(final) and os.path.exists(side)):
+        return False
+    with open(side) as f:
+        return f.read().strip() == digest
+
+
+def commit_tile_lineage(final: str, digest: str) -> None:
+    """Written AFTER the tile's atomic rename: the sidecar's presence
+    certifies (tile bytes, digest) were produced by one completed write."""
+    side = final + ".lineage"
+    tmp = side + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(digest)
+    os.replace(tmp, side)
+
+
 def dedup_vertex_table(allv: np.ndarray):
     """Bit-pattern vertex dedup over packed (n, 9) float32 rows: unique on
     the raw u32 view, first-seen order kept stable (the reference's
@@ -92,15 +135,19 @@ def write_tiles_3dt(ds, out_dir: str, attr_schema: dict | None = None):
         x = int(g["tile_x"].iloc[0])
         y = int(g["tile_y"].iloc[0])
         final = os.path.join(out_dir, str(z), str(x), f"{y}.glb")
-        if os.path.exists(final):
-            # resume: already written atomically by a prior run
+        has_pid = "pid" in g.columns
+        digest = tile_lineage_digest(
+            g, ["ring_xy", "pid"] if has_pid else ["ring_xy"]
+        )
+        if tile_skip_ok(final, digest):
+            # resume: written atomically by a prior run AND the input
+            # content digest matches (stale tiles rewrite instead)
             return pd.DataFrame(
                 {"zoom": [z], "tile_x": [x], "tile_y": [y],
                  "n_features": [len(g)], "n_vertices": [-1],
                  "glb_bytes": [os.path.getsize(final)],
                  "content": [f"{z}/{x}/{y}.glb"]}
             )
-        has_pid = "pid" in g.columns
 
         enc = MetadataEncoder(schema)
         rings, fids = [], []
@@ -122,7 +169,8 @@ def write_tiles_3dt(ds, out_dir: str, attr_schema: dict | None = None):
         tmp = os.path.join(path_dir, f".tmp_{y}.glb")
         with open(tmp, "wb") as f:
             f.write(glb)
-        os.replace(tmp, os.path.join(path_dir, f"{y}.glb"))
+        os.replace(tmp, final)
+        commit_tile_lineage(final, digest)
         return pd.DataFrame(
             {
                 "zoom": [z], "tile_x": [x], "tile_y": [y],

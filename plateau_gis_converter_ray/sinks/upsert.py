@@ -82,6 +82,13 @@ def upsert(base_dir: str, updates, key: str, n_buckets: int = 64,
                 ) - {""}
                 if chunk_id is not None and chunk_id in applied:
                     return pd.DataFrame({"bucket": [b], "rows": [t.num_rows]})
+                if applied and chunk_id is None:
+                    # silently dropping the ledger would let a later replay
+                    # of an already-applied chunk double-count (ADVICE r3)
+                    raise ValueError(
+                        f"bucket {b} carries an applied_chunks ledger; "
+                        "mode='sum' upserts into it must pass chunk_id"
+                    )
                 base = t.to_pandas()
             if base is not None:
                 upd = pd.concat([base, upd], ignore_index=True)
@@ -95,7 +102,13 @@ def upsert(base_dir: str, updates, key: str, n_buckets: int = 64,
                 .drop_duplicates(key, keep="last")
             )
             if os.path.exists(path):
-                base = pq.read_table(path).to_pandas()
+                t = pq.read_table(path)
+                md = t.schema.metadata or {}
+                prior = md.get(b"applied_chunks", b"").decode()
+                if prior:
+                    # a replace rewrite must not erase the additive ledger
+                    chunks_meta = prior
+                base = t.to_pandas()
                 keep = base[~base[key].isin(upd[key])]
                 out = pd.concat([keep, upd], ignore_index=True)
             else:

@@ -91,8 +91,27 @@ def auto_join(
 
     lk, rk = list(on), list(right_on)
 
+    def _shuffle_fallback():
+        return left.join(
+            right,
+            join_type=how,
+            num_partitions=num_partitions,
+            on=on,
+            right_on=right_on,
+        )
+
     if how in ("left_semi", "left_anti"):
         keys = right.select_columns(rk).to_pandas().drop_duplicates()
+        # same runtime enforcement as the inner/left_outer build path: a
+        # dictionary-compressed key column can decompress far past the
+        # metadata bound, and the driver is holding it (ADVICE r3)
+        if (
+            force is None
+            and len(keys)
+            and broadcast_limit_bytes is not None
+            and keys.memory_usage(deep=True).sum() > 4 * broadcast_limit_bytes
+        ):
+            return _shuffle_fallback()
         ref = ray.put(pd.MultiIndex.from_frame(keys))
         keep_if = how == "left_semi"
 
@@ -106,6 +125,21 @@ def auto_join(
         return left.map_batches(mask, batch_format="pandas")
 
     build = right.to_pandas()
+    # overlapping NON-key columns would get pandas _x/_y suffixes under
+    # the broadcast merge and a duplicate-field schema under Ray's shuffle
+    # join — neither is usable, so fail loudly at planning time when the
+    # probe schema is known without execution (the probe fn repeats the
+    # check otherwise)
+    lschema = left.schema(fetch_if_missing=False)
+    if lschema is not None:
+        overlap = (
+            (set(lschema.names) & set(build.columns)) - set(lk) - set(rk)
+        )
+        if overlap:
+            raise ValueError(
+                f"join sides share non-key columns {sorted(overlap)}; "
+                "rename or drop them before joining"
+            )
     if (
         force is None
         and len(build)
@@ -116,13 +150,7 @@ def auto_join(
         # dictionary-compressed string dim): fall back to the shuffle plan
         # instead of broadcasting past the budget — the bound is advisory,
         # this runtime check is the enforcement
-        return left.join(
-            right,
-            join_type=how,
-            num_partitions=num_partitions,
-            on=on,
-            right_on=right_on,
-        )
+        return _shuffle_fallback()
     if how == "left_outer":
         # unmatched probe rows null the build columns; pandas merge would
         # coerce int64 -> float64 NaN there, diverging from the shuffle
@@ -144,6 +172,12 @@ def auto_join(
         from .treeagg import clean_arrow
 
         b = ray.get(ref)
+        overlap = (set(batch.columns) & set(b.columns)) - set(lk) - set(rk)
+        if overlap:
+            raise ValueError(
+                f"join sides share non-key columns {sorted(overlap)}; "
+                "rename or drop them before joining"
+            )
         out = batch.merge(
             b, how=pd_how, left_on=lk, right_on=rk, sort=False, copy=False
         )

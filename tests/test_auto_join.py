@@ -127,3 +127,47 @@ def test_planner_routed_queries_force_equal(ray_session):
         a = _norm(fn(SF, force=None).to_pandas(), keys)
         b = _norm(fn(SF, force="shuffle").to_pandas(), keys)
         pd.testing.assert_frame_equal(a, b)
+
+
+def test_broadcast_overlapping_nonkey_columns_raise(ray_session):
+    """ADVICE r3: overlapping non-key columns would get pandas _x/_y
+    suffixes under the broadcast merge and a duplicate-field schema under
+    Ray's shuffle join - auto_join fails loudly at planning time instead
+    of silently diverging."""
+    import pandas as pd
+    import pytest
+    import ray.data
+
+    from plateau_gis_converter_ray.stages.joins import auto_join
+
+    left = ray.data.from_pandas(
+        pd.DataFrame({"k": [1, 2, 3], "v": [10, 20, 30]})
+    )
+    right = ray.data.from_pandas(
+        pd.DataFrame({"k": [1, 2], "v": [100, 200]})
+    )
+    with pytest.raises(ValueError, match="share non-key columns"):
+        auto_join(left, right, on=("k",), how="inner", right_size_hint=64)
+
+
+def test_broadcast_semi_oversize_keys_fall_back(ray_session):
+    """The semi/anti key-set path enforces the same 4x runtime memory
+    budget as the build path."""
+    import pandas as pd
+    import ray.data
+
+    from plateau_gis_converter_ray.stages.joins import auto_join
+
+    left = ray.data.from_pandas(pd.DataFrame({"k": list(range(50))}))
+    right = ray.data.from_pandas(
+        pd.DataFrame({"k": [str(i) * 200 for i in range(50)]})
+    )
+    left_s = left.map_batches(
+        lambda b: pd.DataFrame({"k": b["k"].astype(str)}),
+        batch_format="pandas",
+    )
+    # hint says tiny, runtime key set is ~10KB >> 4x limit of 256B ->
+    # must fall back to the shuffle semi join and still be correct
+    j = auto_join(left_s, right, on=("k",), how="left_semi",
+                  right_size_hint=1, broadcast_limit_bytes=64).to_pandas()
+    assert len(j) == 0  # no overlap between "7" and "777...7"

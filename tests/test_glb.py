@@ -299,3 +299,35 @@ def test_glb_tile_writer_skips_existing(ray_session, tmp_path):
     assert int(again["n_vertices"].iloc[0]) == -1
     assert int(again["glb_bytes"].iloc[0]) == size
     assert os.path.getmtime(path) == mtime
+
+
+def test_glb_tile_writer_rewrites_stale_tile(ray_session, tmp_path):
+    """ADVICE r3: changed upstream content must NOT resume-skip — the
+    lineage digest mismatches and the tile rewrites; unchanged input
+    still skips with bytes untouched."""
+    import os
+
+    import ray.data
+
+    from plateau_gis_converter_ray.sinks.tiles3d import write_tiles_3dt
+
+    rows = [{"zoom": 3, "tile_x": 2, "tile_y": 1,
+             "ring_xy": [0.1, 0.1, 0.9, 0.1, 0.9, 0.9, 0.1, 0.9], "pid": "a"}]
+    out = str(tmp_path / "t")
+    write_tiles_3dt(ray.data.from_items(rows), out).to_pandas()
+    path = os.path.join(out, "3", "2", "1.glb")
+    size1 = os.path.getsize(path)
+
+    # changed geometry -> digest mismatch -> rewrite (no -1 sentinel)
+    rows2 = [{"zoom": 3, "tile_x": 2, "tile_y": 1,
+              "ring_xy": [0.2, 0.2, 0.8, 0.2, 0.8, 0.8, 0.2, 0.8],
+              "pid": "a"}]
+    again = write_tiles_3dt(ray.data.from_items(rows2), out).to_pandas()
+    assert int(again["n_vertices"].iloc[0]) > 0
+
+    # a tile missing its sidecar (crash window) also rewrites
+    os.remove(path + ".lineage")
+    third = write_tiles_3dt(ray.data.from_items(rows2), out).to_pandas()
+    assert int(third["n_vertices"].iloc[0]) > 0
+    assert os.path.exists(path + ".lineage")
+    assert os.path.getsize(path) > 0 and size1 > 0

@@ -134,3 +134,42 @@ def test_ivm_chunk_exactly_once(ray_session, tmp_path):
     upsert(base, _mkds(part), key="k", n_buckets=4, mode="sum", chunk_id="c1")
     got = read_keyed_table(base).to_pandas()
     assert got["n"].eq(2).all()  # a new chunk applies exactly once
+
+
+def test_sum_into_ledgered_bucket_without_chunk_id_raises(ray_session, tmp_path):
+    """ADVICE r3: a mode='sum' upsert into a ledgered bucket without a
+    chunk_id must raise — silently erasing applied_chunks would let a
+    chunk replay double-count."""
+    import pandas as pd
+    import pytest
+    import ray
+    import ray.data
+
+    from plateau_gis_converter_ray.sinks.upsert import upsert
+
+    base = str(tmp_path / "ivm")
+    upd = ray.data.from_pandas(pd.DataFrame({"k": [1, 2], "v": [10, 20]}))
+    upsert(base, upd, key="k", n_buckets=2, mode="sum", chunk_id="c1")
+    with pytest.raises(ray.exceptions.RayTaskError, match="applied_chunks"):
+        upsert(base, upd, key="k", n_buckets=2, mode="sum", chunk_id=None)
+
+
+def test_replace_preserves_chunk_ledger(ray_session, tmp_path):
+    """A replace rewrite of a ledgered bucket carries the ledger through,
+    so a later replay of an applied chunk still no-ops."""
+    import pandas as pd
+    import ray.data
+
+    from plateau_gis_converter_ray.sinks.upsert import read_keyed_table, upsert
+
+    base = str(tmp_path / "ivm2")
+    upd = ray.data.from_pandas(pd.DataFrame({"k": [1, 2], "v": [10, 20]}))
+    upsert(base, upd, key="k", n_buckets=1, mode="sum", chunk_id="c1")
+    rep = ray.data.from_pandas(
+        pd.DataFrame({"k": [1], "v": [99], "seq": [5]})
+    )
+    upsert(base, rep, key="k", n_buckets=1, mode="replace")
+    # replaying c1 after the replace must still be a no-op
+    upsert(base, upd, key="k", n_buckets=1, mode="sum", chunk_id="c1")
+    got = read_keyed_table(base).to_pandas().sort_values("k")
+    assert got[got["k"] == 2]["v"].iloc[0] == 20  # not 40
