@@ -142,25 +142,34 @@ def _q_slice_3dt(sf_dir: str):
         [{"pid": p["id"], "ring": p["rings"][0].tolist()} for p in polys]
     )
 
-    def slice_batch(batch: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for pid, ring in zip(batch["pid"], batch["ring"]):
+    def slice_batch(batch) -> "object":
+        import pyarrow as pa
+
+        pid_c, z_c, x_c, y_c, nv_c, area_c = [], [], [], [], [], []
+        for pid, ring in zip(
+            batch.column("pid").to_pylist(), batch.column("ring").to_pylist()
+        ):
             ring5 = np.array([[c[0], c[1], 0.0, 0.0, 0.0] for c in ring])
             for (z, x, y), rings in slice_polygon_3dt(9, [ring5]):
                 if len(rings[0]):
-                    rows.append(
-                        {
-                            "pid": pid,
-                            "zoom": z,
-                            "tile_x": int(x),
-                            "tile_y": int(y),
-                            "n_vertices": int(len(rings[0])),
-                            "area_e9": int(round(ring_area(rings[0][:, :2]) * 1e9)),
-                        }
-                    )
-        return pd.DataFrame(rows)
+                    pid_c.append(pid)
+                    z_c.append(z)
+                    x_c.append(int(x))
+                    y_c.append(int(y))
+                    nv_c.append(int(len(rings[0])))
+                    area_c.append(int(round(ring_area(rings[0][:, :2]) * 1e9)))
+        return pa.table(
+            {
+                "pid": pa.array(pid_c, pa.string()),
+                "zoom": pa.array(z_c, pa.int64()),
+                "tile_x": pa.array(x_c, pa.int64()),
+                "tile_y": pa.array(y_c, pa.int64()),
+                "n_vertices": pa.array(nv_c, pa.int64()),
+                "area_e9": pa.array(area_c, pa.int64()),
+            }
+        )
 
-    return ds.map_batches(slice_batch, batch_format="pandas")
+    return ds.map_batches(slice_batch, batch_format="pyarrow")
 
 
 def _q_slice_mvt(sf_dir: str):
@@ -181,9 +190,13 @@ def _q_slice_mvt(sf_dir: str):
     extent = 1 << 12
     buffer = extent * 5 // 256  # buffer_pixels=5 (mvt/mod.rs:206-207)
 
-    def slice_batch(batch: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for pid, ring in zip(batch["pid"], batch["ring"]):
+    def slice_batch(batch) -> "object":
+        import pyarrow as pa
+
+        pid_c, z_c, x_c, y_c, nr_c, ne_c, np_c = [], [], [], [], [], [], []
+        for pid, ring in zip(
+            batch.column("pid").to_pylist(), batch.column("ring").to_pylist()
+        ):
             arr = np.array([list(p) for p in ring], dtype=np.float64)
             mx, my = lnglat_to_web_mercator(arr[:, 0], arr[:, 1])
             # reference keeps CW (area>0 in y-down) exteriors (mvt/slice.rs:55)
@@ -191,16 +204,27 @@ def _q_slice_mvt(sf_dir: str):
             out = {}
             slice_polygon_mvt(8, extent, buffer, [merc], out)
             for (z, x, y), rings in out.items():
-                n_ext = sum(1 for is_ext, _ in rings if is_ext)
-                n_pts = sum(len(r) for _, r in rings)
                 if rings:
-                    rows.append(
-                        {"pid": pid, "zoom": z, "tile_x": int(x), "tile_y": int(y),
-                         "n_rings": len(rings), "n_ext": n_ext, "n_points": n_pts}
-                    )
-        return pd.DataFrame(rows)
+                    pid_c.append(pid)
+                    z_c.append(z)
+                    x_c.append(int(x))
+                    y_c.append(int(y))
+                    nr_c.append(len(rings))
+                    ne_c.append(sum(1 for is_ext, _ in rings if is_ext))
+                    np_c.append(sum(len(r) for _, r in rings))
+        return pa.table(
+            {
+                "pid": pa.array(pid_c, pa.string()),
+                "zoom": pa.array(z_c, pa.int64()),
+                "tile_x": pa.array(x_c, pa.int64()),
+                "tile_y": pa.array(y_c, pa.int64()),
+                "n_rings": pa.array(nr_c, pa.int64()),
+                "n_ext": pa.array(ne_c, pa.int64()),
+                "n_points": pa.array(np_c, pa.int64()),
+            }
+        )
 
-    return ds.map_batches(slice_batch, batch_format="pandas")
+    return ds.map_batches(slice_batch, batch_format="pyarrow")
 
 
 def _q_project_jpr9(sf_dir: str):
