@@ -130,6 +130,11 @@ BENCH_QUERIES = [
     # XML (v2 corpus: 3 types, 2 LODs, nested attr trees, theme stores)
     "citygml_chain",
     "appearance_xml_two_phase",
+    # r4: Q2-style composite argmin join-back, Q22-style scalar-subquery +
+    # anti join, broadcast-rank-map DENSE_RANK (all oracle-gated)
+    "cheapest_supplier_per_part",
+    "rich_idle_customers",
+    "dense_rank_events",
 ]
 
 

@@ -163,6 +163,19 @@ def decode_image(data, fmt: str, w: int, h: int) -> np.ndarray:
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
+def block_channel_sums_u8(stack: np.ndarray) -> np.ndarray:
+    """ONE exact int64 pass over a (n, h, w, 3) uint8 stack -> per-block
+    per-channel sums (n, 8, 8, 3). Both the 8x8 block-mean grayscale AND
+    the per-channel image means derive from this small array, so the
+    full-frame stack is read once for both stats (the decode chain is
+    DRAM-bound; BASELINE.md 8v32 diagnostic)."""
+    n, h, w, _ = stack.shape
+    hb, wb = h // 8, w // 8
+    return np.add.reduce(
+        stack.reshape(n, 8, hb, 8, wb, 3), axis=(2, 4), dtype=np.int64
+    )
+
+
 def block_means_u8(stack: np.ndarray) -> np.ndarray:
     """Exact 8x8 block-mean grayscale for a (n, h, w, 3) uint8 stack.
 
@@ -174,10 +187,7 @@ def block_means_u8(stack: np.ndarray) -> np.ndarray:
     """
     n, h, w, _ = stack.shape
     hb, wb = h // 8, w // 8
-    sums = np.add.reduce(
-        stack.reshape(n, 8, hb, 8, wb, 3), axis=(2, 4, 5), dtype=np.int64
-    )
-    return sums / (3.0 * hb * wb)
+    return block_channel_sums_u8(stack).sum(axis=3) / (3.0 * hb * wb)
 
 
 def phash64(pixels: np.ndarray) -> int:

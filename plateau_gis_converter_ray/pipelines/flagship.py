@@ -86,9 +86,9 @@ def _partial_tile_agg(batch: pa.Table) -> pa.Table:
     lat = batch.column("lat").to_numpy()
 
     # group within batch by (tile_id, muni)
-    muni_codes, muni_uniq = pa.array(muni).dictionary_encode().indices.to_numpy(
-        zero_copy_only=False
-    ), pa.array(muni).dictionary_encode().dictionary.to_pylist()
+    dict_enc = pa.array(muni).dictionary_encode()
+    muni_codes = dict_enc.indices.to_numpy(zero_copy_only=False)
+    muni_uniq = dict_enc.dictionary.to_pylist()
     key = tid.astype(np.int64) * np.int64(len(muni_uniq) + 1) + muni_codes.astype(
         np.int64
     )

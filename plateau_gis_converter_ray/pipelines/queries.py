@@ -6367,6 +6367,237 @@ def q_fuzzy_token_join(sf_dir: str):
 # ---------------------------------------------------------------------------
 # registry
 
+
+# ---------------------------------------------------------------------------
+# TPC-H Q2 shape: argmin join-back — for every part, the cheapest lineitem
+# offer and the supplier that made it (ties: smallest suppkey). ONE
+# combiner-tree exchange via a composite minimization key: suppkey fits in
+# 20 bits (asserted), so min(price_c * 2^20 + suppkey) decomposes into
+# (min price, min suppkey among min-price rows) exactly — the two-level
+# argmin without a join-back exchange. Supplier attach is a broadcast dim.
+
+
+def q_cheapest_supplier_per_part(sf_dir: str):
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_suppkey"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        price_c = np.round(
+            batch.column("l_extendedprice").to_numpy() * 100
+        ).astype(np.int64)
+        sk = batch.column("l_suppkey").to_numpy().astype(np.int64)
+        assert sk.max(initial=0) < (1 << 20), "composite argmin key overflow"
+        return pa.table(
+            {
+                "p_partkey": batch.column("l_partkey"),
+                "ck": pa.array(price_c * (1 << 20) + sk),
+            }
+        )
+
+    agg = tree_group_agg(
+        li.map_batches(prep, batch_format="pyarrow"),
+        ["p_partkey"], {"ck": ("ck", "min")},
+    )
+
+    def decompose(batch: pa.Table) -> pa.Table:
+        ck = batch.column("ck").to_numpy()
+        return pa.table(
+            {
+                "p_partkey": batch.column("p_partkey"),
+                "min_price_c": pa.array(ck >> 20),
+                "s_suppkey": pa.array(ck & ((1 << 20) - 1)),
+            }
+        )
+
+    from ..stages.joins import _scan_rooted_size, auto_join
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    return auto_join(
+        agg.map_batches(decompose, batch_format="pyarrow"), sup,
+        on=("s_suppkey",), how="inner", num_partitions=JOIN_PARTS,
+        right_size_hint=_scan_rooted_size(sup),
+    )
+
+
+_SQL_CHEAPEST_SUPPLIER = """
+WITH px AS (
+  SELECT l_partkey, CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_c,
+         l_suppkey
+  FROM lineitem
+), m AS (
+  SELECT l_partkey, MIN(price_c) AS min_price_c FROM px GROUP BY l_partkey
+), w AS (
+  SELECT px.l_partkey, m.min_price_c, MIN(px.l_suppkey) AS s_suppkey
+  FROM px JOIN m ON px.l_partkey = m.l_partkey AND px.price_c = m.min_price_c
+  GROUP BY px.l_partkey, m.min_price_c
+)
+SELECT w.l_partkey AS p_partkey, w.min_price_c, w.s_suppkey, s.s_name
+FROM w JOIN supplier s ON w.s_suppkey = s.s_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 shape: scalar-subquery threshold + anti join — customers whose
+# balance beats the positive-balance average AND who never ordered, counted
+# per nation. The global average is a 2-int driver scalar (sum, count) from
+# the combiner tree, compared EXACTLY as bal_c * n > sum_c (no division);
+# the "no orders" probe is the planner-routed left_anti against the orders
+# key set.
+
+
+def q_rich_idle_customers(sf_dir: str):
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        bal_c = np.round(batch.column("c_acctbal").to_numpy() * 100).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "c_custkey": batch.column("c_custkey"),
+                "c_nationkey": batch.column("c_nationkey"),
+                "bal_c": pa.array(bal_c),
+            }
+        )
+
+    pos = cust.map_batches(prep, batch_format="pyarrow")
+    thr = (
+        pos.filter(expr="bal_c > 0")
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "s": pa.array([int(b.column("bal_c").to_numpy().sum())]),
+                    "n": pa.array([b.num_rows]),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    s_tot, n_tot = int(thr["s"].sum()), int(thr["n"].sum())
+
+    def above(batch: pa.Table, s=s_tot, n=n_tot) -> pa.Table:
+        bal = batch.column("bal_c").to_numpy()
+        return batch.filter(pa.array(bal * n > s))
+
+    rich = pos.map_batches(above, batch_format="pyarrow")
+    from ..stages.joins import _scan_rooted_size, auto_join
+
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    idle = auto_join(
+        rich, orders, on=("c_custkey",), right_on=("o_custkey",),
+        how="left_anti", num_partitions=JOIN_PARTS,
+        right_size_hint=_scan_rooted_size(orders),
+    )
+    agg = tree_group_agg(
+        idle, ["c_nationkey"],
+        {"n_cust": (None, "count"), "total_bal_c": ("bal_c", "sum")},
+    )
+    import ray.data
+
+    # an sf where every rich customer has ordered yields zero rows; the
+    # typed seed keeps the schema contract (heavy_users pattern)
+    seed = ray.data.from_arrow(
+        pa.table(
+            {
+                "c_nationkey": pa.array([], pa.int64()),
+                "n_cust": pa.array([], pa.int64()),
+                "total_bal_c": pa.array([], pa.int64()),
+            }
+        )
+    )
+    return seed.union(agg)
+
+
+_SQL_RICH_IDLE = """
+WITH pos AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_c
+  FROM customer
+), thr AS (
+  SELECT SUM(bal_c) AS s, COUNT(*) AS n FROM pos WHERE bal_c > 0
+)
+SELECT p.c_nationkey, COUNT(*) AS n_cust, SUM(p.bal_c) AS total_bal_c
+FROM pos p, thr
+WHERE p.bal_c * thr.n > thr.s
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = p.c_custkey)
+GROUP BY p.c_nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# DENSE_RANK per group without a per-group sort of the DATA: the rank of a
+# row is the position of its value among the group's DISTINCT values, and
+# the distinct (event_type, value_c) table is domain-bounded (cents of a
+# bounded value domain) — so one combiner-tree distinct pass builds a small
+# driver-side rank map, broadcast back for a vectorized searchsorted
+# lookup. No shuffle of the fact rows at all (the exact_quantiles /
+# grouped_mad histogram pattern applied to ranking).
+
+
+def q_dense_rank_events(sf_dir: str):
+    import ray
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = np.round(batch.column("value").to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "event_type": batch.column("event_type"),
+                "value_c": pa.array(v),
+            }
+        )
+
+    fact = ev.map_batches(prep, batch_format="pyarrow")
+    distinct = tree_group_agg(
+        fact, ["event_type", "value_c"], {"n": (None, "count")}
+    ).to_pandas()  # domain-bounded: |types| x |distinct cents|
+    distinct = distinct.sort_values(["event_type", "value_c"])
+    rank_map = {
+        t: g["value_c"].to_numpy()
+        for t, g in distinct.groupby("event_type", sort=True)
+    }
+    ref = ray.put(rank_map)
+
+    def attach(batch: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.treeagg import clean_arrow
+
+        rm = ray.get(ref)
+        out = np.empty(len(batch), dtype=np.int64)
+        et = batch["event_type"].to_numpy()
+        vc = batch["value_c"].to_numpy()
+        for t in np.unique(et):
+            m = et == t
+            out[m] = np.searchsorted(rm[t], vc[m]) + 1
+        return clean_arrow(
+            pd.DataFrame(
+                {
+                    "event_id": batch["event_id"].to_numpy(),
+                    "event_type": et,
+                    "value_c": vc,
+                    "dense_rank": out,
+                }
+            )
+        )
+
+    return fact.map_batches(attach, batch_format="pandas")
+
+
+_SQL_DENSE_RANK_EVENTS = """
+WITH f AS (
+  SELECT event_id, event_type,
+         CAST(ROUND(value * 100) AS BIGINT) AS value_c
+  FROM events
+)
+SELECT event_id, event_type, value_c,
+       DENSE_RANK() OVER (
+         PARTITION BY event_type ORDER BY value_c
+       ) AS dense_rank
+FROM f
+"""
+
+
 QUERIES = {
     "tile_wm_z12": q_tile_wm_z12,
     "tile_3dt_z7": q_tile_3dt_z7,
@@ -6480,6 +6711,9 @@ QUERIES = {
     "bfs_hops": q_bfs_hops,
     "ivfpq_index_build": q_ivfpq_index_build,
     "ivfpq_search_cached": q_ivfpq_search_cached,
+    "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
+    "rich_idle_customers": q_rich_idle_customers,
+    "dense_rank_events": q_dense_rank_events,
 }
 
 ORACLES = {
@@ -6582,4 +6816,7 @@ ORACLES = {
     "global_shuffle_rank": _SQL_GLOBAL_SHUFFLE_RANK,
     "pattern_triples": _SQL_PATTERN_TRIPLES,
     "bfs_hops": _SQL_BFS_HOPS,
+    "cheapest_supplier_per_part": _SQL_CHEAPEST_SUPPLIER,
+    "rich_idle_customers": _SQL_RICH_IDLE,
+    "dense_rank_events": _SQL_DENSE_RANK_EVENTS,
 }

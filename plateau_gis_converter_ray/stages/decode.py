@@ -18,6 +18,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..kernels.imagecodec import (
+    block_channel_sums_u8,
     block_means_u8,
     decode_image,
     phash64_batch,
@@ -96,10 +97,15 @@ class ImageDecodeStats:
             for j, i in enumerate(rows):
                 stack_u8[j] = decode_image(blobs[i], fmt, w, h)
             rows_np = np.array(rows)
-            means[rows_np] = stack_u8.reshape(len(rows), -1, 3).mean(axis=1)
-            # exact integer block sums — no full-frame float64 gray plane;
-            # identical bits to the generator's stored phash by construction
-            small[rows_np] = block_means_u8(stack_u8)
+            # ONE int64 pass yields both stats: channel means = block-sum
+            # marginals / (h*w) (integer sums are exact, and np.mean's
+            # float64 pairwise sum of uint8 is exact below 2^53 too, so
+            # the values are bit-identical to the two-pass form), and the
+            # phash block means = the channel-summed blocks
+            hb, wb = h // 8, w // 8
+            sums3 = block_channel_sums_u8(stack_u8)  # (g, 8, 8, 3) int64
+            means[rows_np] = sums3.sum(axis=(1, 2)) / float(h * w)
+            small[rows_np] = sums3.sum(axis=3) / (3.0 * hb * wb)
             if self.verify_psnr:
                 ref = synth_pixels_batch(idx_all[rows_np], w, h)
                 if fmt in ("raw", "ppm", "rle"):
