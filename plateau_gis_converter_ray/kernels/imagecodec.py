@@ -66,41 +66,45 @@ def synth_pixels_batch(indices: np.ndarray, w: int, h: int) -> np.ndarray:
 
     Bit-identical per row to the scalar path (same IEEE expressions,
     broadcast over the batch dimension) — the decode stage groups rows by
-    (w, h) and synthesizes each group in one shot.
+    (w, h) and synthesizes each group in one shot. The plane math lives in
+    :func:`synth_base_u8` (shared with the no-materialize verifier), so
+    generator and verifier agree bit-for-bit by construction.
     """
+    base_u8, b8 = synth_base_u8(indices, w, h)
+    n = len(base_u8)
+    img = np.empty((n, h, w, 3), dtype=np.uint8)
+    img[..., 0] = base_u8
+    img[..., 1] = base_u8[:, ::-1]
+    img[..., 2] = b8[None]
+    return img
+
+
+def synth_base_u8(indices: np.ndarray, w: int, h: int):
+    """The synthesis SUB-kernel the verifier compares against without ever
+    materializing the (n, h, w, 3) reference stack: channel 0 is
+    ``base_u8``, channel 1 its vertical flip (a VIEW), channel 2 the
+    constant ``b8`` grid — exactly the three planes
+    :func:`synth_pixels_batch` assembles (elementwise float->uint8 cast
+    commutes with the flip, so the planes are bit-identical to the
+    generator's). Returns (base_u8 (n, h, w), b8 (h, w))."""
     s = splitmix64(np.asarray(indices).astype(np.uint64))
     f1 = 1.0 + (s & np.uint64(7)).astype(np.float64)
     f2 = 1.0 + ((s >> np.uint64(3)) & np.uint64(7)).astype(np.float64)
     ph = ((s >> np.uint64(6)) & np.uint64(255)).astype(np.float64) / 40.0
     xxw, yyh, b8 = _grids(w, h)
-    # separable: the sin term varies only along x, the cos term only along
-    # y — evaluate the transcendentals on (n, w) / (n, h) and broadcast the
-    # sum, cutting trig work h- resp. w-fold. Each element sees the exact
-    # same IEEE expressions/order as the dense form, so output is
-    # bit-identical (phash/PSNR pins unchanged).
-    # float32 throughout: the phases/frequencies are exact small values, the
-    # output is quantized to uint8 anyway, and the full-frame base plane is
-    # the single biggest DRAM consumer of the decode chain (half the bytes
-    # of the float64 form; generator and verifier share this exact code so
-    # the equality/PSNR invariants hold by construction)
     sin_x = np.float32(60.0) * np.sin(
         ((2 * np.pi) * f1[:, None] * xxw[0][None, :] + ph[:, None]).astype(
             np.float32
         )
-    )  # (n, w) f32
+    )
     cos_y = np.float32(60.0) * np.cos(
         ((2 * np.pi) * f2[:, None] * yyh[:, 0][None, :] - ph[:, None]).astype(
             np.float32
         )
-    )  # (n, h) f32
+    )
     base = (np.float32(127.5) + sin_x[:, None, :]) + cos_y[:, :, None]
     np.clip(base, 0, 255, out=base)
-    n = len(s)
-    img = np.empty((n, h, w, 3), dtype=np.uint8)
-    img[..., 0] = base
-    img[..., 1] = base[:, ::-1]
-    img[..., 2] = b8[None]
-    return img
+    return base.astype(np.uint8), b8
 
 
 def _rle_encode(flat: np.ndarray) -> bytes:

@@ -107,32 +107,49 @@ class ImageDecodeStats:
             means[rows_np] = sums3.sum(axis=(1, 2)) / float(h * w)
             small[rows_np] = sums3.sum(axis=3) / (3.0 * hb * wb)
             if self.verify_psnr:
-                ref = synth_pixels_batch(idx_all[rows_np], w, h)
+                # the reference stack is never materialized: the synthesis
+                # planes (base, its flip as a VIEW, the constant b8 grid)
+                # compare/subtract channel-wise straight off the uint8
+                # base plane — one (n,h,w) write instead of the (n,h,w,3)
+                # reference + its read-back (kernels.imagecodec
+                # synth_base_u8 shares the generator's exact plane math)
+                from ..kernels.imagecodec import synth_base_u8
+
+                base_u8, b8 = synth_base_u8(idx_all[rows_np], w, h)
+                planes = (base_u8, base_u8[:, ::-1], b8[None])
                 if fmt in ("raw", "ppm", "rle"):
                     # lossless: mse == 0 <=> byte equality, so the per-row
                     # invariant checks as a uint8 compare (8x less traffic
                     # than the float path); any mismatch falls through to
                     # the real PSNR so a regression still shows a number
-                    eq = (stack_u8 == ref).all(axis=(1, 2, 3))
+                    eq = (
+                        (stack_u8[..., 0] == planes[0]).all(axis=(1, 2))
+                        & (stack_u8[..., 1] == planes[1]).all(axis=(1, 2))
+                        & (stack_u8[..., 2] == planes[2]).all(axis=(1, 2))
+                    )
                     psnrs[rows_np] = np.inf
                     if not eq.all():
                         bad = np.nonzero(~eq)[0]
-                        d = stack_u8[bad].astype(np.float64) - ref[bad]
+                        ref = synth_pixels_batch(idx_all[rows_np][bad], w, h)
+                        d = stack_u8[bad].astype(np.float64) - ref
                         d *= d
                         mse = d.mean(axis=(1, 2, 3))
                         psnrs[rows_np[bad]] = 10.0 * np.log10(
                             255.0**2 / np.maximum(mse, 1e-300)
                         )
                 else:
-                    # residual fits int16; squares sum exactly in int64, and
-                    # the exact sum / n equals the float path's mse bit-for-
-                    # bit (float64 pairwise sums of integer squares below
-                    # 2^53 are exact too)
-                    d = stack_u8.astype(np.int16)
-                    np.subtract(d, ref, out=d, casting="unsafe")
-                    sumsq = np.einsum(
-                        "nhwc,nhwc->n", d, d, dtype=np.int64, casting="unsafe"
-                    )
+                    # residual fits int16; squares sum exactly in int64 per
+                    # channel and integer addition is associative, so the
+                    # channel-split total equals the stacked einsum bit-
+                    # for-bit (and exact sum / n == the float path's mse)
+                    sumsq = np.zeros(len(rows), dtype=np.int64)
+                    for c in range(3):
+                        d = stack_u8[..., c].astype(np.int16)
+                        np.subtract(d, planes[c], out=d, casting="unsafe")
+                        sumsq += np.einsum(
+                            "nhw,nhw->n", d, d, dtype=np.int64,
+                            casting="unsafe",
+                        )
                     mse = sumsq / (h * w * 3)
                     with np.errstate(divide="ignore"):
                         psnrs[rows_np] = np.where(
