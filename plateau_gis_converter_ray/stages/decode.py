@@ -184,17 +184,27 @@ class ImageResize:
         hs = batch.column("h").to_numpy()
         fmts = batch.column("fmt").to_pylist()
         t = self.t
-        out = np.empty((len(blobs), t * t), dtype=np.float32)
-        for i, blob in enumerate(blobs):
-            px = decode_image(blob, fmts[i], int(ws[i]), int(hs[i]))
+        n = len(blobs)
+        out = np.empty((n, t * t), dtype=np.float32)
+        # group rows by (fmt, w, h) and block-mean each stack in one shot
+        # (the ImageDecodeStats grouping; values identical to the per-image
+        # path — same reduction expressions, batched)
+        groups: dict[tuple, list[int]] = {}
+        for i in range(n):
+            groups.setdefault((fmts[i], int(ws[i]), int(hs[i])), []).append(i)
+        for (fmt, w, h), rows in groups.items():
+            stack = np.empty((len(rows), h, w, 3), dtype=np.uint8)
+            for j, i in enumerate(rows):
+                stack[j] = decode_image(blobs[i], fmt, w, h)
             # exact channel sum then /3.0 == float64 mean, no uint8->f64 cast
-            g = np.add.reduce(px, axis=2, dtype=np.float64)
+            g = np.add.reduce(stack, axis=3, dtype=np.float64)
             g /= 3.0
-            h, w = g.shape
-            # crop to a multiple of t then block-mean
             h2, w2 = (h // t) * t, (w // t) * t
-            out[i] = (
-                g[:h2, :w2].reshape(t, h2 // t, t, w2 // t).mean(axis=(1, 3)).reshape(-1)
+            out[np.array(rows)] = (
+                g[:, :h2, :w2]
+                .reshape(len(rows), t, h2 // t, t, w2 // t)
+                .mean(axis=(2, 4))
+                .reshape(len(rows), -1)
             )
         thumb = pa.FixedSizeListArray.from_arrays(pa.array(out.reshape(-1)), t * t)
         return batch.drop_columns(["bytes"]).append_column("thumb", thumb)
