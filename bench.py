@@ -135,6 +135,8 @@ BENCH_QUERIES = [
     "cheapest_supplier_per_part",
     "rich_idle_customers",
     "dense_rank_events",
+    # r4: RAG chunking explode (oracle-gated, zero exchanges)
+    "chunk_documents",
 ]
 
 

@@ -6598,6 +6598,75 @@ FROM f
 """
 
 
+
+# ---------------------------------------------------------------------------
+# RAG chunking: split every document into fixed-window overlapping chunks
+# (C=256 chars, stride S=192 -> 64-char overlap) — the retrieval-indexing
+# primitive. Fully vectorized 1->N explode (segmented arange over per-doc
+# chunk counts; one utf-32 decode per DOC gives vectorized first-char
+# gathers); zero exchanges — chunking is embarrassingly row-parallel and
+# the chunk id is (doc_id, chunk_idx), no global sequence needed at any
+# scale.
+
+
+def q_chunk_documents(sf_dir: str, size: int = 256, stride: int = 192):
+    from ..kernels.segments import segmented_arange
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id").to_numpy()
+        n = batch.column("n_chars").to_numpy().astype(np.int64)
+        texts = batch.column("text").to_pylist()
+        counts = np.maximum((n + stride - 1) // stride, 1)
+        idx = segmented_arange(counts)
+        doc_rep = np.repeat(np.arange(len(did)), counts)
+        start = idx * stride
+        chunk_len = np.minimum(size, n[doc_rep] - start)
+        chunk_len = np.maximum(chunk_len, 0)  # n == 0 -> one empty chunk
+        # one utf-32 decode per DOC, then first chars gather vectorized
+        offsets = np.concatenate([[0], np.cumsum(n)])
+        flat = np.frombuffer(
+            "".join(texts).encode("utf-32-le"), dtype=np.uint32
+        )
+        pos = offsets[doc_rep] + start
+        first = np.where(
+            chunk_len > 0,
+            pos.astype(np.int64),
+            -1,
+        )
+        chars = np.array(
+            [chr(c) for c in flat[np.maximum(first, 0)]], dtype=object
+        ) if len(first) else np.array([], dtype=object)
+        chars = np.where(first >= 0, chars, "")
+        return pa.table(
+            {
+                "doc_id": pa.array(did[doc_rep]),
+                "chunk_idx": pa.array(idx),
+                "start": pa.array(start),
+                "chunk_len": pa.array(chunk_len),
+                "first_char": pa.array(chars.tolist(), pa.string()),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+_SQL_CHUNK_DOCUMENTS = """
+WITH c AS (
+  SELECT doc_id, text, n_chars,
+         UNNEST(range(0, GREATEST((n_chars + 191) // 192, 1))) AS chunk_idx
+  FROM documents
+)
+SELECT doc_id, chunk_idx, chunk_idx * 192 AS start,
+       GREATEST(LEAST(256, n_chars - chunk_idx * 192), 0) AS chunk_len,
+       CASE WHEN n_chars - chunk_idx * 192 > 0
+            THEN substr(text, CAST(chunk_idx * 192 + 1 AS BIGINT), 1)
+            ELSE '' END AS first_char
+FROM c
+"""
+
+
 QUERIES = {
     "tile_wm_z12": q_tile_wm_z12,
     "tile_3dt_z7": q_tile_3dt_z7,
@@ -6714,6 +6783,7 @@ QUERIES = {
     "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
     "rich_idle_customers": q_rich_idle_customers,
     "dense_rank_events": q_dense_rank_events,
+    "chunk_documents": q_chunk_documents,
 }
 
 ORACLES = {
@@ -6819,4 +6889,5 @@ ORACLES = {
     "cheapest_supplier_per_part": _SQL_CHEAPEST_SUPPLIER,
     "rich_idle_customers": _SQL_RICH_IDLE,
     "dense_rank_events": _SQL_DENSE_RANK_EVENTS,
+    "chunk_documents": _SQL_CHUNK_DOCUMENTS,
 }
