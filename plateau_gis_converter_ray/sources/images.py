@@ -99,10 +99,14 @@ def rows_for_sf(sf: float) -> int:
     return max(1, int(round(600_000 * sf)))
 
 
-GENERATOR_VERSION = "v5"  # bump when layout/content rules change
+GENERATOR_VERSION = "v6"  # bump when layout/content rules change
 # (v4: phash block means switched to the exact integer-sum form;
 #  v5: float32 synthesis plane — generator and decode-verifier share the
-#  kernel, so the per-row equality/PSNR invariants hold unchanged)
+#  kernel, so the per-row equality/PSNR invariants hold unchanged;
+#  v6: the bytes column is stored UNCOMPRESSED — encoded image payloads
+#  snappy-compress ~4.5% yet cost a full decompress memcpy of every
+#  payload byte at read time (the standard media-in-parquet layout);
+#  row content is bit-identical to v5)
 
 
 def source_index(idx):
@@ -146,7 +150,9 @@ def ensure_image_table(sf: float, base: str = "/tmp/plateau_ray_data") -> str:
     (
         ray.data.range(n, override_num_blocks=n_blocks)
         .map_batches(gen, batch_format="pyarrow", batch_size=2048)
-        .write_parquet(path)
+        # bytes uncompressed (see GENERATOR_VERSION v6 note); the small
+        # metadata columns keep snappy
+        .write_parquet(path, compression={"bytes": "NONE"})
     )
     with open(marker, "w") as f:
         f.write(str(n))
