@@ -174,51 +174,16 @@ def appearance_resolve_xml_ds(gml_dir: str):
     FMETheme fallback; unmapped targets demote to the dummy texture /
     no-material sentinels. One groupby(file) exchange; stores never leave
     their group."""
-    import pyarrow.compute as pc
+    import ray.data
 
-    from ..sources.citygml_xml import read_appearances_v2, read_citygml_v2
+    from ..sources.citygml_xml import AppearanceJoinParse, _gml_files
     from ..stages.treeagg import clean_arrow
 
-    feats = read_citygml_v2(gml_dir)
-
-    def feat_rows(batch: pa.Table) -> pa.Table:
-        ring0 = pc.list_element(batch.column("ring_ids"), 0)
-        n = batch.num_rows
-        return pa.table(
-            {
-                "file": batch.column("file"),
-                "role": pa.array(["f"] * n, pa.string()),
-                "gml_id": batch.column("gml_id"),
-                "ring0": ring0,
-                "surf_id": batch.column("surf_id"),
-                "theme": pa.array([None] * n, pa.string()),
-                "kind": pa.array([None] * n, pa.string()),
-                "target": pa.array([None] * n, pa.string()),
-                "value": pa.array([None] * n, pa.string()),
-            }
-        )
-
-    apps = read_appearances_v2(gml_dir)
-
-    def app_rows(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        return pa.table(
-            {
-                "file": batch.column("file"),
-                "role": pa.array(["a"] * n, pa.string()),
-                "gml_id": pa.array([None] * n, pa.string()),
-                "ring0": pa.array([None] * n, pa.string()),
-                "surf_id": pa.array([None] * n, pa.string()),
-                "theme": batch.column("theme"),
-                "kind": batch.column("kind"),
-                "target": batch.column("target"),
-                "value": batch.column("value"),
-            }
-        )
-
-    union = feats.map_batches(feat_rows, batch_format="pyarrow").union(
-        apps.map_batches(app_rows, batch_format="pyarrow")
-    )
+    # ONE binary read + ONE XML parse per file emits both roles directly
+    # in the union schema (the corpus was previously read+parsed twice)
+    union = ray.data.read_binary_files(
+        _gml_files(gml_dir), include_paths=True
+    ).map_batches(AppearanceJoinParse(), batch_format="pyarrow")
 
     def resolve(g: pd.DataFrame) -> pa.Table:
         is_app = g["role"].to_numpy() == "a"

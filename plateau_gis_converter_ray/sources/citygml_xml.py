@@ -598,6 +598,70 @@ class AppearanceParseV2:
         )
 
 
+class AppearanceJoinParse:
+    """ONE XML parse per file emitting BOTH sides of the per-file
+    appearance resolve in the union schema the groupby(file) pass
+    consumes: role 'f' rows carry each feature's primary ring + surface
+    id (the theme-map lookup keys — the full attribute/LOD parse isn't
+    needed here), role 'a' rows carry the theme store entries. Replaces
+    the two separate binary reads + parses of the same corpus."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import xml.etree.ElementTree as ET
+
+        tags = _feature_tags()
+        cols: dict[str, list] = {
+            k: []
+            for k in ("file", "role", "gml_id", "ring0", "surf_id",
+                      "theme", "kind", "target", "value")
+        }
+
+        def emit(**kw):
+            for k in cols:
+                cols[k].append(kw.get(k))
+
+        for path, blob in zip(
+            batch.column("path").to_pylist(),
+            batch.column("bytes").to_pylist(),
+        ):
+            root = ET.fromstring(blob)
+            fname = os.path.basename(path)
+            for member in root.iter(f"{{{NS['core']}}}cityObjectMember"):
+                for feat in member:
+                    if tags.get(feat.tag) is None:
+                        continue
+                    ring = feat.find(f".//{{{NS['gml']}}}LinearRing")
+                    poly = feat.find(f".//{{{NS['gml']}}}Polygon")
+                    emit(
+                        file=fname, role="f",
+                        gml_id=feat.get(f"{{{NS['gml']}}}id"),
+                        ring0=ring.get(f"{{{NS['gml']}}}id")
+                        if ring is not None else None,
+                        surf_id=poly.get(f"{{{NS['gml']}}}id")
+                        if poly is not None else None,
+                    )
+            for ap in root.iter(f"{{{NS['app']}}}Appearance"):
+                th = ap.find(f"{{{NS['app']}}}theme")
+                theme = th.text if th is not None else ""
+                for tex in ap.iter(f"{{{NS['app']}}}ParameterizedTexture"):
+                    uri = tex.find(f"{{{NS['app']}}}imageURI")
+                    tgt = tex.find(f"{{{NS['app']}}}target")
+                    ref = (tgt.get("uri") if tgt is not None else "") or ""
+                    emit(file=fname, role="a", theme=theme, kind="texture",
+                         target=ref.lstrip("#"),
+                         value=uri.text if uri is not None else "")
+                for mat in ap.iter(f"{{{NS['app']}}}X3DMaterial"):
+                    col = mat.find(f"{{{NS['app']}}}diffuseColor")
+                    tgt = mat.find(f"{{{NS['app']}}}target")
+                    ref = (tgt.text if tgt is not None else "") or ""
+                    emit(file=fname, role="a", theme=theme, kind="material",
+                         target=ref.lstrip("#"),
+                         value=col.text if col is not None else "")
+        return pa.table(
+            {k: pa.array(v, pa.string()) for k, v in cols.items()}
+        )
+
+
 def _gml_files(gml_dir: str) -> list[str]:
     return sorted(
         os.path.join(gml_dir, f)
