@@ -255,13 +255,16 @@ def ivfpq_search_cached(
     )
     probe = np.argsort(qd2, axis=1, kind="stable")[:, :nprobe_eff]
     needed = sorted(set(int(b) for b in probe.ravel()))
-    paths = [
-        os.path.join(index_dir, "codes", f"bucket={b}", "part-0.parquet")
-        for b in needed
-        if os.path.exists(
-            os.path.join(index_dir, "codes", f"bucket={b}", "part-0.parquet")
-        )
-    ]
+    paths = []
+    for b in needed:
+        bdir = os.path.join(index_dir, "codes", f"bucket={b}")
+        if os.path.isdir(bdir):
+            # glob every shard: at scale a bucket holds many part files
+            paths.extend(
+                os.path.join(bdir, f)
+                for f in sorted(os.listdir(bdir))
+                if f.endswith(".parquet")
+            )
     codes_ds = ray.data.read_parquet(paths)
     return ivfpq_adc_search(codes_ds, coarse, books, queries, topk=topk,
                             nprobe=nprobe)
