@@ -425,61 +425,74 @@ def write_flagship_glb_tiles(out_dir: str, tiles_dir: str | None = None):
         enc = MetadataEncoder(
             {"Municipality": {"muni_id": "string", "n_assignments": "uint64"}}
         )
-        materials: list[dict] = []
-        mat_of: dict[str, int] = {}
-        prim_idx: dict[int, list] = {}
-        vparts = []
-        base = 0
-        n_features = 0
-        for _, row in g.iterrows():
-            muni = str(row["muni_id"])
-            fid = enc.add_feature(
-                "Municipality",
-                {"muni_id": muni, "n_assignments": int(row["n_assignments"])},
-            )
-            n_features += 1
-            lng0, lng1 = float(row["lng_min"]), float(row["lng_max"])
-            lat0, lat1 = float(row["lat_min"]), float(row["lat_max"])
-            # quad corners: (lng0,lat1) (lng1,lat1) (lng1,lat0) (lng0,lat0)
-            lngs = np.array([lng0, lng1, lng1, lng0])
-            lats = np.array([lat1, lat1, lat0, lat0])
-            gx, gy, gz = geodetic_to_geocentric(ellips, lngs, lats, np.zeros(4))
-            pos = np.stack(
-                [gx - translation[0], gz - translation[1], -gy - translation[2]],
-                axis=1,
-            )
-            # per-face normal (utils::calculate_normal role)
-            nrm = np.cross(pos[1] - pos[0], pos[2] - pos[0])
-            nl = np.linalg.norm(nrm)
-            nrm = nrm / nl if nl > 0 else np.array([0.0, 1.0, 0.0])
-            # tile-local uv with the v flip (mod.rs:347: [u, 1 - v])
-            u = (lngs - west) / w
-            v_flip = 1.0 - (north - lats) / h
-            v9 = np.zeros((4, 9), dtype=np.float32)
-            v9[:, :3] = pos
-            v9[:, 3:6] = nrm
-            v9[:, 6] = u
-            v9[:, 7] = v_flip
-            v9[:, 8] = float(fid)
-            vparts.append(v9)
-            midx = mat_of.get(muni)
-            if midx is None:
-                midx = mat_of[muni] = len(materials)
-                materials.append(_muni_material(muni))
-            prim_idx.setdefault(midx, []).append(
-                base + np.array([0, 1, 2, 0, 2, 3], dtype=np.uint32)
-            )
-            base += 4
-        allv = (
-            np.concatenate(vparts) if vparts else np.zeros((0, 9), np.float32)
+        n_features = len(g)
+        munis = g["muni_id"].astype(str).to_numpy(dtype=object)
+        nass = g["n_assignments"].to_numpy().astype(np.int64)
+        # per-feature metadata rows stay a loop (string property table
+        # semantics); all GEOMETRY below is batch-vectorized across the
+        # tile's features — same IEEE expressions per quad, so bytes
+        # match the former per-row assembly
+        fids = np.array(
+            [
+                enc.add_feature(
+                    "Municipality",
+                    {"muni_id": m, "n_assignments": int(a)},
+                )
+                for m, a in zip(munis, nass)
+            ],
+            dtype=np.float32,
         )
+        lng0 = g["lng_min"].to_numpy(dtype=np.float64)
+        lng1 = g["lng_max"].to_numpy(dtype=np.float64)
+        lat0 = g["lat_min"].to_numpy(dtype=np.float64)
+        lat1 = g["lat_max"].to_numpy(dtype=np.float64)
+        # quad corners: (lng0,lat1) (lng1,lat1) (lng1,lat0) (lng0,lat0)
+        lngs = np.stack([lng0, lng1, lng1, lng0], axis=1)  # (n, 4)
+        lats = np.stack([lat1, lat1, lat0, lat0], axis=1)
+        gx, gy, gz = geodetic_to_geocentric(
+            ellips, lngs.ravel(), lats.ravel(),
+            np.zeros(4 * n_features),
+        )
+        pos = np.stack(
+            [gx - translation[0], gz - translation[1], -gy - translation[2]],
+            axis=1,
+        ).reshape(n_features, 4, 3)
+        # per-face normal (utils::calculate_normal role)
+        nrm = np.cross(pos[:, 1] - pos[:, 0], pos[:, 2] - pos[:, 0])
+        nl = np.linalg.norm(nrm, axis=1)
+        safe = np.where(nl > 0, nl, 1.0)[:, None]
+        nrm = np.where(
+            (nl > 0)[:, None], nrm / safe, np.array([0.0, 1.0, 0.0])
+        )
+        # tile-local uv with the v flip (mod.rs:347: [u, 1 - v])
+        u = (lngs - west) / w
+        v_flip = 1.0 - (north - lats) / h
+        v9 = np.zeros((n_features, 4, 9), dtype=np.float32)
+        v9[..., :3] = pos
+        v9[..., 3:6] = nrm[:, None, :]
+        v9[..., 6] = u
+        v9[..., 7] = v_flip
+        v9[..., 8] = fids[:, None]
+        allv = v9.reshape(-1, 9)
         vtable, inverse = (
             dedup_vertex_table(allv) if len(allv)
             else (allv, np.empty(0, np.int64))
         )
+        # materials dedup in FIRST-SEEN order (factorize == the old
+        # insertion-ordered mat_of dict); per-material triangle indices
+        # keep feature order
+        mat_codes, mat_uniq = pd.factorize(pd.Series(munis))
+        materials = [_muni_material(str(m)) for m in mat_uniq]
+        tri = np.array([0, 1, 2, 0, 2, 3], dtype=np.uint32)
+        feat_tri = (
+            (np.arange(n_features, dtype=np.uint32) * 4)[:, None] + tri[None, :]
+        )
         primitives = [
-            {"indices": inverse[np.concatenate(chunks)], "material": midx}
-            for midx, chunks in prim_idx.items()
+            {
+                "indices": inverse[feat_tri[mat_codes == mi].ravel()],
+                "material": int(mi),
+            }
+            for mi in range(len(mat_uniq))
         ]
         glb = tile_glb_bytes(
             vtable, np.empty(0, np.uint32), translation=translation,
