@@ -137,6 +137,8 @@ BENCH_QUERIES = [
     "dense_rank_events",
     # r4: RAG chunking explode (oracle-gated, zero exchanges)
     "chunk_documents",
+    # r4: retrieve-then-rerank over the cached index (two-stage retrieval)
+    "ann_rerank",
 ]
 
 

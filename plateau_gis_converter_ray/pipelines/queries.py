@@ -6667,6 +6667,64 @@ FROM c
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Retrieve-then-rerank: the two-stage retrieval pattern every production
+# vector search runs — the compressed index prunes 10^12 vectors to a
+# per-query shortlist (bytes ~ codes of the probed buckets), then the
+# EXACT metric reranks only the shortlist, whose full vectors are fetched
+# with a filter-pushdown scan (row groups outside the candidate id set
+# are never read). Driver holds only Q x shortlist rows (bounded by the
+# query batch, not the corpus). Rows-only; pytest pins rerank == exact
+# integer L2 over the same shortlist and determinism.
+
+
+def q_ann_rerank(sf_dir: str, topk: int = 10, nprobe: int = 4,
+                 shortlist: int = 30):
+    import pyarrow.dataset as pads
+
+    from ..stages.ann_index import ivfpq_index_build, ivfpq_search_cached
+    from ..stages.knn import quantize
+
+    res = ivfpq_index_build(sf_dir)  # no-op on a complete index
+    head = (
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .sort("vec_id").limit(8).to_pandas()
+    )
+    queries = {
+        "qid": head["vec_id"].to_numpy(),
+        "vecs": np.stack(head["embedding"].to_numpy()),
+    }
+    short = ivfpq_search_cached(
+        res["index_dir"], queries, topk=shortlist, nprobe=nprobe
+    ).to_pandas()  # <= Q x shortlist rows
+    cand_ids = np.unique(short["ann_id"].to_numpy())
+    cand = (
+        _read(
+            sf_dir, "embeddings", ["vec_id", "embedding"],
+            filter=pads.field("vec_id").isin(cand_ids.tolist()),
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    cv = quantize(np.stack(cand["embedding"].to_numpy()))
+    cid = cand["vec_id"].to_numpy()
+    qv = quantize(queries["vecs"])
+    out = []
+    for qi, qid in enumerate(queries["qid"]):
+        ids = short.loc[short["qid"] == qid, "ann_id"].to_numpy()
+        rows = np.searchsorted(cid, ids)
+        x = cv[rows]
+        d2 = ((x - qv[qi][None, :]) ** 2).sum(axis=1).astype(np.int64)
+        order = np.lexsort((ids, d2))[:topk]
+        for r, o in enumerate(order):
+            out.append((int(qid), int(ids[o]), int(d2[o]), r))
+    return pd.DataFrame(
+        out, columns=["qid", "ann_id", "exact_d2", "rank"]
+    )
+
+
 QUERIES = {
     "tile_wm_z12": q_tile_wm_z12,
     "tile_3dt_z7": q_tile_3dt_z7,
@@ -6784,6 +6842,7 @@ QUERIES = {
     "rich_idle_customers": q_rich_idle_customers,
     "dense_rank_events": q_dense_rank_events,
     "chunk_documents": q_chunk_documents,
+    "ann_rerank": q_ann_rerank,
 }
 
 ORACLES = {

@@ -137,3 +137,33 @@ def test_fingerprint_change_rebuilds(ray_session, index_root, tmp_path):
     r4 = ivfpq_index_build(str(sf2), index_dir=fixed)
     assert r4["built"] is True
     assert r4["buckets"] == r3["buckets"]
+
+
+def test_ann_rerank_exact_over_shortlist(ray_session, index_root):
+    """Two-stage retrieval: the rerank stage's output must equal the exact
+    integer-L2 brute force restricted to the SAME cached-index shortlist,
+    with (d2, vec_id) tie order, and be deterministic run-to-run."""
+    import numpy as np
+    import pandas as pd
+
+    from plateau_gis_converter_ray.pipelines.queries import q_ann_rerank
+    from plateau_gis_converter_ray.stages.knn import quantize
+
+    a = q_ann_rerank(SF).sort_values(["qid", "rank"]).reset_index(drop=True)
+    b = q_ann_rerank(SF).sort_values(["qid", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)  # deterministic
+
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet").sort_values("vec_id")
+    v = quantize(np.stack(emb["embedding"].to_numpy()))
+    vid = emb["vec_id"].to_numpy()
+    for qid, grp in a.groupby("qid"):
+        grp = grp.sort_values("rank")
+        d2 = grp["exact_d2"].to_numpy()
+        assert (np.diff(d2) >= 0).all()  # sound ordering
+        # exact_d2 matches the true integer L2 for every reported pair
+        q = v[np.searchsorted(vid, qid)]
+        rows = np.searchsorted(vid, grp["ann_id"].to_numpy())
+        true_d2 = ((v[rows] - q[None, :]) ** 2).sum(axis=1)
+        assert (true_d2 == d2).all()
+        # the query itself survives rerank as its own top hit
+        assert grp["ann_id"].iloc[0] == qid and d2[0] == 0
