@@ -139,6 +139,8 @@ BENCH_QUERIES = [
     "chunk_documents",
     # r4: retrieve-then-rerank over the cached index (two-stage retrieval)
     "ann_rerank",
+    # r4: streaming MERGING session windows (oracle == batch sessionize)
+    "stream_session_windows",
 ]
 
 

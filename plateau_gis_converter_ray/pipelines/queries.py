@@ -6725,6 +6725,24 @@ def q_ann_rerank(sf_dir: str, topk: int = 10, nprobe: int = 4,
     )
 
 
+
+# ---------------------------------------------------------------------------
+# STREAMING session windows (oracle-gated): the MERGING window type — a
+# late event can bridge two open sessions, so per-key state is a set of
+# open intervals (stages/streaming.py::make_session_actor). With lateness
+# >= the deterministic max arrival delay no event drops, so the final
+# snapshot provably equals BATCH sessionization — the same
+# gaps-and-islands SQL gates a genuinely streaming operator (watermarks,
+# finalization, interval merging all exercised on the way there; the
+# zero-drop assert is load-bearing).
+
+
+def q_stream_session_windows(sf_dir: str):
+    from ..stages.streaming import stream_session_windows
+
+    return stream_session_windows(sf_dir)
+
+
 QUERIES = {
     "tile_wm_z12": q_tile_wm_z12,
     "tile_3dt_z7": q_tile_3dt_z7,
@@ -6843,6 +6861,7 @@ QUERIES = {
     "dense_rank_events": q_dense_rank_events,
     "chunk_documents": q_chunk_documents,
     "ann_rerank": q_ann_rerank,
+    "stream_session_windows": q_stream_session_windows,
 }
 
 ORACLES = {
@@ -6949,4 +6968,5 @@ ORACLES = {
     "rich_idle_customers": _SQL_RICH_IDLE,
     "dense_rank_events": _SQL_DENSE_RANK_EVENTS,
     "chunk_documents": _SQL_CHUNK_DOCUMENTS,
+    "stream_session_windows": _SQL_SESSIONIZE,
 }

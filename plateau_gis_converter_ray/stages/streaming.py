@@ -580,3 +580,206 @@ def stream_dedup_totals(sf_dir: str, n_buckets: int = 4) -> pd.DataFrame:
     out.attrs["admitted"] = total_admitted
     out.attrs["dropped"] = total_dropped
     return out
+
+
+def make_session_actor():
+    """Event-time SESSION windows (30-min-gap style) over a late-arriving
+    stream — the MERGING window type: a late event can bridge two open
+    sessions into one, so per-key state is a set of open [start, end, n]
+    intervals, not a fixed grid. Batch-local mini-sessions are built
+    vectorized (lexsort + gaps-and-islands per key inside the arrival
+    slice); only the handful of mini-sessions per batch touch Python when
+    merging into the open-interval state. Sessions finalize once
+    ``end + gap + lateness <= watermark`` (micro-batch watermark model);
+    events for an already-finalized session count as late-dropped.
+    Defined lazily (ray import at call time)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    @ray.remote(num_cpus=0)
+    class SessionBucket:
+        def __init__(self, gap_us: int, skew_us: int, lateness_us: int):
+            self.gap = gap_us
+            self.skew = skew_us
+            self.lateness = lateness_us
+            self.open: dict[int, list] = {}  # key -> [[start, end, n], ...]
+            self.emitted: list[tuple] = []   # (key, start, end, n)
+            self.watermark = -(1 << 62)
+            self.late_dropped = 0
+
+        def _merge(self, k: int, s: int, e: int, n: int) -> None:
+            sess = self.open.setdefault(k, [])
+            keep = []
+            for it in sess:
+                if it[1] + self.gap >= s and it[0] - self.gap <= e:
+                    s = min(s, it[0])
+                    e = max(e, it[1])
+                    n += it[2]
+                else:
+                    keep.append(it)
+            keep.append([s, e, n])
+            keep.sort(key=lambda t: t[0])
+            self.open[k] = keep
+
+        def _finalize(self) -> None:
+            # per-batch sweep over open keys; at scale this becomes a
+            # timer wheel keyed by (end + gap + lateness), the standard
+            # streaming-runtime structure — the semantics are identical
+            for k in list(self.open):
+                still = []
+                for it in self.open[k]:
+                    if it[1] + self.gap + self.lateness <= self.watermark:
+                        self.emitted.append((k, it[0], it[1], it[2]))
+                    else:
+                        still.append(it)
+                if still:
+                    self.open[k] = still
+                else:
+                    del self.open[k]
+
+        def run_partition(self, bucket_dir: str, bucket: int,
+                          batch_size: int = 8192) -> int:
+            import os
+
+            import pyarrow.parquet as papq
+
+            part = os.path.join(bucket_dir, f"bucket={bucket}")
+            if not os.path.isdir(part):
+                return 0
+            files = [
+                os.path.join(part, f)
+                for f in sorted(os.listdir(part))
+                if f.endswith(".parquet")
+            ]
+            if not files:
+                return 0
+            t = pa.concat_tables(
+                [papq.read_table(f, columns=["user_id", "ts_us", "arrival_us"])
+                 for f in files]
+            )
+            order = np.argsort(t.column("arrival_us").to_numpy(), kind="stable")
+            uid = t.column("user_id").to_numpy().astype(np.int64)[order]
+            ts = t.column("ts_us").to_numpy().astype(np.int64)[order]
+            n = 0
+            for lo in range(0, len(uid), batch_size):
+                ku = uid[lo : lo + batch_size]
+                kt = ts[lo : lo + batch_size]
+                # vectorized batch-local mini-sessions: per key, event-time
+                # sorted gaps-and-islands
+                o = np.lexsort((kt, ku))
+                su, st = ku[o], kt[o]
+                newseg = np.r_[
+                    True, (su[1:] != su[:-1]) | (np.diff(st) > self.gap)
+                ]
+                starts = np.flatnonzero(newseg)
+                ends = np.r_[starts[1:], len(su)]
+                for a, b in zip(starts, ends):  # one touch per MINI-SESSION
+                    s, e, cnt = int(st[a]), int(st[b - 1]), int(b - a)
+                    if e + self.gap + self.lateness <= self.watermark:
+                        self.late_dropped += cnt
+                    else:
+                        self._merge(int(su[a]), s, e, cnt)
+                self.watermark = max(
+                    self.watermark, int(kt.max()) - self.skew
+                )
+                self._finalize()
+                n += len(ku)
+            return n
+
+        def snapshot(self) -> dict:
+            rows = [
+                {"user_id": k, "start_us": s, "end_us": e, "n_events": c,
+                 "finalized": True}
+                for (k, s, e, c) in self.emitted
+            ]
+            for k, sess in sorted(self.open.items()):
+                for s, e, c in sess:
+                    rows.append(
+                        {"user_id": k, "start_us": s, "end_us": e,
+                         "n_events": c, "finalized": False}
+                    )
+            return {"sessions": rows, "late_dropped": self.late_dropped}
+
+    return SessionBucket
+
+
+def stream_session_windows(
+    sf_dir: str,
+    n_buckets: int = 4,
+    gap_s: int = 1800,
+    skew_s: int = 0,
+    lateness_s: int | None = None,
+    delay_max_s: int = 7200,
+) -> pd.DataFrame:
+    """Streaming gap-based session windows over the late-arriving events
+    stream (same deterministic arrival-delay spec as the tumbling-window
+    query). With ``lateness >= delay_max`` no event can be dropped, so
+    the final snapshot equals BATCH sessionization exactly — which makes
+    this STREAMING operator oracle-gatable by the plain gaps-and-islands
+    SQL. Returns (user_id, session_idx, n_events, start_us, end_us)."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from ..kernels.imagecodec import splitmix64
+    from ..sources.tables import read_table
+
+    if lateness_s is None:
+        lateness_s = delay_max_s + 60
+    bucket_dir = tempfile.mkdtemp(prefix="stream_sessions_", dir="/tmp")
+
+    def prep(batch: pa.Table, n=n_buckets) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        eid = batch.column("event_id").to_numpy()
+        uid = batch.column("user_id").to_numpy()
+        with np.errstate(over="ignore"):
+            delay = (
+                splitmix64(eid.astype(np.uint64))
+                % np.uint64(delay_max_s * 1_000_000)
+            ).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(uid % n),
+                "user_id": pa.array(uid),
+                "ts_us": pa.array(ts),
+                "arrival_us": pa.array(ts + delay),
+            }
+        )
+
+    try:
+        (
+            read_table(sf_dir, "events", ["event_id", "user_id", "ts"])
+            .map_batches(prep, batch_format="pyarrow")
+            .write_parquet(bucket_dir, partition_cols=["bucket"])
+        )
+        SessionBucket = make_session_actor()
+        us = 1_000_000
+        actors = [
+            SessionBucket.remote(gap_s * us, skew_s * us, lateness_s * us)
+            for _ in range(n_buckets)
+        ]
+        ray.get(
+            [a.run_partition.remote(bucket_dir, b)
+             for b, a in enumerate(actors)]
+        )
+        rows = []
+        dropped = 0
+        for snap in ray.get([a.snapshot.remote() for a in actors]):
+            dropped += snap["late_dropped"]
+            rows.extend(snap["sessions"])
+        for a in actors:
+            ray.kill(a)
+    finally:
+        shutil.rmtree(bucket_dir, ignore_errors=True)
+    assert dropped == 0, (
+        "lateness >= max delay yet events dropped: watermark bug"
+    )
+    df = pd.DataFrame(rows).sort_values(["user_id", "start_us"])
+    df["session_idx"] = df.groupby("user_id").cumcount() + 1
+    return df[
+        ["user_id", "session_idx", "n_events", "start_us", "end_us"]
+    ].reset_index(drop=True)
