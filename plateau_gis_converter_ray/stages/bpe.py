@@ -71,15 +71,48 @@ def _pair_counts(rep: pd.Series, n: np.ndarray) -> pd.DataFrame:
     return df.groupby(["left", "right"], as_index=False)["cnt"].sum()
 
 
-def bpe_train_ds(ds, n_merges: int = 8, text_col: str = "text") -> pd.DataFrame:
+def bpe_train_ds(ds, n_merges: int = 8, text_col: str = "text",
+                 local_max_vocab: int = 2_000_000) -> pd.DataFrame:
     """Train ``n_merges`` BPE merges over a documents Dataset.
 
-    Returns the merge table (rank, left, right, cnt) — the tokenizer."""
+    Returns the merge table (rank, left, right, cnt) — the tokenizer.
+
+    The vocab is ALREADY a bounded driver table (the documented Zipf
+    bound — it was collected once regardless), so below
+    ``local_max_vocab`` rows the merge rounds loop on the driver arrays
+    directly instead of spinning 8 sequential Dataset executions over the
+    same bounded table (the dup_clusters/pagerank size-gated hybrid
+    pattern; the distributed rounds remain the >threshold path and are
+    force-tested equal via ``local_max_vocab=0``)."""
     from .treeagg import clean_arrow, tree_group_agg
 
     vocab = _vocab_ds(ds, text_col).to_pandas().sort_values("word")
     rep = _rep_of(vocab["word"].reset_index(drop=True))
     counts = vocab["n"].to_numpy()
+
+    if len(vocab) <= local_max_vocab:
+        merges = []
+        for rank in range(n_merges):
+            pc_df = _pair_counts(rep, counts)
+            if not len(pc_df):
+                break
+            pc_df = pc_df.sort_values(
+                ["cnt", "left", "right"], ascending=[False, True, True],
+                kind="stable",
+            )
+            best = pc_df.iloc[0]
+            left, right, cnt = (
+                str(best["left"]), str(best["right"]), int(best["cnt"])
+            )
+            merges.append(
+                {"rank": rank, "left": left, "right": right, "cnt": cnt}
+            )
+            pat = re.compile(
+                r"(?<!\S)" + re.escape(left) + r" " + re.escape(right)
+                + r"(?!\S)"
+            )
+            rep = rep.str.replace(pat, left + right, regex=True)
+        return pd.DataFrame(merges)
 
     import ray.data
 

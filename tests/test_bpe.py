@@ -97,3 +97,19 @@ def test_bpe_encode_stats_matches_reference(ray_session):
     # merges actually compress: strictly fewer tokens than raw symbols
     assert (got["n_bpe"] < got["n_sym0"]).any()
     assert (got["n_bpe"] >= got["n_words"]).all()
+
+
+def test_train_distributed_rounds_equal_driver_fast_path(ray_session):
+    """Size-gated hybrid: local_max_vocab=0 forces the distributed merge
+    rounds, which must produce the identical merge table."""
+    import pandas as pd
+
+    from plateau_gis_converter_ray.sources.tables import read_table
+    from plateau_gis_converter_ray.stages.bpe import bpe_train_ds
+
+    ds = read_table("/root/testdata/sf0.001", "documents", ["doc_id", "text"])
+    fast = bpe_train_ds(ds, n_merges=4)
+    dist = bpe_train_ds(ds, n_merges=4, local_max_vocab=0)
+    pd.testing.assert_frame_equal(
+        fast.reset_index(drop=True), dist.reset_index(drop=True)
+    )
