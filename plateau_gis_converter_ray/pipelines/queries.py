@@ -5231,18 +5231,24 @@ def q_source_kl_divergence(sf_dir: str):
         ["source", "word"], {"c": ("c", "sum")},
     ).materialize()
 
-    wtot = tree_group_agg(sw, ["word"], {"cw": ("c", "sum")})
+    # per-word totals are vocabulary-sized (the documented Zipf bound —
+    # same contract as the BPE vocab), so the word-marginal side is a
+    # broadcast lookup, not a shuffle join of the (source, word) table
+    import ray
+
+    wtot = tree_group_agg(sw, ["word"], {"cw": ("c", "sum")}).to_pandas()
+    cw_ref = ray.put(pd.Series(
+        wtot["cw"].to_numpy(), index=wtot["word"].to_numpy()
+    ))
     stot = tree_group_agg(sw, ["source"], {"ns": ("c", "sum")}).to_pandas()
     ns_of = dict(zip(stot["source"], stot["ns"]))
     n_total = int(stot["ns"].sum())
-
-    j = sw.join(wtot, "inner", num_partitions=JOIN_PARTS, on=("word",))
 
     def contrib(df: pd.DataFrame) -> pd.DataFrame:
         from ..stages.treeagg import clean_arrow
 
         csw = df["c"].to_numpy().astype(np.float64)
-        cw = df["cw"].to_numpy().astype(np.float64)
+        cw = df["word"].map(ray.get(cw_ref)).to_numpy().astype(np.float64)
         ns = df["source"].map(ns_of).to_numpy().astype(np.float64)
         # EXPRESSION MIRRORED IN THE ORACLE — do not reorder
         term = np.floor(
@@ -5253,7 +5259,7 @@ def q_source_kl_divergence(sf_dir: str):
         )
 
     out = tree_group_agg(
-        j.map_batches(contrib, batch_format="pandas"),
+        sw.map_batches(contrib, batch_format="pandas"),
         ["source"], {"kl_e9": ("kl_e9", "sum")},
     )
 
