@@ -5440,19 +5440,26 @@ def q_ivfpq_index_build(sf_dir: str):
     )
 
 
+
+def _ann_query_head(sf_dir: str, n: int = 8) -> dict:
+    """Shared deterministic query batch for the ANN family: the n
+    lowest-id vectors (qid + float vecs)."""
+    head = (
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .sort("vec_id").limit(n).to_pandas()
+    )
+    return {
+        "qid": head["vec_id"].to_numpy(),
+        "vecs": np.stack(head["embedding"].to_numpy()),
+    }
+
+
 def q_ivfpq_search_cached(sf_dir: str, nprobe: int = 4):
     from ..stages.ann_index import ivfpq_index_build, ivfpq_search_cached
 
     res = ivfpq_index_build(sf_dir)  # no-op when the index is complete
-    head = (
-        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-        .sort("vec_id").limit(8).to_pandas()
-    )
     return ivfpq_search_cached(
-        res["index_dir"],
-        {"qid": head["vec_id"].to_numpy(),
-         "vecs": np.stack(head["embedding"].to_numpy())},
-        topk=10, nprobe=nprobe,
+        res["index_dir"], _ann_query_head(sf_dir), topk=10, nprobe=nprobe
     )
 
 
@@ -6465,7 +6472,9 @@ def q_rich_idle_customers(sf_dir: str):
             }
         )
 
-    pos = cust.map_batches(prep, batch_format="pyarrow")
+    # materialized: the threshold scalar and the filter both consume it —
+    # without this the customer scan + prep would execute twice
+    pos = cust.map_batches(prep, batch_format="pyarrow").materialize()
     thr = (
         pos.filter(expr="bal_c > 0")
         .map_batches(
@@ -6555,7 +6564,8 @@ def q_dense_rank_events(sf_dir: str):
             }
         )
 
-    fact = ev.map_batches(prep, batch_format="pyarrow")
+    # materialized: the rank-map build and the attach pass both consume it
+    fact = ev.map_batches(prep, batch_format="pyarrow").materialize()
     distinct = tree_group_agg(
         fact, ["event_type", "value_c"], {"n": (None, "count")}
     ).to_pandas()  # domain-bounded: |types| x |distinct cents|
@@ -6641,10 +6651,13 @@ def q_chunk_documents(sf_dir: str, size: int = 256, stride: int = 192):
             pos.astype(np.int64),
             -1,
         )
-        chars = np.array(
-            [chr(c) for c in flat[np.maximum(first, 0)]], dtype=object
-        ) if len(first) else np.array([], dtype=object)
-        chars = np.where(first >= 0, chars, "")
+        if len(flat):  # guard on FLAT: an all-empty-doc batch has chunks
+            chars = np.array(  # (one empty chunk each) but zero codepoints
+                [chr(c) for c in flat[np.maximum(first, 0)]], dtype=object
+            )
+            chars = np.where(first >= 0, chars, "")
+        else:
+            chars = np.full(len(first), "", dtype=object)
         return pa.table(
             {
                 "doc_id": pa.array(did[doc_rep]),
@@ -6693,14 +6706,7 @@ def q_ann_rerank(sf_dir: str, topk: int = 10, nprobe: int = 4,
     from ..stages.knn import quantize
 
     res = ivfpq_index_build(sf_dir)  # no-op on a complete index
-    head = (
-        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-        .sort("vec_id").limit(8).to_pandas()
-    )
-    queries = {
-        "qid": head["vec_id"].to_numpy(),
-        "vecs": np.stack(head["embedding"].to_numpy()),
-    }
+    queries = _ann_query_head(sf_dir)
     short = ivfpq_search_cached(
         res["index_dir"], queries, topk=shortlist, nprobe=nprobe
     ).to_pandas()  # <= Q x shortlist rows

@@ -80,7 +80,11 @@ def _main_header(shape_type: int, file_words: int, bbox, z_range) -> bytes:
 
 def _signed_area_xy(ring: np.ndarray) -> float:
     x, y = ring[:, 0], ring[:, 1]
-    return float((x * np.roll(y, -1) - np.roll(x, -1) * y).sum() / 2.0)
+    terms = x * np.roll(y, -1) - np.roll(x, -1) * y
+    # strict left-to-right summation (reduceat), matching the vectorized
+    # single-ring block's per-record sums bit-for-bit — np.sum's pairwise
+    # order could flip the orientation of a near-zero-area ring
+    return float(np.add.reduceat(terms, np.array([0]))[0] / 2.0)
 
 
 def polygonz_record(rings: list[np.ndarray]) -> bytes:

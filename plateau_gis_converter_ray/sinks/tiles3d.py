@@ -37,6 +37,7 @@ def tile_lineage_digest(g: "pd.DataFrame", cols: list[str]) -> str:
 
     acc = 0
     arrays = [g[c].to_numpy() for c in cols]
+    n = 0
     for row in zip(*arrays):  # per FEATURE (not per vertex): digest cost
         h = hashlib.blake2b(digest_size=8)  # is noise next to the encode
         for v in row:
@@ -45,8 +46,12 @@ def tile_lineage_digest(g: "pd.DataFrame", cols: list[str]) -> str:
             else:
                 h.update(str(v).encode())
             h.update(b"\x1f")
-        acc ^= int.from_bytes(h.digest(), "little")  # order-insensitive
-    return format(acc, "016x")
+        # SUM (mod 2^64), not XOR: order-insensitive but multiset-safe —
+        # an xor fold cancels any even multiplicity of identical rows,
+        # letting a dup-pair add/drop slip past the stale-tile check
+        acc = (acc + int.from_bytes(h.digest(), "little")) & ((1 << 64) - 1)
+        n += 1
+    return f"{acc:016x}-{n}"
 
 
 def tile_skip_ok(final: str, digest: str) -> bool:

@@ -552,52 +552,6 @@ class CityGmlParseV2:
         )
 
 
-class AppearanceParseV2:
-    """Phase-1 store parse: one row per (file, theme, kind, target, value)
-    from app:appearanceMember (appearance.rs:119+ Theme maps)."""
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        import xml.etree.ElementTree as ET
-
-        files, themes, kinds, targets, values = [], [], [], [], []
-        for path, blob in zip(
-            batch.column("path").to_pylist(),
-            batch.column("bytes").to_pylist(),
-        ):
-            root = ET.fromstring(blob)
-            fname = os.path.basename(path)
-            for ap in root.iter(f"{{{NS['app']}}}Appearance"):
-                th = ap.find(f"{{{NS['app']}}}theme")
-                theme = th.text if th is not None else ""
-                for tex in ap.iter(f"{{{NS['app']}}}ParameterizedTexture"):
-                    uri = tex.find(f"{{{NS['app']}}}imageURI")
-                    tgt = tex.find(f"{{{NS['app']}}}target")
-                    ref = (tgt.get("uri") if tgt is not None else "") or ""
-                    files.append(fname)
-                    themes.append(theme)
-                    kinds.append("texture")
-                    targets.append(ref.lstrip("#"))
-                    values.append(uri.text if uri is not None else "")
-                for mat in ap.iter(f"{{{NS['app']}}}X3DMaterial"):
-                    col = mat.find(f"{{{NS['app']}}}diffuseColor")
-                    tgt = mat.find(f"{{{NS['app']}}}target")
-                    ref = (tgt.text if tgt is not None else "") or ""
-                    files.append(fname)
-                    themes.append(theme)
-                    kinds.append("material")
-                    targets.append(ref.lstrip("#"))
-                    values.append(col.text if col is not None else "")
-        return pa.table(
-            {
-                "file": pa.array(files, pa.string()),
-                "theme": pa.array(themes, pa.string()),
-                "kind": pa.array(kinds, pa.string()),
-                "target": pa.array(targets, pa.string()),
-                "value": pa.array(values, pa.string()),
-            }
-        )
-
-
 class AppearanceJoinParse:
     """ONE XML parse per file emitting BOTH sides of the per-file
     appearance resolve in the union schema the groupby(file) pass
@@ -675,13 +629,6 @@ def read_citygml_v2(gml_dir: str):
 
     ds = ray.data.read_binary_files(_gml_files(gml_dir), include_paths=True)
     return ds.map_batches(CityGmlParseV2(), batch_format="pyarrow")
-
-
-def read_appearances_v2(gml_dir: str):
-    import ray.data
-
-    ds = ray.data.read_binary_files(_gml_files(gml_dir), include_paths=True)
-    return ds.map_batches(AppearanceParseV2(), batch_format="pyarrow")
 
 
 def ensure_citygml_corpus_v2(sf: float,

@@ -265,6 +265,21 @@ def ivfpq_search_cached(
                 for f in sorted(os.listdir(bdir))
                 if f.endswith(".parquet")
             )
+    if not paths:
+        # every probed bucket is empty on this corpus (skewed Lloyd can
+        # leave coarse cells unpopulated): zero candidates, typed schema
+        import pandas as pd
+
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {
+                    "qid": np.array([], dtype=np.int64),
+                    "ann_id": np.array([], dtype=np.int64),
+                    "adc_dist": np.array([], dtype=np.int64),
+                    "rank": np.array([], dtype=np.int64),
+                }
+            )
+        )
     codes_ds = ray.data.read_parquet(paths)
     return ivfpq_adc_search(codes_ds, coarse, books, queries, topk=topk,
                             nprobe=nprobe)

@@ -111,7 +111,11 @@ def bpe_train_ds(ds, n_merges: int = 8, text_col: str = "text",
                 r"(?<!\S)" + re.escape(left) + r" " + re.escape(right)
                 + r"(?!\S)"
             )
-            rep = rep.str.replace(pat, left + right, regex=True)
+            # replacement is a regex TEMPLATE: backslashes in tokens must
+            # be escaped or they act as group backreferences
+            rep = rep.str.replace(
+                pat, (left + right).replace("\\", "\\\\"), regex=True
+            )
         return pd.DataFrame(merges)
 
     import ray.data
@@ -141,7 +145,8 @@ def bpe_train_ds(ds, n_merges: int = 8, text_col: str = "text",
         pat = re.compile(
             r"(?<!\S)" + re.escape(left) + r" " + re.escape(right) + r"(?!\S)"
         )
-        rep_new = left + right
+        # escaped: the replacement is a regex template (see fast path)
+        rep_new = (left + right).replace("\\", "\\\\")
 
         def apply_merge(df: pd.DataFrame) -> pa.Table:
             return clean_arrow(
@@ -166,8 +171,11 @@ def apply_merges_token_counts(words: pd.Series,
             r"(?<!\S)" + re.escape(str(m["left"])) + r" "
             + re.escape(str(m["right"])) + r"(?!\S)"
         )
-        rep = rep.str.replace(pat, str(m["left"]) + str(m["right"]),
-                              regex=True)
+        rep = rep.str.replace(
+            pat,
+            (str(m["left"]) + str(m["right"])).replace("\\", "\\\\"),
+            regex=True,
+        )
     return (rep.str.count(" ") + 1).to_numpy(dtype=np.int64)
 
 

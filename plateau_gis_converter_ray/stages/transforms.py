@@ -207,10 +207,19 @@ def flatten_tree(batch: pa.Table, children_col: str, id_col: str,
         [flat.field(i) for i in range(flat.type.num_fields)],
         names=[flat.type.field(i).name for i in range(flat.type.num_fields)],
     )
-    child_tbl = child_tbl.append_column("parentId", pa.array(parent_ids[rep]))
+    # explicit types: a childless batch repeats to an EMPTY object array,
+    # which untyped pa.array() would infer as null — diverging from the
+    # id/type columns' schema and breaking downstream concat
+    child_tbl = child_tbl.append_column(
+        "parentId",
+        pa.array(parent_ids[rep], type=batch.schema.field(id_col).type),
+    )
     if type_col is not None:
         ptype = batch.column(type_col).to_numpy(zero_copy_only=False)
-        child_tbl = child_tbl.append_column("parentType", pa.array(ptype[rep]))
+        child_tbl = child_tbl.append_column(
+            "parentType",
+            pa.array(ptype[rep], type=batch.schema.field(type_col).type),
+        )
     if not keep_parent:
         return child_tbl
     return parents, child_tbl

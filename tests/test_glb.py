@@ -331,3 +331,25 @@ def test_glb_tile_writer_rewrites_stale_tile(ray_session, tmp_path):
     assert int(third["n_vertices"].iloc[0]) > 0
     assert os.path.exists(path + ".lineage")
     assert os.path.getsize(path) > 0 and size1 > 0
+
+
+def test_tile_lineage_digest_is_multiset_safe():
+    """Review r4: duplicate row PAIRS must change the digest (an xor fold
+    cancels even multiplicities and lets stale tiles skip)."""
+    import pandas as pd
+
+    from plateau_gis_converter_ray.sinks.tiles3d import tile_lineage_digest
+
+    one = pd.DataFrame({"ring_xy": [[0.1, 0.2]], "pid": ["a"]})
+    three = pd.DataFrame(
+        {"ring_xy": [[0.1, 0.2]] * 3, "pid": ["a"] * 3}
+    )
+    assert tile_lineage_digest(one, ["ring_xy", "pid"]) != tile_lineage_digest(
+        three, ["ring_xy", "pid"]
+    )
+    # order-insensitive across distinct rows
+    ab = pd.DataFrame({"ring_xy": [[1.0], [2.0]], "pid": ["a", "b"]})
+    ba = pd.DataFrame({"ring_xy": [[2.0], [1.0]], "pid": ["b", "a"]})
+    assert tile_lineage_digest(ab, ["ring_xy", "pid"]) == tile_lineage_digest(
+        ba, ["ring_xy", "pid"]
+    )

@@ -145,3 +145,31 @@ def test_langquality_vectorized_equals_kernels():
         assert out["lang_pred"].iloc[i] == langid(t), repr(t)
         for f in ["alpha_ratio", "stopword_ratio", "mean_word_len"]:
             assert abs(out[f].iloc[i] - q[f]) < 1e-12, (f, repr(t))
+
+
+def test_chunk_documents_all_empty_batch(ray_session):
+    """Review r4: a batch of only EMPTY documents still emits one empty
+    chunk per doc (no IndexError on the zero-codepoint flat buffer)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from plateau_gis_converter_ray.pipelines.queries import q_chunk_documents
+    import plateau_gis_converter_ray.pipelines.queries as qmod
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["", ""], pa.string()),
+            "n_chars": pa.array([0, 0], pa.int64()),
+        }
+    )
+    # route _read to the in-memory table for this call
+    orig = qmod._read
+    try:
+        qmod._read = lambda sf, t, cols=None, filter=None: ray.data.from_arrow(tbl)
+        out = q_chunk_documents("unused").to_pandas()
+    finally:
+        qmod._read = orig
+    assert len(out) == 2
+    assert (out["chunk_len"] == 0).all() and (out["first_char"] == "").all()

@@ -135,3 +135,27 @@ def test_mergedown():
     )
     out = mergedown(t, "child_geoms", "geoms")
     assert out.column("geoms").to_pylist() == [[10, 11, 12, 13]]  # deduped, ordered
+
+
+def test_flatten_tree_childless_batch_keeps_schema(ray_session):
+    """Review r4: a batch in which NO row has children must still emit
+    typed parentId/parentType (untyped pa.array of an empty object array
+    infers null and breaks downstream concat)."""
+    import pyarrow as pa
+
+    from plateau_gis_converter_ray.stages.transforms import flatten_tree
+
+    child_t = pa.list_(pa.struct([("gml_id", pa.string())]))
+    batch = pa.table(
+        {
+            "gml_id": pa.array(["a", "b"], pa.string()),
+            "ftype": pa.array(["T", "T"], pa.string()),
+            "children": pa.array([[], []], child_t),
+        }
+    )
+    parents, child_tbl = flatten_tree(
+        batch, children_col="children", id_col="gml_id", type_col="ftype"
+    )
+    assert child_tbl.num_rows == 0
+    assert child_tbl.schema.field("parentId").type == pa.string()
+    assert child_tbl.schema.field("parentType").type == pa.string()
