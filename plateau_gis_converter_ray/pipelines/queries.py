@@ -5233,22 +5233,37 @@ def q_source_kl_divergence(sf_dir: str):
 
     # per-word totals are vocabulary-sized (the documented Zipf bound —
     # same contract as the BPE vocab), so the word-marginal side is a
-    # broadcast lookup, not a shuffle join of the (source, word) table
+    # broadcast lookup, not a shuffle join of the (source, word) table.
+    # Size-gated on MEASURED bytes (materialize -> O(1) size_bytes): a
+    # corpus whose vocab outgrows a broadcast falls back to the join plan.
     import ray
 
-    wtot = tree_group_agg(sw, ["word"], {"cw": ("c", "sum")}).to_pandas()
-    cw_ref = ray.put(pd.Series(
-        wtot["cw"].to_numpy(), index=wtot["word"].to_numpy()
-    ))
+    wtot_ds = tree_group_agg(sw, ["word"], {"cw": ("c", "sum")}).materialize()
     stot = tree_group_agg(sw, ["source"], {"ns": ("c", "sum")}).to_pandas()
     ns_of = dict(zip(stot["source"], stot["ns"]))
     n_total = int(stot["ns"].sum())
+    broadcast_vocab = (wtot_ds.size_bytes() or 0) <= (64 << 20)
+
+    if broadcast_vocab:
+        wtot = wtot_ds.to_pandas()
+        cw_ref = ray.put(pd.Series(
+            wtot["cw"].to_numpy(), index=wtot["word"].to_numpy()
+        ))
+        contrib_in = sw
+    else:
+        cw_ref = None
+        contrib_in = sw.join(
+            wtot_ds, "inner", num_partitions=JOIN_PARTS, on=("word",)
+        )
 
     def contrib(df: pd.DataFrame) -> pd.DataFrame:
         from ..stages.treeagg import clean_arrow
 
         csw = df["c"].to_numpy().astype(np.float64)
-        cw = df["word"].map(ray.get(cw_ref)).to_numpy().astype(np.float64)
+        if cw_ref is not None:
+            cw = df["word"].map(ray.get(cw_ref)).to_numpy().astype(np.float64)
+        else:
+            cw = df["cw"].to_numpy().astype(np.float64)
         ns = df["source"].map(ns_of).to_numpy().astype(np.float64)
         # EXPRESSION MIRRORED IN THE ORACLE — do not reorder
         term = np.floor(
@@ -5259,7 +5274,7 @@ def q_source_kl_divergence(sf_dir: str):
         )
 
     out = tree_group_agg(
-        sw.map_batches(contrib, batch_format="pandas"),
+        contrib_in.map_batches(contrib, batch_format="pandas"),
         ["source"], {"kl_e9": ("kl_e9", "sum")},
     )
 
