@@ -346,6 +346,72 @@ def _q_raster_vector_clip(sf_dir: str):
     )
 
 
+def _q_zonal_stats(sf_dir: str):
+    """Raster ZONAL STATISTICS: the raster<->vector clip stage's per-image
+    rows aggregate per polygon (municipality) — image count, covered /
+    total pixel sums, and the coverage-WEIGHTED masked mean intensity as
+    an exact integer rational (num, den). One combiner-tree exchange over
+    tiny per-image rows; image bytes never shuffle. Rows-only; pinned in
+    pytest against a local pandas recompute of the same clip rows."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from plateau_gis_converter_ray.sources.images import ensure_image_table
+    from plateau_gis_converter_ray.sources.municipalities import (
+        municipality_polygons,
+    )
+    from plateau_gis_converter_ray.stages.raster import RasterVectorClip
+    from plateau_gis_converter_ray.stages.treeagg import tree_group_agg
+
+    path = ensure_image_table(_sf_of(sf_dir))
+    files = [
+        os.path.join(path, f)
+        for f in sorted(os.listdir(path))
+        if f.endswith(".parquet")
+    ]
+    ds = ray.data.read_parquet(
+        files, columns=["image_id", "bytes", "w", "h", "fmt"]
+    )
+    clip = ds.map_batches(
+        RasterVectorClip(municipality_polygons()),
+        batch_format="pyarrow",
+        batch_size=512,
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        muni = batch.column("muni_id").to_numpy(zero_copy_only=False)
+        muni = np.where(muni == None, "__none__", muni).astype(object)  # noqa: E711
+        cov = batch.column("covered_pixels").to_numpy()
+        mmc = batch.column("masked_mean_c").to_numpy()
+        wsum = np.where(mmc >= 0, mmc * cov, 0).astype(np.int64)
+        wden = np.where(mmc >= 0, cov, 0).astype(np.int64)
+        return pa.table(
+            {
+                "muni_id": pa.array(muni, pa.string()),
+                "one": pa.array(np.ones(len(cov), dtype=np.int64)),
+                "covered": pa.array(cov.astype(np.int64)),
+                "total": pa.array(
+                    batch.column("total_pixels").to_numpy().astype(np.int64)
+                ),
+                "wmean_num": pa.array(wsum),
+                "wmean_den": pa.array(wden),
+            }
+        )
+
+    return tree_group_agg(
+        clip.map_batches(prep, batch_format="pyarrow"),
+        ["muni_id"],
+        {
+            "n_images": ("one", "sum"),
+            "covered_pixels": ("covered", "sum"),
+            "total_pixels": ("total", "sum"),
+            "wmean_num": ("wmean_num", "sum"),
+            "wmean_den": ("wmean_den", "sum"),
+        },
+    )
+
+
 def _q_citygml_parse(sf_dir: str):
     """REAL per-file CityGML XML parse (source/citygml.rs:60-141 role):
     file-parallel read_binary_files -> ElementTree parse -> codelist-coded
@@ -674,6 +740,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "embed_lsh_near_dup": _q_embed_lsh_near_dup,
             "image_thumbs": _q_image_thumbs,
             "raster_vector_clip": _q_raster_vector_clip,
+            "zonal_stats": _q_zonal_stats,
             "image_feature_knn": _q_image_feature_knn,
             "earcut_triangulate": _q_earcut_triangulate,
             "citygml_parse": _q_citygml_parse,

@@ -141,6 +141,8 @@ BENCH_QUERIES = [
     "ann_rerank",
     # r4: streaming MERGING session windows (oracle == batch sessionize)
     "stream_session_windows",
+    # r4: raster zonal statistics (per-polygon aggregate of the clip rows)
+    "zonal_stats",
 ]
 
 

@@ -918,3 +918,47 @@ def test_triangle_count_distributed_equals_local(ray_session):
     dist = q_triangle_count(SF, local_max_edges=0).to_pandas()
     pd.testing.assert_frame_equal(local, dist)
     assert local["n_triangles"].iloc[0] <= local["n_wedges"].iloc[0]
+
+
+def test_zonal_stats_equals_local_recompute(ray_session):
+    """zonal_stats == a local pandas recompute over the SAME clip rows
+    (exact integers: counts and the weighted-mean rational)."""
+    import numpy as np
+    import pandas as pd
+
+    import __ray_entry__ as entry
+
+    got = (
+        entry.queries()["zonal_stats"]("/root/testdata/sf0.001")
+        .to_pandas()
+        .sort_values("muni_id")
+        .reset_index(drop=True)
+    )
+    clip = (
+        entry.queries()["raster_vector_clip"]("/root/testdata/sf0.001")
+        .to_pandas()
+    )
+    clip["muni_id"] = clip["muni_id"].fillna("__none__")
+    clip["wnum"] = np.where(
+        clip["masked_mean_c"] >= 0,
+        clip["masked_mean_c"] * clip["covered_pixels"], 0,
+    )
+    clip["wden"] = np.where(
+        clip["masked_mean_c"] >= 0, clip["covered_pixels"], 0
+    )
+    exp = (
+        clip.groupby("muni_id", as_index=False)
+        .agg(
+            n_images=("image_id", "size"),
+            covered_pixels=("covered_pixels", "sum"),
+            total_pixels=("total_pixels", "sum"),
+            wmean_num=("wnum", "sum"),
+            wmean_den=("wden", "sum"),
+        )
+        .sort_values("muni_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[exp.columns].astype("int64", errors="ignore"), exp,
+        check_dtype=False,
+    )
