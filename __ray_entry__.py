@@ -346,6 +346,31 @@ def _q_raster_vector_clip(sf_dir: str):
     )
 
 
+def _q_image_augment(sf_dir: str):
+    """Deterministic image augmentation (hflip/vflip/center-crop/
+    saturating brightness) as a stateless vectorized stage: one row per
+    (image, augmentation) with augmented channel means + phash. Rows-only;
+    pinned in pytest against a local per-image recompute and the analytic
+    flip/brightness invariants."""
+    import ray.data
+
+    from plateau_gis_converter_ray.sources.images import ensure_image_table
+    from plateau_gis_converter_ray.stages.augment import ImageAugmentStats
+
+    path = ensure_image_table(_sf_of(sf_dir))
+    files = [
+        os.path.join(path, f)
+        for f in sorted(os.listdir(path))
+        if f.endswith(".parquet")
+    ]
+    ds = ray.data.read_parquet(
+        files, columns=["image_id", "bytes", "w", "h", "fmt"]
+    )
+    return ds.map_batches(
+        ImageAugmentStats(), batch_format="pyarrow", batch_size=1024
+    )
+
+
 def _q_zonal_stats(sf_dir: str):
     """Raster ZONAL STATISTICS: the raster<->vector clip stage's per-image
     rows aggregate per polygon (municipality) — image count, covered /
@@ -741,6 +766,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "image_thumbs": _q_image_thumbs,
             "raster_vector_clip": _q_raster_vector_clip,
             "zonal_stats": _q_zonal_stats,
+            "image_augment": _q_image_augment,
             "image_feature_knn": _q_image_feature_knn,
             "earcut_triangulate": _q_earcut_triangulate,
             "citygml_parse": _q_citygml_parse,

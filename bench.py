@@ -143,6 +143,8 @@ BENCH_QUERIES = [
     "stream_session_windows",
     # r4: raster zonal statistics (per-polygon aggregate of the clip rows)
     "zonal_stats",
+    # r4: deterministic image augmentation (flip/crop/brightness stats)
+    "image_augment",
 ]
 
 

@@ -98,3 +98,58 @@ def test_quarantine_query_counts(ray_session):
     assert int(res.loc["ok", "n"]) == n_ok
     # every surviving row keeps the PSNR invariant
     assert int(res.loc["ok", "psnr_ok"]) == n_ok
+
+
+def test_image_augment_matches_local_and_invariants(ray_session):
+    """Augment stage == local per-image recompute; analytic invariants:
+    flips preserve channel means exactly; brightness shifts the mean by
+    the saturating-add expectation; crop dims are 8-multiples."""
+    import numpy as np
+    import pandas as pd
+
+    import __ray_entry__ as entry
+    from plateau_gis_converter_ray.kernels.imagecodec import (
+        block_means_u8,
+        decode_image,
+        phash64_batch,
+    )
+    from plateau_gis_converter_ray.sources.images import ensure_image_table
+    from plateau_gis_converter_ray.stages.augment import _augment_stack
+
+    got = (
+        entry.queries()["image_augment"]("/root/testdata/sf0.001")
+        .to_pandas()
+        .sort_values(["image_id", "aug"])
+        .reset_index(drop=True)
+    )
+    path = ensure_image_table(0.001)
+    import glob
+
+    raw = pd.concat(
+        [pd.read_parquet(f) for f in sorted(glob.glob(f"{path}/*.parquet"))]
+    ).set_index("image_id")
+    base_means = {}
+    sample = got["image_id"].unique()[:40]
+    for iid in sample:
+        r = raw.loc[iid]
+        px = decode_image(r["bytes"], r["fmt"], int(r["w"]), int(r["h"]))
+        base_means[iid] = px.reshape(-1, 3).mean(axis=0)
+        for aug in ("hflip", "vflip", "crop75", "bright16"):
+            a = np.ascontiguousarray(_augment_stack(px[None], aug))
+            row = got[(got["image_id"] == iid) & (got["aug"] == aug)].iloc[0]
+            m = a.reshape(1, -1, 3).mean(axis=1)[0]
+            assert np.allclose(
+                [row["mean_r"], row["mean_g"], row["mean_b"]], m
+            )
+            assert row["phash_aug"] == int(
+                phash64_batch(block_means_u8(a))[0]
+            )
+            assert row["out_w"] % 8 == 0 and row["out_h"] % 8 == 0
+    # flips preserve means bit-for-bit (same multiset of pixels)
+    for iid in sample:
+        for aug in ("hflip", "vflip"):
+            row = got[(got["image_id"] == iid) & (got["aug"] == aug)].iloc[0]
+            assert np.allclose(
+                [row["mean_r"], row["mean_g"], row["mean_b"]],
+                base_means[iid],
+            )
