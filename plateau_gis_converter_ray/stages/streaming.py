@@ -266,9 +266,16 @@ def make_window_actor():
         def run_partition(
             self, bucket_dir: str, bucket: int, batch_size: int = 4096
         ) -> int:
+            # replay buffering (read the log partition, argsort by
+            # arrival) is the TEST HARNESS's log read, not operator
+            # state — the window state stays O(open windows); a nested
+            # Dataset sort pipeline per actor paid ~1 s of fixed plan
+            # cost per run. batch_size still sets the watermark-advance
+            # granularity exactly as before.
             import os
 
-            import ray.data
+            import pyarrow as pa
+            import pyarrow.parquet as papq
 
             part = os.path.join(bucket_dir, f"bucket={bucket}")
             if not os.path.isdir(part):
@@ -280,17 +287,21 @@ def make_window_actor():
             ]
             if not files:
                 return 0
-            ds = ray.data.read_parquet(
-                files, columns=["arrival_us", "ts_us", "value_c"]
-            ).sort("arrival_us")
+            cols = ["arrival_us", "ts_us", "value_c"]
+            t = pa.concat_tables(
+                [papq.read_table(f, columns=cols) for f in files]
+            )
+            order = np.argsort(
+                t.column("arrival_us").to_numpy(), kind="stable"
+            )
+            ts_all = t.column("ts_us").to_numpy().astype(np.int64)[order]
+            val_all = t.column("value_c").to_numpy().astype(np.int64)[order]
             applied = 0
-            for batch in ds.iter_batches(
-                batch_size=batch_size, batch_format="pandas"
-            ):
-                ts = batch["ts_us"].to_numpy()
-                self._apply(ts, batch["value_c"].to_numpy())
+            for lo in range(0, len(ts_all), batch_size):
+                ts = ts_all[lo : lo + batch_size]
+                self._apply(ts, val_all[lo : lo + batch_size])
                 self._advance(int(ts.max()))
-                applied += len(batch)
+                applied += len(ts)
             return applied
 
         def snapshot(self) -> dict:
