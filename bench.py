@@ -145,6 +145,8 @@ BENCH_QUERIES = [
     "zonal_stats",
     # r4: deterministic image augmentation (flip/crop/brightness stats)
     "image_augment",
+    # r4: reliability-diagram bins (oracle-gated classifier-eval aggregate)
+    "calibration_bins",
 ]
 
 

@@ -6770,6 +6770,58 @@ def q_stream_session_windows(sf_dir: str):
     return stream_session_windows(sf_dir)
 
 
+
+# ---------------------------------------------------------------------------
+# Model-score calibration bins (reliability diagram): decile-bin a
+# deterministic score derived from the embedding's first component
+# (power-of-two quantization — trunc(x * 2^20) is exact in float64 and
+# matches DuckDB TRUNC, the embed_covariance precedent), count positives
+# (label < 5) per bin. One combiner-tree exchange; the classifier-eval
+# aggregate every training pipeline runs.
+
+
+def q_calibration_bins(sf_dir: str):
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = np.stack(
+            batch.column("embedding").to_numpy(zero_copy_only=False)
+        )
+        sq = np.trunc(v[:, 0].astype(np.float64) * (1 << 20)).astype(np.int64)
+        bin_ = np.clip((sq + (1 << 20)) * 10 // (1 << 21), 0, 9)
+        lab = batch.column("label").to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "bin": pa.array(bin_),
+                "one": pa.array(np.ones(len(sq), dtype=np.int64)),
+                "pos": pa.array((lab < 5).astype(np.int64)),
+                "score_q": pa.array(sq),
+            }
+        )
+
+    return tree_group_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["bin"],
+        {
+            "n": ("one", "sum"),
+            "n_pos": ("pos", "sum"),
+            "sum_score_q": ("score_q", "sum"),
+        },
+    )
+
+
+_SQL_CALIBRATION_BINS = """
+WITH f AS (
+  SELECT CAST(TRUNC(embedding[1] * 1048576) AS BIGINT) AS sq,
+         CASE WHEN label < 5 THEN 1 ELSE 0 END AS pos
+  FROM embeddings
+)
+SELECT LEAST(GREATEST((sq + 1048576) * 10 // 2097152, 0), 9) AS bin,
+       COUNT(*) AS n, SUM(pos) AS n_pos, SUM(sq) AS sum_score_q
+FROM f GROUP BY 1
+"""
+
+
 QUERIES = {
     "tile_wm_z12": q_tile_wm_z12,
     "tile_3dt_z7": q_tile_3dt_z7,
@@ -6889,6 +6941,7 @@ QUERIES = {
     "chunk_documents": q_chunk_documents,
     "ann_rerank": q_ann_rerank,
     "stream_session_windows": q_stream_session_windows,
+    "calibration_bins": q_calibration_bins,
 }
 
 ORACLES = {
@@ -6996,4 +7049,5 @@ ORACLES = {
     "dense_rank_events": _SQL_DENSE_RANK_EVENTS,
     "chunk_documents": _SQL_CHUNK_DOCUMENTS,
     "stream_session_windows": _SQL_SESSIONIZE,
+    "calibration_bins": _SQL_CALIBRATION_BINS,
 }
