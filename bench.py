@@ -147,6 +147,9 @@ BENCH_QUERIES = [
     "image_augment",
     # r4: reliability-diagram bins (oracle-gated classifier-eval aggregate)
     "calibration_bins",
+    # r4: hashed tf-idf cosine doc similarity (text retrieval, 256-dim
+    # feature hashing -> bounded idf table, no vocab shuffle)
+    "tfidf_doc_similarity",
 ]
 
 

@@ -6822,6 +6822,104 @@ FROM f GROUP BY 1
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Hashed tf-idf document similarity (the text sibling of embed_knn): the
+# feature-HASHING trick folds the unbounded vocabulary into a fixed
+# 256-dim space, so the idf table is 256 rows (per hashed DIMENSION, not
+# per word) — bounded at any corpus size, no vocab shuffle at all. One
+# tiny df exchange + one streaming scoring pass against the broadcast
+# query matrix with block top-k pruning. Rows-only (float cosine);
+# pinned == a local numpy recompute and run-to-run determinism.
+
+
+def _hashed_tf(texts: list, dim: int) -> np.ndarray:
+    """(n_docs, dim) float64 hashed term counts — shared by the scoring
+    stage and the driver-side query/verification paths."""
+    toks = [t.split(" ") if t else [] for t in texts]
+    lens = np.array([len(x) for x in toks], dtype=np.int64)
+    flat = pd.Series(
+        [w for x in toks for w in x], dtype=object
+    )
+    out = np.zeros((len(texts), dim), dtype=np.float64)
+    if not len(flat):
+        return out
+    keep = (flat != "").to_numpy()
+    h = pd.util.hash_pandas_object(
+        flat, index=False, hash_key="plateau-tfidf-h1"
+    ).to_numpy() % dim
+    doc = np.repeat(np.arange(len(texts)), lens)
+    np.add.at(out, (doc[keep], h[keep].astype(np.int64)), 1.0)
+    return out
+
+
+def q_tfidf_doc_similarity(sf_dir: str, dim: int = 256, topk: int = 3,
+                           n_queries: int = 8):
+    import ray
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = docs.count()  # scan-rooted: O(1) metadata
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        tf = _hashed_tf(batch.column("text").to_pylist(), dim)
+        nz = (tf > 0).sum(axis=0).astype(np.int64)
+        return pa.table(
+            {"d": pa.array(np.arange(dim, dtype=np.int64)),
+             "df": pa.array(nz)}
+        )
+
+    df_tbl = tree_group_agg(
+        docs.map_batches(df_partial, batch_format="pyarrow"),
+        ["d"], {"df": ("df", "sum")},
+    ).to_pandas().sort_values("d")  # 256 rows
+    idf = np.log(float(n_docs) / np.maximum(df_tbl["df"].to_numpy(), 1))
+
+    qhead = docs.sort("doc_id").limit(n_queries).to_pandas()
+    qv = _hashed_tf(list(qhead["text"]), dim) * idf[None, :]
+    qn = qv / np.maximum(np.linalg.norm(qv, axis=1), 1e-300)[:, None]
+    ref = ray.put((qhead["doc_id"].to_numpy(), qn, idf))
+
+    def block_topk(batch: pa.Table) -> pd.DataFrame:
+        from ..stages.treeagg import clean_arrow
+
+        qids_, qn_, idf_ = ray.get(ref)
+        did = batch.column("doc_id").to_numpy()
+        v = _hashed_tf(batch.column("text").to_pylist(), dim) * idf_[None, :]
+        vn = v / np.maximum(np.linalg.norm(v, axis=1), 1e-300)[:, None]
+        sim = qn_ @ vn.T  # (Q, n)
+        sim_e9 = np.floor(sim * 1e9).astype(np.int64)
+        t = min(topk, len(did))
+        ordv = np.argsort(did, kind="stable")
+        did_s, sim_s = did[ordv], sim_e9[:, ordv]
+        part = np.argsort(-sim_s, axis=1, kind="stable")[:, :t]
+        return clean_arrow(
+            pd.DataFrame(
+                {
+                    "qid": np.repeat(qids_, t),
+                    "doc_id": did_s[part].ravel(),
+                    "sim_e9": np.take_along_axis(sim_s, part, axis=1).ravel(),
+                }
+            )
+        )
+
+    partials = docs.map_batches(block_topk, batch_format="pyarrow")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.treeagg import clean_arrow
+
+        df = df.sort_values(
+            ["qid", "sim_e9", "doc_id"], ascending=[True, False, True],
+            kind="stable",
+        )
+        out = df.groupby("qid", as_index=False, sort=True).head(topk).copy()
+        out["rank"] = out.groupby("qid").cumcount().astype(np.int64)
+        return clean_arrow(out.reset_index(drop=True))
+
+    return partials.repartition(1).map_batches(
+        merge, batch_format="pandas", batch_size=None
+    )
+
+
 QUERIES = {
     "tile_wm_z12": q_tile_wm_z12,
     "tile_3dt_z7": q_tile_3dt_z7,
@@ -6942,6 +7040,7 @@ QUERIES = {
     "ann_rerank": q_ann_rerank,
     "stream_session_windows": q_stream_session_windows,
     "calibration_bins": q_calibration_bins,
+    "tfidf_doc_similarity": q_tfidf_doc_similarity,
 }
 
 ORACLES = {

@@ -173,3 +173,48 @@ def test_chunk_documents_all_empty_batch(ray_session):
         qmod._read = orig
     assert len(out) == 2
     assert (out["chunk_len"] == 0).all() and (out["first_char"] == "").all()
+
+
+def test_tfidf_doc_similarity_matches_local(ray_session):
+    """Distributed hashed tf-idf cosine top-k == a local numpy recompute
+    (same kernel, same idf table, same (sim, doc_id) tie order) and the
+    query doc is always its own top hit."""
+    import numpy as np
+    import pandas as pd
+
+    from plateau_gis_converter_ray.pipelines.queries import (
+        _hashed_tf,
+        q_tfidf_doc_similarity,
+    )
+
+    got = (
+        q_tfidf_doc_similarity("/root/testdata/sf0.001")
+        .to_pandas()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+    again = (
+        q_tfidf_doc_similarity("/root/testdata/sf0.001")
+        .to_pandas()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, again)  # deterministic
+
+    docs = pd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text"],
+    ).sort_values("doc_id").reset_index(drop=True)
+    tf = _hashed_tf(list(docs["text"]), 256)
+    df = (tf > 0).sum(axis=0)
+    idf = np.log(len(docs) / np.maximum(df, 1))
+    v = tf * idf[None, :]
+    vn = v / np.maximum(np.linalg.norm(v, axis=1), 1e-300)[:, None]
+    did = docs["doc_id"].to_numpy()
+    for qid, grp in got.groupby("qid"):
+        qrow = np.flatnonzero(did == qid)[0]
+        sim = np.floor(vn[qrow] @ vn.T * 1e9).astype(np.int64)
+        order = np.lexsort((did, -sim))[:3]
+        exp = did[order]
+        assert (grp.sort_values("rank")["doc_id"].to_numpy() == exp).all()
+        assert grp.sort_values("rank")["doc_id"].iloc[0] == qid
