@@ -6835,18 +6835,25 @@ FROM f GROUP BY 1
 
 def _hashed_tf(texts: list, dim: int) -> np.ndarray:
     """(n_docs, dim) float64 hashed term counts — shared by the scoring
-    stage and the driver-side query/verification paths."""
-    toks = [t.split(" ") if t else [] for t in texts]
-    lens = np.array([len(x) for x in toks], dtype=np.int64)
-    flat = pd.Series(
-        [w for x in toks for w in x], dtype=object
-    )
+    stage and the driver-side query/verification paths. Tokenization is
+    the Arrow split kernel (no per-token Python); empty tokens drop out
+    through the keep mask."""
+    import pyarrow.compute as pc
+
     out = np.zeros((len(texts), dim), dtype=np.float64)
-    if not len(flat):
+    if not len(texts):
         return out
-    keep = (flat != "").to_numpy()
+    toks = pc.split_pattern(pa.array(texts, pa.string()), " ")
+    lens = pc.list_value_length(toks).fill_null(0).to_numpy()
+    flat = toks.combine_chunks().flatten() if isinstance(
+        toks, pa.ChunkedArray
+    ) else toks.flatten()
+    s = flat.to_pandas()
+    if not len(s):
+        return out
+    keep = (s != "").to_numpy()
     h = pd.util.hash_pandas_object(
-        flat, index=False, hash_key="plateau-tfidf-h1"
+        s, index=False, hash_key="plateau-tfidf-h1"
     ).to_numpy() % dim
     doc = np.repeat(np.arange(len(texts)), lens)
     np.add.at(out, (doc[keep], h[keep].astype(np.int64)), 1.0)
