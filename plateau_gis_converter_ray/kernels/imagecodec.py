@@ -175,9 +175,15 @@ def block_channel_sums_u8(stack: np.ndarray) -> np.ndarray:
     DRAM-bound; BASELINE.md 8v32 diagnostic)."""
     n, h, w, _ = stack.shape
     hb, wb = h // 8, w // 8
-    return np.add.reduce(
-        stack.reshape(n, 8, hb, 8, wb, 3), axis=(2, 4), dtype=np.int64
+    # two ordered stages instead of one multi-axis reduce: the first sums
+    # over block-rows with a CONTIGUOUS w*3 inner axis (numpy's multi-axis
+    # int64 reduce over the strided 6-d view ran ~5x slower — this kernel
+    # was the decode chain's dominant cost, not the memory traffic).
+    # Integer addition is associative, so the values are bit-identical.
+    r1 = np.add.reduce(
+        stack.reshape(n, 8, hb, w * 3), axis=2, dtype=np.int64
     )
+    return np.add.reduce(r1.reshape(n, 8, 8, wb, 3), axis=3)
 
 
 def block_means_u8(stack: np.ndarray) -> np.ndarray:

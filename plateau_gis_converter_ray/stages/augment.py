@@ -24,8 +24,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..kernels.imagecodec import block_means_u8, decode_image, phash64_batch
-from .decode import binary_views
+from ..kernels.imagecodec import block_means_u8, phash64_batch
+from .decode import binary_views, decode_group_stack
 
 AUGS = ("hflip", "vflip", "crop75", "bright16")
 
@@ -79,9 +79,7 @@ class ImageAugmentStats:
             groups.setdefault((fmts[i], int(ws[i]), int(hs[i])), []).append(i)
         row = 0
         for (fmt, w, h), rows in groups.items():
-            stack = np.empty((len(rows), h, w, 3), dtype=np.uint8)
-            for j, i in enumerate(rows):
-                stack[j] = decode_image(blobs[i], fmt, w, h)
+            stack = decode_group_stack(blobs, rows, fmt, w, h)
             for aug in self.augs:
                 a = _augment_stack(stack, aug)
                 ah, aw = a.shape[1], a.shape[2]

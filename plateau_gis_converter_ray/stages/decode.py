@@ -47,6 +47,30 @@ def binary_views(col) -> list:
     return views
 
 
+def decode_group_stack(blobs: list, rows: list, fmt: str, w: int,
+                       h: int) -> np.ndarray:
+    """(len(rows), h, w, 3) uint8 stack for one (fmt, w, h) group.
+
+    rle decodes the WHOLE group with one np.repeat over the concatenated
+    (count, value) pairs — same-shape images each decode to exactly
+    h*w*3 bytes, so the flat run expansion reshapes directly (the
+    per-image _rle_decode loop was the decode stage's second-largest
+    constant). Other formats keep the per-row view copy (the copy is the
+    work; the Python around it is noise)."""
+    from ..kernels.imagecodec import decode_image
+
+    if fmt == "rle":
+        pairs = np.concatenate(
+            [np.frombuffer(blobs[i], dtype=np.uint8) for i in rows]
+        ).reshape(-1, 2)
+        flat = np.repeat(pairs[:, 1], pairs[:, 0])
+        return flat.reshape(len(rows), h, w, 3)
+    stack = np.empty((len(rows), h, w, 3), dtype=np.uint8)
+    for j, i in enumerate(rows):
+        stack[j] = decode_image(blobs[i], fmt, w, h)
+    return stack
+
+
 class ImageDecodeStats:
     """Decode each image and emit per-row features.
 
@@ -93,9 +117,7 @@ class ImageDecodeStats:
             # int16/int64 reduction. Values stay bit-identical to the old
             # float64 path: integer sums below 2^53 are exact in float64,
             # and the divisions reuse np.mean's own expressions.
-            stack_u8 = np.empty((len(rows), h, w, 3), dtype=np.uint8)
-            for j, i in enumerate(rows):
-                stack_u8[j] = decode_image(blobs[i], fmt, w, h)
+            stack_u8 = decode_group_stack(blobs, rows, fmt, w, h)
             rows_np = np.array(rows)
             # ONE int64 pass yields both stats: channel means = block-sum
             # marginals / (h*w) (integer sums are exact, and np.mean's
@@ -193,9 +215,7 @@ class ImageResize:
         for i in range(n):
             groups.setdefault((fmts[i], int(ws[i]), int(hs[i])), []).append(i)
         for (fmt, w, h), rows in groups.items():
-            stack = np.empty((len(rows), h, w, 3), dtype=np.uint8)
-            for j, i in enumerate(rows):
-                stack[j] = decode_image(blobs[i], fmt, w, h)
+            stack = decode_group_stack(blobs, rows, fmt, w, h)
             # exact channel sum then /3.0 == float64 mean, no uint8->f64 cast
             g = np.add.reduce(stack, axis=3, dtype=np.float64)
             g /= 3.0
