@@ -6927,6 +6927,530 @@ def q_tfidf_doc_similarity(sf_dir: str, dim: int = 256, topk: int = 3,
     )
 
 
+# ---------------------------------------------------------------------------
+# OHLC bars (time-series downsampling): per (event_type, hour) open/high/
+# low/close over the value stream — open/close are LEXICOGRAPHIC
+# arg-min/arg-max by (ts, event_id), carried through the combiner tree as
+# (key-columns, value) triples and re-resolved at every merge by a
+# mergesort + groupby first/last (order-free: the minimum of minima is the
+# global minimum under a total order). No shuffle of the fact table — one
+# combiner exchange of <= |groups| rows per block. Values power-of-two
+# quantized (trunc(v * 2^20), exact in float64) so the DuckDB ordered
+# aggregate FIRST(vq ORDER BY tu, event_id) is bit-comparable.
+
+
+def q_ohlc_bars(sf_dir: str):
+    from ..stages.treeagg import clean_arrow, tree_custom_agg
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
+    keys = ["event_type", "hour_id"]
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        tu = df["ts"].astype("int64").to_numpy()
+        g = pd.DataFrame(
+            {
+                "event_type": df["event_type"].to_numpy(),
+                "hour_id": tu // 3_600_000_000,
+                "otu": tu,
+                "oeid": df["event_id"].to_numpy(),
+                "vq": np.trunc(df["value"].to_numpy() * (1 << 20)).astype(
+                    np.int64
+                ),
+            }
+        )
+        g["ctu"] = g["otu"]
+        g["ceid"] = g["oeid"]
+        a = g.sort_values(keys + ["otu", "oeid"], kind="mergesort")
+        out = a.groupby(keys, as_index=False, sort=False).agg(
+            open_q=("vq", "first"),
+            otu=("otu", "first"),
+            oeid=("oeid", "first"),
+            close_q=("vq", "last"),
+            ctu=("ctu", "last"),
+            ceid=("ceid", "last"),
+            high_q=("vq", "max"),
+            low_q=("vq", "min"),
+            n=("vq", "size"),
+        )
+        out["n"] = out["n"].astype(np.int64)
+        return clean_arrow(out)
+
+    def merge(df: pd.DataFrame) -> pa.Table:
+        a = df.sort_values(keys + ["otu", "oeid"], kind="mergesort")
+        first = a.groupby(keys, as_index=False, sort=False).agg(
+            open_q=("open_q", "first"),
+            otu=("otu", "first"),
+            oeid=("oeid", "first"),
+            high_q=("high_q", "max"),
+            low_q=("low_q", "min"),
+            n=("n", "sum"),
+        )
+        b = df.sort_values(keys + ["ctu", "ceid"], kind="mergesort")
+        last = b.groupby(keys, as_index=False, sort=False).agg(
+            close_q=("close_q", "last"),
+            ctu=("ctu", "last"),
+            ceid=("ceid", "last"),
+        )
+        return clean_arrow(first.merge(last, on=keys))
+
+    agg = tree_custom_agg(ds, partial, merge)
+    return agg.select_columns(
+        ["event_type", "hour_id", "open_q", "high_q", "low_q", "close_q", "n"]
+    )
+
+
+_SQL_OHLC_BARS = """
+WITH f AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hour_id,
+         epoch_us(ts) AS tu, event_id,
+         CAST(TRUNC(value * 1048576) AS BIGINT) AS vq
+  FROM events
+)
+SELECT event_type, hour_id,
+       FIRST(vq ORDER BY tu, event_id) AS open_q,
+       MAX(vq) AS high_q, MIN(vq) AS low_q,
+       LAST(vq ORDER BY tu, event_id) AS close_q,
+       COUNT(*) AS n
+FROM f GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Event-type co-occurrence (market-basket pairs): for every unordered pair
+# of event types, how many users did BOTH. The taxonomy is the bounded
+# domain (reference's feature-type registry analogue): types get dense
+# codes from a tiny distinct pass, each user folds to ONE int64 bitmask,
+# and pair counts are k*(k-1)/2 vectorized mask probes per batch — the
+# fact table never shuffles; the only exchanges carry (user, code)
+# distinct rows and then (user, mask) rows. A pair-EXPLODE plan would
+# ship n_users * k^2 rows; the mask fold ships n_users.
+
+
+def q_cooccur_event_pairs(sf_dir: str):
+    from ..stages.treeagg import clean_arrow, tree_custom_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    types_tbl = tree_group_agg(
+        ds, ["event_type"], {"n": ("user_id", "count")}
+    ).to_pandas()
+    types = sorted(types_tbl["event_type"].tolist())
+    if len(types) > 48:
+        raise NotImplementedError(
+            "bitmask fold assumes a bounded event taxonomy (<=48 types); "
+            "wider domains need the pair-explode plan"
+        )
+    code = {t: i for i, t in enumerate(types)}
+
+    def to_code(batch: pa.Table) -> pa.Table:
+        et = pd.Series(batch.column("event_type").to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "bit": pa.array(
+                    np.left_shift(
+                        np.int64(1), et.map(code).to_numpy().astype(np.int64)
+                    )
+                ),
+            }
+        )
+
+    coded = ds.map_batches(to_code, batch_format="pyarrow")
+    # distinct (user, bit) -> sum of DISTINCT single bits == bitwise OR
+    distinct = tree_group_agg(coded, ["user_id", "bit"], {"n": (None, "count")})
+    masks = tree_group_agg(distinct, ["user_id"], {"mask": ("bit", "sum")})
+
+    k = len(types)
+    pairs = [(i, j) for i in range(k) for j in range(i + 1, k)]
+
+    def pair_counts(df: pd.DataFrame) -> pa.Table:
+        m = df["mask"].to_numpy()
+        rows = [
+            (i, j, int(np.count_nonzero((m >> i) & (m >> j) & 1)))
+            for i, j in pairs
+        ]
+        out = pd.DataFrame(rows, columns=["ca", "cb", "n_users"])
+        return clean_arrow(out[out["n_users"] >= 0])
+
+    def merge(df: pd.DataFrame) -> pa.Table:
+        return clean_arrow(
+            df.groupby(["ca", "cb"], as_index=False).agg(
+                n_users=("n_users", "sum")
+            )
+        )
+
+    counts = tree_custom_agg(masks, pair_counts, merge).to_pandas()
+    counts = counts[counts["n_users"] > 0]
+    inv = np.array(types, dtype=object)
+    return pa.table(
+        {
+            "type_a": pa.array(inv[counts["ca"].to_numpy()].tolist(), pa.string()),
+            "type_b": pa.array(inv[counts["cb"].to_numpy()].tolist(), pa.string()),
+            "n_users": pa.array(counts["n_users"].to_numpy().astype(np.int64)),
+        }
+    )
+
+
+_SQL_COOCCUR = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       COUNT(*) AS n_users
+FROM ut a JOIN ut b USING (user_id)
+WHERE a.event_type < b.event_type
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT / melt (wide -> long schema transform): aggregate lineitem per
+# returnflag, then melt the metric columns into (metric, val) rows — a
+# vectorized 1->K explode on the already-tiny aggregate (pd.melt), zero
+# extra exchanges. The inverse of pivot_events.
+
+
+def q_unpivot_metrics(sf_dir: str):
+    from ..stages.treeagg import clean_arrow
+
+    ds = _read(
+        sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "qty": pa.array(
+                    np.round(batch.column("l_quantity").to_numpy()).astype(
+                        np.int64
+                    )
+                ),
+                "price_c": pa.array(
+                    np.round(
+                        batch.column("l_extendedprice").to_numpy() * 100
+                    ).astype(np.int64)
+                ),
+                "one": pa.array(
+                    np.ones(batch.num_rows, dtype=np.int64)
+                ),
+            }
+        )
+
+    agg = tree_group_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["l_returnflag"],
+        {
+            "qty": ("qty", "sum"),
+            "price_c": ("price_c", "sum"),
+            "n": ("one", "sum"),
+        },
+    )
+
+    def melt(df: pd.DataFrame) -> pa.Table:
+        out = df.melt(
+            id_vars=["l_returnflag"],
+            value_vars=["qty", "price_c", "n"],
+            var_name="metric",
+            value_name="val",
+        )
+        return clean_arrow(out)
+
+    return agg.map_batches(melt, batch_format="pandas", batch_size=None)
+
+
+_SQL_UNPIVOT_METRICS = """
+WITH a AS (
+  SELECT l_returnflag,
+         SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS qty,
+         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS price_c,
+         COUNT(*) AS n
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, metric, val
+FROM a UNPIVOT (val FOR metric IN (qty, price_c, n))
+"""
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram with DATA-DEPENDENT edges: pass 1 finds the global
+# quantized min/max (one-row combiner tree), pass 2 bins with pure int64
+# arithmetic — (vq - lo) * nbins // span is exact and identical in numpy
+# and DuckDB (non-negative operands, floor division). The single-column
+# quantized projection is materialized ONCE and feeds both passes, so the
+# parquet scan doesn't run twice.
+
+
+def q_value_histogram(sf_dir: str, nbins: int = 20):
+    ds = _read(sf_dir, "events", ["value"])
+
+    def quant(batch: pa.Table) -> pa.Table:
+        vq = np.trunc(batch.column("value").to_numpy() * (1 << 20)).astype(
+            np.int64
+        )
+        return pa.table({"vq": pa.array(vq), "k": pa.array(np.zeros(len(vq), dtype=np.int64))})
+
+    dsq = ds.map_batches(quant, batch_format="pyarrow").materialize()
+    mm = tree_group_agg(
+        dsq, ["k"], {"lo": ("vq", "min"), "hi": ("vq", "max")}, levels=(1,)
+    ).to_pandas()
+    lo = int(mm["lo"].iloc[0])
+    span = int(mm["hi"].iloc[0]) - lo + 1
+
+    def binit(batch: pa.Table) -> pa.Table:
+        vq = batch.column("vq").to_numpy()
+        return pa.table(
+            {
+                "bin": pa.array((vq - lo) * nbins // span),
+                "one": pa.array(np.ones(len(vq), dtype=np.int64)),
+                "vq": batch.column("vq"),
+            }
+        )
+
+    return tree_group_agg(
+        dsq.map_batches(binit, batch_format="pyarrow"),
+        ["bin"],
+        {"n": ("one", "sum"), "sum_vq": ("vq", "sum")},
+    )
+
+
+_SQL_VALUE_HISTOGRAM = """
+WITH f AS (
+  SELECT CAST(TRUNC(value * 1048576) AS BIGINT) AS vq FROM events
+), m AS (
+  SELECT MIN(vq) AS lo, MAX(vq) - MIN(vq) + 1 AS span FROM f
+)
+SELECT (vq - lo) * 20 // span AS bin, COUNT(*) AS n, SUM(vq) AS sum_vq
+FROM f CROSS JOIN m GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exponentially-decayed recency score (feature engineering): per user, the
+# 16 most-recent events by (ts, event_id) weighted 2^15, 2^14, ... — a
+# BOUNDED top-k combiner (every partial holds <= 16 rows per user seen in
+# it, so partial size is O(users-in-block * 16) regardless of fact size),
+# then one exchange and an exact integer weighted sum. The power-of-two
+# weights keep the score an exact int64 so the SQL window twin
+# hash-matches bit-for-bit.
+
+
+def q_decayed_user_score(sf_dir: str, k: int = 16):
+    from ..stages.treeagg import clean_arrow, tree_custom_agg
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(
+            ["user_id", "tu", "eid"],
+            ascending=[True, False, False],
+            kind="mergesort",
+        )
+        return g.groupby("user_id", sort=False).head(k).reset_index(drop=True)
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        g = pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(),
+                "tu": df["ts"].astype("int64").to_numpy(),
+                "eid": df["event_id"].to_numpy(),
+                "vq": np.trunc(df["value"].to_numpy() * (1 << 20)).astype(
+                    np.int64
+                ),
+            }
+        )
+        return clean_arrow(topk(g))
+
+    def merge(df: pd.DataFrame) -> pa.Table:
+        return clean_arrow(topk(df))
+
+    agg = tree_custom_agg(ds, partial, merge)
+
+    def score(df: pd.DataFrame) -> pa.Table:
+        g = df.sort_values(
+            ["user_id", "tu", "eid"],
+            ascending=[True, False, False],
+            kind="mergesort",
+        )
+        rn = g.groupby("user_id", sort=False).cumcount().to_numpy() + 1
+        g["w"] = g["vq"].to_numpy() * np.left_shift(np.int64(1), k - rn)
+        out = g.groupby("user_id", as_index=False, sort=False).agg(
+            decay_q=("w", "sum"), n_recent=("w", "size")
+        )
+        out["n_recent"] = out["n_recent"].astype(np.int64)
+        return clean_arrow(out)
+
+    return agg.map_batches(score, batch_format="pandas", batch_size=None)
+
+
+_SQL_DECAYED_USER_SCORE = """
+WITH r AS (
+  SELECT user_id, CAST(TRUNC(value * 1048576) AS BIGINT) AS vq,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+         ) AS rn
+  FROM events
+)
+SELECT user_id, SUM(vq * (1::BIGINT << (16 - rn))) AS decay_q,
+       COUNT(*) AS n_recent
+FROM r WHERE rn <= 16 GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketch (per-group p50/p90/p99): a fixed-grid
+# histogram sketch — 4096 equi-width buckets between the global quantized
+# min/max, counts merged by the standard combiner tree (order-free, unlike
+# t-digest whose centroids depend on merge order — determinism is a repo
+# contract). The reported quantile is the LOWER EDGE of the bucket holding
+# the target rank, so the absolute error is bounded by span/4096; the
+# pytest twin pins that bound against exact per-group quantiles. Rows-only
+# (approximate by construction — the exact siblings are grouped_quantiles
+# / quantiles_cont).
+
+
+def q_sketch_quantiles(sf_dir: str, nbins: int = 4096):
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def quant(batch: pa.Table) -> pa.Table:
+        vq = np.trunc(batch.column("value").to_numpy() * (1 << 20)).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "vq": pa.array(vq),
+                "k": pa.array(np.zeros(len(vq), dtype=np.int64)),
+            }
+        )
+
+    dsq = ds.map_batches(quant, batch_format="pyarrow").materialize()
+    mm = tree_group_agg(
+        dsq, ["k"], {"lo": ("vq", "min"), "hi": ("vq", "max")}, levels=(1,)
+    ).to_pandas()
+    lo = int(mm["lo"].iloc[0])
+    span = int(mm["hi"].iloc[0]) - lo + 1
+
+    def binit(batch: pa.Table) -> pa.Table:
+        vq = batch.column("vq").to_numpy()
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "bin": pa.array((vq - lo) * nbins // span),
+                "one": pa.array(np.ones(len(vq), dtype=np.int64)),
+            }
+        )
+
+    hist = tree_group_agg(
+        dsq.map_batches(binit, batch_format="pyarrow"),
+        ["event_type", "bin"],
+        {"n": ("one", "sum")},
+    ).to_pandas()
+
+    # <= n_types * 4096 rows: quantile resolve is a driver-side finisher
+    out = []
+    for et, g in hist.sort_values(["event_type", "bin"]).groupby(
+        "event_type", sort=True
+    ):
+        bins = g["bin"].to_numpy()
+        cum = np.cumsum(g["n"].to_numpy())
+        total = int(cum[-1])
+        row = {"event_type": et, "n": total}
+        for name, q in (("p50_q", 0.50), ("p90_q", 0.90), ("p99_q", 0.99)):
+            rank = int(np.ceil(q * total))
+            b = bins[np.searchsorted(cum, rank)]
+            row[name] = lo + int(b) * span // nbins
+        out.append(row)
+    return pd.DataFrame(out, columns=["event_type", "n", "p50_q", "p90_q", "p99_q"])
+
+
+# ---------------------------------------------------------------------------
+# Convex hull per group (geometric combiner): points are the deterministic
+# integer LATTICE geocode of event ids (geocode_arith numerators — exact
+# int64 cross products, no float orientation hazard). The combiner is the
+# per-x extreme-point reduction — a hull vertex must be its column's min
+# or max y, so each block collapses to <= 2 rows per distinct x per group
+# BEFORE the exchange — then one merge re-reduces and a vectorized
+# quickhull (recursion count = hull vertex count, each level one numpy
+# cross-product sweep) resolves the final polygon. Pinned against an
+# O(n log n) monotone-chain brute force in pytest.
+
+
+def _quickhull_int(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Indices of convex-hull vertices (CCW order), exact int64 math."""
+    n = len(x)
+    if n <= 2:
+        return np.arange(n)
+    order = np.lexsort((y, x))
+    lo_i, hi_i = order[0], order[-1]
+
+    def side(a_i, b_i, idx):
+        ax, ay, bx, by = x[a_i], y[a_i], x[b_i], y[b_i]
+        return (bx - ax) * (y[idx] - ay) - (by - ay) * (x[idx] - ax)
+
+    def rec(a_i, b_i, idx):
+        if len(idx) == 0:
+            return [a_i]
+        d = side(a_i, b_i, idx)
+        keep = idx[d > 0]
+        if len(keep) == 0:
+            return [a_i]
+        # deterministic far-point choice: break distance ties on (x, y) so
+        # collinear extreme candidates resolve identically whatever block
+        # order the tree merge delivered
+        dk = side(a_i, b_i, keep)
+        far = keep[np.lexsort((y[keep], x[keep], dk))[-1]]
+        return rec(a_i, far, keep) + rec(far, b_i, keep)
+
+    idx = np.arange(n)
+    upper = idx[side(lo_i, hi_i, idx) > 0]
+    lower = idx[side(hi_i, lo_i, idx) > 0]
+    hull = rec(lo_i, hi_i, upper) + rec(hi_i, lo_i, lower)
+    return np.array(hull, dtype=np.int64)
+
+
+def q_convex_hull_types(sf_dir: str):
+    from ..stages.treeagg import clean_arrow, tree_custom_agg
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type"])
+
+    def reduce_extremes(df: pd.DataFrame) -> pa.Table:
+        if "xi" not in df.columns:
+            ids = df["event_id"].to_numpy().astype(np.int64)
+            df = pd.DataFrame(
+                {
+                    "event_type": df["event_type"].to_numpy(),
+                    "xi": (ids * 9973) % 240000,
+                    "yi": (ids * 7919) % 220000,
+                }
+            )
+        g = df.groupby(["event_type", "xi"], as_index=False).agg(
+            y_min=("yi", "min"), y_max=("yi", "max")
+        )
+        out = pd.concat(
+            [
+                g[["event_type", "xi", "y_min"]].rename(columns={"y_min": "yi"}),
+                g[["event_type", "xi", "y_max"]].rename(columns={"y_max": "yi"}),
+            ]
+        ).drop_duplicates()
+        return clean_arrow(out.reset_index(drop=True))
+
+    cands = tree_custom_agg(ds, reduce_extremes, reduce_extremes)
+
+    def resolve(df: pd.DataFrame) -> pa.Table:
+        rows = []
+        df = df.drop_duplicates().sort_values(
+            ["event_type", "xi", "yi"], kind="mergesort"
+        )
+        for et, g in df.groupby("event_type", sort=True):
+            x = g["xi"].to_numpy()
+            y = g["yi"].to_numpy()
+            hull = _quickhull_int(x, y)
+            for r, hidx in enumerate(hull):
+                rows.append((et, r, int(x[hidx]), int(y[hidx])))
+        out = pd.DataFrame(rows, columns=["event_type", "vertex_no", "xi", "yi"])
+        return clean_arrow(out)
+
+    return cands.map_batches(resolve, batch_format="pandas", batch_size=None)
+
+
 QUERIES = {
     "tile_wm_z12": q_tile_wm_z12,
     "tile_3dt_z7": q_tile_3dt_z7,
@@ -7048,6 +7572,13 @@ QUERIES = {
     "stream_session_windows": q_stream_session_windows,
     "calibration_bins": q_calibration_bins,
     "tfidf_doc_similarity": q_tfidf_doc_similarity,
+    "ohlc_bars": q_ohlc_bars,
+    "cooccur_event_pairs": q_cooccur_event_pairs,
+    "unpivot_metrics": q_unpivot_metrics,
+    "value_histogram": q_value_histogram,
+    "decayed_user_score": q_decayed_user_score,
+    "sketch_quantiles": q_sketch_quantiles,
+    "convex_hull_types": q_convex_hull_types,
 }
 
 ORACLES = {
@@ -7156,4 +7687,9 @@ ORACLES = {
     "chunk_documents": _SQL_CHUNK_DOCUMENTS,
     "stream_session_windows": _SQL_SESSIONIZE,
     "calibration_bins": _SQL_CALIBRATION_BINS,
+    "ohlc_bars": _SQL_OHLC_BARS,
+    "cooccur_event_pairs": _SQL_COOCCUR,
+    "unpivot_metrics": _SQL_UNPIVOT_METRICS,
+    "value_histogram": _SQL_VALUE_HISTOGRAM,
+    "decayed_user_score": _SQL_DECAYED_USER_SCORE,
 }

@@ -61,3 +61,19 @@ def tree_group_agg(ds, group_cols: list[str], agg_spec: dict, levels=(8, 1)):
             merge, batch_format="pandas", batch_size=None
         )
     return ds
+
+
+def tree_custom_agg(ds, partial, merge, levels=(8, 1)):
+    """Combiner tree with CUSTOM partial/merge steps (same shape as
+    :func:`tree_group_agg`, for aggregates the op-table can't express —
+    lexicographic arg-min/arg-max, bounded top-k partials, extreme-point
+    reductions). ``partial`` collapses one input batch; ``merge``
+    re-collapses concatenated partials and must be order-free and
+    idempotent on its own output. Both take a pandas DataFrame and return
+    a metadata-free Arrow table (:func:`clean_arrow`)."""
+    ds = ds.map_batches(partial, batch_format="pandas", batch_size=None)
+    for fan in levels:
+        ds = ds.repartition(fan).map_batches(
+            merge, batch_format="pandas", batch_size=None
+        )
+    return ds
