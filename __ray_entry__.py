@@ -371,6 +371,54 @@ def _q_image_augment(sf_dir: str):
     )
 
 
+def _q_raster_hillshade(sf_dir: str):
+    """Horn-method hillshade over the red plane as a DEM (gdaldem
+    semantics: az 315 / alt 45 / z=1), per-image interior summary rows.
+    Vectorized over (fmt,w,h) group stacks; bytes never shuffle.
+    Rows-only; pinned in pytest against a local per-image recompute."""
+    import ray.data
+
+    from plateau_gis_converter_ray.sources.images import ensure_image_table
+    from plateau_gis_converter_ray.stages.raster_ops import HillshadeStats
+
+    path = ensure_image_table(_sf_of(sf_dir))
+    files = [
+        os.path.join(path, f)
+        for f in sorted(os.listdir(path))
+        if f.endswith(".parquet")
+    ]
+    ds = ray.data.read_parquet(
+        files, columns=["image_id", "bytes", "w", "h", "fmt"]
+    )
+    return ds.map_batches(
+        HillshadeStats(), batch_format="pyarrow", batch_size=1024
+    )
+
+
+def _q_raster_pyramid(sf_dir: str):
+    """GeoTIFF-overview pyramid: levels 0..3 of exact 2x truncating
+    block-mean reductions, one row per (image, level) with integer pixel
+    sum + position-weighted checksum. Rows-only; pinned in pytest (exact
+    level arithmetic + the level-0 sum equals the decode stats sum)."""
+    import ray.data
+
+    from plateau_gis_converter_ray.sources.images import ensure_image_table
+    from plateau_gis_converter_ray.stages.raster_ops import PyramidLevels
+
+    path = ensure_image_table(_sf_of(sf_dir))
+    files = [
+        os.path.join(path, f)
+        for f in sorted(os.listdir(path))
+        if f.endswith(".parquet")
+    ]
+    ds = ray.data.read_parquet(
+        files, columns=["image_id", "bytes", "w", "h", "fmt"]
+    )
+    return ds.map_batches(
+        PyramidLevels(), batch_format="pyarrow", batch_size=1024
+    )
+
+
 def _q_zonal_stats(sf_dir: str):
     """Raster ZONAL STATISTICS: the raster<->vector clip stage's per-image
     rows aggregate per polygon (municipality) — image count, covered /
@@ -766,6 +814,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "image_thumbs": _q_image_thumbs,
             "raster_vector_clip": _q_raster_vector_clip,
             "zonal_stats": _q_zonal_stats,
+            "raster_hillshade": _q_raster_hillshade,
+            "raster_pyramid": _q_raster_pyramid,
             "image_augment": _q_image_augment,
             "image_feature_knn": _q_image_feature_knn,
             "earcut_triangulate": _q_earcut_triangulate,

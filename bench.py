@@ -150,6 +150,22 @@ BENCH_QUERIES = [
     # r4: hashed tf-idf cosine doc similarity (text retrieval, 256-dim
     # feature hashing -> bounded idf table, no vocab shuffle)
     "tfidf_doc_similarity",
+    # r4 late wave: time-series OHLC downsampling (lexicographic argmin/
+    # argmax combiner), market-basket pair counts via bitmask fold,
+    # unpivot/melt, data-dependent equi-width histogram, bounded top-k
+    # decayed recency score, mergeable histogram-sketch quantiles,
+    # hull-of-extremes convex hull
+    "ohlc_bars",
+    "cooccur_event_pairs",
+    "unpivot_metrics",
+    "value_histogram",
+    "decayed_user_score",
+    "sketch_quantiles",
+    "convex_hull_types",
+    # r4 late wave: raster terrain + overview operators over the image
+    # table (Horn hillshade closed form; exact integer 2x pyramid)
+    "raster_hillshade",
+    "raster_pyramid",
 ]
 
 

@@ -1,0 +1,183 @@
+"""Raster terrain/overview operators over the image table.
+
+The geospatial crossover for the binary image column: treat the red plane
+as a DEM and compute Horn-method hillshade (the GDAL `gdaldem hillshade`
+semantics — reference parity target is the raster half of the tier, not a
+specific nusamai file), and build GeoTIFF-overview-style 2x reduced
+pyramid levels with integer truncating block means.
+
+Both stages follow the decode pipeline's scale contract
+(`stages/decode.py`): zero-copy payload views, one (fmt, w, h) group
+decode into a uint8 stack, every per-pixel kernel vectorized over the
+whole stack, per-image OUTPUT rows only (bytes never leave the stage, so
+nothing wide ever shuffles). Stateless -> task fns, no actor pool needed.
+
+Determinism: the pyramid is pure integer arithmetic (2x2 sums, truncating
+//4); hillshade is float but a fixed expression evaluated per pixel with
+no cross-image or cross-batch reduction, so results are independent of
+batch composition and bit-stable run to run. Both are pinned in pytest
+against local per-image recomputes (tests/test_raster_ops.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .decode import binary_views, decode_group_stack
+
+# GDAL hillshade defaults: sun azimuth 315 deg, altitude 45 deg, z=1, cell=1
+_AZ = np.deg2rad(315.0)
+_ALT = np.deg2rad(45.0)
+
+
+def hillshade_u8(dem: np.ndarray) -> np.ndarray:
+    """(g, h-2, w-2) uint8 Horn hillshade of a (g, h, w) uint8 DEM stack.
+
+    Interior pixels only (the 1-px border has no full 3x3 neighborhood —
+    GDAL pads; dropping the border keeps the kernel branch-free). All
+    eight neighbor reads are views; the only full-size temporaries are
+    the two int16 gradient planes and the float32 shade plane.
+    """
+    z = dem.astype(np.int16)
+    tl = z[:, :-2, :-2]
+    tc = z[:, :-2, 1:-1]
+    tr = z[:, :-2, 2:]
+    ml = z[:, 1:-1, :-2]
+    mr = z[:, 1:-1, 2:]
+    bl = z[:, 2:, :-2]
+    bc = z[:, 2:, 1:-1]
+    br = z[:, 2:, 2:]
+    # Horn 1981 weighted differences; /8 folded into the atan argument
+    gx = (tr + 2 * mr + br) - (tl + 2 * ml + bl)
+    gy = (bl + 2 * bc + br) - (tl + 2 * tc + tr)
+    gxf = gx.astype(np.float64) / 8.0
+    gyf = gy.astype(np.float64) / 8.0
+    # closed form of sin(alt)cos(slope) + cos(alt)sin(slope)cos(az-aspect)
+    # with slope = atan|g|, aspect = atan2(gy, -gx): one rsqrt instead of
+    # four transcendentals per pixel (the GDAL inner-loop identity)
+    ca, sa = np.cos(_AZ), np.sin(_AZ)
+    num = np.sin(_ALT) + np.cos(_ALT) * (ca * (-gxf) + sa * gyf)
+    shade = num / np.sqrt(1.0 + gxf * gxf + gyf * gyf)
+    return np.clip(np.rint(shade * 255.0), 0.0, 255.0).astype(np.uint8)
+
+
+class HillshadeStats:
+    """Per-image hillshade summary: mean/min/max of the shaded interior
+    plus the fully-shadowed fraction, exact-int where the value is a
+    count or sum of uint8 (hs_sum/n_px carried separately so any
+    downstream regrouping can re-derive the mean without float re-sum)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("image_id").to_pylist()
+        blobs = binary_views(batch.column("bytes"))
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        fmts = batch.column("fmt").to_pylist()
+
+        n = len(ids)
+        hs_sum = np.empty(n, dtype=np.int64)
+        hs_min = np.empty(n, dtype=np.int64)
+        hs_max = np.empty(n, dtype=np.int64)
+        n_px = np.empty(n, dtype=np.int64)
+        n_shadow = np.empty(n, dtype=np.int64)
+
+        groups: dict[tuple, list[int]] = {}
+        for i in range(n):
+            groups.setdefault((fmts[i], int(ws[i]), int(hs[i])), []).append(i)
+        for (fmt, w, h), rows in groups.items():
+            stack = decode_group_stack(blobs, rows, fmt, w, h)
+            shade = hillshade_u8(stack[..., 0])
+            rows_np = np.array(rows)
+            hs_sum[rows_np] = shade.sum(axis=(1, 2), dtype=np.int64)
+            hs_min[rows_np] = shade.min(axis=(1, 2))
+            hs_max[rows_np] = shade.max(axis=(1, 2))
+            n_px[rows_np] = shade.shape[1] * shade.shape[2]
+            n_shadow[rows_np] = (shade == 0).sum(axis=(1, 2), dtype=np.int64)
+
+        return pa.table(
+            {
+                "image_id": batch.column("image_id"),
+                "hs_sum": pa.array(hs_sum),
+                "n_px": pa.array(n_px),
+                "hs_min": pa.array(hs_min),
+                "hs_max": pa.array(hs_max),
+                "n_shadow": pa.array(n_shadow),
+            }
+        )
+
+
+def pyramid_reduce_u8(level: np.ndarray) -> np.ndarray:
+    """One 2x overview reduction: truncating mean of each 2x2 block,
+    per channel — pure integer, exact, (g, h, w, c) -> (g, h//2, w//2, c).
+    Odd trailing rows/cols are dropped (GDAL 'nearest window' behavior
+    for the synthetic even sizes never triggers this; kept defined)."""
+    a = level[:, : level.shape[1] // 2 * 2, : level.shape[2] // 2 * 2]
+    s = (
+        a[:, 0::2, 0::2].astype(np.uint16)
+        + a[:, 1::2, 0::2]
+        + a[:, 0::2, 1::2]
+        + a[:, 1::2, 1::2]
+    )
+    return (s // 4).astype(np.uint8)
+
+
+class PyramidLevels:
+    """GeoTIFF-overview-style pyramid: per image, levels 0..max_level of
+    2x truncating block-mean reductions; one OUTPUT row per (image,
+    level) carrying exact integer summaries (pixel sum + a position-
+    weighted checksum that pins layout, not just histogram)."""
+
+    def __init__(self, max_level: int = 3):
+        self.max_level = max_level
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("image_id").to_pylist()
+        blobs = binary_views(batch.column("bytes"))
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        fmts = batch.column("fmt").to_pylist()
+
+        out_id: list[str] = []
+        out_lvl: list[int] = []
+        out_w: list[int] = []
+        out_h: list[int] = []
+        out_sum: list[int] = []
+        out_ck: list[int] = []
+
+        groups: dict[tuple, list[int]] = {}
+        for i in range(len(ids)):
+            groups.setdefault((fmts[i], int(ws[i]), int(hs[i])), []).append(i)
+        for (fmt, w, h), rows in groups.items():
+            level = decode_group_stack(blobs, rows, fmt, w, h)
+            for lvl in range(self.max_level + 1):
+                g, lh, lw, _ = level.shape
+                flat = level.reshape(g, -1).astype(np.int64)
+                sums = flat.sum(axis=1)
+                # position-weighted checksum: sum(v * (flat_pos + 1)) in
+                # wrapping uint64 (deterministic, layout-sensitive)
+                wvec = np.arange(1, flat.shape[1] + 1, dtype=np.uint64)
+                cks = (flat.astype(np.uint64) * wvec[None, :]).sum(
+                    axis=1, dtype=np.uint64
+                ).view(np.int64)
+                out_id.extend(ids[i] for i in rows)
+                out_lvl.extend([lvl] * g)
+                out_w.extend([lw] * g)
+                out_h.extend([lh] * g)
+                out_sum.extend(sums.tolist())
+                out_ck.extend(cks.tolist())
+                if lvl < self.max_level:
+                    if min(level.shape[1] // 2, level.shape[2] // 2) < 1:
+                        break
+                    level = pyramid_reduce_u8(level)
+
+        return pa.table(
+            {
+                "image_id": pa.array(out_id, pa.string()),
+                "level": pa.array(out_lvl, pa.int64()),
+                "w_l": pa.array(out_w, pa.int64()),
+                "h_l": pa.array(out_h, pa.int64()),
+                "px_sum": pa.array(out_sum, pa.int64()),
+                "pos_ck": pa.array(out_ck, pa.int64()),
+            }
+        )
