@@ -2394,7 +2394,9 @@ FROM d
 # the events, vectorized integer filter.
 
 
-def q_outlier_events(sf_dir: str):
+def q_outlier_events(sf_dir: str, force: str | None = None):
+    from ..stages.joins import _scan_rooted_size, auto_join
+
     ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
 
     def prep(batch: pa.Table) -> pa.Table:
@@ -2413,8 +2415,19 @@ def q_outlier_events(sf_dir: str):
         e, ["user_id"],
         {"n": (None, "count"), "s": ("value_c", "sum"), "ss": ("sq", "sum")},
     )
-    joined = e.select_columns(["event_id", "user_id", "value_c"]).join(
-        stats, "inner", num_partitions=JOIN_PARTS, on=("user_id",)
+    # advisory bound for the planner: the per-user stats table has <= one
+    # row per fact row at 4 int64 columns, estimated as 4x the O(1)
+    # parquet-metadata key-column size (encoding can undercount — the
+    # broadcast path's RUNTIME memory_usage fallback is the enforcement).
+    # Under the limit -> broadcast (zero fact shuffle); at a scale where
+    # the user population outgrows it the SAME code plans the partitioned
+    # hash join (force='shuffle' pins that path).
+    key_scan = _scan_rooted_size(_read(sf_dir, "events", ["user_id"]))
+    stats_bound = 4 * key_scan if key_scan is not None else None
+    joined = auto_join(
+        e.select_columns(["event_id", "user_id", "value_c"]), stats,
+        on=("user_id",), num_partitions=JOIN_PARTS,
+        right_size_hint=stats_bound, force=force,
     )
 
     def flag(batch: pa.Table) -> pa.Table:
