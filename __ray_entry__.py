@@ -419,6 +419,38 @@ def _q_raster_pyramid(sf_dir: str):
     )
 
 
+def _q_texture_atlas(sf_dir: str):
+    """Texture-atlas packing (stages/atlas.py): histogram-prefix dense
+    rank per size class -> fixed-capacity 8x8 mosaics -> ONE pixel
+    exchange keyed by atlas. Returns the per-atlas audit rows (occupancy
+    + exact mosaic checksum); the crop round-trip is pinned in pytest.
+    Rows-only."""
+    import ray.data
+
+    from plateau_gis_converter_ray.sources.images import (
+        ensure_image_table,
+        rows_for_sf,
+    )
+    from plateau_gis_converter_ray.stages.atlas import (
+        assemble_atlases,
+        atlas_placements,
+        atlas_summary,
+    )
+
+    path = ensure_image_table(_sf_of(sf_dir))
+    files = [
+        os.path.join(path, f)
+        for f in sorted(os.listdir(path))
+        if f.endswith(".parquet")
+    ]
+    meta = ray.data.read_parquet(files, columns=["image_id", "w", "h"])
+    placements = atlas_placements(
+        meta, grid=8, n_rows_hint=rows_for_sf(_sf_of(sf_dir))
+    )
+    images = ray.data.read_parquet(files, columns=["image_id", "bytes", "fmt"])
+    return atlas_summary(assemble_atlases(images, placements, grid=8))
+
+
 def _q_zonal_stats(sf_dir: str):
     """Raster ZONAL STATISTICS: the raster<->vector clip stage's per-image
     rows aggregate per polygon (municipality) — image count, covered /
@@ -816,6 +848,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "zonal_stats": _q_zonal_stats,
             "raster_hillshade": _q_raster_hillshade,
             "raster_pyramid": _q_raster_pyramid,
+            "texture_atlas": _q_texture_atlas,
             "image_augment": _q_image_augment,
             "image_feature_knn": _q_image_feature_knn,
             "earcut_triangulate": _q_earcut_triangulate,
