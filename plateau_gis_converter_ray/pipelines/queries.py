@@ -7464,6 +7464,332 @@ def q_convex_hull_types(sf_dir: str):
     return cands.map_batches(resolve, batch_format="pandas", batch_size=None)
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q11 shape: group sum vs a scaled GLOBAL total — "important parts"
+# hold more than 2x the average part's share of total lineitem value. The
+# per-part aggregate is one combiner-tree exchange; the global total and
+# part count come from a second combiner pass over the (bounded-by-#parts)
+# aggregate, reduced to a 2-int driver scalar; the filter compares exactly
+# as 10 * part_sum * n_parts > 11 * total (strictly above 1.1x the average
+# share — no division, no fraction constant to re-tune per scale factor:
+# the threshold is self-normalizing in sf).
+
+
+def q_important_parts(sf_dir: str):
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        value_c = np.round(
+            batch.column("l_extendedprice").to_numpy() * 100
+        ).astype(np.int64)
+        return pa.table(
+            {"p_partkey": batch.column("l_partkey"), "value_c": pa.array(value_c)}
+        )
+
+    # materialized: the scalar pass and the filter both consume the agg
+    agg = tree_group_agg(
+        li.map_batches(prep, batch_format="pyarrow"),
+        ["p_partkey"], {"value_c": ("value_c", "sum")},
+    ).materialize()
+    tot = agg.map_batches(
+        lambda b: pa.table(
+            {
+                "s": pa.array([int(b.column("value_c").to_numpy().sum())]),
+                "n": pa.array([b.num_rows]),
+            }
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    total_c, n_parts = int(tot["s"].sum()), int(tot["n"].sum())
+
+    def above(batch: pa.Table, t=total_c, n=n_parts) -> pa.Table:
+        v = batch.column("value_c").to_numpy()
+        return batch.filter(pa.array(10 * v * n > 11 * t))
+
+    return agg.map_batches(above, batch_format="pyarrow")
+
+
+_SQL_IMPORTANT_PARTS = """
+WITH v AS (
+  SELECT l_partkey AS p_partkey,
+         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS value_c
+  FROM lineitem GROUP BY 1
+), t AS (SELECT SUM(value_c) AS s, COUNT(*) AS n FROM v)
+SELECT v.p_partkey, v.value_c FROM v, t WHERE 10 * v.value_c * t.n > 11 * t.s
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15 shape: argmax join-back — the supplier(s) with the maximum
+# total revenue. Revenue is integer-exact (cents x (1 - discount) scaled
+# to 1e4, the volume_shipping idiom); the per-supplier aggregate is one
+# combiner exchange, the global max a driver scalar over the
+# bounded-by-#suppliers aggregate, ties all kept (deterministic), and the
+# name attach is a broadcast of the tiny supplier dim.
+
+
+def q_top_supplier(sf_dir: str):
+    li = _read(
+        sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ep = batch.column("l_extendedprice").to_numpy()
+        d = batch.column("l_discount").to_numpy()
+        rev = np.round(ep * (1 - d) * 10000).astype(np.int64)
+        return pa.table(
+            {"s_suppkey": batch.column("l_suppkey"), "rev_s": pa.array(rev)}
+        )
+
+    agg = tree_group_agg(
+        li.map_batches(prep, batch_format="pyarrow"),
+        ["s_suppkey"], {"total_rev_s": ("rev_s", "sum")},
+    ).materialize()
+    mx = agg.map_batches(
+        lambda b: pa.table(
+            {"m": pa.array([int(b.column("total_rev_s").to_numpy().max())])}
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    best = int(mx["m"].max())
+
+    top = agg.map_batches(
+        lambda b, m=best: b.filter(
+            pa.array(b.column("total_rev_s").to_numpy() == m)
+        ),
+        batch_format="pyarrow",
+    )
+    from ..stages.joins import _scan_rooted_size, auto_join
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    return auto_join(
+        top, sup, on=("s_suppkey",), how="inner",
+        num_partitions=JOIN_PARTS, right_size_hint=_scan_rooted_size(sup),
+    )
+
+
+_SQL_TOP_SUPPLIER = """
+WITH r AS (
+  SELECT l_suppkey AS s_suppkey,
+         SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+           AS total_rev_s
+  FROM lineitem GROUP BY 1
+)
+SELECT r.s_suppkey, r.total_rev_s, s.s_name
+FROM r JOIN supplier s USING (s_suppkey)
+WHERE r.total_rev_s = (SELECT MAX(total_rev_s) FROM r)
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q16 shape: COUNT(DISTINCT supplier) per part class with a NOT-IN
+# blacklist — suppliers with negative balance are excluded ("complaints"
+# analogue). The blacklist is a tiny broadcast set; the distinct
+# (partkey, suppkey) pass is one combiner exchange over 16-byte rows; the
+# part dims attach via the planner (broadcast at bench scale); the final
+# distinct-count is a second combiner pass keyed by the bounded class
+# tuple. Image bytes-class shuffles: none — everything that moves is keys.
+
+
+def q_parts_supplier_counts(sf_dir: str):
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"]).to_pandas()
+    bad = set(sup.loc[sup["s_acctbal"] < 0, "s_suppkey"].astype(np.int64))
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def drop_bad(batch: pa.Table, bad=frozenset(bad)) -> pa.Table:
+        sk = batch.column("l_suppkey").to_numpy()
+        keep = ~np.isin(sk, np.fromiter(bad, dtype=np.int64, count=len(bad)))
+        return batch.filter(pa.array(keep))
+
+    pairs = tree_group_agg(
+        li.map_batches(drop_bad, batch_format="pyarrow"),
+        ["l_partkey", "l_suppkey"], {"n": (None, "count")},
+    )
+    from ..stages.joins import _scan_rooted_size, auto_join
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_type", "p_size"])
+    j = auto_join(
+        pairs, part, on=("l_partkey",), right_on=("p_partkey",),
+        how="inner", num_partitions=JOIN_PARTS,
+        right_size_hint=_scan_rooted_size(part),
+    )
+    # one supplier can supply many parts of the same class: a second
+    # distinct pass on (class, suppkey) before the count
+    distinct = tree_group_agg(
+        j, ["p_brand", "p_type", "p_size", "l_suppkey"], {"n": (None, "count")}
+    )
+    return tree_group_agg(
+        distinct, ["p_brand", "p_type", "p_size"],
+        {"supplier_cnt": (None, "count")},
+    )
+
+
+_SQL_PARTS_SUPPLIER_COUNTS = """
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8 shape: market share per order year — the fraction of revenue
+# supplied by one nation, emitted as EXACT integer (numerator, denominator)
+# columns so the oracle compare never divides. The supplier->nation map is
+# a broadcast dict (tiny dim); lineitem joins orders for the year through
+# the planner-routed hash join (the one genuine fact-fact exchange); the
+# final reduce is a 7-key combiner tree.
+
+
+def q_market_share(sf_dir: str, target_nation: int = 3):
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    s_nation = dict(
+        zip(supp["s_suppkey"].astype(np.int64), supp["s_nationkey"].astype(np.int64))
+    )
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    )
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        ep = batch["l_extendedprice"].to_numpy()
+        d = batch["l_discount"].to_numpy()
+        rev = np.round(ep * (1 - d) * 10000).astype(np.int64)
+        nk = batch["l_suppkey"].map(s_nation).to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                "l_orderkey": batch["l_orderkey"].to_numpy(),
+                "rev_s": rev,
+                "tgt_rev_s": np.where(nk == target_nation, rev, 0),
+            }
+        )
+
+    from ..stages.joins import auto_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    j = auto_join(
+        li.map_batches(prep, batch_format="pandas"), orders,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+        num_partitions=JOIN_PARTS,
+    )
+
+    def add_year(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        yr = pc.year(batch.column("o_orderdate")).cast(pa.int64())
+        return pa.table(
+            {
+                "o_year": yr,
+                "tgt_rev_s": batch.column("tgt_rev_s"),
+                "rev_s": batch.column("rev_s"),
+            }
+        )
+
+    return tree_group_agg(
+        j.map_batches(add_year, batch_format="pyarrow"),
+        ["o_year"],
+        {"target_rev_s": ("tgt_rev_s", "sum"), "total_rev_s": ("rev_s", "sum")},
+    )
+
+
+_SQL_MARKET_SHARE = """
+SELECT CAST(date_part('year', o_orderdate) AS BIGINT) AS o_year,
+       SUM(CASE WHEN s_nationkey = 3
+           THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+           ELSE 0 END) AS target_rev_s,
+       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+         AS total_rev_s
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Grouped Pearson correlation from EXACT integer sums: per l_returnflag,
+# corr(quantity, price-in-dollars). The six sufficient statistics are
+# int64-exact through the combiner tree (dollars via integer floor-division
+# of the cent scale — no float rounding ties); the corr column is computed
+# from them with the IDENTICAL double expression on both sides (each
+# IEEE op correctly rounded on exactly-converted ints => bit-equal).
+
+
+def q_grouped_corr(sf_dir: str):
+    li = _read(
+        sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        q = np.round(batch.column("l_quantity").to_numpy()).astype(np.int64)
+        p = (
+            np.round(batch.column("l_extendedprice").to_numpy() * 100).astype(
+                np.int64
+            )
+            // 100
+        )
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "x": pa.array(q),
+                "y": pa.array(p),
+                "xx": pa.array(q * q),
+                "yy": pa.array(p * p),
+                "xy": pa.array(q * p),
+            }
+        )
+
+    agg = tree_group_agg(
+        li.map_batches(prep, batch_format="pyarrow"),
+        ["l_returnflag"],
+        {
+            "n": (None, "count"),
+            "sx": ("x", "sum"),
+            "sy": ("y", "sum"),
+            "sxx": ("xx", "sum"),
+            "syy": ("yy", "sum"),
+            "sxy": ("xy", "sum"),
+        },
+    )
+
+    def corr(batch: pa.Table) -> pa.Table:
+        f = {
+            c: batch.column(c).to_numpy().astype(np.float64)
+            for c in ("n", "sx", "sy", "sxx", "syy", "sxy")
+        }
+        num = f["n"] * f["sxy"] - f["sx"] * f["sy"]
+        den = np.sqrt(f["n"] * f["sxx"] - f["sx"] * f["sx"]) * np.sqrt(
+            f["n"] * f["syy"] - f["sy"] * f["sy"]
+        )
+        return batch.append_column("corr_qp", pa.array(num / den))
+
+    return agg.map_batches(corr, batch_format="pyarrow")
+
+
+_SQL_GROUPED_CORR = """
+WITH b AS (
+  SELECT l_returnflag,
+         CAST(ROUND(l_quantity) AS BIGINT) AS x,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) // 100 AS y
+  FROM lineitem
+), s AS (
+  SELECT l_returnflag, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+  FROM b GROUP BY 1
+)
+SELECT l_returnflag, n, sx, sy, sxx, syy, sxy,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_qp
+FROM s
+"""
+
+
 QUERIES = {
     "tile_wm_z12": q_tile_wm_z12,
     "tile_3dt_z7": q_tile_3dt_z7,
@@ -7592,6 +7918,11 @@ QUERIES = {
     "decayed_user_score": q_decayed_user_score,
     "sketch_quantiles": q_sketch_quantiles,
     "convex_hull_types": q_convex_hull_types,
+    "important_parts": q_important_parts,
+    "top_supplier": q_top_supplier,
+    "parts_supplier_counts": q_parts_supplier_counts,
+    "market_share": q_market_share,
+    "grouped_corr": q_grouped_corr,
 }
 
 ORACLES = {
@@ -7705,4 +8036,9 @@ ORACLES = {
     "unpivot_metrics": _SQL_UNPIVOT_METRICS,
     "value_histogram": _SQL_VALUE_HISTOGRAM,
     "decayed_user_score": _SQL_DECAYED_USER_SCORE,
+    "important_parts": _SQL_IMPORTANT_PARTS,
+    "top_supplier": _SQL_TOP_SUPPLIER,
+    "parts_supplier_counts": _SQL_PARTS_SUPPLIER_COUNTS,
+    "market_share": _SQL_MARKET_SHARE,
+    "grouped_corr": _SQL_GROUPED_CORR,
 }
