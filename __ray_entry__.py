@@ -451,6 +451,52 @@ def _q_texture_atlas(sf_dir: str):
     return atlas_summary(assemble_atlases(images, placements, grid=8))
 
 
+def _q_image_sharpness(sf_dir: str):
+    """Variance-of-Laplacian blur filter (stages/decode.py::ImageSharpness):
+    per-image exact int64 Laplacian sums, zero exchanges (bytes never leave
+    the decode task), then a tiny per-fmt reduce — n, blurry count, and the
+    exact global Laplacian-energy total. Rows-only; the per-image stencil is
+    pinned against a naive per-image recompute in pytest."""
+    import ray.data
+
+    from plateau_gis_converter_ray.sources.images import ensure_image_table
+    from plateau_gis_converter_ray.stages.decode import ImageSharpness
+
+    path = ensure_image_table(_sf_of(sf_dir))
+    files = [
+        os.path.join(path, f)
+        for f in sorted(os.listdir(path))
+        if f.endswith(".parquet")
+    ]
+    ds = ray.data.read_parquet(files, columns=["image_id", "bytes", "fmt", "w", "h"])
+    ds = ds.map_batches(ImageSharpness(), batch_format="pyarrow", batch_size=1024)
+
+    import numpy as np
+    import pyarrow as pa
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "fmt": batch.column("fmt"),
+                "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                "blurry": batch.column("is_blurry").cast(pa.int64()),
+                "lap_sq_sum": batch.column("lap_sq_sum"),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("fmt")
+        .aggregate(
+            Sum("one", alias_name="n"),
+            Sum("blurry", alias_name="n_blurry"),
+            Sum("lap_sq_sum", alias_name="lap_energy"),
+        )
+    )
+
+
 def _q_zonal_stats(sf_dir: str):
     """Raster ZONAL STATISTICS: the raster<->vector clip stage's per-image
     rows aggregate per polygon (municipality) — image count, covered /
@@ -849,6 +895,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "raster_hillshade": _q_raster_hillshade,
             "raster_pyramid": _q_raster_pyramid,
             "texture_atlas": _q_texture_atlas,
+            "image_sharpness": _q_image_sharpness,
             "image_augment": _q_image_augment,
             "image_feature_knn": _q_image_feature_knn,
             "earcut_triangulate": _q_earcut_triangulate,

@@ -308,3 +308,69 @@ class QuarantiningDecode:
             )
             return pa.concat_tables([good, bad]).combine_chunks()
         return good
+
+
+class ImageSharpness:
+    """Variance-of-Laplacian blur metric per image — the classic
+    training-data sharpness filter (blurry images score near zero).
+
+    Gray plane = channel sum (int32, 0..765, no rounding); Laplacian =
+    4-neighbor stencil over the interior; the emitted statistics are EXACT
+    int64 sums (sum L, sum L^2, interior pixel count) so any consumer can
+    reproduce the variance bit-for-bit; ``sharpness`` is the float64
+    variance computed from them with one fixed expression. Decode groups by
+    (fmt, w, h) and every group runs one vectorized stencil over the stack
+    — no per-image Python beyond the group loop. Scale: zero exchanges,
+    payload bytes never leave the decode task.
+    """
+
+    def __init__(self, blur_threshold: float = 100.0):
+        self.blur_threshold = float(blur_threshold)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("image_id")
+        blobs = binary_views(batch.column("bytes"))
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        fmts = batch.column("fmt").to_pylist()
+
+        n = batch.num_rows
+        s1 = np.zeros(n, dtype=np.int64)
+        s2 = np.zeros(n, dtype=np.int64)
+        cnt = np.zeros(n, dtype=np.int64)
+
+        groups: dict[tuple, list[int]] = {}
+        for i in range(n):
+            groups.setdefault((fmts[i], int(ws[i]), int(hs[i])), []).append(i)
+        for (fmt, w, h), rows in groups.items():
+            stack = decode_group_stack(blobs, rows, fmt, w, h)
+            gray = stack.sum(axis=3, dtype=np.int32)  # (g, h, w) 0..765
+            lap = (
+                4 * gray[:, 1:-1, 1:-1]
+                - gray[:, :-2, 1:-1]
+                - gray[:, 2:, 1:-1]
+                - gray[:, 1:-1, :-2]
+                - gray[:, 1:-1, 2:]
+            )
+            rows_np = np.array(rows)
+            # int64 accumulate: |lap| <= 3060, lap^2 <= ~9.4e6, x h*w < 2^63
+            s1[rows_np] = lap.sum(axis=(1, 2), dtype=np.int64)
+            lap64 = lap.astype(np.int64)
+            s2[rows_np] = (lap64 * lap64).sum(axis=(1, 2))
+            cnt[rows_np] = (h - 2) * (w - 2)
+
+        fs1 = s1.astype(np.float64)
+        var = s2.astype(np.float64) / cnt - (fs1 / cnt) * (fs1 / cnt)
+        return pa.table(
+            {
+                "image_id": ids,
+                "w": batch.column("w"),
+                "h": batch.column("h"),
+                "fmt": batch.column("fmt"),
+                "lap_sum": pa.array(s1),
+                "lap_sq_sum": pa.array(s2),
+                "n_interior": pa.array(cnt),
+                "sharpness": pa.array(var),
+                "is_blurry": pa.array(var < self.blur_threshold),
+            }
+        )
