@@ -7790,6 +7790,135 @@ FROM s
 """
 
 
+# ---------------------------------------------------------------------------
+# Token PMI: pointwise mutual information between co-occurring vocabulary
+# terms (the classic collocation / phrase-mining signal). The vocabulary is
+# the global top-32 terms by document frequency (deterministic (df desc,
+# term asc) tie-break; per-block top-k prune is EXACT because the df
+# aggregate co-locates each term in one block). Per-doc presence over a
+# 32-term vocab is a single int64 BITMASK (sum of distinct bit values ==
+# OR), so pair counting is one 32x32 Gram matmul per batch and the pair
+# exchange carries <= 496 rows per block — document text never moves after
+# tokenize. PMI is floor(1e6 * ln(...)) with the expression mirrored in
+# the oracle (the source_kl idiom).
+
+
+def q_token_pmi(sf_dir: str, k: int = 32):
+    tok = _doc_tf(sf_dir).materialize()  # distinct (doc_id, term) rows
+    df = tree_group_agg(tok, ["term"], {"df": (None, "count")})
+
+    def block_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["df", "term"], ascending=[False, True], kind="mergesort")
+        return g.head(k)[["term", "df"]]
+
+    cand = df.map_batches(
+        block_topk, batch_format="pandas", batch_size=None
+    ).to_pandas()
+    cand = cand.sort_values(["df", "term"], ascending=[False, True],
+                            kind="mergesort").head(k).reset_index(drop=True)
+    rank = {t: i for i, t in enumerate(cand["term"])}
+    dfs = cand["df"].to_numpy().astype(np.int64)
+    terms = cand["term"].tolist()
+    n_docs = int(_read(sf_dir, "documents", ["doc_id"]).count())
+
+    def to_bits(batch: pd.DataFrame) -> pd.DataFrame:
+        r = batch["term"].map(rank)
+        keep = r.notna()
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy()[keep.to_numpy()],
+                "bit": (
+                    np.int64(1) << r.to_numpy()[keep.to_numpy()].astype(np.int64)
+                ),
+            }
+        )
+
+    masks = tree_group_agg(
+        tok.map_batches(to_bits, batch_format="pandas"),
+        ["doc_id"], {"mask": ("bit", "sum")},
+    )
+
+    def pair_counts(batch: pa.Table, nb=k) -> pa.Table:
+        m = batch.column("mask").to_numpy()
+        bits = ((m[:, None] >> np.arange(nb, dtype=np.int64)) & 1).astype(
+            np.int64
+        )
+        c = bits.T @ bits  # (k, k) co-presence counts for this block
+        iu, ju = np.triu_indices(nb, 1)
+        cv = c[iu, ju]
+        nz = cv > 0
+        return pa.table(
+            {
+                "ia": pa.array(iu[nz].astype(np.int64)),
+                "ib": pa.array(ju[nz].astype(np.int64)),
+                "c_ab": pa.array(cv[nz]),
+            }
+        )
+
+    pairs = tree_group_agg(
+        masks.map_batches(pair_counts, batch_format="pyarrow"),
+        ["ia", "ib"], {"c_ab": ("c_ab", "sum")},
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ia = batch.column("ia").to_numpy()
+        ib = batch.column("ib").to_numpy()
+        # pairs travel in RANK order (ia < ib); the output contract is
+        # lexicographic (term_a < term_b) — swap where they disagree
+        ta = np.array([terms[i] for i in ia], dtype=object)
+        tb = np.array([terms[i] for i in ib], dtype=object)
+        swap = ta > tb
+        ia, ib = np.where(swap, ib, ia), np.where(swap, ia, ib)
+        c = batch.column("c_ab").to_numpy().astype(np.float64)
+        dfa = dfs[ia].astype(np.float64)
+        dfb = dfs[ib].astype(np.float64)
+        # EXPRESSION MIRRORED IN THE ORACLE — do not reorder
+        pmi = np.floor(
+            1e6 * np.log((c * np.float64(n_docs)) / (dfa * dfb))
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "term_a": pa.array([terms[i] for i in ia]),
+                "term_b": pa.array([terms[i] for i in ib]),
+                "c_ab": batch.column("c_ab"),
+                "df_a": pa.array(dfs[ia]),
+                "df_b": pa.array(dfs[ib]),
+                "pmi_e6": pa.array(pmi),
+            }
+        )
+
+    return pairs.map_batches(finish, batch_format="pyarrow")
+
+
+_SQL_TOKEN_PMI = """
+WITH tok AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents
+), df AS (
+  SELECT term, COUNT(*) AS df FROM tok GROUP BY 1
+), v AS (
+  SELECT term, df FROM df ORDER BY df DESC, term ASC LIMIT 32
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), p AS (
+  SELECT a.term AS term_a, b.term AS term_b, COUNT(*) AS c_ab
+  FROM tok a
+  JOIN tok b ON a.doc_id = b.doc_id AND a.term < b.term
+  WHERE a.term IN (SELECT term FROM v) AND b.term IN (SELECT term FROM v)
+  GROUP BY 1, 2
+)
+SELECT p.term_a, p.term_b, p.c_ab, va.df AS df_a, vb.df AS df_b,
+       CAST(FLOOR(1e6 * LN((CAST(p.c_ab AS DOUBLE) * CAST(n.n_docs AS DOUBLE))
+              / (CAST(va.df AS DOUBLE) * CAST(vb.df AS DOUBLE)))) AS BIGINT)
+         AS pmi_e6
+FROM p
+JOIN v va ON va.term = p.term_a
+JOIN v vb ON vb.term = p.term_b
+CROSS JOIN n
+"""
+
+
 QUERIES = {
     "tile_wm_z12": q_tile_wm_z12,
     "tile_3dt_z7": q_tile_3dt_z7,
@@ -7923,6 +8052,7 @@ QUERIES = {
     "parts_supplier_counts": q_parts_supplier_counts,
     "market_share": q_market_share,
     "grouped_corr": q_grouped_corr,
+    "token_pmi": q_token_pmi,
 }
 
 ORACLES = {
@@ -8041,4 +8171,5 @@ ORACLES = {
     "parts_supplier_counts": _SQL_PARTS_SUPPLIER_COUNTS,
     "market_share": _SQL_MARKET_SHARE,
     "grouped_corr": _SQL_GROUPED_CORR,
+    "token_pmi": _SQL_TOKEN_PMI,
 }
