@@ -7919,6 +7919,211 @@ CROSS JOIN n
 """
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q4 shape: EXISTS semi-join + aggregate — orders with at least one
+# returned line item, counted per order priority. The probe side reduces
+# to DISTINCT order keys through the combiner tree (16-byte rows) before
+# the planner-routed left_semi join; the final reduce is a 5-key combiner.
+
+
+def q_priority_semijoin_counts(sf_dir: str):
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"])
+
+    def returned(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(
+            pc.equal(batch.column("l_returnflag"), "R")
+        ).select(["l_orderkey"])
+
+    # materialized: the distinct key set is ~8 bytes/qualifying order, so
+    # the planner sees its MEASURED size and broadcasts at bench scale
+    # (hash join above the limit — the corpus_dedup idiom)
+    keys = tree_group_agg(
+        li.map_batches(returned, batch_format="pyarrow"),
+        ["l_orderkey"], {"n": (None, "count")},
+    ).drop_columns(["n"]).materialize()
+    from ..stages.joins import auto_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    semi = auto_join(
+        orders, keys,
+        on=("o_orderkey",), right_on=("l_orderkey",),
+        how="left_semi", num_partitions=JOIN_PARTS,
+        right_size_hint=keys.size_bytes(),
+    )
+    return tree_group_agg(
+        semi, ["o_orderpriority"], {"order_count": (None, "count")}
+    )
+
+
+_SQL_PRIORITY_SEMIJOIN = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Mutual kNN pairs: (a, b) where each is in the other's exact top-k by
+# quantized squared L2 (ties on vec_id) — the mutual-neighbor criterion
+# used for dedup-safe pairing and graph building. The quantized matrix is
+# a broadcast (the embed_knn brute contract; ivf_self_knn is the
+# corpus-scale path) and each block computes its rows' top-k with one
+# int64 matmul; mutuality is ONE combiner exchange on canonical edge keys
+# (count == 2 <=> both directions emitted).
+
+
+def q_mutual_knn_pairs(sf_dir: str, k: int = 5):
+    import ray
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    emb = ds.to_pandas()
+    ids_all = emb["vec_id"].to_numpy().astype(np.int64)
+    order = np.argsort(ids_all, kind="mergesort")
+    ids_all = ids_all[order]
+    Q = np.round(
+        np.stack(emb["embedding"].to_numpy()[order]).astype(np.float64) * 100
+    ).astype(np.int64)
+    ref = ray.put((ids_all, Q, (Q * Q).sum(axis=1)))
+
+    def knn_edges(batch: pd.DataFrame, k=k) -> pd.DataFrame:
+        ids_r, Qr, nr = ray.get(ref)
+        x = np.round(
+            np.stack(batch["embedding"].to_numpy()).astype(np.float64) * 100
+        ).astype(np.int64)
+        sid = batch["vec_id"].to_numpy().astype(np.int64)
+        d2 = (x * x).sum(axis=1)[:, None] + nr[None, :] - 2 * (x @ Qr.T)
+        # exclude self by id (robust to duplicate vectors)
+        d2[sid[:, None] == ids_r[None, :]] = np.iinfo(np.int64).max
+        # exact top-k with (dist2, vec_id) tie-break: lexsort columns
+        ordk = np.lexsort((np.broadcast_to(ids_r, d2.shape), d2), axis=1)[:, :k]
+        src = np.repeat(sid, k)
+        dst = ids_r[ordk].ravel()
+        dd = np.take_along_axis(d2, ordk, axis=1).ravel()
+        return pd.DataFrame({"src": src, "dst": dst, "d2": dd})
+
+    edges = ds.map_batches(knn_edges, batch_format="pandas")
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy()
+        d = batch.column("dst").to_numpy()
+        return pa.table(
+            {
+                "vec_a": pa.array(np.minimum(s, d)),
+                "vec_b": pa.array(np.maximum(s, d)),
+                "d2": batch.column("d2"),
+            }
+        )
+
+    agg = tree_group_agg(
+        edges.map_batches(canon, batch_format="pyarrow"),
+        ["vec_a", "vec_b"], {"n_dir": (None, "count"), "dist2_q": ("d2", "min")},
+    )
+
+    def mutual(batch: pa.Table) -> pa.Table:
+        keep = batch.column("n_dir").to_numpy() == 2
+        return batch.filter(pa.array(keep)).drop_columns(["n_dir"])
+
+    return agg.map_batches(mutual, batch_format="pyarrow")
+
+
+_SQL_MUTUAL_KNN = """
+WITH e AS (
+  SELECT vec_id, i, CAST(ROUND(embedding[i] * 100) AS BIGINT) AS v
+  FROM embeddings, (SELECT UNNEST(RANGE(1, 65)) AS i)
+), d AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         SUM((a.v - b.v) * (a.v - b.v)) AS d2
+  FROM e a JOIN e b ON a.i = b.i AND a.vec_id <> b.vec_id
+  GROUP BY 1, 2
+), r AS (
+  SELECT src, dst, d2,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY d2, dst) AS rn
+  FROM d
+), knn AS (
+  SELECT src, dst, d2 FROM r WHERE rn <= 5
+)
+SELECT a.src AS vec_a, a.dst AS vec_b, CAST(a.d2 AS BIGINT) AS dist2_q
+FROM knn a JOIN knn b ON a.src = b.dst AND a.dst = b.src
+WHERE a.src < a.dst
+"""
+
+
+# ---------------------------------------------------------------------------
+# Weighted median per group: the quantity-weighted median price per return
+# flag. The distinct (flag, price_c) weight table is domain-bounded (the
+# dense_rank_events contract: discrete money domain), built by ONE
+# combiner exchange; the median itself is a per-group cumsum scan over the
+# sorted weight table — smallest price with 2 * cumweight >= total
+# (integer-exact, no interpolation).
+
+
+def q_weighted_median(sf_dir: str):
+    li = _read(
+        sf_dir, "lineitem", ["l_returnflag", "l_extendedprice", "l_quantity"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        p = np.round(
+            batch.column("l_extendedprice").to_numpy() * 100
+        ).astype(np.int64)
+        q = np.round(batch.column("l_quantity").to_numpy()).astype(np.int64)
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "price_c": pa.array(p),
+                "w": pa.array(q),
+            }
+        )
+
+    wt = tree_group_agg(
+        li.map_batches(prep, batch_format="pyarrow"),
+        ["l_returnflag", "price_c"], {"w": ("w", "sum")},
+    )
+
+    def median_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("price_c", kind="mergesort")
+        cw = g["w"].to_numpy().cumsum()
+        total = int(cw[-1])
+        pos = int(np.searchsorted(2 * cw, total))
+        return pd.DataFrame(
+            {
+                "l_returnflag": [g["l_returnflag"].iloc[0]],
+                "w_median_c": [int(g["price_c"].to_numpy()[pos])],
+                "total_w": [total],
+            }
+        )
+
+    return wt.groupby("l_returnflag").map_groups(
+        median_group, batch_format="pandas"
+    )
+
+
+_SQL_WEIGHTED_MEDIAN = """
+WITH b AS (
+  SELECT l_returnflag,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_c,
+         CAST(ROUND(l_quantity) AS BIGINT) AS w
+  FROM lineitem
+), wt AS (
+  SELECT l_returnflag, price_c, SUM(w) AS w FROM b GROUP BY 1, 2
+), c AS (
+  SELECT l_returnflag, price_c, w,
+         SUM(w) OVER (PARTITION BY l_returnflag ORDER BY price_c) AS cw,
+         SUM(w) OVER (PARTITION BY l_returnflag) AS total
+  FROM wt
+)
+SELECT l_returnflag,
+       MIN(price_c) AS w_median_c,
+       CAST(MAX(total) AS BIGINT) AS total_w
+FROM c WHERE 2 * cw >= total
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "tile_wm_z12": q_tile_wm_z12,
     "tile_3dt_z7": q_tile_3dt_z7,
@@ -8053,6 +8258,9 @@ QUERIES = {
     "market_share": q_market_share,
     "grouped_corr": q_grouped_corr,
     "token_pmi": q_token_pmi,
+    "priority_semijoin_counts": q_priority_semijoin_counts,
+    "mutual_knn_pairs": q_mutual_knn_pairs,
+    "weighted_median": q_weighted_median,
 }
 
 ORACLES = {
@@ -8172,4 +8380,7 @@ ORACLES = {
     "market_share": _SQL_MARKET_SHARE,
     "grouped_corr": _SQL_GROUPED_CORR,
     "token_pmi": _SQL_TOKEN_PMI,
+    "priority_semijoin_counts": _SQL_PRIORITY_SEMIJOIN,
+    "mutual_knn_pairs": _SQL_MUTUAL_KNN,
+    "weighted_median": _SQL_WEIGHTED_MEDIAN,
 }
