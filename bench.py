@@ -166,6 +166,20 @@ BENCH_QUERIES = [
     # table (Horn hillshade closed form; exact integer 2x pyramid)
     "raster_hillshade",
     "raster_pyramid",
+    # r4 final wave: texture-atlas mosaic packing, variance-of-Laplacian
+    # sharpness, TPC-H Q11/Q15/Q16/Q8/Q4 shapes, grouped Pearson corr,
+    # top-32-vocab collocation PMI, mutual-kNN pairs, weighted median
+    "texture_atlas",
+    "image_sharpness",
+    "important_parts",
+    "top_supplier",
+    "parts_supplier_counts",
+    "market_share",
+    "grouped_corr",
+    "token_pmi",
+    "priority_semijoin_counts",
+    "mutual_knn_pairs",
+    "weighted_median",
 ]
 
 

@@ -8124,6 +8124,84 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Gini coefficient per group WITHOUT a global sort: with the ascending-rank
+# formula G = (2*SUM(rank_i * x_i) - (n+1)*SUM(x)) / (n*SUM(x)), the
+# rank-weighted sum over a tie block of equal values is invariant to tie
+# order, so it computes EXACTLY from the domain-bounded (group, value)
+# weight table (the dense_rank_events contract): one combiner exchange to
+# (group, value_c, m), then a per-group sorted scan turns each distinct
+# value's count m and prefix p into x * (m*p + m*(m+1)/2). The double
+# division is the one mirrored expression.
+
+
+def q_gini_order_values(sf_dir: str):
+    orders = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = np.round(batch.column("o_totalprice").to_numpy() * 100).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "o_orderpriority": batch.column("o_orderpriority"),
+                "value_c": pa.array(v),
+            }
+        )
+
+    wt = tree_group_agg(
+        orders.map_batches(prep, batch_format="pyarrow"),
+        ["o_orderpriority", "value_c"], {"m": (None, "count")},
+    )
+
+    def gini_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("value_c", kind="mergesort")
+        m = g["m"].to_numpy().astype(np.int64)
+        x = g["value_c"].to_numpy().astype(np.int64)
+        p = np.concatenate(([0], m.cumsum()[:-1]))
+        n = int(m.sum())
+        s = int((m * x).sum())
+        rws = int((x * (m * p + m * (m + 1) // 2)).sum())
+        # EXPRESSION MIRRORED IN THE ORACLE — do not reorder
+        gini = (
+            2.0 * np.float64(rws) - (np.float64(n) + 1.0) * np.float64(s)
+        ) / (np.float64(n) * np.float64(s))
+        return pd.DataFrame(
+            {
+                "o_orderpriority": [g["o_orderpriority"].iloc[0]],
+                "n": [n],
+                "total_c": [s],
+                "rank_weighted_c": [rws],
+                "gini": [gini],
+            }
+        )
+
+    return wt.groupby("o_orderpriority").map_groups(
+        gini_group, batch_format="pandas"
+    )
+
+
+_SQL_GINI = """
+WITH b AS (
+  SELECT o_orderpriority,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice) AS rn
+  FROM orders
+), s AS (
+  SELECT o_orderpriority, COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS total_c,
+         CAST(SUM(rn * x) AS BIGINT) AS rank_weighted_c
+  FROM b GROUP BY 1
+)
+SELECT o_orderpriority, n, total_c, rank_weighted_c,
+       (2.0 * CAST(rank_weighted_c AS DOUBLE)
+          - (CAST(n AS DOUBLE) + 1.0) * CAST(total_c AS DOUBLE))
+       / (CAST(n AS DOUBLE) * CAST(total_c AS DOUBLE)) AS gini
+FROM s
+"""
+
+
 QUERIES = {
     "tile_wm_z12": q_tile_wm_z12,
     "tile_3dt_z7": q_tile_3dt_z7,
@@ -8261,6 +8339,7 @@ QUERIES = {
     "priority_semijoin_counts": q_priority_semijoin_counts,
     "mutual_knn_pairs": q_mutual_knn_pairs,
     "weighted_median": q_weighted_median,
+    "gini_order_values": q_gini_order_values,
 }
 
 ORACLES = {
@@ -8383,4 +8462,5 @@ ORACLES = {
     "priority_semijoin_counts": _SQL_PRIORITY_SEMIJOIN,
     "mutual_knn_pairs": _SQL_MUTUAL_KNN,
     "weighted_median": _SQL_WEIGHTED_MEDIAN,
+    "gini_order_values": _SQL_GINI,
 }
