@@ -7819,7 +7819,14 @@ def q_token_pmi(sf_dir: str, k: int = 32):
     rank = {t: i for i, t in enumerate(cand["term"])}
     dfs = cand["df"].to_numpy().astype(np.int64)
     terms = cand["term"].tolist()
-    n_docs = int(_read(sf_dir, "documents", ["doc_id"]).count())
+    # O(1) from parquet footer metadata — no dataset execution
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    n_docs = int(
+        _pq.read_metadata(_os.path.join(sf_dir, "documents.parquet")).num_rows
+    )
 
     def to_bits(batch: pd.DataFrame) -> pd.DataFrame:
         r = batch["term"].map(rank)
