@@ -8209,6 +8209,139 @@ FROM s
 """
 
 
+# ---------------------------------------------------------------------------
+# Deterministic negative sampling — the retrieval-training data op: for
+# every user, K candidate parts drawn by a fixed multiplicative-hash
+# formula (mirrored verbatim in SQL — no RNG), each flagged against the
+# user's true purchase set. Positives are the distinct (user, part) pairs
+# from the lineitem->orders fact join; the flag attach is a planner-routed
+# left_outer on the MEASURED positive-set size (broadcast at bench scale,
+# partitioned hash join when the pair set outgrows the limit).
+
+
+def q_negative_sampling(sf_dir: str, k: int = 4):
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    n_parts = int(
+        _pq.read_metadata(_os.path.join(sf_dir, "part.parquet")).num_rows
+    )
+    from ..stages.joins import auto_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    pairs = auto_join(
+        li, orders, on=("l_orderkey",), right_on=("o_orderkey",),
+        num_partitions=JOIN_PARTS,
+    )
+    pos = tree_group_agg(
+        pairs, ["o_custkey", "l_partkey"], {"np": (None, "count")}
+    ).materialize()
+
+    users = tree_group_agg(
+        _read(sf_dir, "orders", ["o_custkey"]), ["o_custkey"],
+        {"nu": (None, "count")},
+    )
+
+    def explode(batch: pa.Table, k=k, n=n_parts) -> pa.Table:
+        u = np.repeat(batch.column("o_custkey").to_numpy().astype(np.int64), k)
+        slot = np.tile(np.arange(k, dtype=np.int64), batch.num_rows)
+        cand = (u * 9973 + slot * 7919) % n
+        return pa.table(
+            {"user_id": pa.array(u), "slot": pa.array(slot),
+             "cand_part": pa.array(cand)}
+        )
+
+    cand = users.map_batches(explode, batch_format="pyarrow")
+    j = auto_join(
+        cand, pos, on=("user_id", "cand_part"),
+        right_on=("o_custkey", "l_partkey"), how="left_outer",
+        num_partitions=JOIN_PARTS, right_size_hint=pos.size_bytes(),
+    )
+
+    def flag(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        hit = pc.is_valid(batch.column("np")).cast(pa.int64())
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "slot": batch.column("slot"),
+                "cand_part": batch.column("cand_part"),
+                "is_positive": hit,
+            }
+        )
+
+    return j.map_batches(flag, batch_format="pyarrow")
+
+
+_SQL_NEGATIVE_SAMPLING = """
+WITH pos AS (
+  SELECT DISTINCT o_custkey AS user_id, l_partkey AS part
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+), u AS (
+  SELECT DISTINCT o_custkey AS user_id FROM orders
+), np AS (SELECT COUNT(*) AS n FROM part),
+cand AS (
+  SELECT u.user_id, s.slot,
+         (u.user_id * 9973 + s.slot * 7919) % np.n AS cand_part
+  FROM u, (SELECT UNNEST(RANGE(0, 4)) AS slot) s, np
+)
+SELECT c.user_id, c.slot, c.cand_part,
+       CASE WHEN p.part IS NULL THEN 0 ELSE 1 END AS is_positive
+FROM cand c
+LEFT JOIN pos p ON p.user_id = c.user_id AND p.part = c.cand_part
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact-k deterministic priority sample per group (the distributed
+# reservoir replacement): the k rows with the smallest multiplicative
+# hash of their id per event type — a uniform-without-replacement sample
+# that is a pure function of the ids, so any node set produces the same
+# sample. Per-block top-k prune (exact: the global smallest k live in
+# some block's top k) bounds the exchange to k rows per (block, group).
+
+
+def q_priority_sample(sf_dir: str, k: int = 5):
+    ds = _read(sf_dir, "events", ["event_id", "event_type"])
+
+    def pri(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "event_id": batch.column("event_id"),
+                "pri": pa.array((eid * 2654435761) % 2147483647),
+            }
+        )
+
+    def block_topk(g: pd.DataFrame, k=k) -> pd.DataFrame:
+        g = g.sort_values(["event_type", "pri", "event_id"], kind="mergesort")
+        return g.groupby("event_type", as_index=False).head(k)
+
+    pruned = ds.map_batches(pri, batch_format="pyarrow").map_batches(
+        block_topk, batch_format="pandas", batch_size=None
+    )
+    return pruned.groupby("event_type").map_groups(
+        lambda g: block_topk(g), batch_format="pandas"
+    )
+
+
+_SQL_PRIORITY_SAMPLE = """
+WITH p AS (
+  SELECT event_type, event_id,
+         (event_id * 2654435761) % 2147483647 AS pri,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY (event_id * 2654435761) % 2147483647,
+                                     event_id) AS rn
+  FROM events
+)
+SELECT event_type, event_id, pri FROM p WHERE rn <= 5
+"""
+
+
 QUERIES = {
     "tile_wm_z12": q_tile_wm_z12,
     "tile_3dt_z7": q_tile_3dt_z7,
@@ -8347,6 +8480,8 @@ QUERIES = {
     "mutual_knn_pairs": q_mutual_knn_pairs,
     "weighted_median": q_weighted_median,
     "gini_order_values": q_gini_order_values,
+    "negative_sampling": q_negative_sampling,
+    "priority_sample": q_priority_sample,
 }
 
 ORACLES = {
@@ -8470,4 +8605,6 @@ ORACLES = {
     "mutual_knn_pairs": _SQL_MUTUAL_KNN,
     "weighted_median": _SQL_WEIGHTED_MEDIAN,
     "gini_order_values": _SQL_GINI,
+    "negative_sampling": _SQL_NEGATIVE_SAMPLING,
+    "priority_sample": _SQL_PRIORITY_SAMPLE,
 }
