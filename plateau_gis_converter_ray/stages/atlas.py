@@ -5,31 +5,36 @@ mosaics): pack every (w, h) size class's images into grid x grid atlases
 in a deterministic global order, emit one assembled RGB mosaic per atlas
 plus a placement table mapping each image to (atlas_id, slot).
 
-Distributed plan (no step holds more than one atlas of pixels):
+Distributed plan (no step holds more than one batch of pixels plus its
+touched mosaics):
 
 1. placements — a histogram-prefix DENSE RANK per size class (the
-   global_shuffle_rank pattern): per-(class, idx-bucket) counts through
-   the combiner tree, tiny prefix table back on the driver, then one
-   bucket-keyed exchange assigns rank = prefix + position; atlas_id =
-   rank // capacity, slot = rank % capacity. Buckets are ORDER-PRESERVING
-   in the image index, so rank order == id order. Everything that moves
-   is int64 — the row index stands in for the image_id string (the id
-   embeds it; reconstructed only at the edges), and image bytes never
-   enter phase 1.
-2. assembly — placements join back to the bytes through ``auto_join`` on
-   the int64 index (placement rows are ~32 B/image: planner-broadcast at
-   bench scale with the runtime memory fallback, partitioned hash join at
-   a scale where the table outgrows the limit), then ONE groupby on a
-   single packed int64 atlas key co-locates each atlas's <= capacity
-   tiles and a map_groups decodes the group stack and writes tiles
-   row-major into the mosaic. This is the only movement of pixel bytes:
-   one all-to-all keyed by atlas, the minimum any packer that co-locates
-   tiles must pay.
+   global_shuffle_rank pattern). The placement table is METADATA-only
+   (idx, w, h — image bytes never enter phase 1), so it carries the
+   repo's size-gated driver fast path (the BPE-vocab precedent): under
+   the gate the rank is one vectorized sort + segmented arange on the
+   driver; above it, the distributed path runs per-(class, idx-bucket)
+   counts through the combiner tree, broadcasts the tiny prefix table,
+   and one bucket-keyed exchange assigns rank = prefix + position
+   (buckets are ORDER-PRESERVING in the image index, so rank order ==
+   id order). Both paths are pinned equal in pytest.
+2. assembly — the placement map attaches to the bytes by BROADCAST
+   (``ray.put`` of three sorted int64 arrays + a searchsorted lookup
+   inside an Arrow-native map_batches, so the payload column passes
+   through zero-copy; above the size gate it falls back to the
+   partitioned ``auto_join``). Each batch then decodes its tiles in
+   (fmt, w, h) stacks and emits per-atlas TILE-STRIP runs (decoded
+   pixels, no zero padding), so the single pixel exchange — a hash
+   groupby on the atlas-bucket key — moves exactly the mosaic bytes
+   once, in ~#atlas rows rather than #image rows. The merge side
+   concatenates each atlas's runs and paints with one fancy-index
+   scatter per (w, h) class across the bucket's atlases.
 
 Determinism: rank order is a pure function of the image index; the
-mosaic buffer is zeroed so partially-filled tail atlases are stable.
-Pinned in pytest by cropping every slot back out of the mosaic and
-comparing to the independently-decoded source tile (byte equality).
+mosaic buffer is zeroed so partially-filled tail atlases are stable and
+the partial-merge is exact. Pinned in pytest by cropping every slot back
+out of the mosaic and comparing to the independently-decoded source tile
+(byte equality).
 """
 
 from __future__ import annotations
@@ -44,6 +49,10 @@ from .treeagg import clean_arrow, tree_group_agg
 # packed key layout: w and h are pixel sizes (< 2^20), atlas_id < 2^24
 _KW, _KH = 44, 24
 
+# placement fast-path gate: metadata rows only (~32 B each); above this
+# the distributed histogram-rank path runs (force-tested equal in pytest)
+PLACEMENT_DRIVER_LIMIT_BYTES = 256 << 20
+
 
 def _pack_key(w, h, atlas_id):
     return (
@@ -53,8 +62,42 @@ def _pack_key(w, h, atlas_id):
     )
 
 
+def _rank_frame(df: pd.DataFrame, capacity: int, prefix_of) -> pd.DataFrame:
+    """Vectorized rank within one idx-ordered frame: sort by (w, h, idx),
+    then each (w, h) segment ranks with a segmented arange off its prefix
+    (``prefix_of(w, h)`` — 0 on the driver fast path where the frame is
+    global, the per-bucket histogram prefix on the distributed path)."""
+    df = df.sort_values(["w", "h", "idx"], kind="mergesort")
+    w = df["w"].to_numpy()
+    h = df["h"].to_numpy()
+    new = np.empty(len(df), dtype=bool)
+    new[0] = True
+    new[1:] = (w[1:] != w[:-1]) | (h[1:] != h[:-1])
+    starts = np.nonzero(new)[0]
+    counts = np.diff(np.append(starts, len(df)))
+    base = np.array(
+        [prefix_of(int(w[s]), int(h[s])) for s in starts], dtype=np.int64
+    )
+    rank = np.repeat(base - starts, counts) + np.arange(
+        len(df), dtype=np.int64
+    )
+    return pd.DataFrame(
+        {
+            "idx": df["idx"].to_numpy(),
+            "w": w,
+            "h": h,
+            "atlas_id": rank // capacity,
+            "slot": rank % capacity,
+        }
+    )
+
+
 def atlas_placements(
-    meta_ds, grid: int = 8, n_buckets: int = 64, n_rows_hint: int | None = None
+    meta_ds,
+    grid: int = 8,
+    n_buckets: int = 64,
+    n_rows_hint: int | None = None,
+    force_distributed: bool = False,
 ):
     """(idx, w, h, atlas_id, slot) for every image, dense-ranked per
     (w, h) size class. ``meta_ds`` is a Dataset with (image_id, w, h) —
@@ -81,7 +124,19 @@ def atlas_placements(
             }
         )
 
-    meta = meta_ds.map_batches(keyed, batch_format="pyarrow")
+    # materialized: size gate + (fast path: to_pandas | slow path: both
+    # the histogram pass and the rank exchange) consume it
+    meta = meta_ds.map_batches(keyed, batch_format="pyarrow").materialize()
+
+    if (
+        not force_distributed
+        and (meta.size_bytes() or 0) <= PLACEMENT_DRIVER_LIMIT_BYTES
+    ):
+        import ray.data
+
+        out = _rank_frame(meta.to_pandas(), capacity, lambda w, h: 0)
+        return ray.data.from_arrow(clean_arrow(out.reset_index(drop=True)))
+
     hist = tree_group_agg(
         meta, ["w", "h", "bucket"], {"n": (None, "count")}
     ).to_pandas()
@@ -94,110 +149,250 @@ def atlas_placements(
         for r in hist.itertuples()
     }
 
-    def rank_group(g: pd.DataFrame) -> pa.Table:
-        g = g.sort_values("idx", kind="mergesort")
-        base = prefix[
-            (int(g["w"].iloc[0]), int(g["h"].iloc[0]), int(g["bucket"].iloc[0]))
-        ]
-        rank = base + np.arange(len(g), dtype=np.int64)
+    def rank_bucket(g: pd.DataFrame) -> pa.Table:
+        b = int(g["bucket"].iloc[0])
         return clean_arrow(
-            pd.DataFrame(
-                {
-                    "idx": g["idx"].to_numpy(),
-                    "w": g["w"].to_numpy(),
-                    "h": g["h"].to_numpy(),
-                    "atlas_id": rank // capacity,
-                    "slot": rank % capacity,
-                }
-            )
+            _rank_frame(g, capacity, lambda w, h: prefix[(w, h, b)])
+            .reset_index(drop=True)
         )
 
-    return meta.groupby(["w", "h", "bucket"]).map_groups(
-        rank_group, batch_format="pandas"
+    return meta.groupby("bucket").map_groups(
+        rank_bucket, batch_format="pandas"
     )
 
 
-def assemble_atlases(images, placements, grid: int = 8, force: str | None = None):
+def _tile_runs(batch: pa.Table, n_buckets: int) -> pa.Table:
+    """Map-side combiner: decode the batch's tiles in (fmt, w, h) stacks
+    and emit one DECODED tile-strip row per contiguous atlas run — the
+    exchange then carries exactly the mosaic pixels once, with no
+    zero-padding and ~#atlas rows. Strips are (n, h, w, 3) uint8 in slot
+    order; fmt heterogeneity inside a run is resolved here (the strip is
+    format-free)."""
+    akeys_u = batch.column("akey").to_numpy()
+    slots_u = batch.column("slot").to_numpy().astype(np.int64)
+    idx_u = batch.column("idx").to_numpy()
+    ord_ = np.lexsort((slots_u, akeys_u))
+    akeys = akeys_u[ord_]
+    slots = slots_u[ord_]
+    idxs = idx_u[ord_]
+    fmts = np.asarray(batch.column("fmt").to_pylist(), dtype=object)[ord_]
+    blobs_u = binary_views(batch.column("bytes"))
+    n = len(akeys)
+
+    ws = (akeys >> _KW).astype(np.int64)
+    hs = ((akeys >> _KH) & ((1 << (_KW - _KH)) - 1)).astype(np.int64)
+    class_key = (ws << 21) | hs
+
+    # decode per (class, fmt) into the slot-ordered position of each tile
+    strip_bytes: list[bytes] = []
+    a_new = np.concatenate(([True], akeys[1:] != akeys[:-1]))
+    starts = np.nonzero(a_new)[0]
+    counts = np.diff(np.append(starts, n))
+    tiles_of_class: dict[int, np.ndarray] = {}
+    pos_of_row = np.empty(n, dtype=np.int64)
+    for ck in np.unique(class_key):
+        rows_c = np.nonzero(class_key == ck)[0]
+        w = int(ck >> 21)
+        h = int(ck & ((1 << 21) - 1))
+        ordered = np.empty((len(rows_c), h, w, 3), dtype=np.uint8)
+        pos_of_row[rows_c] = np.arange(len(rows_c))
+        for f in np.unique(fmts[rows_c]):
+            rows = rows_c[fmts[rows_c] == f]
+            ordered[pos_of_row[rows]] = decode_group_stack(
+                blobs_u, [int(ord_[r]) for r in rows], f, w, h
+            )
+        tiles_of_class[int(ck)] = ordered
+    for s, c in zip(starts, counts):
+        t = tiles_of_class[int(class_key[s])]
+        strip_bytes.append(
+            t[pos_of_row[s] : pos_of_row[s] + c].tobytes()
+        )
+
+    return clean_arrow(
+        pd.DataFrame(
+            {
+                "akey": akeys[starts],
+                "abucket": (akeys[starts] * 2654435761) % n_buckets,
+                "n_tiles": counts.astype(np.int64),
+                "strip": strip_bytes,
+                "slots": [
+                    slots[s : s + c].tolist() for s, c in zip(starts, counts)
+                ],
+                "image_idx": [
+                    idxs[s : s + c].astype(np.int64).tolist()
+                    for s, c in zip(starts, counts)
+                ],
+            }
+        )
+    )
+
+
+# placement-map broadcast gate (≈24 B/image as three int64 arrays)
+PLACEMENT_BROADCAST_LIMIT_BYTES = 256 << 20
+
+
+def assemble_atlases(images, placements, grid: int = 8, force: str | None = None,
+                     n_buckets: int = 64):
     """One mosaic row per atlas: (w, h, atlas_id, n_tiles, mosaic_w,
     mosaic_h, atlas_bytes, slots, image_ids). ``images`` must carry
     EXACTLY (image_id, bytes, fmt) — w/h ride on the placement side so the
     join has no overlapping non-key columns; ``placements`` is
-    :func:`atlas_placements` output."""
+    :func:`atlas_placements` output. ``force``: "broadcast" pins the
+    ray.put + searchsorted attach, "shuffle" pins the partitioned
+    auto_join (pytest pins both plans equal)."""
+    import ray
+
     from .geocode import image_row_index
-    from .joins import auto_join
 
-    def add_idx(batch: pa.Table) -> pa.Table:
-        idx = image_row_index(batch.column("image_id"))
-        return pa.table(
-            {
-                "idx": pa.array(idx),
-                "bytes": batch.column("bytes"),
-                "fmt": batch.column("fmt"),
-            }
-        )
-
-    left = images.map_batches(add_idx, batch_format="pyarrow")
     pl = placements.materialize()
-    joined = auto_join(
-        left, pl, on=("idx",), num_partitions=4,
-        right_size_hint=pl.size_bytes(), force=force,
+    use_broadcast = force != "shuffle" and (
+        force == "broadcast"
+        or (pl.size_bytes() or 0) <= PLACEMENT_BROADCAST_LIMIT_BYTES
     )
 
-    def key_it(batch: pa.Table) -> pa.Table:
-        k = _pack_key(
-            batch.column("w").to_numpy(),
-            batch.column("h").to_numpy(),
-            batch.column("atlas_id").to_numpy(),
+    if use_broadcast:
+        pdf = pl.to_pandas()  # bounded by the gate
+        o = np.argsort(pdf["idx"].to_numpy(), kind="mergesort")
+        idx_s = pdf["idx"].to_numpy()[o]
+        akey_s = _pack_key(
+            pdf["w"].to_numpy()[o], pdf["h"].to_numpy()[o],
+            pdf["atlas_id"].to_numpy()[o],
         )
-        return pa.table(
-            {
-                "akey": pa.array(k),
-                "idx": batch.column("idx"),
-                "slot": batch.column("slot"),
-                "bytes": batch.column("bytes"),
-                "fmt": batch.column("fmt"),
-            }
-        )
+        slot_s = pdf["slot"].to_numpy()[o].astype(np.int64)
+        ref = ray.put((idx_s, akey_s, slot_s))
 
-    keyed = joined.map_batches(key_it, batch_format="pyarrow")
-
-    def build(g: pd.DataFrame) -> pd.DataFrame:
-        akey = int(g["akey"].iloc[0])
-        w = int(akey >> _KW)
-        h = int((akey >> _KH) & ((1 << (_KW - _KH)) - 1))
-        atlas_id = int(akey & ((1 << _KH) - 1))
-        g = g.sort_values("slot", kind="mergesort")
-        fmts = g["fmt"].tolist()
-        blobs = [memoryview(b) for b in g["bytes"].tolist()]
-        mosaic = np.zeros((grid * h, grid * w, 3), dtype=np.uint8)
-        by_fmt: dict[str, list[int]] = {}
-        for i, f in enumerate(fmts):
-            by_fmt.setdefault(f, []).append(i)
-        tiles = np.empty((len(g), h, w, 3), dtype=np.uint8)
-        for f, rows in by_fmt.items():
-            tiles[np.array(rows)] = decode_group_stack(blobs, rows, f, w, h)
-        slots = g["slot"].to_numpy()
-        rr, cc = slots // grid, slots % grid
-        for i in range(len(g)):  # <= capacity iterations per atlas
-            mosaic[rr[i] * h : (rr[i] + 1) * h, cc[i] * w : (cc[i] + 1) * w] = (
-                tiles[i]
+        def attach(batch: pa.Table) -> pa.Table:
+            idx_sorted, akeys, slots = ray.get(ref)
+            idx = image_row_index(batch.column("image_id"))
+            p = np.searchsorted(idx_sorted, idx)  # bijection: always found
+            return pa.table(
+                {
+                    "idx": pa.array(idx),
+                    "bytes": batch.column("bytes"),  # zero-copy pass-through
+                    "fmt": batch.column("fmt"),
+                    "akey": pa.array(akeys[p]),
+                    "slot": pa.array(slots[p]),
+                }
             )
-        ids = [f"img_{int(i):012d}" for i in g["idx"].tolist()]
-        return pd.DataFrame(
-            {
-                "w": [w],
-                "h": [h],
-                "atlas_id": [atlas_id],
-                "n_tiles": [len(g)],
-                "mosaic_w": [grid * w],
-                "mosaic_h": [grid * h],
-                "atlas_bytes": [mosaic.tobytes()],
-                "slots": [slots.astype(np.int64).tolist()],
-                "image_ids": [ids],
-            }
+
+        joined = images.map_batches(attach, batch_format="pyarrow")
+    else:
+        from .joins import auto_join
+
+        def add_idx(batch: pa.Table) -> pa.Table:
+            idx = image_row_index(batch.column("image_id"))
+            return pa.table(
+                {
+                    "idx": pa.array(idx),
+                    "bytes": batch.column("bytes"),
+                    "fmt": batch.column("fmt"),
+                }
+            )
+
+        left = images.map_batches(add_idx, batch_format="pyarrow")
+        j = auto_join(
+            left, pl, on=("idx",), num_partitions=4,
+            right_size_hint=pl.size_bytes(), force="shuffle",
         )
 
-    return keyed.groupby("akey").map_groups(build, batch_format="pandas")
+        def keyit(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "idx": batch.column("idx"),
+                    "bytes": batch.column("bytes"),
+                    "fmt": batch.column("fmt"),
+                    "akey": pa.array(
+                        _pack_key(
+                            batch.column("w").to_numpy(),
+                            batch.column("h").to_numpy(),
+                            batch.column("atlas_id").to_numpy(),
+                        )
+                    ),
+                    "slot": batch.column("slot").cast(pa.int64()),
+                }
+            )
+
+        joined = j.map_batches(keyit, batch_format="pyarrow")
+
+    runs = joined.map_batches(
+        lambda b: _tile_runs(b, n_buckets), batch_format="pyarrow"
+    )
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("akey", kind="mergesort").reset_index(drop=True)
+        akeys = g["akey"].to_numpy()
+        n_run_tiles = g["n_tiles"].to_numpy().astype(np.int64)
+        a_new = np.concatenate(([True], akeys[1:] != akeys[:-1]))
+        a_of_run = np.cumsum(a_new) - 1
+        starts = np.nonzero(a_new)[0]
+        n_atlas = len(starts)
+        a_keys = akeys[starts]
+        ws = (a_keys >> _KW).astype(np.int64)
+        hs = ((a_keys >> _KH) & ((1 << (_KW - _KH)) - 1)).astype(np.int64)
+        class_key = (ws << 21) | hs
+
+        mosaics: list[np.ndarray] = [None] * n_atlas  # type: ignore[list-item]
+        strips = g["strip"].tolist()
+        slots_l = g["slots"].tolist()
+        for ck in np.unique(class_key):
+            a_sel = np.nonzero(class_key == ck)[0]
+            w = int(ck >> 21)
+            h = int(ck & ((1 << 21) - 1))
+            local_of = np.full(n_atlas, -1, dtype=np.int64)
+            local_of[a_sel] = np.arange(len(a_sel))
+            runs_c = np.nonzero(np.isin(a_of_run, a_sel))[0]
+            tiles = np.concatenate(
+                [
+                    np.frombuffer(strips[r], dtype=np.uint8).reshape(
+                        -1, h, w, 3
+                    )
+                    for r in runs_c
+                ]
+            )
+            sl = np.concatenate(
+                [np.asarray(slots_l[r], dtype=np.int64) for r in runs_c]
+            )
+            at = local_of[
+                np.repeat(a_of_run[runs_c], n_run_tiles[runs_c])
+            ]
+            A = np.zeros((len(a_sel), grid, h, grid, w, 3), dtype=np.uint8)
+            A[at, sl // grid, :, sl % grid] = tiles
+            flat = A.reshape(len(a_sel), grid * h, grid * w, 3)
+            for j_, a_i in enumerate(a_sel):
+                mosaics[a_i] = flat[j_]
+
+        out = {"w": [], "h": [], "atlas_id": [], "n_tiles": [],
+               "mosaic_w": [], "mosaic_h": [], "atlas_bytes": [],
+               "slots": [], "image_ids": []}
+        counts = np.diff(np.append(starts, len(g)))
+        for a_i, (s, c) in enumerate(zip(starts, counts)):
+            w, h = int(ws[a_i]), int(hs[a_i])
+            slots = np.concatenate(
+                [np.asarray(slots_l[r], dtype=np.int64)
+                 for r in range(s, s + c)]
+            )
+            idxs = np.concatenate(
+                [np.asarray(g["image_idx"].iloc[r], dtype=np.int64)
+                 for r in range(s, s + c)]
+            )
+            o = np.argsort(slots, kind="mergesort")
+            slots, idxs = slots[o], idxs[o]
+            out["w"].append(w)
+            out["h"].append(h)
+            out["atlas_id"].append(int(a_keys[a_i] & ((1 << _KH) - 1)))
+            out["n_tiles"].append(int(n_run_tiles[s : s + c].sum()))
+            out["mosaic_w"].append(grid * w)
+            out["mosaic_h"].append(grid * h)
+            out["atlas_bytes"].append(mosaics[a_i].tobytes())
+            out["slots"].append(slots.tolist())
+            out["image_ids"].append(
+                [f"img_{int(i):012d}" for i in idxs.tolist()]
+            )
+        return pd.DataFrame(out)
+
+    return runs.groupby("abucket").map_groups(
+        merge_bucket, batch_format="pandas"
+    )
 
 
 def atlas_summary(atlases) -> "pa.Table":
