@@ -95,6 +95,28 @@ def test_atlas_round_trip(ray_session, image_files):
     assert n_placed == len(raw)
 
 
+def test_placements_distributed_path_equals_fast_path(ray_session, image_files):
+    """The size-gated driver fast path and the distributed histogram-rank
+    path must place every image identically."""
+    import pandas as pd
+    import ray.data
+
+    from plateau_gis_converter_ray.stages.atlas import atlas_placements
+
+    def run(force):
+        meta = ray.data.read_parquet(image_files, columns=["image_id", "w", "h"])
+        return (
+            atlas_placements(
+                meta, grid=GRID, n_rows_hint=600, force_distributed=force
+            )
+            .to_pandas()
+            .sort_values("idx")
+            .reset_index(drop=True)
+        )
+
+    pd.testing.assert_frame_equal(run(False), run(True))
+
+
 def test_atlas_join_plans_agree(ray_session, image_files):
     import ray.data
 
