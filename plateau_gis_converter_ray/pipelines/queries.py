@@ -7592,37 +7592,75 @@ WHERE r.total_rev_s = (SELECT MAX(total_rev_s) FROM r)
 
 
 def q_parts_supplier_counts(sf_dir: str):
+    import ray
+
     sup = _read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"]).to_pandas()
-    bad = set(sup.loc[sup["s_acctbal"] < 0, "s_suppkey"].astype(np.int64))
+    bad = np.sort(
+        sup.loc[sup["s_acctbal"] < 0, "s_suppkey"].to_numpy().astype(np.int64)
+    )
+
+    # the part DIM broadcasts as a dense partkey -> class-ordinal lookup
+    # array (8 B/part; partkeys are dense 0..n-1 — the codelist-cache
+    # contract). The class table (|brand| x |type| x |size| <= 7500 rows)
+    # stays on the driver and re-attaches after the count. A part dim too
+    # big to broadcast flips this to the auto_join plan (joins.py gate).
+    part = _read(
+        sf_dir, "part", ["p_partkey", "p_brand", "p_type", "p_size"]
+    ).to_pandas()
+    cls, class_id = np.unique(
+        part[["p_brand", "p_type", "p_size"]].astype(str).agg("|".join, axis=1),
+        return_inverse=True,
+    )
+    lut = np.full(int(part["p_partkey"].max()) + 1, -1, dtype=np.int64)
+    lut[part["p_partkey"].to_numpy()] = class_id
+    lut_ref = ray.put(lut)
+    class_rows = (
+        part.assign(class_id=class_id)
+        .drop_duplicates("class_id")
+        .sort_values("class_id")
+    )
 
     li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
 
-    def drop_bad(batch: pa.Table, bad=frozenset(bad)) -> pa.Table:
-        sk = batch.column("l_suppkey").to_numpy()
-        keep = ~np.isin(sk, np.fromiter(bad, dtype=np.int64, count=len(bad)))
-        return batch.filter(pa.array(keep))
+    def prep(batch: pa.Table, bad=bad) -> pa.Table:
+        sk = batch.column("l_suppkey").to_numpy().astype(np.int64)
+        if len(bad):
+            pos = np.searchsorted(bad, sk)
+            ok = (pos >= len(bad)) | (bad[np.minimum(pos, len(bad) - 1)] != sk)
+        else:
+            ok = np.ones(len(sk), dtype=bool)
+        pk = batch.column("l_partkey").to_numpy()[ok]
+        return pa.table(
+            {
+                "class_id": pa.array(ray.get(lut_ref)[pk]),
+                "l_suppkey": pa.array(sk[ok]),
+            }
+        )
 
-    pairs = tree_group_agg(
-        li.map_batches(drop_bad, batch_format="pyarrow"),
-        ["l_partkey", "l_suppkey"], {"n": (None, "count")},
-    )
-    from ..stages.joins import _scan_rooted_size, auto_join
-
-    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_type", "p_size"])
-    j = auto_join(
-        pairs, part, on=("l_partkey",), right_on=("p_partkey",),
-        how="inner", num_partitions=JOIN_PARTS,
-        right_size_hint=_scan_rooted_size(part),
-    )
-    # one supplier can supply many parts of the same class: a second
-    # distinct pass on (class, suppkey) before the count
     distinct = tree_group_agg(
-        j, ["p_brand", "p_type", "p_size", "l_suppkey"], {"n": (None, "count")}
+        li.map_batches(prep, batch_format="pyarrow"),
+        ["class_id", "l_suppkey"], {"n": (None, "count")},
     )
-    return tree_group_agg(
-        distinct, ["p_brand", "p_type", "p_size"],
-        {"supplier_cnt": (None, "count")},
+    counts = tree_group_agg(
+        distinct, ["class_id"], {"supplier_cnt": (None, "count")}
     )
+
+    cb = class_rows["p_brand"].to_numpy()
+    ct = class_rows["p_type"].to_numpy()
+    cs = class_rows["p_size"].to_numpy().astype(np.int64)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        ci = batch.column("class_id").to_numpy()
+        return pa.table(
+            {
+                "p_brand": pa.array(cb[ci]),
+                "p_type": pa.array(ct[ci]),
+                "p_size": pa.array(cs[ci]),
+                "supplier_cnt": batch.column("supplier_cnt"),
+            }
+        )
+
+    return counts.map_batches(attach, batch_format="pyarrow")
 
 
 _SQL_PARTS_SUPPLIER_COUNTS = """
