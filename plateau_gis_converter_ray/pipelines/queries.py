@@ -8380,6 +8380,207 @@ SELECT event_type, event_id, pri FROM p WHERE rn <= 5
 """
 
 
+# ---------------------------------------------------------------------------
+# Exact ROC-AUC (Mann-Whitney U with midrank ties) — "does value predict
+# purchase" — computed WITHOUT a global sort: the (score, count,
+# pos_count) histogram is domain-bounded (cents), so one combiner
+# exchange + a driver cumsum gives doubled midranks 2r = 2*prefix + m + 1
+# exactly; 2U = sum(pos*2r) - n_pos*(n_pos+1) stays integer. The AUC
+# double is the one mirrored expression.
+
+
+def q_auc_exact(sf_dir: str):
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        s = np.round(batch.column("value").to_numpy() * 100).astype(np.int64)
+        y = pc.equal(batch.column("event_type"), "purchase").cast(pa.int64())
+        return pa.table({"s": pa.array(s), "y": y})
+
+    hist = tree_group_agg(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        ["s"], {"m": (None, "count"), "mp": ("y", "sum")},
+    ).to_pandas()  # domain-bounded distinct score table
+    hist = hist.sort_values("s")
+    m = hist["m"].to_numpy().astype(np.int64)
+    mp = hist["mp"].to_numpy().astype(np.int64)
+    prefix = np.concatenate(([0], m.cumsum()[:-1]))
+    r2 = 2 * prefix + m + 1
+    n = int(m.sum())
+    n_pos = int(mp.sum())
+    n_neg = n - n_pos
+    u2 = int((mp * r2).sum()) - n_pos * (n_pos + 1)
+    # EXPRESSION MIRRORED IN THE ORACLE — do not reorder
+    auc = np.float64(u2) / (2.0 * np.float64(n_pos) * np.float64(n_neg))
+    return pa.table(
+        {
+            "u2": pa.array([u2], pa.int64()),
+            "n_pos": pa.array([n_pos], pa.int64()),
+            "n_neg": pa.array([n_neg], pa.int64()),
+            "auc": pa.array([float(auc)], pa.float64()),
+        }
+    )
+
+
+_SQL_AUC_EXACT = """
+WITH b AS (
+  SELECT CAST(ROUND(value * 100) AS BIGINT) AS s,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+), h AS (
+  SELECT s, COUNT(*) AS m, SUM(y) AS mp FROM b GROUP BY 1
+), r AS (
+  SELECT s, m, mp,
+         2 * (SUM(m) OVER (ORDER BY s) - m) + m + 1 AS r2
+  FROM h
+), t AS (
+  SELECT CAST(SUM(mp * r2) AS BIGINT) AS sr2,
+         CAST(SUM(mp) AS BIGINT) AS n_pos,
+         CAST(SUM(m) AS BIGINT) AS n
+  FROM r
+)
+SELECT sr2 - n_pos * (n_pos + 1) AS u2, n_pos, n - n_pos AS n_neg,
+       CAST(sr2 - n_pos * (n_pos + 1) AS DOUBLE)
+         / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n - n_pos AS DOUBLE)) AS auc
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# PSI drift (population stability index) between the first and second
+# time half of the event stream — the standard production drift monitor.
+# Pass 1 reduces (ts, value) extremes to driver scalars via the combiner
+# tree; pass 2 is ONE exchange of <= 2x10 (half, bin) count rows per
+# block. Bin edges are integer arithmetic mirrored in SQL; the per-bin
+# contribution uses the floor(1e9 * ...) mirrored-ln idiom, and bins
+# empty on either side are skipped identically on both sides.
+
+
+def q_psi_drift(sf_dir: str, n_bins: int = 10):
+    ev = _read(sf_dir, "events", ["ts", "value"])
+
+    def extremes(df: pd.DataFrame) -> pa.Table:
+        from ..stages.treeagg import clean_arrow
+
+        if "tmin" in df.columns:
+            return clean_arrow(
+                pd.DataFrame(
+                    {
+                        "tmin": [int(df["tmin"].min())],
+                        "tmax": [int(df["tmax"].max())],
+                        "vmin": [int(df["vmin"].min())],
+                        "vmax": [int(df["vmax"].max())],
+                    }
+                )
+            )
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        v = np.round(df["value"].to_numpy() * 100).astype(np.int64)
+        return clean_arrow(
+            pd.DataFrame(
+                {
+                    "tmin": [int(ts.min())],
+                    "tmax": [int(ts.max())],
+                    "vmin": [int(v.min())],
+                    "vmax": [int(v.max())],
+                }
+            )
+        )
+
+    from ..stages.treeagg import tree_custom_agg
+
+    def merge_ext(df: pd.DataFrame) -> pa.Table:
+        return extremes(df)
+
+    ext = tree_custom_agg(ev, extremes, merge_ext).to_pandas()
+    tmin, tmax = int(ext["tmin"].min()), int(ext["tmax"].max())
+    vmin, vmax = int(ext["vmin"].min()), int(ext["vmax"].max())
+    mid = (tmin + tmax) // 2
+    den = vmax - vmin + 1
+
+    def binned(batch: pa.Table, k=n_bins) -> pa.Table:
+        ts = batch.column("ts").to_numpy().astype("datetime64[us]").astype(
+            np.int64
+        )
+        v = np.round(batch.column("value").to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {
+                "half": pa.array((ts > mid).astype(np.int64)),
+                "bin": pa.array(((v - vmin) * k) // den),
+            }
+        )
+
+    counts = tree_group_agg(
+        ev.map_batches(binned, batch_format="pyarrow"),
+        ["half", "bin"], {"m": (None, "count")},
+    ).to_pandas()  # <= 2 x n_bins rows
+    ref = np.zeros(n_bins, dtype=np.int64)
+    cur = np.zeros(n_bins, dtype=np.int64)
+    for r in counts.itertuples():
+        (ref if r.half == 0 else cur)[int(r.bin)] = int(r.m)
+    n_ref, n_cur = int(ref.sum()), int(cur.sum())
+    bins = np.arange(n_bins, dtype=np.int64)
+    ok = (ref > 0) & (cur > 0)
+    contrib = np.zeros(n_bins, dtype=np.int64)
+    # EXPRESSION MIRRORED IN THE ORACLE — do not reorder
+    fr = ref[ok].astype(np.float64)
+    fc = cur[ok].astype(np.float64)
+    contrib[ok] = np.floor(
+        1e9
+        * (fc / np.float64(n_cur) - fr / np.float64(n_ref))
+        * np.log(
+            (fc * np.float64(n_ref)) / (fr * np.float64(n_cur))
+        )
+    ).astype(np.int64)
+    return pa.table(
+        {
+            "bin": pa.array(bins),
+            "n_ref": pa.array(ref),
+            "n_cur": pa.array(cur),
+            "psi_contrib_e9": pa.array(contrib),
+        }
+    )
+
+
+_SQL_PSI_DRIFT = """
+WITH s AS (
+  SELECT CAST(epoch_us(MIN(ts)) AS BIGINT) AS tmin,
+         CAST(epoch_us(MAX(ts)) AS BIGINT) AS tmax,
+         MIN(CAST(ROUND(value * 100) AS BIGINT)) AS vmin,
+         MAX(CAST(ROUND(value * 100) AS BIGINT)) AS vmax
+  FROM events
+), b AS (
+  SELECT CASE WHEN CAST(epoch_us(ts) AS BIGINT)
+                   > (s.tmin + s.tmax) // 2 THEN 1 ELSE 0 END AS half,
+         ((CAST(ROUND(value * 100) AS BIGINT) - s.vmin) * 10)
+           // (s.vmax - s.vmin + 1) AS bin
+  FROM events, s
+), h AS (
+  SELECT bin,
+         CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+         CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+  FROM b GROUP BY 1
+), t AS (
+  SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc FROM h
+), grid AS (
+  SELECT UNNEST(RANGE(0, 10)) AS bin
+)
+SELECT g.bin,
+       COALESCE(h.n_ref, 0) AS n_ref,
+       COALESCE(h.n_cur, 0) AS n_cur,
+       CASE WHEN COALESCE(h.n_ref, 0) > 0 AND COALESCE(h.n_cur, 0) > 0
+            THEN CAST(FLOOR(1e9
+                 * (CAST(h.n_cur AS DOUBLE) / CAST(t.tc AS DOUBLE)
+                    - CAST(h.n_ref AS DOUBLE) / CAST(t.tr AS DOUBLE))
+                 * LN((CAST(h.n_cur AS DOUBLE) * CAST(t.tr AS DOUBLE))
+                      / (CAST(h.n_ref AS DOUBLE) * CAST(t.tc AS DOUBLE))))
+               AS BIGINT)
+            ELSE 0 END AS psi_contrib_e9
+FROM grid g LEFT JOIN h ON h.bin = g.bin CROSS JOIN t
+"""
+
+
 QUERIES = {
     "tile_wm_z12": q_tile_wm_z12,
     "tile_3dt_z7": q_tile_3dt_z7,
@@ -8520,6 +8721,8 @@ QUERIES = {
     "gini_order_values": q_gini_order_values,
     "negative_sampling": q_negative_sampling,
     "priority_sample": q_priority_sample,
+    "auc_exact": q_auc_exact,
+    "psi_drift": q_psi_drift,
 }
 
 ORACLES = {
@@ -8645,4 +8848,6 @@ ORACLES = {
     "gini_order_values": _SQL_GINI,
     "negative_sampling": _SQL_NEGATIVE_SAMPLING,
     "priority_sample": _SQL_PRIORITY_SAMPLE,
+    "auc_exact": _SQL_AUC_EXACT,
+    "psi_drift": _SQL_PSI_DRIFT,
 }
