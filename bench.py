@@ -180,6 +180,13 @@ BENCH_QUERIES = [
     "priority_semijoin_counts",
     "mutual_knn_pairs",
     "weighted_median",
+    # r4 final wave 2: Gini-from-histogram, deterministic negative
+    # sampling, exact-k priority sample, exact AUC, PSI drift monitor
+    "gini_order_values",
+    "negative_sampling",
+    "priority_sample",
+    "auc_exact",
+    "psi_drift",
 ]
 
 

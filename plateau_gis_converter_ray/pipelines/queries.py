@@ -8581,6 +8581,93 @@ FROM grid g LEFT JOIN h ON h.bin = g.bin CROSS JOIN t
 """
 
 
+# ---------------------------------------------------------------------------
+# kNN classifier evaluation: leave-one-out majority vote over the exact
+# top-k neighbours (quantized L2, (dist, vec_id) ties), prediction ties
+# broken on (count desc, label asc) — accuracy counted per true label.
+# Same broadcast-matrix block plan as mutual_knn_pairs (ivf_self_knn is
+# the corpus-scale path); the vote and the accuracy reduce happen in the
+# block, so the only exchange is the tiny per-label count combiner.
+
+
+def q_knn_label_accuracy(sf_dir: str, k: int = 5):
+    import ray
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    emb = ds.to_pandas()
+    ids_all = emb["vec_id"].to_numpy().astype(np.int64)
+    order = np.argsort(ids_all, kind="mergesort")
+    ids_all = ids_all[order]
+    labels_all = emb["label"].to_numpy().astype(np.int64)[order]
+    Q = np.round(
+        np.stack(emb["embedding"].to_numpy()[order]).astype(np.float64) * 100
+    ).astype(np.int64)
+    ref = ray.put((ids_all, Q, (Q * Q).sum(axis=1), labels_all))
+
+    def vote(batch: pd.DataFrame, k=k) -> pd.DataFrame:
+        ids_r, Qr, nr, lab_r = ray.get(ref)
+        x = np.round(
+            np.stack(batch["embedding"].to_numpy()).astype(np.float64) * 100
+        ).astype(np.int64)
+        sid = batch["vec_id"].to_numpy().astype(np.int64)
+        y = batch["label"].to_numpy().astype(np.int64)
+        d2 = (x * x).sum(axis=1)[:, None] + nr[None, :] - 2 * (x @ Qr.T)
+        d2[sid[:, None] == ids_r[None, :]] = np.iinfo(np.int64).max
+        ordk = np.lexsort((np.broadcast_to(ids_r, d2.shape), d2), axis=1)[:, :k]
+        nl = lab_r[ordk]  # (n, k) neighbour labels
+        n_lab = int(lab_r.max()) + 1
+        cnt = np.zeros((len(sid), n_lab), dtype=np.int64)
+        np.add.at(cnt, (np.repeat(np.arange(len(sid)), k), nl.ravel()), 1)
+        # argmax with (count desc, label asc): argmax takes the FIRST max
+        pred = cnt.argmax(axis=1)
+        return pd.DataFrame(
+            {
+                "label": y,
+                "n": np.ones(len(sid), dtype=np.int64),
+                "n_correct": (pred == y).astype(np.int64),
+            }
+        )
+
+    votes = ds.map_batches(vote, batch_format="pandas")
+    return tree_group_agg(
+        votes, ["label"], {"n": ("n", "sum"), "n_correct": ("n_correct", "sum")}
+    )
+
+
+_SQL_KNN_LABEL_ACCURACY = """
+WITH e AS (
+  SELECT vec_id, i, CAST(ROUND(embedding[i] * 100) AS BIGINT) AS v
+  FROM embeddings, (SELECT UNNEST(RANGE(1, 65)) AS i)
+), d AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         SUM((a.v - b.v) * (a.v - b.v)) AS d2
+  FROM e a JOIN e b ON a.i = b.i AND a.vec_id <> b.vec_id
+  GROUP BY 1, 2
+), r AS (
+  SELECT src, dst,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY d2, dst) AS rn
+  FROM d
+), nb AS (
+  SELECT r.src, emb.label AS nlabel
+  FROM r JOIN embeddings emb ON emb.vec_id = r.dst
+  WHERE r.rn <= 5
+), votes AS (
+  SELECT src, nlabel, COUNT(*) AS c FROM nb GROUP BY 1, 2
+), pred AS (
+  SELECT src, nlabel AS pred_label,
+         ROW_NUMBER() OVER (PARTITION BY src
+                            ORDER BY c DESC, nlabel ASC) AS pr
+  FROM votes
+)
+SELECT emb.label, COUNT(*) AS n,
+       CAST(SUM(CASE WHEN p.pred_label = emb.label THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct
+FROM pred p JOIN embeddings emb ON emb.vec_id = p.src
+WHERE p.pr = 1
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "tile_wm_z12": q_tile_wm_z12,
     "tile_3dt_z7": q_tile_3dt_z7,
@@ -8723,6 +8810,7 @@ QUERIES = {
     "priority_sample": q_priority_sample,
     "auc_exact": q_auc_exact,
     "psi_drift": q_psi_drift,
+    "knn_label_accuracy": q_knn_label_accuracy,
 }
 
 ORACLES = {
@@ -8850,4 +8938,5 @@ ORACLES = {
     "priority_sample": _SQL_PRIORITY_SAMPLE,
     "auc_exact": _SQL_AUC_EXACT,
     "psi_drift": _SQL_PSI_DRIFT,
+    "knn_label_accuracy": _SQL_KNN_LABEL_ACCURACY,
 }
