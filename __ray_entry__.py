@@ -497,6 +497,52 @@ def _q_image_sharpness(sf_dir: str):
     )
 
 
+def _q_image_equalize(sf_dir: str):
+    """Histogram equalization (stages/decode.py::ImageEqualize): per-image
+    integer CDF remap, zero exchanges; tiny per-fmt reduce of the exact
+    before/after sums + positional checksum. Rows-only; the remap is
+    pinned against a naive per-image recompute in pytest."""
+    import ray.data
+
+    from plateau_gis_converter_ray.sources.images import ensure_image_table
+    from plateau_gis_converter_ray.stages.decode import ImageEqualize
+
+    path = ensure_image_table(_sf_of(sf_dir))
+    files = [
+        os.path.join(path, f)
+        for f in sorted(os.listdir(path))
+        if f.endswith(".parquet")
+    ]
+    ds = ray.data.read_parquet(files, columns=["image_id", "bytes", "fmt", "w", "h"])
+    ds = ds.map_batches(ImageEqualize(), batch_format="pyarrow", batch_size=1024)
+
+    import numpy as np
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "fmt": batch.column("fmt"),
+                "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                "gray_sum": batch.column("gray_sum"),
+                "eq_sum": batch.column("eq_sum"),
+                "eq_checksum": batch.column("eq_checksum"),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("fmt")
+        .aggregate(
+            Sum("one", alias_name="n"),
+            Sum("gray_sum", alias_name="gray_total"),
+            Sum("eq_sum", alias_name="eq_total"),
+            Sum("eq_checksum", alias_name="eq_checksum_total"),
+        )
+    )
+
+
 def _q_zonal_stats(sf_dir: str):
     """Raster ZONAL STATISTICS: the raster<->vector clip stage's per-image
     rows aggregate per polygon (municipality) — image count, covered /
@@ -896,6 +942,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "raster_pyramid": _q_raster_pyramid,
             "texture_atlas": _q_texture_atlas,
             "image_sharpness": _q_image_sharpness,
+            "image_equalize": _q_image_equalize,
             "image_augment": _q_image_augment,
             "image_feature_knn": _q_image_feature_knn,
             "earcut_triangulate": _q_earcut_triangulate,

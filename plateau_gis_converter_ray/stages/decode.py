@@ -374,3 +374,66 @@ class ImageSharpness:
                 "is_blurry": pa.array(var < self.blur_threshold),
             }
         )
+
+
+class ImageEqualize:
+    """Global histogram equalization per image (the classic contrast
+    normalization): gray plane = channel sum (0..765), the 766-bin CDF
+    maps each level to floor((cdf(v) - cdf_min) * 255 / (n_px - cdf_min))
+    — all integer, bit-deterministic. Histograms for a whole (fmt, w, h)
+    stack build with ONE np.add.at scatter; the remap is a gather.
+    Emits exact before/after stats (int64 sums + an equalized checksum),
+    never the remapped pixels — zero exchanges, payload stays in-task.
+    """
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = binary_views(batch.column("bytes"))
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        fmts = batch.column("fmt").to_pylist()
+        n = batch.num_rows
+
+        gray_sum = np.zeros(n, dtype=np.int64)
+        eq_sum = np.zeros(n, dtype=np.int64)
+        eq_checksum = np.zeros(n, dtype=np.int64)
+
+        groups: dict[tuple, list[int]] = {}
+        for i in range(n):
+            groups.setdefault((fmts[i], int(ws[i]), int(hs[i])), []).append(i)
+        for (fmt, w, h), rows in groups.items():
+            stack = decode_group_stack(blobs, rows, fmt, w, h)
+            gray = stack.sum(axis=3, dtype=np.int32)  # (g, h, w) 0..765
+            g = len(rows)
+            npx = h * w
+            flat = gray.reshape(g, npx)
+            hist = np.zeros((g, 766), dtype=np.int64)
+            np.add.at(
+                hist,
+                (np.repeat(np.arange(g), npx), flat.ravel()),
+                1,
+            )
+            cdf = hist.cumsum(axis=1)
+            # per image: first nonzero cdf value (cdf of the min level)
+            cdf_min = cdf[np.arange(g), (hist > 0).argmax(axis=1)]
+            den = np.maximum(npx - cdf_min, 1)
+            lut = (cdf - cdf_min[:, None]) * 255 // den[:, None]
+            lut = np.clip(lut, 0, 255).astype(np.int64)
+            eq = np.take_along_axis(lut, flat, axis=1)  # (g, npx)
+            rows_np = np.array(rows)
+            gray_sum[rows_np] = flat.sum(axis=1, dtype=np.int64)
+            eq_sum[rows_np] = eq.sum(axis=1, dtype=np.int64)
+            # exact positional checksum so any remap change is visible
+            wts = (np.arange(npx, dtype=np.int64) % 251) + 1
+            eq_checksum[rows_np] = (eq * wts[None, :]).sum(axis=1)
+
+        return pa.table(
+            {
+                "image_id": batch.column("image_id"),
+                "w": batch.column("w"),
+                "h": batch.column("h"),
+                "fmt": batch.column("fmt"),
+                "gray_sum": pa.array(gray_sum),
+                "eq_sum": pa.array(eq_sum),
+                "eq_checksum": pa.array(eq_checksum),
+            }
+        )

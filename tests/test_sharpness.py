@@ -89,3 +89,63 @@ def test_sharpness_flat_image_is_blurry(ray_session):
     assert out["lap_sq_sum"].iloc[0] == 0
     assert out["sharpness"].iloc[0] == 0.0
     assert bool(out["is_blurry"].iloc[0])
+
+
+def _naive_equalize(row):
+    from plateau_gis_converter_ray.kernels.imagecodec import decode_image
+
+    px = decode_image(row["bytes"], row["fmt"], row["w"], row["h"])
+    gray = px.sum(axis=2, dtype=np.int64).ravel()
+    hist = np.bincount(gray, minlength=766)
+    cdf = hist.cumsum()
+    cdf_min = cdf[np.nonzero(hist)[0][0]]
+    den = max(gray.size - cdf_min, 1)
+    lut = np.clip((cdf - cdf_min) * 255 // den, 0, 255)
+    eq = lut[gray]
+    wts = (np.arange(gray.size, dtype=np.int64) % 251) + 1
+    return int(gray.sum()), int(eq.sum()), int((eq * wts).sum())
+
+
+def test_equalize_matches_naive(ray_session, image_files):
+    import ray.data
+
+    from plateau_gis_converter_ray.stages.decode import ImageEqualize
+
+    ds = ray.data.read_parquet(
+        image_files, columns=["image_id", "bytes", "fmt", "w", "h"]
+    )
+    out = (
+        ds.map_batches(ImageEqualize(), batch_format="pyarrow", batch_size=256)
+        .to_pandas()
+        .set_index("image_id")
+    )
+    raw = pq.read_table(image_files).to_pylist()
+    assert len(out) == len(raw)
+    for row in raw[:150]:
+        gs, es, ck = _naive_equalize(row)
+        got = out.loc[row["image_id"]]
+        assert int(got["gray_sum"]) == gs
+        assert int(got["eq_sum"]) == es
+        assert int(got["eq_checksum"]) == ck
+
+
+def test_equalize_flat_image_maps_to_zero(ray_session):
+    """A constant image equalizes to all-zero output (cdf==cdf_min)."""
+    import pyarrow as pa
+
+    from plateau_gis_converter_ray.kernels.imagecodec import encode_image
+    from plateau_gis_converter_ray.stages.decode import ImageEqualize
+
+    px = np.full((8, 8, 3), 123, dtype=np.uint8)
+    batch = pa.table(
+        {
+            "image_id": ["img_000000000000"],
+            "bytes": [encode_image(px, "raw")],
+            "fmt": ["raw"],
+            "w": [8],
+            "h": [8],
+        }
+    )
+    out = ImageEqualize()(batch).to_pandas()
+    assert out["eq_sum"].iloc[0] == 0
+    assert out["eq_checksum"].iloc[0] == 0
