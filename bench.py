@@ -187,6 +187,9 @@ BENCH_QUERIES = [
     "priority_sample",
     "auc_exact",
     "psi_drift",
+    # r4 final wave 3: kNN classifier eval + histogram equalization
+    "knn_label_accuracy",
+    "image_equalize",
 ]
 
 
