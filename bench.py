@@ -190,6 +190,12 @@ BENCH_QUERIES = [
     # r4 final wave 3: kNN classifier eval + histogram equalization
     "knn_label_accuracy",
     "image_equalize",
+    # r4 TPC-H completion wave: Q6/Q10/Q13/Q17/Q19 shapes (all oracle-gated)
+    "revenue_forecast",
+    "returned_items",
+    "order_count_distribution",
+    "small_qty_revenue",
+    "disjunctive_revenue",
 ]
 
 

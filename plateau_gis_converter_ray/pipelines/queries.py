@@ -8668,6 +8668,354 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# TPC-H completion wave: the remaining reference-query shapes expressible on
+# this column subset — Q6 (predicate-pushdown filtered aggregate), Q10
+# (returned-item revenue report with a global top-k), Q13 (distribution of
+# counts via a left-outer join that must keep zero-order customers), Q17
+# (correlated per-part average subquery, integer-exact compare), Q19
+# (disjunction-of-conjunctions predicate over a dimension attach).
+
+
+def q_revenue_forecast(sf_dir: str):
+    """Q6 shape: a pure filtered aggregate. The shipdate predicate pushes
+    into the parquet scan (row-group pruning — at 100 TB the year filter is
+    the difference between scanning 1/7th and all of lineitem); discount is
+    compared in integer percent (round(d*100)) so no float threshold can
+    flip a row; revenue = round(ep*d*10000) is integer-exact. One map, one
+    constant-key combiner tree, a single output row — zero joins, zero wide
+    exchanges."""
+    import pyarrow.dataset as pads
+
+    lo = pd.Timestamp("1997-01-01")
+    hi = pd.Timestamp("1998-01-01")
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=(pads.field("l_shipdate") >= lo) & (pads.field("l_shipdate") < hi),
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        qty = np.round(batch.column("l_quantity").to_numpy()).astype(np.int64)
+        d = batch.column("l_discount").to_numpy()
+        d_pct = np.round(d * 100).astype(np.int64)
+        ep = batch.column("l_extendedprice").to_numpy()
+        mask = (d_pct >= 5) & (d_pct <= 7) & (qty < 24)
+        rev = np.round(ep[mask] * d[mask] * 10000).astype(np.int64)
+        one = np.zeros(int(mask.sum()), dtype=np.int64)
+        return pa.table({"one": pa.array(one), "rev_s": pa.array(rev)})
+
+    return tree_group_agg(
+        li.map_batches(prep, batch_format="pyarrow"),
+        ["one"], {"n": (None, "count"), "revenue_s": ("rev_s", "sum")},
+    ).select_columns(["n", "revenue_s"])
+
+
+_SQL_REVENUE_FORECAST = """
+SELECT COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 10000) AS BIGINT))
+            AS BIGINT) AS revenue_s
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND CAST(ROUND(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+  AND CAST(ROUND(l_quantity) AS BIGINT) < 24
+"""
+
+
+def q_returned_items(sf_dir: str, force: str | None = None):
+    """Q10 shape: revenue lost to returns, per customer, top 20. The
+    returnflag filter pushes into the scan; lineitem pre-aggregates to
+    per-order revenue PARTIALS before any join (the exchange carries one
+    row per order, re-summed after the custkey regroup so split partials
+    are safe); orders and customer attach through the planner-routed
+    auto_join with provable scan bounds; nation (~25 rows) is a task-fn
+    broadcast dict. The top-20 closes with a (revenue desc, custkey asc)
+    sort-limit — deterministic under ties."""
+    import pyarrow.dataset as pads
+
+    from ..stages.joins import _scan_rooted_size, auto_join
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+        filter=pads.field("l_returnflag") == "R",
+    ).select_columns(["l_orderkey", "l_extendedprice", "l_discount"])
+    per_order = tree_group_agg(
+        li.map_batches(_rev_scaled, batch_format="pyarrow"),
+        ["l_orderkey"], {"revenue_s": ("rev_s", "sum")}, levels=(),
+    )
+
+    orders_scan = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    orders_bound = _scan_rooted_size(orders_scan)
+    j = auto_join(
+        per_order, orders_scan, num_partitions=JOIN_PARTS,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+        right_size_hint=orders_bound, force=force,
+    )
+    per_cust = tree_group_agg(
+        j.select_columns(["o_custkey", "revenue_s"]),
+        ["o_custkey"], {"revenue_s": ("revenue_s", "sum")},
+    )
+
+    cust_scan = _read(
+        sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal", "c_nationkey"]
+    )
+    cust_bound = _scan_rooted_size(cust_scan)
+    j = auto_join(
+        per_cust, cust_scan, num_partitions=JOIN_PARTS,
+        on=("o_custkey",), right_on=("c_custkey",),
+        right_size_hint=cust_bound, force=force,
+    )
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nat_name = dict(zip(nation["n_nationkey"], nation["n_name"]))
+
+    class Finish:
+        def __init__(self, nat_name):
+            self.nat_name = nat_name
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            nk = pd.Series(batch.column("c_nationkey").to_numpy())
+            bal_c = np.round(
+                batch.column("c_acctbal").to_numpy() * 100
+            ).astype(np.int64)
+            return pa.table(
+                {
+                    "c_custkey": batch.column("o_custkey"),
+                    "c_name": batch.column("c_name"),
+                    "n_name": pa.array(
+                        nk.map(self.nat_name).tolist(), pa.string()
+                    ),
+                    "acctbal_c": pa.array(bal_c),
+                    "revenue_s": batch.column("revenue_s"),
+                }
+            )
+
+    out = j.map_batches(Finish(nat_name), batch_format="pyarrow")
+    return out.sort(
+        ["revenue_s", "c_custkey"], descending=[True, False]
+    ).limit(20)
+
+
+_SQL_RETURNED_ITEMS = """
+SELECT c_custkey, ANY_VALUE(c_name) AS c_name,
+       ANY_VALUE(n_name) AS n_name,
+       ANY_VALUE(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS acctbal_c,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+            AS BIGINT) AS revenue_s
+FROM customer
+JOIN nation ON n_nationkey = c_nationkey
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey
+ORDER BY revenue_s DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q_order_count_distribution(sf_dir: str, force: str | None = None):
+    """Q13 shape: how many customers placed exactly k orders — including
+    k=0, which forces a LEFT OUTER join (an inner join silently drops the
+    zero-order tail that Q13 exists to surface). orders pre-aggregates to
+    (custkey, count) partials; customer LEFT OUTER joins that small side
+    (planner-routed: the per-customer count table is bounded by the orders
+    scan only through the aggregate, so the customer side — provably
+    scan-bounded — is the probe). Null counts become 0, then a second tiny
+    groupby yields the distribution."""
+    from ..stages.joins import _scan_rooted_size, auto_join
+
+    per_cust = tree_group_agg(
+        _read(sf_dir, "orders", ["o_custkey"]),
+        ["o_custkey"], {"c_count": (None, "count")},
+    )
+    cust_scan = _read(sf_dir, "customer", ["c_custkey"])
+    j = auto_join(
+        cust_scan, per_cust, how="left_outer", num_partitions=JOIN_PARTS,
+        on=("c_custkey",), right_on=("o_custkey",), force=force,
+    )
+
+    def fill(batch: pd.DataFrame) -> pd.DataFrame:
+        c = batch["c_count"].fillna(0).astype(np.int64)
+        return pd.DataFrame({"c_count": c})
+
+    return tree_group_agg(
+        j.map_batches(fill, batch_format="pandas"),
+        ["c_count"], {"custdist": (None, "count")},
+    )
+
+
+_SQL_ORDER_COUNT_DISTRIBUTION = """
+WITH co AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders ON o_custkey = c_custkey
+  GROUP BY c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM co GROUP BY c_count
+"""
+
+
+def q_small_qty_revenue(sf_dir: str, force: str | None = None):
+    """Q17 shape: revenue from orders whose quantity sits below 20% of the
+    part's average — the correlated scalar-subquery pattern. Pass 1 builds
+    per-part (sum_qty, cnt) for the brand's parts only (semi-joined through
+    the planner); the stats table is MATERIALIZED so the planner broadcasts
+    on measured size (it is one row per brand part — tiny at any scale).
+    Pass 2 re-scans lineitem and evaluates the correlated predicate in
+    integers: qty < 0.2 * (sum/cnt)  <=>  10*qty*cnt < 2*sum_qty — no
+    float division anywhere, so the oracle matches bit-for-bit."""
+    from ..stages.joins import _scan_rooted_size, auto_join
+
+    part_scan = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+    part_bound = _scan_rooted_size(part_scan)
+    brand_parts = part_scan.filter(expr="p_brand == 'Brand#12'").select_columns(
+        ["p_partkey"]
+    )
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+    li_brand = auto_join(
+        li, brand_parts, how="left_semi", num_partitions=JOIN_PARTS,
+        on=("l_partkey",), right_on=("p_partkey",),
+        right_size_hint=part_bound, force=force,
+    )
+
+    def qprep(batch: pa.Table) -> pa.Table:
+        q = np.round(batch.column("l_quantity").to_numpy()).astype(np.int64)
+        return pa.table(
+            {"l_partkey": batch.column("l_partkey"), "qty": pa.array(q)}
+        )
+
+    stats = tree_group_agg(
+        li_brand.map_batches(qprep, batch_format="pyarrow"),
+        ["l_partkey"], {"sum_qty": ("qty", "sum"), "cnt": (None, "count")},
+    ).materialize()  # one row per brand part: measured-size broadcast
+
+    li2 = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"]
+    )
+    j = auto_join(
+        li2, stats, num_partitions=JOIN_PARTS,
+        on=("l_partkey",), right_on=("l_partkey",), force=force,
+    )
+
+    def corr(batch: pa.Table) -> pa.Table:
+        q = np.round(batch.column("l_quantity").to_numpy()).astype(np.int64)
+        s = batch.column("sum_qty").to_numpy()
+        c = batch.column("cnt").to_numpy()
+        mask = 10 * q * c < 2 * s
+        ep_c = np.round(
+            batch.column("l_extendedprice").to_numpy()[mask] * 100
+        ).astype(np.int64)
+        one = np.zeros(int(mask.sum()), dtype=np.int64)
+        return pa.table({"one": pa.array(one), "ep_c": pa.array(ep_c)})
+
+    return tree_group_agg(
+        j.map_batches(corr, batch_format="pyarrow"),
+        ["one"], {"n": (None, "count"), "sum_ep_c": ("ep_c", "sum")},
+    ).select_columns(["n", "sum_ep_c"])
+
+
+_SQL_SMALL_QTY_REVENUE = """
+WITH s AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+         COUNT(*) AS cnt
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_brand = 'Brand#12'
+  GROUP BY l_partkey
+)
+SELECT COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_ep_c
+FROM lineitem JOIN s USING (l_partkey)
+WHERE 10 * CAST(ROUND(l_quantity) AS BIGINT) * cnt < 2 * sum_qty
+"""
+
+
+def q_disjunctive_revenue(sf_dir: str, force: str | None = None):
+    """Q19 shape: revenue under a disjunction of (brand, size-range,
+    quantity-range) conjunctions — the predicate no single-column pushdown
+    can serve. The part attributes attach through the planner-routed join
+    (scan-bounded dimension); the three-arm mask evaluates vectorized over
+    the joined batch; the global sum folds through a constant-key combiner
+    tree. Per (brand, arm) subtotals are emitted so the result exposes
+    which arm contributed what."""
+    from ..stages.joins import _scan_rooted_size, auto_join
+
+    part_scan = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+    part_bound = _scan_rooted_size(part_scan)
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    j = auto_join(
+        li, part_scan, num_partitions=JOIN_PARTS,
+        on=("l_partkey",), right_on=("p_partkey",),
+        right_size_hint=part_bound, force=force,
+    )
+
+    ARMS = [
+        ("Brand#12", 1, 11, 1, 5),
+        ("Brand#23", 10, 20, 1, 10),
+        ("Brand#5", 20, 30, 1, 15),
+    ]
+
+    def arms(batch: pa.Table) -> pa.Table:
+        brand = np.asarray(batch.column("p_brand").to_pylist(), dtype=object)
+        size = batch.column("p_size").to_numpy().astype(np.int64)
+        qty = np.round(batch.column("l_quantity").to_numpy()).astype(np.int64)
+        ep = batch.column("l_extendedprice").to_numpy()
+        d = batch.column("l_discount").to_numpy()
+        rev = np.round(ep * (1 - d) * 10000).astype(np.int64)
+        outs = {"arm": [], "n": [], "rev": []}
+        rows_brand, rows_arm, rows_rev = [], [], []
+        for ai, (b, qlo, qhi, slo, shi) in enumerate(ARMS):
+            mask = (
+                (brand == b)
+                & (qty >= qlo) & (qty <= qhi)
+                & (size >= slo) & (size <= shi)
+            )
+            k = int(mask.sum())
+            rows_brand.append(np.full(k, b, dtype=object))
+            rows_arm.append(np.full(k, ai, dtype=np.int64))
+            rows_rev.append(rev[mask])
+        return pa.table(
+            {
+                "arm": pa.array(np.concatenate(rows_arm)),
+                "p_brand": pa.array(
+                    np.concatenate(rows_brand).tolist(), pa.string()
+                ),
+                "rev_s": pa.array(np.concatenate(rows_rev)),
+            }
+        )
+
+    return tree_group_agg(
+        j.map_batches(arms, batch_format="pyarrow"),
+        ["arm", "p_brand"],
+        {"n": (None, "count"), "revenue_s": ("rev_s", "sum")},
+    )
+
+
+_SQL_DISJUNCTIVE_REVENUE = """
+WITH arms(arm, brand, qlo, qhi, slo, shi) AS (
+  VALUES (0, 'Brand#12', 1, 11, 1, 5),
+         (1, 'Brand#23', 10, 20, 1, 10),
+         (2, 'Brand#5', 20, 30, 1, 15)
+)
+SELECT arm, p_brand, COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+            AS BIGINT) AS revenue_s
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN arms ON p_brand = brand
+WHERE CAST(ROUND(l_quantity) AS BIGINT) BETWEEN qlo AND qhi
+  AND p_size BETWEEN slo AND shi
+GROUP BY arm, p_brand
+"""
+
+
 QUERIES = {
     "tile_wm_z12": q_tile_wm_z12,
     "tile_3dt_z7": q_tile_3dt_z7,
@@ -8811,6 +9159,11 @@ QUERIES = {
     "auc_exact": q_auc_exact,
     "psi_drift": q_psi_drift,
     "knn_label_accuracy": q_knn_label_accuracy,
+    "revenue_forecast": q_revenue_forecast,
+    "returned_items": q_returned_items,
+    "order_count_distribution": q_order_count_distribution,
+    "small_qty_revenue": q_small_qty_revenue,
+    "disjunctive_revenue": q_disjunctive_revenue,
 }
 
 ORACLES = {
@@ -8939,4 +9292,9 @@ ORACLES = {
     "auc_exact": _SQL_AUC_EXACT,
     "psi_drift": _SQL_PSI_DRIFT,
     "knn_label_accuracy": _SQL_KNN_LABEL_ACCURACY,
+    "revenue_forecast": _SQL_REVENUE_FORECAST,
+    "returned_items": _SQL_RETURNED_ITEMS,
+    "order_count_distribution": _SQL_ORDER_COUNT_DISTRIBUTION,
+    "small_qty_revenue": _SQL_SMALL_QTY_REVENUE,
+    "disjunctive_revenue": _SQL_DISJUNCTIVE_REVENUE,
 }
