@@ -543,6 +543,58 @@ def _q_image_equalize(sf_dir: str):
     )
 
 
+def _q_image_letterbox(sf_dir: str):
+    """Letterbox/pillarbox bar detection (stages/decode.py::ImageLetterbox):
+    per-image exact uint8 border-run margins, zero exchanges (bytes never
+    leave the decode task); tiny per-fmt reduce of counts + exact margin
+    totals. Rows-only; the margin kernel is pinned against a naive
+    per-image recompute AND synthetic known-bar images in pytest."""
+    import ray.data
+
+    from plateau_gis_converter_ray.sources.images import ensure_image_table
+    from plateau_gis_converter_ray.stages.decode import ImageLetterbox
+
+    path = ensure_image_table(_sf_of(sf_dir))
+    files = [
+        os.path.join(path, f)
+        for f in sorted(os.listdir(path))
+        if f.endswith(".parquet")
+    ]
+    ds = ray.data.read_parquet(files, columns=["image_id", "bytes", "fmt", "w", "h"])
+    ds = ds.map_batches(ImageLetterbox(), batch_format="pyarrow", batch_size=1024)
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "fmt": batch.column("fmt"),
+                "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                "boxed": batch.column("is_letterboxed").cast(pa.int64()),
+                "margin_tb": pc.add(
+                    batch.column("margin_top"), batch.column("margin_bottom")
+                ),
+                "margin_lr": pc.add(
+                    batch.column("margin_left"), batch.column("margin_right")
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("fmt")
+        .aggregate(
+            Sum("one", alias_name="n"),
+            Sum("boxed", alias_name="n_letterboxed"),
+            Sum("margin_tb", alias_name="margin_tb_total"),
+            Sum("margin_lr", alias_name="margin_lr_total"),
+        )
+    )
+
+
 def _q_zonal_stats(sf_dir: str):
     """Raster ZONAL STATISTICS: the raster<->vector clip stage's per-image
     rows aggregate per polygon (municipality) — image count, covered /
@@ -943,6 +995,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "texture_atlas": _q_texture_atlas,
             "image_sharpness": _q_image_sharpness,
             "image_equalize": _q_image_equalize,
+            "image_letterbox": _q_image_letterbox,
             "image_augment": _q_image_augment,
             "image_feature_knn": _q_image_feature_knn,
             "earcut_triangulate": _q_earcut_triangulate,

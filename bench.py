@@ -196,6 +196,8 @@ BENCH_QUERIES = [
     "order_count_distribution",
     "small_qty_revenue",
     "disjunctive_revenue",
+    # r4 cleanup wave: letterbox/pillarbox bar detection
+    "image_letterbox",
 ]
 
 

@@ -437,3 +437,74 @@ class ImageEqualize:
                 "eq_checksum": pa.array(eq_checksum),
             }
         )
+
+
+class ImageLetterbox:
+    """Letterbox / pillarbox border detection — the training-data cleaning
+    op that finds constant-color bars around the content (padded crops,
+    video stills, screenshots) so a downstream crop can remove them.
+
+    A row is a border row when EVERY pixel in it equals that edge's anchor
+    corner pixel (all three channels): top anchors at (0, 0), bottom at
+    (h-1, w-1), left at (0, 0), right at (h-1, w-1). Margins are the run
+    lengths of border rows/columns from each edge (h or w when the whole
+    image is one constant color — the degenerate full-frame bar). All
+    comparisons are exact uint8 equality, so the result is
+    bit-deterministic and pinned against a naive per-image recompute.
+
+    Vectorization: one (g, h, w) all-channel equality reduce per (fmt, w,
+    h) stack, then per-edge run lengths via argmax over the negated row /
+    column masks — no per-image Python. Zero exchanges; payload bytes
+    never leave the decode task.
+    """
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = binary_views(batch.column("bytes"))
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        fmts = batch.column("fmt").to_pylist()
+        n = batch.num_rows
+
+        top = np.zeros(n, dtype=np.int64)
+        bottom = np.zeros(n, dtype=np.int64)
+        left = np.zeros(n, dtype=np.int64)
+        right = np.zeros(n, dtype=np.int64)
+
+        def _leading(mask: np.ndarray, full: int) -> np.ndarray:
+            """Per image: length of the leading True run along axis 1."""
+            nm = ~mask
+            return np.where(nm.any(axis=1), nm.argmax(axis=1), full)
+
+        groups: dict[tuple, list[int]] = {}
+        for i in range(n):
+            groups.setdefault((fmts[i], int(ws[i]), int(hs[i])), []).append(i)
+        for (fmt, w, h), rows in groups.items():
+            stack = decode_group_stack(blobs, rows, fmt, w, h)  # (g,h,w,3)
+            c00 = stack[:, :1, :1, :]        # (g,1,1,3) top-left anchor
+            c11 = stack[:, -1:, -1:, :]      # bottom-right anchor
+            eq00 = (stack == c00).all(axis=3)  # (g,h,w)
+            eq11 = (stack == c11).all(axis=3)
+            row00 = eq00.all(axis=2)         # (g,h) rows of the 00 color
+            row11 = eq11.all(axis=2)
+            col00 = eq00.all(axis=1)         # (g,w)
+            col11 = eq11.all(axis=1)
+            rows_np = np.array(rows)
+            top[rows_np] = _leading(row00, h)
+            bottom[rows_np] = _leading(row11[:, ::-1], h)
+            left[rows_np] = _leading(col00, w)
+            right[rows_np] = _leading(col11[:, ::-1], w)
+
+        boxed = (top > 0) | (bottom > 0) | (left > 0) | (right > 0)
+        return pa.table(
+            {
+                "image_id": batch.column("image_id"),
+                "w": batch.column("w"),
+                "h": batch.column("h"),
+                "fmt": batch.column("fmt"),
+                "margin_top": pa.array(top),
+                "margin_bottom": pa.array(bottom),
+                "margin_left": pa.array(left),
+                "margin_right": pa.array(right),
+                "is_letterboxed": pa.array(boxed),
+            }
+        )
