@@ -8863,9 +8863,11 @@ def q_small_qty_revenue(sf_dir: str, force: str | None = None):
     per-part (sum_qty, cnt) for the brand's parts only (semi-joined through
     the planner); the stats table is MATERIALIZED so the planner broadcasts
     on measured size (it is one row per brand part — tiny at any scale).
-    Pass 2 re-scans lineitem and evaluates the correlated predicate in
-    integers: qty < 0.2 * (sum/cnt)  <=>  10*qty*cnt < 2*sum_qty — no
-    float division anywhere, so the oracle matches bit-for-bit."""
+    Pass 2 re-reads the MATERIALIZED brand slice (3-4% of lineitem — one
+    brand out of 25 — so lineitem is scanned exactly ONCE) and evaluates
+    the correlated predicate in integers: qty < 0.2 * (sum/cnt)  <=>
+    10*qty*cnt < 2*sum_qty — no float division anywhere, so the oracle
+    matches bit-for-bit."""
     from ..stages.joins import _scan_rooted_size, auto_join
 
     part_scan = _read(sf_dir, "part", ["p_partkey", "p_brand"])
@@ -8874,7 +8876,9 @@ def q_small_qty_revenue(sf_dir: str, force: str | None = None):
         ["p_partkey"]
     )
 
-    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+    li = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"]
+    )
     li_brand = auto_join(
         li, brand_parts, how="left_semi", num_partitions=JOIN_PARTS,
         on=("l_partkey",), right_on=("p_partkey",),
@@ -8883,31 +8887,38 @@ def q_small_qty_revenue(sf_dir: str, force: str | None = None):
 
     def qprep(batch: pa.Table) -> pa.Table:
         q = np.round(batch.column("l_quantity").to_numpy()).astype(np.int64)
+        ep_c = np.round(
+            batch.column("l_extendedprice").to_numpy() * 100
+        ).astype(np.int64)
         return pa.table(
-            {"l_partkey": batch.column("l_partkey"), "qty": pa.array(q)}
+            {
+                "l_partkey": batch.column("l_partkey"),
+                "qty": pa.array(q),
+                "ep_c": pa.array(ep_c),
+            }
         )
 
+    # Both passes run over this small slice; the full fact table is
+    # scanned once. At any scale the slice is |brands|^-1 of lineitem.
+    small = li_brand.map_batches(qprep, batch_format="pyarrow").materialize()
+
     stats = tree_group_agg(
-        li_brand.map_batches(qprep, batch_format="pyarrow"),
+        small.select_columns(["l_partkey", "qty"]),
         ["l_partkey"], {"sum_qty": ("qty", "sum"), "cnt": (None, "count")},
     ).materialize()  # one row per brand part: measured-size broadcast
 
-    li2 = _read(
-        sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"]
-    )
     j = auto_join(
-        li2, stats, num_partitions=JOIN_PARTS,
-        on=("l_partkey",), right_on=("l_partkey",), force=force,
+        small, stats, num_partitions=JOIN_PARTS,
+        on=("l_partkey",), right_on=("l_partkey",),
+        right_size_hint=stats.size_bytes(), force=force,
     )
 
     def corr(batch: pa.Table) -> pa.Table:
-        q = np.round(batch.column("l_quantity").to_numpy()).astype(np.int64)
+        q = batch.column("qty").to_numpy()
         s = batch.column("sum_qty").to_numpy()
         c = batch.column("cnt").to_numpy()
         mask = 10 * q * c < 2 * s
-        ep_c = np.round(
-            batch.column("l_extendedprice").to_numpy()[mask] * 100
-        ).astype(np.int64)
+        ep_c = batch.column("ep_c").to_numpy()[mask]
         one = np.zeros(int(mask.sum()), dtype=np.int64)
         return pa.table({"one": pa.array(one), "ep_c": pa.array(ep_c)})
 
