@@ -196,8 +196,12 @@ BENCH_QUERIES = [
     "order_count_distribution",
     "small_qty_revenue",
     "disjunctive_revenue",
-    # r4 cleanup wave: letterbox/pillarbox bar detection
+    # r4 cleanup wave: letterbox/pillarbox bar detection + the last
+    # TPC-H shapes (Q9/Q12/Q20 adapted to the available columns)
     "image_letterbox",
+    "product_profit",
+    "shipmode_priority",
+    "promo_part_suppliers",
 ]
 
 

@@ -9027,6 +9027,315 @@ GROUP BY arm, p_brand
 """
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q9 shape: product-type profit per (supplier nation, order year).
+# The testdata has no partsupp, so supply cost proxies as
+# p_retailprice * quantity (exact: 1-decimal retail price -> cents int).
+# Profit stays a single int64 in the 1e4 money scale end to end.
+
+
+def q_product_profit(sf_dir: str, force: str | None = None):
+    """Q9 shape (profit by nation x year for 'red%' parts). Both dims
+    (part attrs, supplier->nation->name) ship as broadcast lookups built
+    from scan-bounded dimension tables; the only exchange the FACT pays is
+    the planner-routed attach of o_orderdate (orders scan-bounded: map-side
+    at bench scale, partitioned hash join beyond the broadcast limit — same
+    code). Profit is pre-scaled per row BEFORE the join, so either plan
+    carries (l_orderkey, n_name, profit_s) only; the (nation, year) regroup
+    is a tiny combiner-tree exchange."""
+    from ..stages.joins import _scan_rooted_size, auto_join
+
+    part = _read(
+        sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"]
+    ).to_pandas()
+    red = part[part["p_name"].str.startswith("red")]
+    cost_c = dict(
+        zip(
+            red["p_partkey"].astype(np.int64),
+            np.round(red["p_retailprice"].to_numpy() * 100).astype(np.int64),
+        )
+    )
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nat_name = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    supp_nation = {
+        int(s): nat_name[int(nk)]
+        for s, nk in zip(supp["s_suppkey"], supp["s_nationkey"])
+    }
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+         "l_extendedprice", "l_discount"],
+    )
+
+    class Profit:
+        def __init__(self, cost_c, supp_nation):
+            self.cost_c = cost_c
+            self.supp_nation = supp_nation
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            pk = pd.Series(batch.column("l_partkey").to_numpy())
+            cost = pk.map(self.cost_c)
+            mask = cost.notna().to_numpy()
+            cost = cost[mask].to_numpy().astype(np.int64)
+            q = np.round(
+                batch.column("l_quantity").to_numpy()[mask]
+            ).astype(np.int64)
+            ep = batch.column("l_extendedprice").to_numpy()[mask]
+            d = batch.column("l_discount").to_numpy()[mask]
+            rev_s = np.round(ep * (1 - d) * 10000).astype(np.int64)
+            profit_s = rev_s - cost * q * 100  # cents -> 1e4 scale
+            sk = pd.Series(batch.column("l_suppkey").to_numpy()[mask])
+            return pa.table(
+                {
+                    "l_orderkey": batch.column("l_orderkey").filter(
+                        pa.array(mask)
+                    ),
+                    "n_name": pa.array(
+                        sk.map(self.supp_nation).tolist(), pa.string()
+                    ),
+                    "profit_s": pa.array(profit_s),
+                }
+            )
+
+    orders_scan = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    orders_bound = _scan_rooted_size(orders_scan)
+    j = auto_join(
+        li.map_batches(Profit(cost_c, supp_nation), batch_format="pyarrow"),
+        orders_scan,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+        num_partitions=JOIN_PARTS, right_size_hint=orders_bound, force=force,
+    )
+
+    def add_year(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "n_name": batch.column("n_name"),
+                "o_year": pc.year(batch.column("o_orderdate")).cast(pa.int64()),
+                "profit_s": batch.column("profit_s"),
+            }
+        )
+
+    return tree_group_agg(
+        j.map_batches(add_year, batch_format="pyarrow"),
+        ["n_name", "o_year"], {"profit_s": ("profit_s", "sum")},
+    )
+
+
+_SQL_PRODUCT_PROFIT = """
+SELECT n_name,
+       CAST(date_part('year', o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+                - CAST(ROUND(p_retailprice * 100) AS BIGINT)
+                  * CAST(ROUND(l_quantity) AS BIGINT) * 100) AS BIGINT)
+           AS profit_s
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+WHERE p_name LIKE 'red%'
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q12 shape: line-status priority split for one ship year (the
+# testdata carries no l_shipmode/commitdate, so l_linestatus plays the
+# category and the receipt-lag predicate becomes the ship-year window).
+
+
+def q_shipmode_priority(sf_dir: str, force: str | None = None):
+    """Q12 shape: per l_linestatus, how many year-2000 shipments belong to
+    critical orders (1-URGENT / 2-HIGH) vs the rest. The ship-year filter
+    prunes at the scan (row-group stats); the orders priority column
+    attaches through the planner-routed join (orders scan-bounded); the
+    high/low split is a vectorized CASE mask and the final regroup is a
+    2-row combiner tree."""
+    import pyarrow.dataset as pads
+
+    from ..stages.joins import _scan_rooted_size, auto_join
+
+    lo = pd.Timestamp("2000-01-01")
+    hi = pd.Timestamp("2001-01-01")
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_linestatus", "l_shipdate"],
+        filter=(pads.field("l_shipdate") >= lo) & (pads.field("l_shipdate") < hi),
+    ).select_columns(["l_orderkey", "l_linestatus"])
+
+    orders_scan = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    orders_bound = _scan_rooted_size(orders_scan)
+    j = auto_join(
+        li, orders_scan,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+        num_partitions=JOIN_PARTS, right_size_hint=orders_bound, force=force,
+    )
+
+    def split(batch: pa.Table) -> pa.Table:
+        pr = np.asarray(batch.column("o_orderpriority").to_pylist(), dtype=object)
+        high = np.isin(pr, ("1-URGENT", "2-HIGH")).astype(np.int64)
+        return pa.table(
+            {
+                "l_linestatus": batch.column("l_linestatus"),
+                "high": pa.array(high),
+                "low": pa.array(1 - high),
+            }
+        )
+
+    return tree_group_agg(
+        j.map_batches(split, batch_format="pyarrow"),
+        ["l_linestatus"],
+        {"high_line_count": ("high", "sum"), "low_line_count": ("low", "sum")},
+    )
+
+
+_SQL_SHIPMODE_PRIORITY = """
+SELECT l_linestatus,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+           THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+           THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+  AND l_shipdate <  TIMESTAMP '2001-01-01'
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q20 shape: suppliers over-supplying promo parts. No partsupp in the
+# testdata, so the "more than half the part's stock" predicate becomes
+# "shipped more than 1.5x the part's fair per-supplier share" — the same
+# nested aggregate-derived-filter + join-back chain, kept in exact integers
+# (2*q*ns > 3*tq <=> q > 1.5 * tq/ns, no division).
+
+
+def q_promo_part_suppliers(sf_dir: str, force: str | None = None):
+    """Q20 shape. Stage 1 semi-filters lineitem to 'hot%' parts through the
+    planner (part scan-bounded) and combiner-aggregates per (supp, part);
+    the per-pair table MATERIALIZES (it is |supp x hot parts| at most —
+    tiny relative to the fact) so both derived sides reuse it: the per-part
+    totals regroup is a second combiner pass over it, and the totals attach
+    back by MEASURED-size broadcast. Stage 2 filters the over-share pairs
+    vectorized and regroups per supplier; supplier name + nation attach as
+    a task-fn dict. lineitem is scanned exactly once."""
+    from ..stages.joins import _scan_rooted_size, auto_join
+
+    part_scan = _read(sf_dir, "part", ["p_partkey", "p_name"])
+    part_bound = _scan_rooted_size(part_scan)
+    import pyarrow.compute as pc
+
+    def hot_only(batch: pa.Table) -> pa.Table:
+        m = pc.starts_with(batch.column("p_name"), "hot")
+        return batch.filter(m).select(["p_partkey"])
+
+    hot = part_scan.map_batches(hot_only, batch_format="pyarrow")
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_quantity"])
+    li_hot = auto_join(
+        li, hot, how="left_semi", num_partitions=JOIN_PARTS,
+        on=("l_partkey",), right_on=("p_partkey",),
+        right_size_hint=part_bound, force=force,
+    )
+
+    def qprep(batch: pa.Table) -> pa.Table:
+        q = np.round(batch.column("l_quantity").to_numpy()).astype(np.int64)
+        return pa.table(
+            {
+                "l_suppkey": batch.column("l_suppkey"),
+                "l_partkey": batch.column("l_partkey"),
+                "qty": pa.array(q),
+            }
+        )
+
+    sp = tree_group_agg(
+        li_hot.map_batches(qprep, batch_format="pyarrow"),
+        ["l_suppkey", "l_partkey"], {"q": ("qty", "sum")},
+    ).materialize()
+
+    pt = tree_group_agg(
+        sp.select_columns(["l_partkey", "q"]),
+        ["l_partkey"], {"tq": ("q", "sum"), "ns": (None, "count")},
+    ).materialize()
+
+    j = auto_join(
+        sp, pt, num_partitions=JOIN_PARTS,
+        on=("l_partkey",), right_on=("l_partkey",),
+        right_size_hint=pt.size_bytes(), force=force,
+    )
+
+    def over_share(batch: pa.Table) -> pa.Table:
+        q = batch.column("q").to_numpy()
+        tq = batch.column("tq").to_numpy()
+        ns = batch.column("ns").to_numpy()
+        m = 2 * q * ns > 3 * tq
+        return pa.table(
+            {
+                "l_suppkey": batch.column("l_suppkey").filter(pa.array(m)),
+                "q": pa.array(q[m]),
+            }
+        )
+
+    per_supp = tree_group_agg(
+        j.map_batches(over_share, batch_format="pyarrow"),
+        ["l_suppkey"],
+        {"n_over_parts": (None, "count"), "over_qty": ("q", "sum")},
+    )
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nat_name = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    s_name = dict(zip(supp["s_suppkey"].astype(np.int64), supp["s_name"]))
+    s_nat = {
+        int(k): nat_name[int(v)]
+        for k, v in zip(supp["s_suppkey"], supp["s_nationkey"])
+    }
+
+    class Attach:
+        def __init__(self, s_name, s_nat):
+            self.s_name = s_name
+            self.s_nat = s_nat
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            sk = pd.Series(batch.column("l_suppkey").to_numpy())
+            return pa.table(
+                {
+                    "s_suppkey": batch.column("l_suppkey"),
+                    "s_name": pa.array(sk.map(self.s_name).tolist(), pa.string()),
+                    "n_name": pa.array(sk.map(self.s_nat).tolist(), pa.string()),
+                    "n_over_parts": batch.column("n_over_parts"),
+                    "over_qty": batch.column("over_qty"),
+                }
+            )
+
+    return per_supp.map_batches(Attach(s_name, s_nat), batch_format="pyarrow")
+
+
+_SQL_PROMO_PART_SUPPLIERS = """
+WITH sp AS (
+  SELECT l_suppkey, l_partkey,
+         SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS q
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE 'hot%'
+  GROUP BY 1, 2
+),
+pt AS (
+  SELECT l_partkey, SUM(q) AS tq, COUNT(*) AS ns FROM sp GROUP BY 1
+)
+SELECT s_suppkey, ANY_VALUE(s_name) AS s_name, ANY_VALUE(n_name) AS n_name,
+       COUNT(*) AS n_over_parts, CAST(SUM(q) AS BIGINT) AS over_qty
+FROM sp
+JOIN pt USING (l_partkey)
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE 2 * q * ns > 3 * tq
+GROUP BY s_suppkey
+"""
+
+
 QUERIES = {
     "tile_wm_z12": q_tile_wm_z12,
     "tile_3dt_z7": q_tile_3dt_z7,
@@ -9175,6 +9484,9 @@ QUERIES = {
     "order_count_distribution": q_order_count_distribution,
     "small_qty_revenue": q_small_qty_revenue,
     "disjunctive_revenue": q_disjunctive_revenue,
+    "product_profit": q_product_profit,
+    "shipmode_priority": q_shipmode_priority,
+    "promo_part_suppliers": q_promo_part_suppliers,
 }
 
 ORACLES = {
@@ -9308,4 +9620,7 @@ ORACLES = {
     "order_count_distribution": _SQL_ORDER_COUNT_DISTRIBUTION,
     "small_qty_revenue": _SQL_SMALL_QTY_REVENUE,
     "disjunctive_revenue": _SQL_DISJUNCTIVE_REVENUE,
+    "product_profit": _SQL_PRODUCT_PROFIT,
+    "shipmode_priority": _SQL_SHIPMODE_PRIORITY,
+    "promo_part_suppliers": _SQL_PROMO_PART_SUPPLIERS,
 }
