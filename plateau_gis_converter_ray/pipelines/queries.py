@@ -8273,8 +8273,18 @@ def q_negative_sampling(sf_dir: str, k: int = 4):
         li, orders, on=("l_orderkey",), right_on=("o_orderkey",),
         num_partitions=JOIN_PARTS,
     )
+
+    # the (user, part) pair packs into ONE int64 (part < n_parts by
+    # construction), so the distinct exchange carries 8 bytes/row and the
+    # membership attach below merges on a single integer key
+    def pack(batch: pa.Table, n=n_parts) -> pa.Table:
+        u = batch.column("o_custkey").to_numpy().astype(np.int64)
+        p = batch.column("l_partkey").to_numpy().astype(np.int64)
+        return pa.table({"pk": pa.array(u * n + p)})
+
     pos = tree_group_agg(
-        pairs, ["o_custkey", "l_partkey"], {"np": (None, "count")}
+        pairs.map_batches(pack, batch_format="pyarrow"),
+        ["pk"], {"np": (None, "count")},
     ).materialize()
 
     users = tree_group_agg(
@@ -8288,13 +8298,12 @@ def q_negative_sampling(sf_dir: str, k: int = 4):
         cand = (u * 9973 + slot * 7919) % n
         return pa.table(
             {"user_id": pa.array(u), "slot": pa.array(slot),
-             "cand_part": pa.array(cand)}
+             "cand_part": pa.array(cand), "pk": pa.array(u * n + cand)}
         )
 
     cand = users.map_batches(explode, batch_format="pyarrow")
     j = auto_join(
-        cand, pos, on=("user_id", "cand_part"),
-        right_on=("o_custkey", "l_partkey"), how="left_outer",
+        cand, pos, on=("pk",), how="left_outer",
         num_partitions=JOIN_PARTS, right_size_hint=pos.size_bytes(),
     )
 
