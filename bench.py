@@ -202,6 +202,12 @@ BENCH_QUERIES = [
     "product_profit",
     "shipmode_priority",
     "promo_part_suppliers",
+    # r4 wave 8: sequence packing (bucketed global prefix sum), k-anonymity
+    # governance audit, contrastive hard-negative mining (composite-key
+    # argmin combiner) — all oracle-gated
+    "pack_sequences",
+    "k_anonymity",
+    "hard_negatives",
 ]
 
 

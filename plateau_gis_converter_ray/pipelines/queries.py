@@ -9345,6 +9345,263 @@ GROUP BY s_suppkey
 """
 
 
+# ---------------------------------------------------------------------------
+# Sequence packing: documents are concatenated in doc_id order into one
+# token stream and split into fixed CTX-token context windows (the standard
+# concat-and-split packing used to build training batches); each doc reports
+# the window span it lands in. Global prefix-sum WITHOUT a global sort: docs
+# range-bucket by doc_id (order-preserving), per-bucket token sums reduce
+# through the combiner tree to a <=64-row driver table whose exclusive prefix
+# broadcasts as each bucket's base offset; the intra-bucket cumsum runs
+# vectorized inside groupby(bucket).map_groups. One bucket exchange total —
+# at 10^12 rows the driver table stays n_buckets rows and the fact token
+# counts never move twice. Token count is the deterministic ceil(n_chars/4)
+# proxy (>=1 so empty docs still occupy a slot), shared with the oracle.
+
+
+def q_pack_sequences(sf_dir: str, ctx: int = 512, n_buckets: int = 64):
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    from ..stages.treeagg import clean_arrow, tree_group_agg
+
+    # O(1) from the parquet footer — doc_id is dense [0, n_docs)
+    n_docs = max(
+        _pq.read_metadata(_os.path.join(sf_dir, "documents.parquet")).num_rows, 1
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def tok(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id").to_numpy().astype(np.int64)
+        n = batch.column("n_chars").to_numpy().astype(np.int64)
+        n_tok = np.maximum((n + 3) // 4, 1)
+        return pa.table(
+            {
+                "doc_id": pa.array(did),
+                "n_tok": pa.array(n_tok),
+                "b": pa.array(did * n_buckets // n_docs),
+            }
+        )
+
+    tds = ds.map_batches(tok, batch_format="pyarrow").materialize()
+    hist = tree_group_agg(tds, ["b"], {"s": ("n_tok", "sum")}).to_pandas()
+    base = np.zeros(n_buckets, dtype=np.int64)
+    np.add.at(
+        base,
+        hist["b"].to_numpy().astype(np.int64),
+        hist["s"].to_numpy().astype(np.int64),
+    )
+    base = np.concatenate([[0], np.cumsum(base)[:-1]])  # exclusive prefix
+
+    def pack_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values("doc_id", kind="stable")
+        nt = g["n_tok"].to_numpy()
+        cum_before = base[int(g["b"].iloc[0])] + np.concatenate(
+            [[0], np.cumsum(nt)[:-1]]
+        )
+        first = cum_before // ctx
+        last = (cum_before + nt - 1) // ctx
+        return clean_arrow(
+            pd.DataFrame(
+                {
+                    "doc_id": g["doc_id"].to_numpy(),
+                    "n_tok": nt,
+                    "first_window": first,
+                    "last_window": last,
+                    "n_windows": last - first + 1,
+                    "win_offset": cum_before % ctx,
+                }
+            )
+        )
+
+    return tds.groupby("b").map_groups(pack_bucket, batch_format="pandas")
+
+
+_SQL_PACK_SEQUENCES = """
+WITH t AS (
+  SELECT doc_id, GREATEST((n_chars + 3) // 4, 1) AS n_tok FROM documents
+), c AS (
+  SELECT doc_id, n_tok,
+         COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM t
+)
+SELECT doc_id, n_tok,
+       CAST(cum // 512 AS BIGINT) AS first_window,
+       CAST((cum + n_tok - 1) // 512 AS BIGINT) AS last_window,
+       CAST((cum + n_tok - 1) // 512 - cum // 512 + 1 AS BIGINT) AS n_windows,
+       CAST(cum % 512 AS BIGINT) AS win_offset
+FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity risk audit (data governance over a quasi-identifier tuple):
+# group customers by (nation, market segment, account-balance band) and
+# report, per nation, how many QI groups and rows fall below the k=5
+# anonymity threshold. Shape: two combiner trees back to back — the QI
+# domain is bounded (nations x segments x bands), so the exact group counts
+# reduce through per-batch partials and the per-nation risk rollup is a
+# second tiny tree over the FINAL group rows; zero fact shuffles.
+
+
+def q_k_anonymity(sf_dir: str, k: int = 5):
+    from ..stages.treeagg import tree_group_agg
+
+    ds = _read(sf_dir, "customer", ["c_nationkey", "c_mktsegment", "c_acctbal"])
+
+    def band(batch: pa.Table) -> pa.Table:
+        bal = batch.column("c_acctbal").to_numpy()
+        return pa.table(
+            {
+                "c_nationkey": batch.column("c_nationkey").cast(pa.int64()),
+                "c_mktsegment": batch.column("c_mktsegment"),
+                "bal_band": pa.array(np.floor(bal / 1000.0).astype(np.int64)),
+            }
+        )
+
+    groups = tree_group_agg(
+        ds.map_batches(band, batch_format="pyarrow"),
+        ["c_nationkey", "c_mktsegment", "bal_band"],
+        {"n": (None, "count")},
+    )
+
+    def risk(batch: pa.Table) -> pa.Table:  # consumes FINAL group rows
+        n = batch.column("n").to_numpy().astype(np.int64)
+        at = (n < k).astype(np.int64)
+        return pa.table(
+            {
+                "c_nationkey": batch.column("c_nationkey"),
+                "gar": pa.array(at),
+                "rar": pa.array(at * n),
+                "ng": pa.array(np.ones(len(n), dtype=np.int64)),
+                "nr": pa.array(n),
+            }
+        )
+
+    return tree_group_agg(
+        groups.map_batches(risk, batch_format="pyarrow"),
+        ["c_nationkey"],
+        {
+            "groups_at_risk": ("gar", "sum"),
+            "rows_at_risk": ("rar", "sum"),
+            "n_groups": ("ng", "sum"),
+            "n_rows": ("nr", "sum"),
+        },
+    )
+
+
+_SQL_K_ANONYMITY = """
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band, COUNT(*) AS n
+  FROM customer GROUP BY 1, 2, 3
+)
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       COUNT(*) FILTER (WHERE n < 5) AS groups_at_risk,
+       CAST(COALESCE(SUM(n) FILTER (WHERE n < 5), 0) AS BIGINT) AS rows_at_risk,
+       COUNT(*) AS n_groups, CAST(SUM(n) AS BIGINT) AS n_rows
+FROM g GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining for contrastive training: for each of the first 256
+# anchor embeddings, the nearest candidate with a DIFFERENT label over the
+# whole corpus (exact integer-quantized L2, stages/knn.py QUANT contract).
+# Anchors broadcast (bounded — the training batch); candidates stream: each
+# batch computes a (256 x batch) int64 distance matrix and collapses to one
+# composite-key (dist2 << 40 | vec_id) min PER ANCHOR, so the only exchange
+# is 256 packed int64 rows per block through the combiner tree — candidate
+# vectors never shuffle. The composite min decomposes exactly because
+# quantized dist2 < 2^22 (asserted) and vec_id < 2^40.
+
+
+def q_hard_negatives(sf_dir: str, n_anchors: int = 256):
+    from ..stages.knn import quantize
+    from ..stages.treeagg import tree_group_agg
+
+    head = (
+        _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+        .sort("vec_id")
+        .limit(n_anchors)
+        .to_pandas()
+    )
+    A = quantize(np.stack(head["embedding"].to_numpy()))  # (m, d)
+    a_sq = (A * A).sum(axis=1)
+    a_lab = head["label"].to_numpy().astype(np.int64)
+    a_ids = head["vec_id"].to_numpy().astype(np.int64)
+    NID_BITS = 40
+    SENTINEL = np.int64(1) << 62
+
+    def best_in_batch(batch: pa.Table) -> pa.Table:
+        vid = batch.column("vec_id").to_numpy().astype(np.int64)
+        lab = batch.column("label").to_numpy().astype(np.int64)
+        V = quantize(
+            np.stack(batch.column("embedding").to_numpy(zero_copy_only=False))
+        )
+        d = a_sq[:, None] + (V * V).sum(axis=1)[None, :] - 2 * (A @ V.T)
+        assert int(d.max()) < (1 << 22) and int(vid.max()) < (1 << NID_BITS)
+        packed = np.where(
+            a_lab[:, None] == lab[None, :], SENTINEL, (d << NID_BITS) | vid
+        )
+        return pa.table(
+            {
+                "a": pa.array(np.arange(len(a_ids), dtype=np.int64)),
+                "p": pa.array(packed.min(axis=1)),
+            }
+        )
+
+    agg = tree_group_agg(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"]).map_batches(
+            best_in_batch, batch_format="pyarrow", batch_size=1024
+        ),
+        ["a"],
+        {"p": ("p", "min")},
+    )
+
+    def decode(batch: pa.Table) -> pa.Table:  # final merged rows (<= m)
+        a = batch.column("a").to_numpy().astype(np.int64)
+        p = batch.column("p").to_numpy().astype(np.int64)
+        keep = p < SENTINEL  # anchors with no different-label candidate drop
+        a, p = a[keep], p[keep]
+        return pa.table(
+            {
+                "vec_id": pa.array(a_ids[a]),
+                "hard_negative": pa.array(p & ((1 << NID_BITS) - 1)),
+                "dist2_q": pa.array(p >> NID_BITS),
+            }
+        )
+
+    return agg.map_batches(decode, batch_format="pyarrow")
+
+
+_SQL_HARD_NEGATIVES = """
+WITH q AS (
+  SELECT vec_id, label, embedding FROM embeddings ORDER BY vec_id LIMIT 256
+), qq AS (
+  SELECT vec_id, label, i, CAST(ROUND(embedding[i] * 100) AS BIGINT) AS ev
+  FROM q, (SELECT UNNEST(RANGE(1, 65)) AS i)
+), ee AS (
+  SELECT vec_id, label, i, CAST(ROUND(embedding[i] * 100) AS BIGINT) AS ev
+  FROM embeddings, (SELECT UNNEST(RANGE(1, 65)) AS i)
+), d AS (
+  SELECT a.vec_id, b.vec_id AS nid,
+         SUM((a.ev - b.ev) * (a.ev - b.ev)) AS dist2
+  FROM qq a JOIN ee b ON a.i = b.i AND a.label <> b.label
+  GROUP BY 1, 2
+), r AS (
+  SELECT vec_id, nid, dist2,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, nid) AS rn
+  FROM d
+)
+SELECT vec_id, nid AS hard_negative, CAST(dist2 AS BIGINT) AS dist2_q
+FROM r WHERE rn = 1
+"""
+
+
 QUERIES = {
     "tile_wm_z12": q_tile_wm_z12,
     "tile_3dt_z7": q_tile_3dt_z7,
@@ -9496,6 +9753,9 @@ QUERIES = {
     "product_profit": q_product_profit,
     "shipmode_priority": q_shipmode_priority,
     "promo_part_suppliers": q_promo_part_suppliers,
+    "pack_sequences": q_pack_sequences,
+    "k_anonymity": q_k_anonymity,
+    "hard_negatives": q_hard_negatives,
 }
 
 ORACLES = {
@@ -9632,4 +9892,7 @@ ORACLES = {
     "product_profit": _SQL_PRODUCT_PROFIT,
     "shipmode_priority": _SQL_SHIPMODE_PRIORITY,
     "promo_part_suppliers": _SQL_PROMO_PART_SUPPLIERS,
+    "pack_sequences": _SQL_PACK_SEQUENCES,
+    "k_anonymity": _SQL_K_ANONYMITY,
+    "hard_negatives": _SQL_HARD_NEGATIVES,
 }
