@@ -447,7 +447,16 @@ def _q_texture_atlas(sf_dir: str):
     placements = atlas_placements(
         meta, grid=8, n_rows_hint=rows_for_sf(_sf_of(sf_dir))
     )
-    images = ray.data.read_parquet(files, columns=["image_id", "bytes", "fmt"])
+    # block count ~ CPU count: the strips groupby is a sort shuffle whose
+    # map x reduce object count is blocks^2 (210 read blocks -> 44k tiny
+    # shuffle objects dominated wall time); decode stays fully parallel.
+    # On a real cluster this tracks total cores, not a constant.
+    ncpu = max(int(ray.cluster_resources().get("CPU", 32)), 8)
+    images = ray.data.read_parquet(
+        files,
+        columns=["image_id", "bytes", "fmt"],
+        override_num_blocks=min(64, ncpu),
+    )
     return atlas_summary(assemble_atlases(images, placements, grid=8))
 
 
