@@ -115,7 +115,10 @@ def ivfpq_index_build(
         "n_sub": n_sub,
         "k": k,
         "sample_mod": sample_mod,
-        "version": 1,
+        # bumped when trainer numerics change (r4: vectorized Lloyd step)
+        # so a persisted index from older code rebuilds instead of serving
+        # codebooks the composed path can no longer reproduce
+        "version": 2,
     }
     root = index_dir or index_dir_for(emb_path, config)
     meta_path = os.path.join(root, "meta.json")

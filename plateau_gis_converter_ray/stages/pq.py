@@ -77,15 +77,21 @@ def _train_books(vecs: np.ndarray, n_sub: int, k: int, iters: int) -> np.ndarray
     for m in range(n_sub):
         x = vecs[:, m * d_sub : (m + 1) * d_sub].astype(np.float64)
         # deterministic seeding: evenly spaced points of the vec_id-sorted
-        # sample; plain Lloyd (training is once-per-corpus, driver-side)
+        # sample; plain Lloyd (training is once-per-corpus, driver-side).
+        # One (n, k) matmul per iter + scatter-add means — no per-cluster
+        # Python loop, no (n, k, d) broadcast temporary. The x-side sums
+        # stay exact (quantized ints in float64), so the means are
+        # exact_sum / count — deterministic across runs.
         cent = x[np.linspace(0, len(x) - 1, k).astype(np.int64)].copy()
+        x_sq = (x * x).sum(axis=1)
         for _ in range(iters):
-            d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            d2 = x_sq[:, None] - 2 * (x @ cent.T) + (cent * cent).sum(axis=1)
             assign = np.argmin(d2, axis=1)
-            for c in range(k):
-                sel = x[assign == c]
-                if len(sel):
-                    cent[c] = sel.mean(axis=0)
+            sums = np.zeros((k, d_sub))
+            np.add.at(sums, assign, x)
+            counts = np.bincount(assign, minlength=k).astype(np.float64)
+            nz = counts > 0
+            cent[nz] = sums[nz] / counts[nz, None]
         books[m] = np.round(cent).astype(np.int64)
     return books
 
