@@ -58,10 +58,23 @@ def read_table(
     a 100 TB table), and a metadata-stripped schema (see module docstring)."""
     import ray.data
 
+    import os
+
     path = f"{sf_dir}/{table}.parquet"
     kwargs = {}
     if filter is not None:
         kwargs["filter"] = filter
+    # Ray's default parallelism floor (2 x CPUs) over-splits SMALL files:
+    # a 600 KB documents table lands in 64 ~80-row blocks, and every
+    # downstream stage pays 64 task schedules for microseconds of compute
+    # each. Cap tiny reads at 16 blocks (still full pipeline parallelism
+    # for token/vector kernels); files past the threshold keep Ray's own
+    # sizing, so at real scale (multi-GB inputs) nothing changes.
+    try:
+        if os.path.isfile(path) and os.path.getsize(path) < (8 << 20):
+            kwargs["override_num_blocks"] = 16
+    except OSError:
+        pass
     return ray.data.read_parquet(
         path,
         columns=columns,
