@@ -437,26 +437,31 @@ def q_nation_revenue(sf_dir: str, force: str | None = None):
 
     class AttachNation:
         """Broadcast dim lookup: keep only ASIA customers, attach n_name.
-        The dim is ~25 rows — shipped with the task fn, no actor pool."""
+        The dim is ~25 rows — shipped with the task fn, no actor pool;
+        probe is one searchsorted + Arrow take (kernels/lookup.py)."""
 
-        def __init__(self, nat_name):
-            self.nat_name = nat_name
+        def __init__(self, lut):
+            self.lut = lut
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            nk = pd.Series(batch.column("c_nationkey").to_numpy())
-            names = nk.map(self.nat_name)
-            mask = names.notna().to_numpy()
+            nk = batch.column("c_nationkey").to_numpy()
+            pos, mask = self.lut.probe(nk)
             return pa.table(
                 {
                     "c_custkey": batch.column("c_custkey").filter(pa.array(mask)),
-                    "n_name": pa.array(names[mask].tolist(), pa.string()),
+                    "n_name": self.lut.values.take(pa.array(pos[mask])),
                 }
             )
+
+    from ..kernels.lookup import IntLookup
 
     cust_scan = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     cust_bound = _scan_rooted_size(cust_scan)
     cust = cust_scan.map_batches(
-        AttachNation(dict(zip(nation_asia["n_nationkey"], nation_asia["n_name"]))),
+        AttachNation(IntLookup(
+            nation_asia["n_nationkey"].to_numpy(),
+            nation_asia["n_name"].tolist(),
+        )),
         batch_format="pyarrow",
     )
     orders_scan = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
@@ -8777,15 +8782,19 @@ def q_returned_items(sf_dir: str, force: str | None = None):
         right_size_hint=cust_bound, force=force,
     )
 
+    from ..kernels.lookup import IntLookup
+
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    nat_name = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    nat_lut = IntLookup(
+        nation["n_nationkey"].to_numpy(), nation["n_name"].tolist()
+    )
 
     class Finish:
-        def __init__(self, nat_name):
-            self.nat_name = nat_name
+        def __init__(self, nat_lut):
+            self.nat_lut = nat_lut
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            nk = pd.Series(batch.column("c_nationkey").to_numpy())
+            nk = batch.column("c_nationkey").to_numpy()
             bal_c = np.round(
                 batch.column("c_acctbal").to_numpy() * 100
             ).astype(np.int64)
@@ -8793,15 +8802,13 @@ def q_returned_items(sf_dir: str, force: str | None = None):
                 {
                     "c_custkey": batch.column("o_custkey"),
                     "c_name": batch.column("c_name"),
-                    "n_name": pa.array(
-                        nk.map(self.nat_name).tolist(), pa.string()
-                    ),
+                    "n_name": self.nat_lut.gather(nk),
                     "acctbal_c": pa.array(bal_c),
                     "revenue_s": batch.column("revenue_s"),
                 }
             )
 
-    out = j.map_batches(Finish(nat_name), batch_format="pyarrow")
+    out = j.map_batches(Finish(nat_lut), batch_format="pyarrow")
     return out.sort(
         ["revenue_s", "c_custkey"], descending=[True, False]
     ).limit(20)
@@ -9052,25 +9059,26 @@ def q_product_profit(sf_dir: str, force: str | None = None):
     code). Profit is pre-scaled per row BEFORE the join, so either plan
     carries (l_orderkey, n_name, profit_s) only; the (nation, year) regroup
     is a tiny combiner-tree exchange."""
+    from ..kernels.lookup import IntLookup
     from ..stages.joins import _scan_rooted_size, auto_join
 
     part = _read(
         sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"]
     ).to_pandas()
     red = part[part["p_name"].str.startswith("red")]
-    cost_c = dict(
-        zip(
-            red["p_partkey"].astype(np.int64),
-            np.round(red["p_retailprice"].to_numpy() * 100).astype(np.int64),
-        )
+    cost_c = IntLookup(
+        red["p_partkey"].to_numpy(),
+        np.round(red["p_retailprice"].to_numpy() * 100).astype(np.int64),
     )
     supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    nat_name = dict(zip(nation["n_nationkey"], nation["n_name"]))
-    supp_nation = {
-        int(s): nat_name[int(nk)]
-        for s, nk in zip(supp["s_suppkey"], supp["s_nationkey"])
-    }
+    nat_of = IntLookup(
+        nation["n_nationkey"].to_numpy(), nation["n_name"].tolist()
+    )
+    supp_nation = IntLookup(
+        supp["s_suppkey"].to_numpy(),
+        nat_of.gather(supp["s_nationkey"].to_numpy()),
+    )
 
     li = _read(
         sf_dir, "lineitem",
@@ -9084,10 +9092,9 @@ def q_product_profit(sf_dir: str, force: str | None = None):
             self.supp_nation = supp_nation
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            pk = pd.Series(batch.column("l_partkey").to_numpy())
-            cost = pk.map(self.cost_c)
-            mask = cost.notna().to_numpy()
-            cost = cost[mask].to_numpy().astype(np.int64)
+            pk = batch.column("l_partkey").to_numpy()
+            pos, mask = self.cost_c.probe(pk)
+            cost = self.cost_c.values[pos[mask]]
             q = np.round(
                 batch.column("l_quantity").to_numpy()[mask]
             ).astype(np.int64)
@@ -9095,15 +9102,13 @@ def q_product_profit(sf_dir: str, force: str | None = None):
             d = batch.column("l_discount").to_numpy()[mask]
             rev_s = np.round(ep * (1 - d) * 10000).astype(np.int64)
             profit_s = rev_s - cost * q * 100  # cents -> 1e4 scale
-            sk = pd.Series(batch.column("l_suppkey").to_numpy()[mask])
+            sk = batch.column("l_suppkey").to_numpy()[mask]
             return pa.table(
                 {
                     "l_orderkey": batch.column("l_orderkey").filter(
                         pa.array(mask)
                     ),
-                    "n_name": pa.array(
-                        sk.map(self.supp_nation).tolist(), pa.string()
-                    ),
+                    "n_name": self.supp_nation.gather(sk),
                     "profit_s": pa.array(profit_s),
                 }
             )
@@ -9294,14 +9299,16 @@ def q_promo_part_suppliers(sf_dir: str, force: str | None = None):
         {"n_over_parts": (None, "count"), "over_qty": ("q", "sum")},
     )
 
+    from ..kernels.lookup import IntLookup
+
     supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"]).to_pandas()
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    nat_name = dict(zip(nation["n_nationkey"], nation["n_name"]))
-    s_name = dict(zip(supp["s_suppkey"].astype(np.int64), supp["s_name"]))
-    s_nat = {
-        int(k): nat_name[int(v)]
-        for k, v in zip(supp["s_suppkey"], supp["s_nationkey"])
-    }
+    nat_of = IntLookup(
+        nation["n_nationkey"].to_numpy(), nation["n_name"].tolist()
+    )
+    sk_np = supp["s_suppkey"].to_numpy()
+    s_name = IntLookup(sk_np, supp["s_name"].tolist())
+    s_nat = IntLookup(sk_np, nat_of.gather(supp["s_nationkey"].to_numpy()))
 
     class Attach:
         def __init__(self, s_name, s_nat):
@@ -9309,12 +9316,12 @@ def q_promo_part_suppliers(sf_dir: str, force: str | None = None):
             self.s_nat = s_nat
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            sk = pd.Series(batch.column("l_suppkey").to_numpy())
+            sk = batch.column("l_suppkey").to_numpy()
             return pa.table(
                 {
                     "s_suppkey": batch.column("l_suppkey"),
-                    "s_name": pa.array(sk.map(self.s_name).tolist(), pa.string()),
-                    "n_name": pa.array(sk.map(self.s_nat).tolist(), pa.string()),
+                    "s_name": self.s_name.gather(sk),
+                    "n_name": self.s_nat.gather(sk),
                     "n_over_parts": batch.column("n_over_parts"),
                     "over_qty": batch.column("over_qty"),
                 }
