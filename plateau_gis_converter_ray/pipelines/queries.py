@@ -3312,6 +3312,178 @@ SELECT qid, doc_id, score_e6, rk FROM r WHERE rk <= 10
 
 
 # ---------------------------------------------------------------------------
+# Retrieval eval: NDCG@k of the BM25 ranking against graded term-overlap
+# relevance. Discount weights are precomputed integer rationals
+# w_i = round(1e9 / log2(i+1)) embedded verbatim in BOTH implementations,
+# so DCG / IDCG / NDCG are exact integers — no libm in the compare.
+
+_NDCG_K = 10
+_NDCG_W = [round(1e9 / np.log2(i + 1)) for i in range(1, _NDCG_K + 1)]
+
+
+def q_ndcg_at_k(sf_dir: str, query_ids=(1, 2, 3, 5), k: int = _NDCG_K):
+    """NDCG@k retrieval eval. Graded relevance rel(q, d) = number of the
+    query's distinct terms present in d (token-exact, off the shared
+    (doc, term, tf) dataset: one probe filter + a (qid, doc) combiner
+    count — the fact-sized work stays distributed). The IDEAL gain is the
+    global per-query top-k of rel (block prune + tiny per-qid final, the
+    bm25 pattern); the retrieved side joins rel onto the k-row ranked
+    lists on the driver (k x Q rows — inherently tiny)."""
+    from ..stages.treeagg import clean_arrow
+
+    tf = _doc_tf(sf_dir).materialize()
+
+    qdocs = {
+        int(r["doc_id"]): str(r["text"])
+        for r in _read(sf_dir, "documents", ["doc_id", "text"])
+        .filter(expr=f"doc_id in {list(query_ids)}")
+        .take_all()
+    }
+    qt = pd.DataFrame(
+        [
+            {"qid": qid, "term": t}
+            for qid in sorted(qdocs)
+            for t in sorted({w for w in qdocs[qid].split(" ")[:8] if w})
+        ]
+    )
+    qset = sorted(set(qt["term"]))
+
+    def probe(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.is_in(t.column("term"), pa.array(qset)))
+
+    def fanout(batch: pd.DataFrame) -> pa.Table:
+        m = batch.merge(qt, on="term")
+        if not len(m):
+            return pa.table({"qid": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64())})
+        return clean_arrow(m[["qid", "doc_id"]].astype(np.int64))
+
+    rel = tree_group_agg(
+        tf.map_batches(probe, batch_format="pyarrow")
+        .map_batches(fanout, batch_format="pandas"),
+        ["qid", "doc_id"], {"rel": (None, "count")},
+    ).materialize()
+
+    # ideal gain: global per-query top-k of rel (block prune -> tiny final)
+    def prune(batch: pd.DataFrame) -> pa.Table:
+        out = (
+            batch.sort_values(["qid", "rel", "doc_id"],
+                              ascending=[True, False, True])
+            .groupby("qid", as_index=False)
+            .head(k)
+        )
+        return clean_arrow(out)
+
+    ideal = (
+        rel.map_batches(prune, batch_format="pandas", batch_size=None)
+        .map_batches(prune, batch_format="pandas", batch_size=None)
+        .to_pandas()
+        .sort_values(["qid", "rel", "doc_id"], ascending=[True, False, True])
+        .groupby("qid", as_index=False)
+        .head(k)
+    )
+
+    ranked = q_bm25_search(sf_dir, query_ids, k).to_pandas()
+    # rel lookup for the k x Q retrieved pairs (driver-side by design)
+    rel_small = rel.filter(
+        expr=f"doc_id in {sorted(set(ranked['doc_id'].astype(int)))}"
+    ).to_pandas()
+    got = ranked.merge(rel_small, on=["qid", "doc_id"], how="left")
+    got["rel"] = got["rel"].fillna(0).astype(np.int64)
+
+    w = np.array(_NDCG_W, np.int64)
+    rows = []
+    for qid in sorted(qdocs):
+        g = got[got["qid"] == qid].sort_values("rk")
+        dcg = int(np.sum(g["rel"].to_numpy() * w[g["rk"].to_numpy() - 1]))
+        ig = ideal[ideal["qid"] == qid]["rel"].to_numpy()[:k]
+        idcg = int(np.sum(ig * w[: len(ig)]))
+        ndcg = 0 if idcg == 0 else dcg * 1_000_000 // idcg
+        rows.append((qid, dcg, idcg, ndcg))
+    return pa.table(
+        {
+            "qid": pa.array([r[0] for r in rows], pa.int64()),
+            "dcg_e9": pa.array([r[1] for r in rows], pa.int64()),
+            "idcg_e9": pa.array([r[2] for r in rows], pa.int64()),
+            "ndcg_e6": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
+def _sql_ndcg_at_k() -> str:
+    values = ", ".join(
+        f"({i + 1}, {w})" for i, w in enumerate(_NDCG_W)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok WHERE term <> '' GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1
+), stats AS (
+  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS tot FROM dl
+), q AS (
+  SELECT doc_id AS qid,
+         UNNEST(list_distinct(list_filter(
+           (string_split(text, ' '))[1:8], x -> x <> ''))) AS term
+  FROM documents WHERE doc_id IN (1, 2, 3, 5)
+), df AS (
+  SELECT term, COUNT(*) AS df FROM tf
+  WHERE term IN (SELECT term FROM q) GROUP BY 1
+), contrib AS (
+  SELECT q.qid, tf.doc_id,
+         CAST(FLOOR(
+           (1000000.0 * LN((CAST(s.n_docs AS DOUBLE) - df.df + 0.5)
+                           / (df.df + 0.5) + 1.0))
+           * (44.0 * tf.tf * s.tot)
+           / (20.0 * tf.tf * s.tot + 6.0 * s.tot + 18.0 * dl.dl * s.n_docs)
+         ) AS BIGINT) AS c
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+), score AS (
+  SELECT qid, doc_id, CAST(SUM(c) AS BIGINT) AS score_e6
+  FROM contrib GROUP BY 1, 2
+), r AS (
+  SELECT qid, doc_id, score_e6,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY score_e6 DESC, doc_id ASC) AS rk
+  FROM score
+), rel AS (
+  SELECT q.qid, tf.doc_id, CAST(COUNT(*) AS BIGINT) AS rel
+  FROM q JOIN tf ON tf.term = q.term GROUP BY 1, 2
+), w(i, w) AS (
+  VALUES {values}
+), dcg AS (
+  SELECT r.qid, SUM(COALESCE(rel.rel, 0) * w.w) AS dcg_e9
+  FROM r JOIN w ON w.i = r.rk
+  LEFT JOIN rel ON rel.qid = r.qid AND rel.doc_id = r.doc_id
+  WHERE r.rk <= {_NDCG_K} GROUP BY 1
+), ideal AS (
+  SELECT qid, rel,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY rel DESC, doc_id ASC) AS irk
+  FROM rel
+), idcg AS (
+  SELECT qid, SUM(rel * w.w) AS idcg_e9
+  FROM ideal JOIN w ON w.i = ideal.irk
+  WHERE irk <= {_NDCG_K} GROUP BY 1
+)
+SELECT d.qid, CAST(d.dcg_e9 AS BIGINT) AS dcg_e9,
+       CAST(i.idcg_e9 AS BIGINT) AS idcg_e9,
+       CAST(CASE WHEN i.idcg_e9 = 0 THEN 0
+                 ELSE (d.dcg_e9 * 1000000) // i.idcg_e9 END AS BIGINT)
+           AS ndcg_e6
+FROM dcg d JOIN idcg i USING (qid)
+"""
+
+
+# ---------------------------------------------------------------------------
 # 49. PageRank over the near-dup pair graph — the repo's iterative
 # bulk-synchronous dataflow: 5 power-iteration rounds, each ONE hash-join
 # exchange (rank -> out-edges) + ONE combiner-tree aggregate (sum of
@@ -9609,6 +9781,113 @@ FROM r WHERE rn = 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Tile-grid neighbor smoothing: 3x3 stencil over z10 WebMercator tile counts
+# (the tile-seam blending shape: a raster stencil over a SHUFFLED grid).
+
+
+def q_tile_neighbor_smooth(sf_dir: str):
+    """Per-tile event density smoothed over the 3x3 tile neighborhood.
+    Stage 1 reduces events to per-tile counts (the only fact-sized
+    exchange, combiner tree). Stage 2 is scatter-to-neighbors: each tile
+    emits 9 (neighbor-position, c_self, c_sm) rows and ONE second
+    combiner-tree sum realizes every 3x3 window — no self-join, no range
+    join; the stencil exchange is 9x the already-reduced TILE table, never
+    9x the facts. Positions that are not themselves occupied tiles drop at
+    the c_self>0 filter, matching the SQL inner self-join semantics."""
+    ds = _read(sf_dir, "events", ["event_id"])
+    ds = ds.map_batches(
+        lambda b: add_lnglat_arith(b, "event_id"), batch_format="pyarrow"
+    )
+    ds = ds.map_batches(lambda b: assign_webmercator(b, 10), batch_format="pyarrow")
+
+    def pack(batch: pa.Table) -> pa.Table:
+        x = batch.column("tile_x").to_numpy()
+        y = batch.column("tile_y").to_numpy()
+        return pa.table({"k": pa.array(x * 1024 + y)})
+
+    counts = tree_group_agg(
+        ds.map_batches(pack, batch_format="pyarrow"),
+        ["k"], {"n": (None, "count")},
+    )
+
+    _DX = np.array([-1, -1, -1, 0, 0, 0, 1, 1, 1], np.int64)
+    _DY = np.array([-1, 0, 1, -1, 0, 1, -1, 0, 1], np.int64)
+
+    def scatter(batch: pa.Table) -> pa.Table:
+        k = batch.column("k").to_numpy()
+        n = batch.column("n").to_numpy()
+        x, y = k // 1024, k % 1024
+        m = len(k)
+        dx = np.repeat(_DX, m)
+        dy = np.repeat(_DY, m)
+        # +1 shift keeps x=0/y=0 edge positions non-negative; out-of-grid
+        # positions never coincide with a real tile and die at the filter
+        px = np.tile(x, 9) + dx + 1
+        py = np.tile(y, 9) + dy + 1
+        nc = np.tile(n, 9)
+        center = (dx == 0) & (dy == 0)
+        return pa.table(
+            {
+                "pk": pa.array(px * 2048 + py),
+                "c_self": pa.array(np.where(center, nc, 0)),
+                "c_sm": pa.array(nc),
+            }
+        )
+
+    sm = tree_group_agg(
+        counts.map_batches(scatter, batch_format="pyarrow"),
+        ["pk"], {"n": ("c_self", "sum"), "smooth_n": ("c_sm", "sum")},
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        pk = batch.column("pk").to_numpy()
+        n = batch.column("n").to_numpy()
+        keep = n > 0
+        pk = pk[keep]
+        return pa.table(
+            {
+                "tile_x": pa.array(pk // 2048 - 1),
+                "tile_y": pa.array(pk % 2048 - 1),
+                "n": pa.array(n[keep]),
+                "smooth_n": batch.column("smooth_n").filter(pa.array(keep)),
+            }
+        )
+
+    return sm.map_batches(finish, batch_format="pyarrow")
+
+
+def q_compression_ratio(sf_dir: str):
+    """Per-doc zlib compressibility quality signal
+    (stages/text.py::CompressionRatio, the RefinedWeb-family heuristic) —
+    zero exchanges, the deflate call is the stage. Rows-only (SQL has no
+    zlib); pinned against a direct zlib recompute in pytest."""
+    from ..stages.text import CompressionRatio
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        CompressionRatio(), batch_format="pyarrow"
+    )
+
+
+def _sql_tile_neighbor_smooth() -> str:
+    lng, lat = _geo_sql("event_id")
+    return f"""
+WITH pts AS (
+  SELECT {lng} AS lng, {lat} AS lat FROM events
+), t AS (
+  SELECT CAST(FLOOR((lng + 180.0) / 360.0 * 1024) AS BIGINT) AS x,
+         CAST(FLOOR(((-(DEGREES(LN(TAN(RADIANS(90.0 + lat) / 2.0)))) + 180.0) / 360.0) * 1024) AS BIGINT) AS y,
+         COUNT(*) AS n
+  FROM pts GROUP BY 1, 2
+)
+SELECT a.x AS tile_x, a.y AS tile_y, a.n AS n,
+       CAST(SUM(b.n) AS BIGINT) AS smooth_n
+FROM t a JOIN t b ON b.x BETWEEN a.x - 1 AND a.x + 1
+                 AND b.y BETWEEN a.y - 1 AND a.y + 1
+GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "tile_wm_z12": q_tile_wm_z12,
     "tile_3dt_z7": q_tile_3dt_z7,
@@ -9747,6 +10026,9 @@ QUERIES = {
     "mutual_knn_pairs": q_mutual_knn_pairs,
     "weighted_median": q_weighted_median,
     "gini_order_values": q_gini_order_values,
+    "tile_neighbor_smooth": q_tile_neighbor_smooth,
+    "ndcg_at_k": q_ndcg_at_k,
+    "compression_ratio": q_compression_ratio,
     "negative_sampling": q_negative_sampling,
     "priority_sample": q_priority_sample,
     "auc_exact": q_auc_exact,
@@ -9886,6 +10168,8 @@ ORACLES = {
     "mutual_knn_pairs": _SQL_MUTUAL_KNN,
     "weighted_median": _SQL_WEIGHTED_MEDIAN,
     "gini_order_values": _SQL_GINI,
+    "tile_neighbor_smooth": _sql_tile_neighbor_smooth(),
+    "ndcg_at_k": _sql_ndcg_at_k(),
     "negative_sampling": _SQL_NEGATIVE_SAMPLING,
     "priority_sample": _SQL_PRIORITY_SAMPLE,
     "auc_exact": _SQL_AUC_EXACT,

@@ -170,3 +170,45 @@ class Signatures:
         out = out.append_column("simhash", pa.array(simhashes))
         out = out.append_column("fingerprint", pa.array(fps))
         return out
+
+
+class CompressionRatio:
+    """zlib compressibility quality signal (the RefinedWeb/Gopher-family
+    heuristic: highly repetitive machine-generated text compresses far
+    below natural prose; incompressible noise sits near 1.0). The deflate
+    call is inherently per-payload (like image decode) but runs at C
+    speed; everything around it is vectorized. ``keep`` flags docs whose
+    ratio_e6 = comp_len * 1e6 // raw_len falls inside [lo_e6, hi_e6].
+
+    Integer-exact and deterministic for a fixed zlib level, so the pytest
+    twin recomputes it directly."""
+
+    def __init__(self, level: int = 6,
+                 lo_e6: int = 250_000, hi_e6: int = 800_000):
+        import zlib
+
+        self.compress = zlib.compress
+        self.level = level
+        self.lo = lo_e6
+        self.hi = hi_e6
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = [t.encode() for t in batch.column("text").to_pylist()]
+        raw = np.fromiter((len(t) for t in texts), np.int64, len(texts))
+        comp = np.fromiter(
+            (len(self.compress(t, self.level)) for t in texts),
+            np.int64, len(texts),
+        )
+        ratio = np.where(
+            raw > 0, comp * 1_000_000 // np.maximum(raw, 1), 1_000_000
+        ).astype(np.int64)
+        keep = (ratio >= self.lo) & (ratio <= self.hi)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "raw_len": pa.array(raw),
+                "comp_len": pa.array(comp),
+                "ratio_e6": pa.array(ratio),
+                "keep": pa.array(keep),
+            }
+        )
