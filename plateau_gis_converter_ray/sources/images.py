@@ -160,10 +160,20 @@ def ensure_image_table(sf: float, base: str = "/tmp/plateau_ray_data") -> str:
 
 
 def read_images(path: str, columns: list[str] | None = None):
-    """Read the image table as a Dataset, pruning columns at the read."""
+    """Read the image table as a Dataset, pruning columns at the read.
+
+    Metadata-only projections (no ``bytes`` column) are tiny — Ray's
+    2x-CPU parallelism floor would split a 60k-row caption read into 200+
+    ~300-row blocks, and every downstream stage pays a task schedule per
+    block for microseconds of compute. Cap those reads at 32 blocks
+    (files coalesce into read tasks); payload reads keep Ray's own sizing
+    so decode memory stays bounded per block."""
     import ray.data
 
     paths = [
         os.path.join(path, f) for f in sorted(os.listdir(path)) if f.endswith(".parquet")
     ]
-    return ray.data.read_parquet(paths, columns=columns)
+    kwargs = {}
+    if columns and "bytes" not in columns:
+        kwargs["override_num_blocks"] = min(32, max(1, len(paths)))
+    return ray.data.read_parquet(paths, columns=columns, **kwargs)
