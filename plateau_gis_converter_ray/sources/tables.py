@@ -71,7 +71,15 @@ def read_table(
     # for token/vector kernels); files past the threshold keep Ray's own
     # sizing, so at real scale (multi-GB inputs) nothing changes.
     try:
-        if os.path.isfile(path) and os.path.getsize(path) < (8 << 20):
+        if os.path.isfile(path):
+            size = os.path.getsize(path)
+        else:  # stage-output dir: sum the part files (O(#files) metadata)
+            size = sum(
+                e.stat().st_size
+                for e in os.scandir(path)
+                if e.name.endswith(".parquet")
+            )
+        if size < (8 << 20):
             kwargs["override_num_blocks"] = 16
     except OSError:
         pass
