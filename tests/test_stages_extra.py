@@ -109,7 +109,11 @@ def test_raster_vector_clip_coverage():
     assert row0["covered_pixels"] == row0["total_pixels"]
     px = synth_pixels(0, int(batch.column("w")[0].as_py()), int(batch.column("h")[0].as_py()))
     import numpy as _np
-    expect = int(round(float(px.astype(_np.float64).mean(axis=2).mean()) * 100))
+    # exact integer-rational mean: round(100 * sum(channels) / (3 * pixels))
+    w_, h_ = int(batch.column("w")[0].as_py()), int(batch.column("h")[0].as_py())
+    expect = int(_np.round(
+        100.0 * px.astype(_np.int64).sum() / (3.0 * w_ * h_)
+    ))
     assert row0["masked_mean_c"] == expect
 
 
