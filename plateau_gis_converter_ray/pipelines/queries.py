@@ -3198,13 +3198,13 @@ def q_bm25_search(sf_dir: str, query_ids=(1, 2, 3, 5), k: int = 10):
 
         return t.filter(pc.is_in(t.column("term"), pa.array(qset)))
 
-    dfq = (
-        tree_group_agg(
-            tf.map_batches(probe_df, batch_format="pyarrow"),
-            ["term"], {"df": (None, "count")},
-        )
-        .to_pandas()
-    )
+    # ONE scan of tf feeds both the df counts and the probe side (the
+    # filtered slice is query-term-bounded, so materializing it is tiny)
+    filt = tf.map_batches(probe_df, batch_format="pyarrow").materialize()
+
+    dfq = tree_group_agg(
+        filt, ["term"], {"df": (None, "count")},
+    ).to_pandas()
     coef = {
         r["term"]: 1000000.0
         * math.log(
@@ -3215,9 +3215,23 @@ def q_bm25_search(sf_dir: str, query_ids=(1, 2, 3, 5), k: int = 10):
     }
     qt = qt[qt["term"].isin(coef)].reset_index(drop=True)
 
-    probe = tf.map_batches(probe_df, batch_format="pyarrow").join(
-        dl, "inner", num_partitions=JOIN_PARTS, on=("doc_id",)
-    )
+    # dl attach: broadcast searchsorted gather when the doc-length table
+    # fits the budget (measured on the materialized table); the shuffle
+    # hash join stays the fallback at scale
+    dl_lookup = None
+    if dl.size_bytes() <= (64 << 20):
+        from ..kernels.lookup import IntLookup
+
+        dl_df = dl.to_pandas()
+        dl_lookup = IntLookup(
+            dl_df["doc_id"].to_numpy().astype(np.int64),
+            dl_df["dl"].to_numpy().astype(np.int64),
+        )
+        probe = filt
+    else:
+        probe = filt.join(
+            dl, "inner", num_partitions=JOIN_PARTS, on=("doc_id",)
+        )
     tot_f, n_f = float(tot), float(n_docs)
     qt_small = qt.copy()
 
@@ -3228,7 +3242,12 @@ def q_bm25_search(sf_dir: str, query_ids=(1, 2, 3, 5), k: int = 10):
                              "doc_id": pa.array([], pa.int64()),
                              "c": pa.array([], pa.int64())})
         tf_f = m["tf"].to_numpy().astype(np.float64)
-        dl_f = m["dl"].to_numpy().astype(np.float64)
+        if dl_lookup is not None:
+            dl_f = dl_lookup.gather(
+                m["doc_id"].to_numpy(np.int64)
+            ).astype(np.float64)
+        else:
+            dl_f = m["dl"].to_numpy().astype(np.float64)
         c_arr = m["term"].map(coef).to_numpy(np.float64)
         num = (44.0 * tf_f) * tot_f
         den = (20.0 * tf_f) * tot_f + 6.0 * tot_f + (18.0 * dl_f) * n_f
@@ -8491,7 +8510,17 @@ FROM s
 # partitioned hash join when the pair set outgrows the limit).
 
 
-def q_negative_sampling(sf_dir: str, k: int = 4):
+def q_negative_sampling(sf_dir: str, k: int = 4, fast: bool | None = None):
+    """Deterministic negative sampling with a size-gated SEMI-JOIN
+    PUSHDOWN: the candidate (user, part) pk set is a pure function of the
+    distinct user set (k x |users| int64s), so when its MEASURED size
+    fits the broadcast budget the positives resolve by filtering the
+    purchase pairs against the broadcast sorted candidate array BEFORE
+    any distinct — the pos exchange then carries only actual candidate
+    hits (tiny) and the left join disappears entirely (the flag attaches
+    by searchsorted inside the explode map). The distinct-pos + shuffle
+    left-join plan remains the fallback at scale (``fast=False`` pins
+    it; ``fast=True`` pins the pushdown — pytest compares both)."""
     import os as _os
 
     import pyarrow.parquet as _pq
@@ -8509,22 +8538,70 @@ def q_negative_sampling(sf_dir: str, k: int = 4):
     )
 
     # the (user, part) pair packs into ONE int64 (part < n_parts by
-    # construction), so the distinct exchange carries 8 bytes/row and the
-    # membership attach below merges on a single integer key
+    # construction), so every exchange/probe below carries 8 bytes/row
     def pack(batch: pa.Table, n=n_parts) -> pa.Table:
         u = batch.column("o_custkey").to_numpy().astype(np.int64)
         p = batch.column("l_partkey").to_numpy().astype(np.int64)
         return pa.table({"pk": pa.array(u * n + p)})
 
+    users = tree_group_agg(
+        _read(sf_dir, "orders", ["o_custkey"]), ["o_custkey"],
+        {"nu": (None, "count")},
+    ).materialize()
+
+    if fast is None:
+        fast = users.count() * k * 8 <= (64 << 20)
+
+    if fast:
+        from ..kernels.lookup import IntLookup
+
+        u_arr = (
+            users.to_pandas()["o_custkey"].to_numpy().astype(np.int64)
+        )
+        uu = np.repeat(u_arr, k)
+        ss = np.tile(np.arange(k, dtype=np.int64), len(u_arr))
+        cand_pk = uu * n_parts + (uu * 9973 + ss * 7919) % n_parts
+        uniq = np.unique(cand_pk)
+        cand_set = IntLookup(uniq, np.zeros(len(uniq)))
+
+        def hit_filter(batch: pa.Table, lk=cand_set) -> pa.Table:
+            pk = batch.column("pk").to_numpy()
+            _, hit = lk.probe(pk)
+            return batch.filter(pa.array(hit))
+
+        hits = tree_group_agg(
+            pairs.map_batches(pack, batch_format="pyarrow").map_batches(
+                hit_filter, batch_format="pyarrow"
+            ),
+            ["pk"], {"np": (None, "count")},
+        ).to_pandas()
+        hit_pk = (
+            hits["pk"].to_numpy().astype(np.int64)
+            if "pk" in hits.columns
+            else np.zeros(0, dtype=np.int64)
+        )
+        hit_set = IntLookup(hit_pk, np.zeros(len(hit_pk)))
+
+        def explode_flag(batch: pa.Table, k=k, n=n_parts,
+                         lk=hit_set) -> pa.Table:
+            u = np.repeat(
+                batch.column("o_custkey").to_numpy().astype(np.int64), k
+            )
+            slot = np.tile(np.arange(k, dtype=np.int64), batch.num_rows)
+            cand = (u * 9973 + slot * 7919) % n
+            _, hit = lk.probe(u * n + cand)
+            return pa.table(
+                {"user_id": pa.array(u), "slot": pa.array(slot),
+                 "cand_part": pa.array(cand),
+                 "is_positive": pa.array(hit.astype(np.int64))}
+            )
+
+        return users.map_batches(explode_flag, batch_format="pyarrow")
+
     pos = tree_group_agg(
         pairs.map_batches(pack, batch_format="pyarrow"),
         ["pk"], {"np": (None, "count")},
     ).materialize()
-
-    users = tree_group_agg(
-        _read(sf_dir, "orders", ["o_custkey"]), ["o_custkey"],
-        {"nu": (None, "count")},
-    )
 
     def explode(batch: pa.Table, k=k, n=n_parts) -> pa.Table:
         u = np.repeat(batch.column("o_custkey").to_numpy().astype(np.int64), k)

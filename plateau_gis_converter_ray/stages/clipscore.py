@@ -25,8 +25,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..kernels.imagecodec import block_means_u8, decode_image, phash64_batch
-from .decode import binary_views
+from ..kernels.imagecodec import block_means_u8, phash64_batch
+from .decode import binary_views, decode_group_stack
 
 DIM = 64
 
@@ -65,9 +65,7 @@ def image_tower(batch: pa.Table) -> np.ndarray:
         groups.setdefault((fmts[i], int(ws[i]), int(hs[i])), []).append(i)
     shifts = np.arange(DIM, dtype=np.uint64)
     for (fmt, w, h), rows in groups.items():
-        stack = np.empty((len(rows), h, w, 3), dtype=np.uint8)
-        for j, i in enumerate(rows):
-            stack[j] = decode_image(blobs[i], fmt, w, h)
+        stack = decode_group_stack(blobs, rows, fmt, w, h)
         ph = phash64_batch(block_means_u8(stack)).astype(np.uint64)
         b = ((ph[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
         bits[np.array(rows)] = b * 2 - 1

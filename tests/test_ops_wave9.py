@@ -120,3 +120,28 @@ def test_compression_ratio_matches_zlib(ray_session):
     )
     # the signal separates: ratios are not all identical
     assert got["ratio_e6"].nunique() > 1
+
+
+def test_negative_sampling_pushdown_equals_join_plan(ray_session):
+    """The size-gated semi-join pushdown (broadcast candidate pk set,
+    flag via searchsorted) must emit EXACTLY the distinct-pos + shuffle
+    left-join fallback's rows — both paths forced."""
+    from plateau_gis_converter_ray.pipelines.queries import (
+        q_negative_sampling,
+    )
+
+    cols = ["user_id", "slot", "cand_part", "is_positive"]
+    fast = (
+        _pdf(q_negative_sampling(SF_SMALL, fast=True))[cols]
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+    slow = (
+        _pdf(q_negative_sampling(SF_SMALL, fast=False))[cols]
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        fast.astype("int64"), slow.astype("int64")
+    )
+    assert fast["is_positive"].sum() > 0  # the flag actually fires
