@@ -2275,6 +2275,11 @@ def _doc_tf(sf_dir: str):
         ).filter(keep)
 
     tok = ds.map_batches(tokens, batch_format="pyarrow")
+    # NOTE: the agg tree ends at ONE block. Consumers doing only light
+    # per-block work (probe filters, tiny aggs) are FASTER on the single
+    # block than paying a re-split exchange (measured: repartition(32)
+    # here regressed bm25/top_terms by ~0.6s); consumers with heavy
+    # downstream compute re-split themselves (see stages/fuzzy.py).
     return tree_group_agg(tok, ["doc_id", "term"], {"tf": (None, "count")})
 
 
@@ -3152,12 +3157,14 @@ GROUP BY g.doc_id
 # a <=32-row driver table).
 
 
-def q_bm25_search(sf_dir: str, query_ids=(1, 2, 3, 5), k: int = 10):
+def q_bm25_search(sf_dir: str, query_ids=(1, 2, 3, 5), k: int = 10,
+                  tf=None):
     import math
 
     from ..stages.treeagg import clean_arrow, tree_group_agg
 
-    tf = _doc_tf(sf_dir).materialize()
+    if tf is None:
+        tf = _doc_tf(sf_dir).materialize()
     dl = tree_group_agg(tf, ["doc_id"], {"dl": ("tf", "sum")}).materialize()
 
     # corpus scalars (N docs, total tokens): one row per block -> driver
@@ -3404,7 +3411,7 @@ def q_ndcg_at_k(sf_dir: str, query_ids=(1, 2, 3, 5), k: int = _NDCG_K):
         .head(k)
     )
 
-    ranked = q_bm25_search(sf_dir, query_ids, k).to_pandas()
+    ranked = q_bm25_search(sf_dir, query_ids, k, tf=tf).to_pandas()
     # rel lookup for the k x Q retrieved pairs (driver-side by design)
     rel_small = rel.filter(
         expr=f"doc_id in {sorted(set(ranked['doc_id'].astype(int)))}"

@@ -153,10 +153,14 @@ def fuzzy_token_join(sf: float, n_buckets: int = 64):
         flat = pc.list_flatten(toks)
         return pa.table({"term": flat}).filter(pc.not_equal(flat, ""))
 
+    # tree_group_agg ends at ONE block (its merge tree's last level); the
+    # whole fanout -> sort -> verify chain would inherit that and run as
+    # a single serial task. Re-split the tiny vocab so the deletion
+    # fan-out and the per-bucket verify parallelize (32 ~2k-row blocks).
     vocab = tree_group_agg(
         ds.map_batches(tokens, batch_format="pyarrow"),
         ["term"], {"n": (None, "count")},
-    )
+    ).repartition(32)
 
     def fanout(batch: pa.Table) -> pa.Table:
         terms = np.asarray(batch.column("term").to_pylist(), dtype=object)
