@@ -66,10 +66,12 @@ def read_table(
         kwargs["filter"] = filter
     # Ray's default parallelism floor (2 x CPUs) over-splits SMALL files:
     # a 600 KB documents table lands in 64 ~80-row blocks, and every
-    # downstream stage pays 64 task schedules for microseconds of compute
-    # each. Cap tiny reads at 16 blocks (still full pipeline parallelism
-    # for token/vector kernels); files past the threshold keep Ray's own
-    # sizing, so at real scale (multi-GB inputs) nothing changes.
+    # downstream stage pays a task schedule per block for microseconds of
+    # compute each (~8 ms/block measured: a 10 MiB lineitem scan is 0.60s
+    # at 64 blocks vs 0.27s at 16). Target ~2 MiB/block with a 16-block
+    # parallelism floor, and only when that lands BELOW Ray's own floor —
+    # files big enough that Ray would already choose >= 64 blocks keep
+    # Ray's sizing, so at real scale (multi-GB inputs) nothing changes.
     try:
         if os.path.isfile(path):
             size = os.path.getsize(path)
@@ -79,8 +81,9 @@ def read_table(
                 for e in os.scandir(path)
                 if e.name.endswith(".parquet")
             )
-        if size < (8 << 20):
-            kwargs["override_num_blocks"] = 16
+        blocks = max(16, size // (2 << 20))
+        if blocks < 64:
+            kwargs["override_num_blocks"] = int(blocks)
     except OSError:
         pass
     return ray.data.read_parquet(
