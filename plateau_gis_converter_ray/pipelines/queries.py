@@ -2288,10 +2288,22 @@ def q_top_terms(sf_dir: str, k: int = 3):
     # once so the tokenize + combiner tree doesn't execute twice (blocks
     # stay in the object store and spill — no driver copy)
     tf = _doc_tf(sf_dir).materialize()
-    df = tree_group_agg(tf, ["term"], {"df": (None, "count")})
-    joined = tf.join(
-        df, "inner", num_partitions=JOIN_PARTS, on=("term",)
-    )
+    df = tree_group_agg(tf, ["term"], {"df": (None, "count")}).materialize()
+    # df is vocabulary-bounded: broadcast it as a per-batch pandas hash
+    # merge when its MEASURED size fits, and re-split the 1-block tf so
+    # the prune sort parallelizes; the shuffle join stays the fallback
+    if df.size_bytes() <= (64 << 20):
+        df_pd = df.to_pandas()
+        from ..stages.treeagg import clean_arrow as _ca
+
+        joined = tf.repartition(16).map_batches(
+            lambda g: _ca(g.merge(df_pd, on="term")),
+            batch_format="pandas", batch_size=None,
+        )
+    else:
+        joined = tf.join(
+            df, "inner", num_partitions=JOIN_PARTS, on=("term",)
+        )
 
     def block_prune(g: pd.DataFrame) -> pa.Table:
         from ..stages.treeagg import clean_arrow
