@@ -40,6 +40,12 @@ def _read(sf_dir: str, table: str, columns=None, filter=None):
 # scales with node count, like every explicit partition count in the repo
 JOIN_PARTS = 4
 
+# One knob for every size-gated broadcast fast path (df tables, candidate
+# key sets, dl lookups, vocab marginals): MEASURED bytes must fit
+# comfortably in a worker heap next to its batch; past it, the query falls
+# back to its shuffle/join plan.
+BROADCAST_BUDGET = 64 << 20
+
 
 def _geo_sql(id_expr: str) -> str:
     lng = GEOCODE_SQL["lng"].format(id=id_expr)
@@ -2292,7 +2298,7 @@ def q_top_terms(sf_dir: str, k: int = 3):
     # df is vocabulary-bounded: broadcast it as a per-batch pandas hash
     # merge when its MEASURED size fits, and re-split the 1-block tf so
     # the prune sort parallelizes; the shuffle join stays the fallback
-    if df.size_bytes() <= (64 << 20):
+    if df.size_bytes() <= BROADCAST_BUDGET:
         df_pd = df.to_pandas()
         from ..stages.treeagg import clean_arrow as _ca
 
@@ -3238,7 +3244,7 @@ def q_bm25_search(sf_dir: str, query_ids=(1, 2, 3, 5), k: int = 10,
     # fits the budget (measured on the materialized table); the shuffle
     # hash join stays the fallback at scale
     dl_lookup = None
-    if dl.size_bytes() <= (64 << 20):
+    if dl.size_bytes() <= BROADCAST_BUDGET:
         from ..kernels.lookup import IntLookup
 
         dl_df = dl.to_pandas()
@@ -5470,7 +5476,7 @@ def q_source_kl_divergence(sf_dir: str):
     stot = tree_group_agg(sw, ["source"], {"ns": ("c", "sum")}).to_pandas()
     ns_of = dict(zip(stot["source"], stot["ns"]))
     n_total = int(stot["ns"].sum())
-    broadcast_vocab = (wtot_ds.size_bytes() or 0) <= (64 << 20)
+    broadcast_vocab = (wtot_ds.size_bytes() or 0) <= BROADCAST_BUDGET
 
     if broadcast_vocab:
         wtot = wtot_ds.to_pandas()
@@ -8569,24 +8575,32 @@ def q_negative_sampling(sf_dir: str, k: int = 4, fast: bool | None = None):
     ).materialize()
 
     if fast is None:
-        fast = users.count() * k * 8 <= (64 << 20)
+        fast = users.count() * k * 8 <= BROADCAST_BUDGET
 
     if fast:
-        from ..kernels.lookup import IntLookup
-
         u_arr = (
             users.to_pandas()["o_custkey"].to_numpy().astype(np.int64)
         )
-        uu = np.repeat(u_arr, k)
-        ss = np.tile(np.arange(k, dtype=np.int64), len(u_arr))
-        cand_pk = uu * n_parts + (uu * 9973 + ss * 7919) % n_parts
-        uniq = np.unique(cand_pk)
-        cand_set = IntLookup(uniq, np.zeros(len(uniq)))
+        # slot-wise fill + in-place sort: driver peak stays ~1x the gated
+        # candidate-set size (no repeat/tile/unique/argsort temporaries)
+        cand_pk = np.empty(len(u_arr) * k, dtype=np.int64)
+        for s_ in range(k):
+            cand_pk[s_ * len(u_arr):(s_ + 1) * len(u_arr)] = (
+                u_arr * n_parts + (u_arr * 9973 + s_ * 7919) % n_parts
+            )
+        cand_pk.sort()  # duplicates are harmless to a membership probe
 
-        def hit_filter(batch: pa.Table, lk=cand_set) -> pa.Table:
+        def _member(sorted_keys: np.ndarray, probe: np.ndarray):
+            if not len(sorted_keys):
+                return np.zeros(len(probe), dtype=bool)
+            pos = np.minimum(
+                np.searchsorted(sorted_keys, probe), len(sorted_keys) - 1
+            )
+            return sorted_keys[pos] == probe
+
+        def hit_filter(batch: pa.Table, ck=cand_pk) -> pa.Table:
             pk = batch.column("pk").to_numpy()
-            _, hit = lk.probe(pk)
-            return batch.filter(pa.array(hit))
+            return batch.filter(pa.array(_member(ck, pk)))
 
         hits = tree_group_agg(
             pairs.map_batches(pack, batch_format="pyarrow").map_batches(
@@ -8599,16 +8613,16 @@ def q_negative_sampling(sf_dir: str, k: int = 4, fast: bool | None = None):
             if "pk" in hits.columns
             else np.zeros(0, dtype=np.int64)
         )
-        hit_set = IntLookup(hit_pk, np.zeros(len(hit_pk)))
+        hit_pk.sort()
 
         def explode_flag(batch: pa.Table, k=k, n=n_parts,
-                         lk=hit_set) -> pa.Table:
+                         hk=hit_pk) -> pa.Table:
             u = np.repeat(
                 batch.column("o_custkey").to_numpy().astype(np.int64), k
             )
             slot = np.tile(np.arange(k, dtype=np.int64), batch.num_rows)
             cand = (u * 9973 + slot * 7919) % n
-            _, hit = lk.probe(u * n + cand)
+            hit = _member(hk, u * n + cand)
             return pa.table(
                 {"user_id": pa.array(u), "slot": pa.array(slot),
                  "cand_part": pa.array(cand),

@@ -162,12 +162,17 @@ def ensure_image_table(sf: float, base: str = "/tmp/plateau_ray_data") -> str:
 def read_images(path: str, columns: list[str] | None = None):
     """Read the image table as a Dataset, pruning columns at the read.
 
-    Metadata-only projections (no ``bytes`` column) are tiny — Ray's
-    2x-CPU parallelism floor would split a 60k-row caption read into 200+
-    ~300-row blocks, and every downstream stage pays a task schedule per
-    block for microseconds of compute. Cap those reads at 32 blocks
-    (files coalesce into read tasks); payload reads keep Ray's own sizing
-    so decode memory stays bounded per block."""
+    Metadata-only projections (no ``bytes`` column) are tiny AT SMALL
+    TABLE SIZES — Ray's 2x-CPU parallelism floor would split a 60k-row
+    caption read into 200+ ~300-row blocks, and every downstream stage
+    pays a task schedule per block for microseconds of compute. Cap
+    those reads at 32 blocks, but ONLY when the table's measured bytes
+    say the projection is actually small (<= 256 MiB of payload table
+    ~= a few MiB of metadata columns): at large sf the caption
+    projection is itself multi-GB and must keep Ray's sizing or the cap
+    would bound cluster parallelism at 32 tasks and balloon per-block
+    memory. Payload reads always keep Ray's own sizing so decode memory
+    stays bounded per block."""
     import ray.data
 
     paths = [
@@ -175,5 +180,10 @@ def read_images(path: str, columns: list[str] | None = None):
     ]
     kwargs = {}
     if columns and "bytes" not in columns:
-        kwargs["override_num_blocks"] = min(32, max(1, len(paths)))
+        try:
+            total = sum(os.path.getsize(p) for p in paths)
+        except OSError:
+            total = 1 << 62
+        if total <= (256 << 20):
+            kwargs["override_num_blocks"] = min(32, max(1, len(paths)))
     return ray.data.read_parquet(paths, columns=columns, **kwargs)

@@ -68,10 +68,11 @@ def read_table(
     # a 600 KB documents table lands in 64 ~80-row blocks, and every
     # downstream stage pays a task schedule per block for microseconds of
     # compute each (~8 ms/block measured: a 10 MiB lineitem scan is 0.60s
-    # at 64 blocks vs 0.27s at 16). Target ~2 MiB/block with a 16-block
-    # parallelism floor, and only when that lands BELOW Ray's own floor —
-    # files big enough that Ray would already choose >= 64 blocks keep
-    # Ray's sizing, so at real scale (multi-GB inputs) nothing changes.
+    # at 64 blocks vs 0.27s at 16). Cap reads under 32 MiB at 16 blocks
+    # (>= 2 MiB per block; 16-way still saturates the per-block fixed
+    # cost for data this small). Anything larger keeps Ray's own sizing
+    # unconditionally — the cap can never reduce read parallelism for a
+    # file a cluster would meaningfully split, on any machine size.
     try:
         if os.path.isfile(path):
             size = os.path.getsize(path)
@@ -81,9 +82,8 @@ def read_table(
                 for e in os.scandir(path)
                 if e.name.endswith(".parquet")
             )
-        blocks = max(16, size // (2 << 20))
-        if blocks < 64:
-            kwargs["override_num_blocks"] = int(blocks)
+        if size < (32 << 20):
+            kwargs["override_num_blocks"] = 16
     except OSError:
         pass
     return ray.data.read_parquet(

@@ -223,21 +223,31 @@ class RasterVectorClip:
         intersect an axis-aligned box only if their bboxes overlap AND the
         box corners straddle the segment's infinite line. False ⇒ provably
         no crossing; True may be a near miss (grid path handles it)."""
-        ax, ay, bx, by = self._edges[j]
-        exm, exM = np.minimum(ax, bx), np.maximum(ax, bx)
-        eym, eyM = np.minimum(ay, by), np.maximum(ay, by)
-        ov = (
-            (exm[None, :] <= be[:, None])
-            & (exM[None, :] >= bw[:, None])
-            & (eym[None, :] <= bn[:, None])
-            & (eyM[None, :] >= bs[:, None])
-        )
-        dx, dy = (bx - ax)[None, :], (by - ay)[None, :]
-        axn, ayn = ax[None, :], ay[None, :]
-        f1 = dx * (bs[:, None] - ayn) - dy * (bw[:, None] - axn)
-        f2 = dx * (bs[:, None] - ayn) - dy * (be[:, None] - axn)
-        f3 = dx * (bn[:, None] - ayn) - dy * (bw[:, None] - axn)
-        f4 = dx * (bn[:, None] - ayn) - dy * (be[:, None] - axn)
-        fmin = np.minimum(np.minimum(f1, f2), np.minimum(f3, f4))
-        fmax = np.maximum(np.maximum(f1, f2), np.maximum(f3, f4))
-        return (ov & (fmin <= 0) & (fmax >= 0)).any(axis=1)
+        ax0, ay0, bx0, by0 = self._edges[j]
+        n = len(bw)
+        out = np.zeros(n, dtype=bool)
+        # chunk over edges to bound the (boxes x edges) broadcast temps
+        # (the kernels/pip.py precedent): real municipality boundaries
+        # have thousands of vertices, synthetic octagons eight
+        edge_chunk = max(1, int(4_000_000 // max(n, 1)))
+        for s in range(0, len(ax0), edge_chunk):
+            e = slice(s, s + edge_chunk)
+            ax, ay, bx, by = ax0[e], ay0[e], bx0[e], by0[e]
+            exm, exM = np.minimum(ax, bx), np.maximum(ax, bx)
+            eym, eyM = np.minimum(ay, by), np.maximum(ay, by)
+            ov = (
+                (exm[None, :] <= be[:, None])
+                & (exM[None, :] >= bw[:, None])
+                & (eym[None, :] <= bn[:, None])
+                & (eyM[None, :] >= bs[:, None])
+            )
+            dx, dy = (bx - ax)[None, :], (by - ay)[None, :]
+            axn, ayn = ax[None, :], ay[None, :]
+            f1 = dx * (bs[:, None] - ayn) - dy * (bw[:, None] - axn)
+            f2 = dx * (bs[:, None] - ayn) - dy * (be[:, None] - axn)
+            f3 = dx * (bn[:, None] - ayn) - dy * (bw[:, None] - axn)
+            f4 = dx * (bn[:, None] - ayn) - dy * (be[:, None] - axn)
+            fmin = np.minimum(np.minimum(f1, f2), np.minimum(f3, f4))
+            fmax = np.maximum(np.maximum(f1, f2), np.maximum(f3, f4))
+            out |= (ov & (fmin <= 0) & (fmax >= 0)).any(axis=1)
+        return out
