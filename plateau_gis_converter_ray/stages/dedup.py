@@ -454,52 +454,89 @@ def phash_hamming_near_dup(image_files: list[str], max_hamming: int = 3,
     bucketed = ds.map_batches(bands, batch_format="pyarrow")
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
+        """In-bucket verify with MULTIPLICITY COLLAPSE: dup-dense corpora
+        repeat whole phashes (60k images / 5.7k distinct values at sf0.1,
+        multiplicities up to ~1.9k), so enumerating MEMBER pairs is
+        quadratic in bucket population while the distance only depends on
+        the VALUE pair. Enumerate candidate pairs over the bucket's
+        distinct (band_key, phash) value-groups — sum C(D,2), ~100x fewer
+        hamming evaluations here — then expand each qualifying value pair
+        to its members' cross product with vectorized gathers (the
+        expansion is output-sized, the floor any pair enumerator pays).
+        Same-value groups expand to their C(m,2) hamming-0 pairs. The
+        emitted pair set is EXACTLY the member-pair enumeration's."""
         empty = pd.DataFrame(
             {"img_a": [], "img_b": [], "hamming": []}
         ).astype({"img_a": "int64", "img_b": "int64", "hamming": "int64"})
         if len(g) < 2:
             return empty
-        g = g.sort_values(["band_key", "img"], kind="stable")
+        from ..kernels.segments import segmented_arange
+
+        g = g.sort_values(["band_key", "phash", "img"], kind="stable")
         ids = g["img"].to_numpy()
         ph = g["phash"].to_numpy().astype(np.uint64)
         key = g["band_key"].to_numpy()
-        # segmented all-pairs enumeration, fully vectorized: row j at
-        # within-segment position w_j pairs with the w_j rows before it
-        seg_start = np.zeros(len(key), dtype=np.int64)
-        new_seg = np.empty(len(key), dtype=bool)
-        new_seg[0] = True
-        new_seg[1:] = key[1:] != key[:-1]
-        seg_start = np.maximum.accumulate(
-            np.where(new_seg, np.arange(len(key)), 0)
-        )
-        w = np.arange(len(key)) - seg_start
-        total = int(w.sum())
-        if total == 0:
-            return empty
-        from ..kernels.segments import segmented_arange
+        n = len(g)
 
-        b_idx = np.repeat(np.arange(len(key)), w)
-        off = np.repeat(seg_start, w)
-        a_idx = off + segmented_arange(w)
-        d = hamming64(ph[a_idx], ph[b_idx])
-        keep = d <= max_hamming
-        ia, ib = ids[a_idx][keep], ids[b_idx][keep]
+        # value-group table: one row per distinct (band_key, phash)
+        newv = np.empty(n, dtype=bool)
+        newv[0] = True
+        newv[1:] = (key[1:] != key[:-1]) | (ph[1:] != ph[:-1])
+        vstart = np.flatnonzero(newv)
+        vcount = np.diff(np.r_[vstart, n])
+        vkey = key[vstart]
+        vph = ph[vstart]
+        nv = len(vstart)
+
+        # candidate VALUE pairs within each band bucket
+        newb = np.empty(nv, dtype=bool)
+        newb[0] = True
+        newb[1:] = vkey[1:] != vkey[:-1]
+        bstart = np.maximum.accumulate(np.where(newb, np.arange(nv), 0))
+        w = np.arange(nv) - bstart
+        parts = []
+        if int(w.sum()):
+            b_idx = np.repeat(np.arange(nv), w)
+            a_idx = np.repeat(bstart, w) + segmented_arange(w)
+            d = hamming64(vph[a_idx], vph[b_idx])
+            keepv = d <= max_hamming
+            va, vb, dv = a_idx[keepv], b_idx[keepv], d[keepv]
+            if len(va):
+                # cross-product expansion members(va) x members(vb)
+                ca, cb = vcount[va], vcount[vb]
+                rep = ca * cb
+                t_start = np.cumsum(rep) - rep
+                pos = np.arange(int(rep.sum())) - np.repeat(t_start, rep)
+                cb_r = np.repeat(cb, rep)
+                ia = ids[np.repeat(vstart[va], rep) + pos // cb_r]
+                ib = ids[np.repeat(vstart[vb], rep) + pos % cb_r]
+                parts.append((ia, ib, np.repeat(dv, rep)))
+        # same-value pairs: C(m, 2) hamming-0 pairs per value-group
+        w0 = np.arange(n) - np.repeat(vstart, vcount)
+        if int(w0.sum()):
+            b0 = np.repeat(np.arange(n), w0)
+            a0 = np.repeat(np.repeat(vstart, vcount), w0) + segmented_arange(w0)
+            parts.append(
+                (ids[a0], ids[b0], np.zeros(len(a0), dtype=np.int64))
+            )
+        if not parts:
+            return empty
+        ia = np.concatenate([p[0] for p in parts])
+        ib = np.concatenate([p[1] for p in parts])
+        dd = np.concatenate([p[2] for p in parts])
         lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
         return pd.DataFrame(
             {
                 "img_a": lo.astype(np.int64),
                 "img_b": hi.astype(np.int64),
-                "hamming": d[keep].astype(np.int64),
+                "hamming": dd.astype(np.int64),
             }
         ).drop_duplicates(["img_a", "img_b"])
 
     cand = bucketed.groupby("grp").map_groups(verify, batch_format="pandas")
-    dedup = tree_group_agg(
-        cand, ["img_a", "img_b", "hamming"], {"n_bands_hit": (None, "count")},
-        levels=(8, 1),
-    )
+    # cross-band dedup: the pair set is FACT-SIZED (dup-dense corpora can
+    # emit tens of millions of pairs), so the distinct must be parallel —
+    # the agg tree's fan-1 final merge would funnel it through one task
+    from .treeagg import grouped_distinct
 
-    def strip(df: pd.DataFrame) -> pd.DataFrame:
-        return df[["img_a", "img_b", "hamming"]]
-
-    return dedup.map_batches(strip, batch_format="pandas", batch_size=None)
+    return grouped_distinct(cand, ["img_a", "img_b", "hamming"])

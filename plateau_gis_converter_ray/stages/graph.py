@@ -31,10 +31,11 @@ operator, i.e. orders of magnitude smaller than the corpus (at 100 TB a
 1%-dup-rate corpus yields ~10^9 pair rows = 16 GB — still far below the
 corpus, though above a driver's comfort). After the first distributed
 distinct-edges pass the edge count is known; when it fits the driver
-(``local_max_edges``, default 2M edges = 32 MB) the star rounds — each of
-which costs two groupby exchanges plus a dedup tree of Ray fixed overhead
-— are replaced by one vectorized min-label pointer-jumping pass on the
-driver. Above the threshold the distributed star rounds run unchanged;
+(``local_max_edges``, default 20M edges = 320 MB — comfortably inside a
+multi-GB driver heap, far below the 10^9-pair scale that forces the
+distributed rounds) the star rounds — each of which costs two groupby
+exchanges plus a parallel grouped-distinct of Ray fixed overhead — are
+replaced by one vectorized min-label pointer-jumping pass on the driver. Above the threshold the distributed star rounds run unchanged;
 both paths produce identical (doc_id, comp=min-node) labels.
 """
 
@@ -45,16 +46,25 @@ import pandas as pd
 
 from .treeagg import tree_group_agg
 
-_EMPTY_EDGES = pd.DataFrame({"u": [], "v": []}).astype("int64")
-
-
 def _distinct_edges(ds):
-    """Global (u, v) dedup through the combiner tree (16 bytes/row moves)."""
-    out = tree_group_agg(ds, ["u", "v"], {"n": (None, "count")})
-    return out.select_columns(["u", "v"])
+    """Global (u, v) dedup — parallel grouped distinct (the agg tree's
+    fan-1 final merge serialized fact-sized edge sets; see
+    treeagg.grouped_distinct)."""
+    from .treeagg import grouped_distinct
+
+    return grouped_distinct(ds, ["u", "v"])
 
 
-def _star_round(ds, kind: str):
+def _star_round(ds, kind: str, n_groups: int = 257):
+    """One large- or small-star contraction round.
+
+    The reduce is SEGMENTED, not per-node: nodes hash into ``n_groups``
+    coarse groups (a function of u, so a node's neighborhood never
+    splits) and each group resolves ALL its nodes in one sorted
+    segmented-min pass — emissions identical to the per-node definition,
+    without a pandas invocation per node (the r2-verdict de-fanning
+    pattern applied to graph rounds; the per-node map_groups made each
+    round cost ~|V| pandas calls on top of the sort)."""
     import pyarrow as pa
 
     if kind == "large":
@@ -62,8 +72,9 @@ def _star_round(ds, kind: str):
         def prep(batch: pa.Table) -> pa.Table:
             u = batch.column("u").to_numpy()
             v = batch.column("v").to_numpy()
+            uu = np.concatenate([u, v])
             return pa.table(
-                {"u": np.concatenate([u, v]), "v": np.concatenate([v, u])}
+                {"u": uu, "v": np.concatenate([v, u]), "g": uu % n_groups}
             )
     else:
         # orient each edge from its larger endpoint (small-star operates on
@@ -71,30 +82,42 @@ def _star_round(ds, kind: str):
         def prep(batch: pa.Table) -> pa.Table:
             u = batch.column("u").to_numpy()
             v = batch.column("v").to_numpy()
+            uu = np.maximum(u, v)
             return pa.table(
-                {"u": np.maximum(u, v), "v": np.minimum(u, v)}
+                {"u": uu, "v": np.minimum(u, v), "g": uu % n_groups}
             )
 
-    def star(g: pd.DataFrame) -> pd.DataFrame:
-        u = int(g["u"].iat[0])
+    def star_block(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("u", kind="stable")
+        u = g["u"].to_numpy()
         v = g["v"].to_numpy()
-        m = min(int(v.min()), u)
+        new = np.empty(len(u), dtype=bool)
+        new[0] = True
+        new[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(new)
+        seg_id = np.cumsum(new) - 1
+        m_seg = np.minimum(np.minimum.reduceat(v, starts), u[starts])
+        m_row = m_seg[seg_id]
+        from .treeagg import clean_arrow
+
         if kind == "large":
-            keep = v[v > u]  # connect strictly-larger neighbors to the min
-            if not len(keep):
-                return _EMPTY_EDGES
-            return pd.DataFrame({"u": keep, "v": np.full(len(keep), m)})
+            keep = v > u  # connect strictly-larger neighbors to the min
+            return clean_arrow(
+                pd.DataFrame({"u": v[keep], "v": m_row[keep]})
+            )
         # small: connect every smaller neighbor AND u itself to the min
-        keep = v[v != m]
-        return pd.DataFrame(
-            {
-                "u": np.concatenate([keep, [u]]),
-                "v": np.full(len(keep) + 1, m),
-            }
+        keep = v != m_row
+        return clean_arrow(
+            pd.DataFrame(
+                {
+                    "u": np.concatenate([v[keep], u[starts]]),
+                    "v": np.concatenate([m_row[keep], m_seg]),
+                }
+            )
         )
 
     ds = ds.map_batches(prep, batch_format="pyarrow")
-    return ds.groupby("u").map_groups(star, batch_format="pandas")
+    return ds.groupby("g").map_groups(star_block, batch_format="pandas")
 
 
 def _checksum(ds) -> tuple:
@@ -163,7 +186,7 @@ def _cc_local(ds):
 
 def connected_components(edges, src: str = "doc_a", dst: str = "doc_b",
                          max_rounds: int = 50,
-                         local_max_edges: int = 2_000_000):
+                         local_max_edges: int = 20_000_000):
     """Labels every node appearing in ``edges`` with its component's minimum
     node id. Returns a Dataset with columns (doc_id, comp), one row per
     distinct node. Self-loops are ignored; isolated nodes (absent from the

@@ -77,3 +77,33 @@ def tree_custom_agg(ds, partial, merge, levels=(8, 1)):
             merge, batch_format="pandas", batch_size=None
         )
     return ds
+
+
+def grouped_distinct(ds, cols: list[str], n_groups: int = 128):
+    """Parallel exact DISTINCT on integer ``cols``.
+
+    The agg tree's serial fan-1 final merge is the right shape for
+    BOUNDED aggregate outputs, but a distinct whose output is fact-sized
+    (near-dup pair sets, CC edge frontiers) would funnel every row
+    through one task. Here each block dedups locally, then a
+    hash-grouped exchange co-locates equal keys and the reduce is ONE
+    vectorized ``drop_duplicates`` per hash group — fully parallel at
+    every level. Row order is not defined (set semantics).
+    """
+    import numpy as np
+
+    def local(df: pd.DataFrame):
+        out = df[cols].drop_duplicates(cols)
+        h = np.zeros(len(out), dtype=np.int64)
+        for c in cols:
+            h = h * 1_000_003 + out[c].to_numpy().astype(np.int64)
+        return clean_arrow(out.assign(_g=h % n_groups))
+
+    def reduce(df: pd.DataFrame):
+        return clean_arrow(df[cols].drop_duplicates(cols))
+
+    return (
+        ds.map_batches(local, batch_format="pandas", batch_size=None)
+        .groupby("_g")
+        .map_groups(reduce, batch_format="pandas")
+    )
