@@ -123,7 +123,7 @@ def _q_doc_signatures(sf_dir: str):
 
     ds = read_table(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(
-        Signatures(), batch_format="pyarrow", batch_size=1024
+        Signatures(), batch_format="pyarrow", batch_size=256
     ).select_columns(["doc_id", "simhash", "fingerprint"])
 
 

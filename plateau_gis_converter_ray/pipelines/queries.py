@@ -43,8 +43,9 @@ JOIN_PARTS = 4
 # One knob for every size-gated broadcast fast path (df tables, candidate
 # key sets, dl lookups, vocab marginals): MEASURED bytes must fit
 # comfortably in a worker heap next to its batch; past it, the query falls
-# back to its shuffle/join plan.
-BROADCAST_BUDGET = 64 << 20
+# back to its shuffle/join plan. Shared with the join planner's broadcast
+# limit so one setting governs every broadcast decision in the engine.
+from ..stages.joins import DEFAULT_BROADCAST_LIMIT as BROADCAST_BUDGET  # noqa: E402
 
 
 def _geo_sql(id_expr: str) -> str:

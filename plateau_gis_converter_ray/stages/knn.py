@@ -622,37 +622,62 @@ def embedding_lsh_near_dup(ds, dist2_threshold: int,
 
     fanned = ds.map_batches(fanout, batch_format="pyarrow")
 
-    def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def add_grp(batch: pa.Table) -> pa.Table:
+        b = batch.column("bucket").to_numpy()
+        return batch.append_column("g", pa.array(b % 256))
+
+    def verify_block(g: pd.DataFrame) -> pd.DataFrame:
+        """Exact verify for EVERY bucket of a coarse hash group in one
+        segmented pass: candidate (a, b) row pairs come from one sort +
+        segmented enumeration, and dist2 is computed pair-wise
+        (sum((qa-qb)^2), identical int64s to the old per-bucket Gram
+        matrix) — no pandas call per bucket (the de-fanning pattern;
+        the per-bucket map_groups paid one invocation per LSH bucket)."""
+        from ..kernels.segments import segmented_arange
+        from .treeagg import clean_arrow
+
+        g = g.sort_values(["bucket", "vec_id"], kind="stable")
+        b = g["bucket"].to_numpy()
         ids = g["vec_id"].to_numpy().astype(np.int64)
-        if len(ids) < 2:
-            return pd.DataFrame(
-                {"vec_a": [], "vec_b": [], "dist2_q": []}
-            ).astype({"vec_a": "int64", "vec_b": "int64", "dist2_q": "int64"})
+        n = len(g)
+        empty = pd.DataFrame(
+            {"vec_a": [], "vec_b": [], "dist2_q": []}
+        ).astype({"vec_a": "int64", "vec_b": "int64", "dist2_q": "int64"})
+        if n < 2:
+            return clean_arrow(empty)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = b[1:] != b[:-1]
+        start = np.maximum.accumulate(np.where(new, np.arange(n), 0))
+        w = np.arange(n) - start
+        if not int(w.sum()):
+            return clean_arrow(empty)
         q = np.stack(g["q"].to_numpy()).astype(np.int64)
-        sq = (q * q).sum(axis=1)
-        d2 = sq[:, None] - 2 * (q @ q.T) + sq[None, :]
-        a, b = np.triu_indices(len(ids), k=1)
-        keep = (d2[a, b] < dist2_threshold) & (ids[a] != ids[b])
-        va, vb = ids[a][keep], ids[b][keep]
+        b_idx = np.repeat(np.arange(n), w)
+        a_idx = np.repeat(start, w) + segmented_arange(w)
+        diff = q[a_idx] - q[b_idx]
+        d2 = np.einsum("ij,ij->i", diff, diff)
+        keep = (d2 < dist2_threshold) & (ids[a_idx] != ids[b_idx])
+        va, vb = ids[a_idx][keep], ids[b_idx][keep]
         flip = va > vb
-        return pd.DataFrame(
-            {
-                "vec_a": np.where(flip, vb, va),
-                "vec_b": np.where(flip, va, vb),
-                "dist2_q": d2[a, b][keep],
-            }
+        return clean_arrow(
+            pd.DataFrame(
+                {
+                    "vec_a": np.where(flip, vb, va),
+                    "vec_b": np.where(flip, va, vb),
+                    "dist2_q": d2[keep],
+                }
+            )
         )
 
-    cand = fanned.groupby("bucket").map_groups(verify_bucket, batch_format="pandas")
-    dedup = tree_group_agg(
-        cand, ["vec_a", "vec_b", "dist2_q"], {"n_tables_hit": (None, "count")},
-        levels=(8, 1),
-    )
+    cand = fanned.map_batches(add_grp, batch_format="pyarrow").groupby(
+        "g"
+    ).map_groups(verify_block, batch_format="pandas")
+    # cross-table dedup: parallel grouped distinct (pair sets are
+    # fact-sized; the agg tree's fan-1 final merge would serialize them)
+    from .treeagg import grouped_distinct
 
-    def strip(df: pd.DataFrame) -> pd.DataFrame:
-        return df[["vec_a", "vec_b", "dist2_q"]]
-
-    return dedup.map_batches(strip, batch_format="pandas", batch_size=None)
+    return grouped_distinct(cand, ["vec_a", "vec_b", "dist2_q"])
 
 
 def planted_near_dup_vectors(n: int, dim: int = 64):
