@@ -2282,12 +2282,17 @@ def _doc_tf(sf_dir: str):
         ).filter(keep)
 
     tok = ds.map_batches(tokens, batch_format="pyarrow")
-    # NOTE: the agg tree ends at ONE block. Consumers doing only light
-    # per-block work (probe filters, tiny aggs) are FASTER on the single
-    # block than paying a re-split exchange (measured: repartition(32)
-    # here regressed bm25/top_terms by ~0.6s); consumers with heavy
-    # downstream compute re-split themselves (see stages/fuzzy.py).
-    return tree_group_agg(tok, ["doc_id", "term"], {"tf": (None, "count")})
+    # (doc, term) keys are FACT-SIZED, so the merge uses the parallel
+    # coarse-hash groupby (grouped_group_agg) rather than the agg tree's
+    # fan-1 final — the output also lands in parallel blocks, so
+    # consumers' probe filters fan out without paying a re-split
+    # exchange (a post-hoc repartition(32) cost more than it bought;
+    # measured both ways).
+    from ..stages.treeagg import grouped_group_agg
+
+    return grouped_group_agg(
+        tok, ["doc_id", "term"], {"tf": (None, "count")}, n_groups=32
+    )
 
 
 def q_top_terms(sf_dir: str, k: int = 3):
@@ -2297,13 +2302,13 @@ def q_top_terms(sf_dir: str, k: int = 3):
     tf = _doc_tf(sf_dir).materialize()
     df = tree_group_agg(tf, ["term"], {"df": (None, "count")}).materialize()
     # df is vocabulary-bounded: broadcast it as a per-batch pandas hash
-    # merge when its MEASURED size fits, and re-split the 1-block tf so
-    # the prune sort parallelizes; the shuffle join stays the fallback
+    # merge when its MEASURED size fits (tf already lands in parallel
+    # blocks from the grouped agg); the shuffle join stays the fallback
     if df.size_bytes() <= BROADCAST_BUDGET:
         df_pd = df.to_pandas()
         from ..stages.treeagg import clean_arrow as _ca
 
-        joined = tf.repartition(16).map_batches(
+        joined = tf.map_batches(
             lambda g: _ca(g.merge(df_pd, on="term")),
             batch_format="pandas", batch_size=None,
         )

@@ -56,7 +56,11 @@ def exact_dedup_docs(sf_dir: str):
         )
 
     ds = ds.map_batches(hash_stage, batch_format="pyarrow")
-    agg = tree_group_agg(
+    # content-hash keys are FACT-SIZED (|distinct| ~ |docs|): the merge
+    # must stay parallel, never a fan-1 tree final (treeagg docstring)
+    from .treeagg import grouped_group_agg
+
+    agg = grouped_group_agg(
         ds, ["h1", "h2"],
         {"doc_id_keep": ("doc_id", "min"), "n_dups": (None, "count")},
     )

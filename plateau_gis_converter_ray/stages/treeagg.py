@@ -107,3 +107,59 @@ def grouped_distinct(ds, cols: list[str], n_groups: int = 128):
         .groupby("_g")
         .map_groups(reduce, batch_format="pandas")
     )
+
+
+def grouped_group_agg(ds, group_cols: list[str], agg_spec: dict,
+                      n_groups: int = 64):
+    """tree_group_agg for FACT-SIZED key spaces.
+
+    Same per-block combiner, but the merge is a coarse-hash groupby whose
+    reduce handles ALL of a hash group's keys in one vectorized pass —
+    the output lands in up to ``n_groups`` parallel blocks instead of the
+    tree's single final block, and no task ever sees the whole key space.
+    Use this when |distinct keys| grows with the data (content hashes,
+    (doc, term) pairs, near-dup pair sets); keep ``tree_group_agg`` for
+    BOUNDED aggregates, where the tree's repartitions are cheaper than a
+    sort exchange. ``agg_spec`` format matches tree_group_agg."""
+    import numpy as np
+    import pandas as pd
+
+    first = {}
+    again = {}
+    for out, (col, op) in agg_spec.items():
+        if op == "count":
+            first[out] = (col if col else group_cols[0], "size")
+            again[out] = (out, "sum")
+        else:
+            first[out] = (col, op)
+            again[out] = (out, "sum" if op == "sum" else op)
+
+    def _ghash(df: pd.DataFrame) -> np.ndarray:
+        h = np.zeros(len(df), dtype=np.uint64)
+        for c in group_cols:
+            col = df[c]
+            if col.dtype.kind in "iu":
+                v = col.to_numpy().astype(np.uint64)
+            else:
+                v = pd.util.hash_pandas_object(col, index=False).to_numpy()
+            with np.errstate(over="ignore"):
+                h = h * np.uint64(1_000_003) + v
+        return (h % np.uint64(n_groups)).astype(np.int64)
+
+    def partial(df: pd.DataFrame):
+        out = df.groupby(group_cols, as_index=False).agg(
+            **{k: v for k, v in first.items()}
+        )
+        return clean_arrow(out.assign(_g=_ghash(out)))
+
+    def merge(df: pd.DataFrame):
+        out = df.groupby(group_cols, as_index=False).agg(
+            **{k: v for k, v in again.items()}
+        )
+        return clean_arrow(out)
+
+    return (
+        ds.map_batches(partial, batch_format="pandas", batch_size=None)
+        .groupby("_g")
+        .map_groups(merge, batch_format="pandas")
+    )
