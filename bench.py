@@ -208,6 +208,16 @@ BENCH_QUERIES = [
     "pack_sequences",
     "k_anonymity",
     "hard_negatives",
+    # r4 wave 10: vector overlay (exact segment-intersection join), DBSCAN
+    # density clustering, per-group OLS regression, snapshot CDC diff,
+    # daily gap-fill resample, MMR diverse reranking, JSONL source lane
+    "seg_intersect_join",
+    "dbscan_clusters",
+    "grouped_regression",
+    "snapshot_cdc_diff",
+    "ts_ffill_resample",
+    "mmr_rerank",
+    "jsonl_source_stats",
 ]
 
 

@@ -6992,6 +6992,72 @@ def q_ann_rerank(sf_dir: str, topk: int = 10, nprobe: int = 4,
     )
 
 
+def q_mmr_rerank(sf_dir: str, topk: int = 10, nprobe: int = 4,
+                 shortlist: int = 30):
+    """Maximal-marginal-relevance diverse reranking: the cached-index
+    shortlist is greedily re-ordered balancing query relevance against
+    redundancy with already-selected items — the diversity stage every
+    retrieval-augmented pipeline puts after ANN. Exact integer objective
+    (equal-weight MMR over quantized L2): at each step pick the candidate
+    maximizing ``-d2(query, c) + min_{s in S} d2(c, s)``, ties by
+    ann_id asc; step 0 is pure relevance. Output: every shortlist member
+    with its exact_d2 and mmr_rank (0..topk-1 selected, -1 otherwise), so
+    the greedy trace is externally checkable (tests/test_ops_wave10.py
+    re-derives each step). Driver holds Q x shortlist rows only; the
+    distributed work (index probe, shortlist vector fetch) is shared with
+    q_ann_rerank."""
+    import pyarrow.dataset as pads
+
+    from ..stages.ann_index import ivfpq_index_build, ivfpq_search_cached
+    from ..stages.knn import quantize
+
+    res = ivfpq_index_build(sf_dir)  # no-op on a complete index
+    queries = _ann_query_head(sf_dir)
+    short = ivfpq_search_cached(
+        res["index_dir"], queries, topk=shortlist, nprobe=nprobe
+    ).to_pandas()  # <= Q x shortlist rows
+    cand_ids = np.unique(short["ann_id"].to_numpy())
+    cand = (
+        _read(
+            sf_dir, "embeddings", ["vec_id", "embedding"],
+            filter=pads.field("vec_id").isin(cand_ids.tolist()),
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    cv = quantize(np.stack(cand["embedding"].to_numpy()))
+    cid = cand["vec_id"].to_numpy()
+    qv = quantize(queries["vecs"])
+    out = []
+    for qi, qid in enumerate(queries["qid"]):
+        ids = np.sort(short.loc[short["qid"] == qid, "ann_id"].to_numpy())
+        rows = np.searchsorted(cid, ids)
+        x = cv[rows]
+        d2q = ((x - qv[qi][None, :]) ** 2).sum(axis=1).astype(np.int64)
+        # pairwise candidate distances (shortlist x shortlist, tiny)
+        dcc = ((x[:, None, :] - x[None, :, :]) ** 2).sum(axis=2).astype(
+            np.int64
+        )
+        n = len(ids)
+        rank = np.full(n, -1, dtype=np.int64)
+        remaining = np.ones(n, dtype=bool)
+        min_d = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+        for r in range(min(topk, n)):
+            if r == 0:
+                score = -d2q  # min_d is the MAX sentinel: pure relevance
+            else:
+                score = -d2q + min_d
+            score = np.where(remaining, score, np.iinfo(np.int64).min)
+            best = int(np.flatnonzero(score == score.max())[0])
+            rank[best] = r
+            remaining[best] = False
+            min_d = np.minimum(min_d, dcc[:, best])
+        for i in range(n):
+            out.append((int(qid), int(ids[i]), int(d2q[i]), int(rank[i])))
+    return pd.DataFrame(out, columns=["qid", "ann_id", "exact_d2", "mmr_rank"])
+
+
 
 # ---------------------------------------------------------------------------
 # STREAMING session windows (oracle-gated): the MERGING window type — a
@@ -10061,6 +10127,383 @@ GROUP BY 1, 2, 3
 """
 
 
+# ---------------------------------------------------------------------------
+# Wave 10: vector overlay (segment-intersection join), DBSCAN, per-group OLS
+# regression, snapshot CDC diff, time-series gap-fill resample, JSONL source.
+
+
+def q_seg_intersect_join(sf_dir: str):
+    """Line-segment intersection join (map overlay, roads x rivers class):
+    per-user event tracks become short segments (bbox <= 30000 micro-deg),
+    set A = even users, set B = odd users; output every properly-crossing
+    (a_seg, b_seg) pair. Exact int64 orientation tests; one grid-cell
+    exchange + the parallel pair-dedup exchange (stages/overlay.py).
+    Reference semantics: the slice.rs edge-crossing primitive
+    (nusamai/src/sink/cesiumtiles/slice.rs) lifted to a pairwise join."""
+    from ..stages.overlay import seg_intersect_join
+
+    return seg_intersect_join(sf_dir)
+
+
+_SQL_SEG_INTERSECT_JOIN = """
+WITH ev AS (
+  SELECT user_id, event_id, ts,
+         (event_id * 9973) % 240000 AS x,
+         (event_id * 7919) % 220000 AS y
+  FROM events
+), seg AS (
+  SELECT user_id, event_id AS seg_id, x AS x1, y AS y1,
+         LEAD(x) OVER w AS x2, LEAD(y) OVER w AS y2
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS MATERIALIZED (
+  SELECT * FROM seg
+  WHERE x2 IS NOT NULL AND ABS(x2 - x1) <= 30000 AND ABS(y2 - y1) <= 30000
+), a AS (SELECT * FROM s WHERE user_id % 2 = 0),
+  b AS (SELECT * FROM s WHERE user_id % 2 = 1),
+cand AS (
+  SELECT a.seg_id AS a_seg, b.seg_id AS b_seg,
+         (b.x2-b.x1)*(a.y1-b.y1) - (b.y2-b.y1)*(a.x1-b.x1) AS d1,
+         (b.x2-b.x1)*(a.y2-b.y1) - (b.y2-b.y1)*(a.x2-b.x1) AS d2,
+         (a.x2-a.x1)*(b.y1-a.y1) - (a.y2-a.y1)*(b.x1-a.x1) AS d3,
+         (a.x2-a.x1)*(b.y2-a.y1) - (a.y2-a.y1)*(b.x2-a.x1) AS d4
+  FROM a, b
+  WHERE LEAST(a.x1,a.x2) <= GREATEST(b.x1,b.x2)
+    AND LEAST(b.x1,b.x2) <= GREATEST(a.x1,a.x2)
+    AND LEAST(a.y1,a.y2) <= GREATEST(b.y1,b.y2)
+    AND LEAST(b.y1,b.y2) <= GREATEST(a.y1,a.y2)
+)
+SELECT a_seg, b_seg FROM cand
+WHERE ((d1 > 0 AND d2 < 0) OR (d1 < 0 AND d2 > 0))
+  AND ((d3 > 0 AND d4 < 0) OR (d3 < 0 AND d4 > 0))
+"""
+
+
+def q_dbscan_clusters(sf_dir: str):
+    """Distributed DBSCAN (eps=1500, min_pts=4) over the geocoded event
+    points; cluster_id = min core id of the component, border -> min
+    neighbor cluster, noise = -1. Rows-only (no SQL twin); pinned against
+    the O(n^2) brute reference in tests/test_overlay.py."""
+    from ..stages.overlay import dbscan_points
+
+    return dbscan_points(sf_dir)
+
+
+def q_grouped_regression(sf_dir: str):
+    """Per-priority OLS regression of order value (cents) on order date
+    (epoch days): slope + intercept from five int64 sums (one combiner
+    tree exchange, same shape as grouped_corr). The float expressions are
+    mirrored verbatim in the SQL twin."""
+    orders = _read(
+        sf_dir, "orders", ["o_orderpriority", "o_orderdate", "o_totalprice"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        x = batch.column("o_orderdate").cast(pa.int64()).to_numpy() // (
+            86400 * 1_000_000
+        )
+        y = np.round(batch.column("o_totalprice").to_numpy() * 100).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "o_orderpriority": batch.column("o_orderpriority"),
+                "x": pa.array(x),
+                "y": pa.array(y),
+                "xx": pa.array(x * x),
+                "xy": pa.array(x * y),
+            }
+        )
+
+    agg = tree_group_agg(
+        orders.map_batches(prep, batch_format="pyarrow"),
+        ["o_orderpriority"],
+        {
+            "n": (None, "count"),
+            "sx": ("x", "sum"),
+            "sy": ("y", "sum"),
+            "sxx": ("xx", "sum"),
+            "sxy": ("xy", "sum"),
+        },
+    )
+
+    def fit(batch: pa.Table) -> pa.Table:
+        f = {
+            c: batch.column(c).to_numpy().astype(np.float64)
+            for c in ("n", "sx", "sy", "sxx", "sxy")
+        }
+        # EXPRESSION MIRRORED IN THE ORACLE — do not reorder
+        slope = (f["n"] * f["sxy"] - f["sx"] * f["sy"]) / (
+            f["n"] * f["sxx"] - f["sx"] * f["sx"]
+        )
+        intercept = (f["sy"] - slope * f["sx"]) / f["n"]
+        return pa.table(
+            {
+                "o_orderpriority": batch.column("o_orderpriority"),
+                "n": batch.column("n"),
+                "slope": pa.array(slope),
+                "intercept": pa.array(intercept),
+            }
+        )
+
+    return agg.map_batches(fit, batch_format="pyarrow")
+
+
+_SQL_GROUPED_REGRESSION = """
+WITH b AS (
+  SELECT o_orderpriority,
+         DATEDIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS x,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS y
+  FROM orders
+), s AS (
+  SELECT o_orderpriority, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(x * y) AS sxy
+  FROM b GROUP BY 1
+)
+SELECT o_orderpriority, n,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+       (CAST(sy AS DOUBLE)
+          - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+            * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
+FROM s
+"""
+
+
+def q_snapshot_cdc_diff(sf_dir: str):
+    """Change-data-capture diff between two snapshots of per-user state
+    (latest event value as of T1 = 2024-01-15 vs T2 = end of data):
+    change_type = insert (no state at T1) / update / same. One bucketed
+    exchange; both snapshot argmaxes resolve in the same vectorized pass
+    (sort + keep-last per masked frame). v1_c is NULL for inserts."""
+    from ..stages.treeagg import clean_arrow
+
+    t1_us = int(pd.Timestamp("2024-01-15").value // 1000)
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+        v = np.round(batch.column("value").to_numpy() * 100).astype(np.int64)
+        u = batch.column("user_id").to_numpy()
+        return pa.table(
+            {
+                "user_id": pa.array(u),
+                "event_id": batch.column("event_id"),
+                "ts_us": pa.array(ts),
+                "value_c": pa.array(v),
+                "bk": pa.array(u % 64),
+            }
+        )
+
+    def diff(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="stable")
+        last2 = g.drop_duplicates("user_id", keep="last")[
+            ["user_id", "value_c"]
+        ].rename(columns={"value_c": "v2_c"})
+        g1 = g[g["ts_us"].to_numpy() <= t1_us]
+        last1 = g1.drop_duplicates("user_id", keep="last")[
+            ["user_id", "value_c"]
+        ].rename(columns={"value_c": "v1_c"})
+        m = last2.merge(last1, on="user_id", how="left")
+        v1 = m["v1_c"].to_numpy()
+        v2 = m["v2_c"].to_numpy()
+        ct = np.where(
+            np.isnan(v1), "insert", np.where(v1 == v2, "same", "update")
+        )
+        out = pd.DataFrame(
+            {
+                "user_id": m["user_id"].to_numpy(),
+                "change_type": ct,
+                "v1_c": m["v1_c"].astype("Int64"),
+                "v2_c": m["v2_c"].to_numpy(),
+            }
+        )
+        return clean_arrow(out)
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("bk")
+        .map_groups(diff, batch_format="pandas")
+    )
+
+
+_SQL_SNAPSHOT_CDC_DIFF = """
+WITH ev AS (
+  SELECT user_id, event_id, ts,
+         CAST(ROUND(value * 100) AS BIGINT) AS value_c
+  FROM events
+), s2 AS (
+  SELECT user_id, value_c AS v2_c,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM ev
+), s1 AS (
+  SELECT user_id, value_c AS v1_c,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM ev WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
+)
+SELECT s2.user_id,
+       CASE WHEN s1.v1_c IS NULL THEN 'insert'
+            WHEN s1.v1_c = s2.v2_c THEN 'same'
+            ELSE 'update' END AS change_type,
+       s1.v1_c, s2.v2_c
+FROM (SELECT user_id, v2_c FROM s2 WHERE rn = 1) s2
+LEFT JOIN (SELECT user_id, v1_c FROM s1 WHERE rn = 1) s1
+  ON s1.user_id = s2.user_id
+"""
+
+
+def q_ts_ffill_resample(sf_dir: str):
+    """Time-series gap-fill: resample each user's event values to a fixed
+    daily grid (2024-01-01..30) with last-observation-carried-forward.
+    One bucketed exchange; the per-bucket resolve is a vectorized
+    per-(user, day) keep-last + grid merge + pandas groupby ffill (C
+    kernels, no per-user Python). value_ffill is NULL before a user's
+    first event."""
+    from ..stages.treeagg import clean_arrow
+
+    day0 = int(np.datetime64("2024-01-01").astype("datetime64[D]").astype(int))
+    n_days = 30
+    us_per_day = 86400 * 1_000_000
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+        v = np.round(batch.column("value").to_numpy() * 100).astype(np.int64)
+        u = batch.column("user_id").to_numpy()
+        return pa.table(
+            {
+                "user_id": pa.array(u),
+                "event_id": batch.column("event_id"),
+                "ts_us": pa.array(ts),
+                "day": pa.array(ts // us_per_day),
+                "value_c": pa.array(v),
+                "bk": pa.array(u % 64),
+            }
+        )
+
+    def resample(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="stable")
+        lastd = g.drop_duplicates(["user_id", "day"], keep="last")[
+            ["user_id", "day", "value_c"]
+        ]
+        uu = np.sort(g["user_id"].unique())
+        grid = pd.DataFrame(
+            {
+                "user_id": np.repeat(uu, n_days),
+                "day": np.tile(np.arange(day0, day0 + n_days), len(uu)),
+            }
+        )
+        m = grid.merge(lastd, on=["user_id", "day"], how="left")
+        m["value_c"] = m.groupby("user_id")["value_c"].ffill()
+        # timestamp[us] (midnight), matching the oracle DATE's pandas dtype
+        day_ts = (m["day"].to_numpy() * us_per_day).astype("datetime64[us]")
+        return pa.table(
+            {
+                "user_id": pa.array(m["user_id"].to_numpy()),
+                "day": pa.array(day_ts),
+                "value_ffill": pa.Array.from_pandas(
+                    m["value_c"].astype("Int64"), type=pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("bk")
+        .map_groups(resample, batch_format="pandas")
+    )
+
+
+_SQL_TS_FFILL_RESAMPLE = """
+WITH days AS (
+  SELECT CAST(UNNEST(generate_series(DATE '2024-01-01', DATE '2024-01-30',
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+), u AS (SELECT DISTINCT user_id FROM events),
+grid AS (SELECT user_id, day FROM u CROSS JOIN days),
+ev AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(ROUND(value * 100) AS BIGINT) AS value_c,
+         ROW_NUMBER() OVER (PARTITION BY user_id,
+                                         CAST(date_trunc('day', ts) AS DATE)
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+), lastd AS (SELECT user_id, day, value_c FROM ev WHERE rn = 1)
+SELECT g.user_id, g.day,
+       LAST_VALUE(l.value_c IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill
+FROM grid g LEFT JOIN lastd l ON g.user_id = l.user_id AND g.day = l.day
+"""
+
+
+def q_jsonl_source_stats(sf_dir: str):
+    """JSONL source path: the documents table round-trips through newline-
+    delimited JSON shards (written once to /tmp, resumable via _SUCCESS
+    marker) and is read back with ``ray.data.read_json`` — proving the
+    non-parquet source lane — then aggregated per (source, lang). The
+    oracle aggregates the parquet view directly: identical rows iff the
+    JSONL round-trip is lossless."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = f"/tmp/plateau_ray_data/jsonl_{sf_tag}"
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if not os.path.exists(marker):
+        os.makedirs(out_dir, exist_ok=True)
+        t = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "source", "lang", "n_chars"],
+        )
+        df = t.to_pandas()
+        shards = max(1, min(8, len(df) // 2000))
+        for i, part in enumerate(np.array_split(df, shards)):
+            tmp = os.path.join(out_dir, f".part-{i:04d}.jsonl.tmp")
+            with open(tmp, "w") as f:
+                for rec in part.to_dict("records"):
+                    f.write(json.dumps(rec) + "\n")
+            os.replace(tmp, os.path.join(out_dir, f"part-{i:04d}.jsonl"))
+        with open(marker, "w") as f:
+            f.write("ok")
+    import ray.data
+
+    files = sorted(
+        os.path.join(out_dir, f)
+        for f in os.listdir(out_dir)
+        if f.endswith(".jsonl")
+    )
+    ds = ray.data.read_json(files)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": batch.column("source"),
+                "lang": batch.column("lang"),
+                "n_chars": batch.column("n_chars").cast(pa.int64()),
+            }
+        )
+
+    return tree_group_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["source", "lang"],
+        {"n_docs": (None, "count"), "sum_chars": ("n_chars", "sum")},
+    )
+
+
+_SQL_JSONL_SOURCE_STATS = """
+SELECT source, lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+FROM documents GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "tile_wm_z12": q_tile_wm_z12,
     "tile_3dt_z7": q_tile_3dt_z7,
@@ -10218,6 +10661,13 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "k_anonymity": q_k_anonymity,
     "hard_negatives": q_hard_negatives,
+    "seg_intersect_join": q_seg_intersect_join,
+    "dbscan_clusters": q_dbscan_clusters,
+    "mmr_rerank": q_mmr_rerank,
+    "grouped_regression": q_grouped_regression,
+    "snapshot_cdc_diff": q_snapshot_cdc_diff,
+    "ts_ffill_resample": q_ts_ffill_resample,
+    "jsonl_source_stats": q_jsonl_source_stats,
 }
 
 ORACLES = {
@@ -10359,4 +10809,9 @@ ORACLES = {
     "pack_sequences": _SQL_PACK_SEQUENCES,
     "k_anonymity": _SQL_K_ANONYMITY,
     "hard_negatives": _SQL_HARD_NEGATIVES,
+    "seg_intersect_join": _SQL_SEG_INTERSECT_JOIN,
+    "grouped_regression": _SQL_GROUPED_REGRESSION,
+    "snapshot_cdc_diff": _SQL_SNAPSHOT_CDC_DIFF,
+    "ts_ffill_resample": _SQL_TS_FFILL_RESAMPLE,
+    "jsonl_source_stats": _SQL_JSONL_SOURCE_STATS,
 }
