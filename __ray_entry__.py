@@ -506,6 +506,32 @@ def _q_image_sharpness(sf_dir: str):
     )
 
 
+def _q_raster_blob_count(sf_dir: str):
+    """Connected-component blob labeling per image
+    (stages/decode.py::RasterBlobCount): vectorized min-label propagation
+    over the decode stack, zero exchanges. Rows-only; the labeling is
+    pinned against a scalar BFS in pytest. Returns per-image rows
+    (image_id, fmt, n_blobs, fg_px, max_blob) so every count is
+    externally checkable."""
+    import ray.data
+
+    from plateau_gis_converter_ray.sources.images import ensure_image_table
+    from plateau_gis_converter_ray.stages.decode import RasterBlobCount
+
+    path = ensure_image_table(_sf_of(sf_dir))
+    files = [
+        os.path.join(path, f)
+        for f in sorted(os.listdir(path))
+        if f.endswith(".parquet")
+    ]
+    ds = ray.data.read_parquet(
+        files, columns=["image_id", "bytes", "fmt", "w", "h"]
+    )
+    return ds.map_batches(
+        RasterBlobCount(), batch_format="pyarrow", batch_size=1024
+    )
+
+
 def _q_image_equalize(sf_dir: str):
     """Histogram equalization (stages/decode.py::ImageEqualize): per-image
     integer CDF remap, zero exchanges; tiny per-fmt reduce of the exact
@@ -1003,6 +1029,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "raster_pyramid": _q_raster_pyramid,
             "texture_atlas": _q_texture_atlas,
             "image_sharpness": _q_image_sharpness,
+            "raster_blob_count": _q_raster_blob_count,
             "image_equalize": _q_image_equalize,
             "image_letterbox": _q_image_letterbox,
             "image_augment": _q_image_augment,

@@ -218,6 +218,18 @@ BENCH_QUERIES = [
     "ts_ffill_resample",
     "mmr_rerank",
     "jsonl_source_stats",
+    # r4 wave 11: interval-union coverage, multi-zoom tile pyramid,
+    # rectilinear map-matching, weighted SSSP, DTW track join, raster CC
+    "interval_coverage",
+    "tile_pyramid_rollup",
+    "snap_to_roads",
+    "sssp_weighted",
+    "track_dtw_pairs",
+    "raster_blob_count",
+    # r4 wave 12: A/B eval stats, CSV source lane, raster dissolve regions
+    "ab_test_stats",
+    "csv_source_stats",
+    "tile_dissolve_regions",
 ]
 
 

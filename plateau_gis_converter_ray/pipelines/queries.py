@@ -10504,6 +10504,661 @@ FROM documents GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# Wave 11: interval-union coverage, multi-zoom tile pyramid, rectilinear
+# map-matching (snap-to-roads), weighted SSSP, DTW track-similarity join.
+
+
+def q_interval_coverage(sf_dir: str):
+    """Per-user interval-union coverage: each event opens the interval
+    [ts, ts + round(value*100) seconds); output the user's merged-island
+    count and total covered microseconds. ONE bucketed exchange; inside a
+    bucket the sweep is fully vectorized — segmented running-max via the
+    per-user-offset cummax trick (user codes are bucket-local and interval
+    ends are normalized to the bucket minimum, so code * span stays far
+    inside int64), island starts as a shifted compare, per-island coverage
+    from the cummax at island ends. At 10^12 rows the bucket count is the
+    parallelism lever; per-bucket memory is O(bucket rows)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        s = batch.column("ts").cast(pa.int64()).to_numpy()
+        dur = np.round(batch.column("value").to_numpy() * 100).astype(
+            np.int64
+        ) * 1_000_000
+        u = batch.column("user_id").to_numpy()
+        return pa.table(
+            {
+                "user_id": pa.array(u),
+                "s": pa.array(s),
+                "e": pa.array(s + dur),
+                "bk": pa.array(u % 64),
+            }
+        )
+
+    def sweep(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "s", "e"], kind="stable")
+        u = g["user_id"].to_numpy()
+        s = g["s"].to_numpy()
+        e = g["e"].to_numpy()
+        base = s.min()
+        s0 = s - base
+        e0 = e - base
+        # bucket-local dense user codes in sorted order
+        new_user = np.r_[True, u[1:] != u[:-1]]
+        code = np.cumsum(new_user) - 1
+        span = int(e0.max()) + 1
+        cm = np.maximum.accumulate(e0 + code * span) - code * span
+        prev_cm = np.r_[np.int64(-1), cm[:-1]]
+        start = new_user | (s0 > prev_cm)
+        isl = np.cumsum(start) - 1
+        # island last index: next island starts - 1, plus the final row
+        starts_ix = np.nonzero(start)[0]
+        ends_ix = np.r_[starts_ix[1:] - 1, len(s0) - 1]
+        covered = cm[ends_ix] - s0[starts_ix]
+        isl_user = code[starts_ix]
+        n_users = int(code[-1]) + 1
+        return pa.table(
+            {
+                "user_id": pa.array(u[new_user]),
+                "n_islands": pa.array(
+                    np.bincount(isl_user, minlength=n_users).astype(np.int64)
+                ),
+                "covered_us": pa.array(
+                    np.bincount(isl_user, weights=covered, minlength=n_users)
+                    .astype(np.int64)
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("bk")
+        .map_groups(sweep, batch_format="pandas")
+    )
+
+
+_SQL_INTERVAL_COVERAGE = """
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s,
+         epoch_us(ts) + CAST(ROUND(value * 100) AS BIGINT) * 1000000 AS e
+  FROM events
+), m AS (
+  SELECT user_id, s, e,
+         MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM iv
+), g AS (
+  SELECT user_id, s, e,
+         SUM(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY s, e
+                 ROWS UNBOUNDED PRECEDING) AS isl
+  FROM m
+), islands AS (
+  SELECT user_id, isl, MAX(e) - MIN(s) AS covered
+  FROM g GROUP BY 1, 2
+)
+SELECT user_id, COUNT(*) AS n_islands,
+       SUM(covered) AS covered_us
+FROM islands GROUP BY 1
+"""
+
+
+def q_tile_pyramid_rollup(sf_dir: str):
+    """Multi-zoom tile pyramid (z8..z12) from ONE finest-grain pass: the
+    z12 counts reduce through the combiner tree once, then the small z12
+    table explodes 5x (bit-shift parent ids) and re-reduces — the coarser
+    zooms never rescan the facts. The raster-pyramid / tileset-LOD rollup
+    every map pipeline runs (tileset.json geometric-error levels,
+    sinks/tileset.py)."""
+    ds = _read(sf_dir, "events", ["event_id"])
+    ds = ds.map_batches(
+        lambda b: add_lnglat_arith(b, "event_id"), batch_format="pyarrow"
+    )
+    ds = ds.map_batches(
+        lambda b: assign_webmercator(b, 12), batch_format="pyarrow"
+    )
+    z12 = tree_group_agg(
+        ds.select_columns(["tile_x", "tile_y"]),
+        ["tile_x", "tile_y"], {"n": (None, "count")},
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        x = batch.column("tile_x").to_numpy()
+        y = batch.column("tile_y").to_numpy()
+        n = batch.column("n").to_numpy()
+        ks = np.arange(5, dtype=np.int64)
+        rep = np.repeat(np.arange(len(x)), 5)
+        k = np.tile(ks, len(x))
+        return pa.table(
+            {
+                "z": pa.array(12 - k),
+                "x": pa.array(x[rep] >> k),
+                "y": pa.array(y[rep] >> k),
+                "n": pa.array(n[rep]),
+            }
+        )
+
+    return tree_group_agg(
+        z12.map_batches(explode, batch_format="pyarrow"),
+        ["z", "x", "y"], {"n": ("n", "sum")},
+    )
+
+
+def _sql_tile_pyramid_rollup() -> str:
+    lng, lat = _geo_sql("event_id")
+    return f"""
+WITH pts AS (
+  SELECT {lng} AS lng, {lat} AS lat FROM events
+), t AS (
+  SELECT CAST(FLOOR((lng + 180.0) / 360.0 * 4096) AS BIGINT) AS tile_x,
+         CAST(FLOOR(((-(DEGREES(LN(TAN(RADIANS(90.0 + lat) / 2.0)))) + 180.0)
+                     / 360.0) * 4096) AS BIGINT) AS tile_y
+  FROM pts
+), lv AS (SELECT UNNEST(range(0, 5)) AS k)
+SELECT 12 - lv.k AS z, t.tile_x >> lv.k AS x, t.tile_y >> lv.k AS y,
+       COUNT(*) AS n
+FROM t CROSS JOIN lv
+GROUP BY 1, 2, 3
+"""
+
+
+_SQL_TILE_PYRAMID_ROLLUP = _sql_tile_pyramid_rollup()
+
+
+def q_snap_to_roads(sf_dir: str):
+    """Rectilinear map-matching (stages/trajectory.py): every sampled
+    point snaps to its exactly-nearest road segment (integer d2,
+    (d2, sid) tie-break). Road network = L-decomposed consecutive-point
+    segments of the bounded road-user set, broadcast once; zero
+    exchanges."""
+    from ..stages.trajectory import snap_to_roads
+
+    return snap_to_roads(sf_dir)
+
+
+def _sql_snap_to_roads() -> str:
+    return """
+WITH ev AS (
+  SELECT user_id, event_id, ts,
+         (event_id * 9973) % 240000 AS x,
+         (event_id * 7919) % 220000 AS y
+  FROM events
+), pairs AS (
+  SELECT event_id AS sid0, x AS x1, y AS y1,
+         LEAD(x) OVER w AS x2, LEAD(y) OVER w AS y2
+  FROM ev WHERE user_id < 4
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), roads AS (
+  SELECT sid0 * 2 AS sid, 0 AS axis,
+         LEAST(x1, x2) AS lo, GREATEST(x1, x2) AS hi, y1 AS c
+  FROM pairs WHERE x2 IS NOT NULL AND x1 <> x2
+  UNION ALL
+  SELECT sid0 * 2 + 1, 1, LEAST(y1, y2), GREATEST(y1, y2), x2
+  FROM pairs WHERE x2 IS NOT NULL AND y1 <> y2
+), pts AS (
+  SELECT event_id, x, y FROM ev
+  WHERE user_id >= 4 AND event_id % 4 = 0
+), cand AS (
+  SELECT p.event_id, r.sid,
+         POWER(GREATEST(r.lo - (CASE WHEN r.axis = 0 THEN p.x ELSE p.y END),
+                        (CASE WHEN r.axis = 0 THEN p.x ELSE p.y END) - r.hi,
+                        0), 2)
+         + POWER((CASE WHEN r.axis = 0 THEN p.y ELSE p.x END) - r.c, 2)
+           AS d2f
+  FROM pts p CROSS JOIN roads r
+)
+SELECT event_id, sid AS road_seg, CAST(d2f AS BIGINT) AS d2
+FROM (
+  SELECT event_id, sid, d2f,
+         ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY d2f, sid) AS rn
+  FROM cand
+) WHERE rn = 1
+"""
+
+
+_SQL_SNAP_TO_ROADS = _sql_snap_to_roads()
+
+
+_SSSP_ROUNDS = 6
+_SSSP_INF = np.int64(1) << 40
+
+
+def q_sssp_weighted(sf_dir: str, local_max_edges: int = 2_000_000):
+    """Weighted single-source-set shortest path over the near-dup pair
+    graph (the Bellman-Ford sibling of bfs_hops): edge weight
+    (doc_a + doc_b) % 7 + 1, seeds doc_id % 50 == 0 at distance 0,
+    _SSSP_ROUNDS relaxation rounds, unreached -1. Each distributed round
+    is ONE hash-join exchange + a min combiner tree; below
+    ``local_max_edges`` the rounds run on driver arrays (vectorized
+    np.minimum.at), force-tested equal to the distributed path."""
+    import ray.data
+
+    from ..stages.dedup import ngram_jaccard_blocked
+    from ..stages.treeagg import tree_group_agg
+
+    pairs = ngram_jaccard_blocked(sf_dir).select_columns(
+        ["doc_a", "doc_b"]
+    ).materialize()
+
+    if pairs.count() * 2 <= local_max_edges:
+        pt = pairs.to_pandas()
+        a = pt["doc_a"].to_numpy()
+        b = pt["doc_b"].to_numpy()
+        w1 = (a + b) % 7 + 1
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        w = np.concatenate([w1, w1])
+        nodes, src_ix = np.unique(src, return_inverse=True)
+        dst_ix = np.searchsorted(nodes, dst)
+        dist = np.where(nodes % 50 == 0, np.int64(0), _SSSP_INF)
+        for _ in range(_SSSP_ROUNDS):
+            np.minimum.at(dist, dst_ix, dist[src_ix] + w)
+        out = np.where(dist >= _SSSP_INF, np.int64(-1), dist)
+        return ray.data.from_arrow(
+            pa.table({"doc_id": pa.array(nodes), "dist": pa.array(out)})
+        )
+
+    def sym(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy()
+        b = batch.column("doc_b").to_numpy()
+        w1 = (a + b) % 7 + 1
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b])),
+                "dst": pa.array(np.concatenate([b, a])),
+                "w": pa.array(np.concatenate([w1, w1])),
+            }
+        )
+
+    edges = pairs.map_batches(sym, batch_format="pyarrow").materialize()
+
+    def init_dist(t: pa.Table) -> pa.Table:
+        n = t.column("src").to_numpy()
+        d = np.where(n % 50 == 0, np.int64(0), _SSSP_INF)
+        return pa.table({"node": t.column("src"), "dist": pa.array(d)})
+
+    dist = tree_group_agg(
+        edges.map_batches(init_dist, batch_format="pyarrow"),
+        ["node"], {"dist": ("dist", "min")},
+    ).materialize()
+
+    for _ in range(_SSSP_ROUNDS):
+        cand = edges.join(
+            dist, "inner", num_partitions=JOIN_PARTS,
+            on=("src",), right_on=("node",),
+        )
+
+        def step(batch: pa.Table) -> pa.Table:
+            d = batch.column("dist").to_numpy()
+            w = batch.column("w").to_numpy()
+            return pa.table(
+                {"node": batch.column("dst"), "dist": pa.array(d + w)}
+            )
+
+        dist = tree_group_agg(
+            dist.union(cand.map_batches(step, batch_format="pyarrow")),
+            ["node"], {"dist": ("dist", "min")},
+        ).materialize()
+
+    def finish(batch: pa.Table) -> pa.Table:
+        d = batch.column("dist").to_numpy()
+        return pa.table(
+            {
+                "doc_id": batch.column("node"),
+                "dist": pa.array(np.where(d >= _SSSP_INF, np.int64(-1), d)),
+            }
+        )
+
+    return dist.map_batches(finish, batch_format="pyarrow")
+
+
+def _sql_sssp_weighted() -> str:
+    inf = int(_SSSP_INF)
+    steps = []
+    for k in range(_SSSP_ROUNDS):
+        steps.append(f""", d{k + 1} AS (
+  SELECT node, MIN(d) AS d FROM (
+    SELECT node, d FROM d{k}
+    UNION ALL
+    SELECT e.dst, d{k}.d + e.w FROM e JOIN d{k} ON d{k}.node = e.src
+  ) GROUP BY 1
+)""")
+    return (
+        f"""WITH {_SQL_DUP_PAIRS_CTE}, e AS (
+  SELECT doc_a AS src, doc_b AS dst, (doc_a + doc_b) % 7 + 1 AS w FROM p
+  UNION ALL
+  SELECT doc_b, doc_a, (doc_a + doc_b) % 7 + 1 FROM p
+), n AS (SELECT DISTINCT src AS node FROM e),
+d0 AS (
+  SELECT node, CASE WHEN node % 50 = 0 THEN 0
+                    ELSE CAST({inf} AS BIGINT) END AS d
+  FROM n
+)"""
+        + "".join(steps)
+        + f"""
+SELECT node AS doc_id,
+       CASE WHEN d >= {inf} THEN -1 ELSE d END AS dist
+FROM d{_SSSP_ROUNDS}
+"""
+    )
+
+
+_SQL_SSSP_WEIGHTED = _sql_sssp_weighted()
+
+
+def q_track_dtw_pairs(sf_dir: str):
+    """DTW track-similarity join (stages/trajectory.py): fixed-length
+    user tracks, start-cell blocking, exact integer DTW vectorized across
+    each cell's pairs. Rows-only (DTW's DP recurrence is not
+    SQL-expressible); pinned against a scalar DP in pytest."""
+    from ..stages.trajectory import track_dtw_pairs
+
+    return track_dtw_pairs(sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Wave 12: A/B test stats (Welch t), CSV source lane, polygon-dissolve
+# analogue (connected regions of occupied grid cells).
+
+
+def q_ab_test_stats(sf_dir: str):
+    """A/B experiment readout per event_type: variant = user_id % 2, metric
+    = value cents. ONE combiner-tree exchange carries six exact int64 sums
+    (n/s/ss per variant as conditional columns — no pivot exchange); the
+    Welch t statistic and mean difference are single mirrored float
+    expressions over them. The eval-metrics sibling of auc_exact /
+    psi_drift."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = np.round(batch.column("value").to_numpy() * 100).astype(np.int64)
+        a = (batch.column("user_id").to_numpy() % 2 == 0).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "n_a": pa.array(a),
+                "s_a": pa.array(a * v),
+                "ss_a": pa.array(a * v * v),
+                "n_b": pa.array(1 - a),
+                "s_b": pa.array((1 - a) * v),
+                "ss_b": pa.array((1 - a) * v * v),
+            }
+        )
+
+    agg = tree_group_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["event_type"],
+        {k: (k, "sum") for k in ("n_a", "s_a", "ss_a", "n_b", "s_b", "ss_b")},
+    )
+
+    def fit(batch: pa.Table) -> pa.Table:
+        f = {
+            c: batch.column(c).to_numpy().astype(np.float64)
+            for c in ("n_a", "s_a", "ss_a", "n_b", "s_b", "ss_b")
+        }
+        # EXPRESSIONS MIRRORED IN THE ORACLE — do not reorder
+        mean_a = f["s_a"] / f["n_a"]
+        mean_b = f["s_b"] / f["n_b"]
+        var_a = (f["ss_a"] - f["s_a"] * f["s_a"] / f["n_a"]) / (f["n_a"] - 1)
+        var_b = (f["ss_b"] - f["s_b"] * f["s_b"] / f["n_b"]) / (f["n_b"] - 1)
+        t = (mean_a - mean_b) / np.sqrt(var_a / f["n_a"] + var_b / f["n_b"])
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "n_a": batch.column("n_a"),
+                "n_b": batch.column("n_b"),
+                "mean_diff": pa.array(mean_a - mean_b),
+                "t_stat": pa.array(t),
+            }
+        )
+
+    return agg.map_batches(fit, batch_format="pyarrow")
+
+
+_SQL_AB_TEST_STATS = """
+WITH b AS (
+  SELECT event_type,
+         CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS a,
+         CAST(ROUND(value * 100) AS BIGINT) AS v
+  FROM events
+), s AS (
+  SELECT event_type,
+         SUM(a) AS n_a, SUM(a * v) AS s_a, SUM(a * v * v) AS ss_a,
+         SUM(1 - a) AS n_b, SUM((1 - a) * v) AS s_b,
+         SUM((1 - a) * v * v) AS ss_b
+  FROM b GROUP BY 1
+)
+SELECT event_type, n_a, n_b,
+       CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+         - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_diff,
+       (CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+         - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+       / SQRT(
+           ((CAST(ss_a AS DOUBLE)
+             - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE)
+               / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1))
+             / CAST(n_a AS DOUBLE)
+         + ((CAST(ss_b AS DOUBLE)
+             - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE)
+               / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1))
+             / CAST(n_b AS DOUBLE)
+         ) AS t_stat
+FROM s
+"""
+
+
+def q_csv_source_stats(sf_dir: str):
+    """CSV source lane: the documents metadata columns round-trip through
+    CSV shards (written once to /tmp, resumable via _SUCCESS) and read
+    back with ``ray.data.read_csv`` — the second non-parquet source proof
+    next to jsonl_source_stats — then aggregate per lang. Oracle reads the
+    parquet view directly: identical iff the CSV round-trip is
+    lossless."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = f"/tmp/plateau_ray_data/csv_{sf_tag}"
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if not os.path.exists(marker):
+        os.makedirs(out_dir, exist_ok=True)
+        t = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "lang", "n_chars"],
+        )
+        df = t.to_pandas()
+        shards = max(1, min(8, len(df) // 2000))
+        for i, part in enumerate(np.array_split(df, shards)):
+            tmp = os.path.join(out_dir, f".part-{i:04d}.csv.tmp")
+            part.to_csv(tmp, index=False)
+            os.replace(tmp, os.path.join(out_dir, f"part-{i:04d}.csv"))
+        with open(marker, "w") as f:
+            f.write("ok")
+    import ray.data
+
+    files = sorted(
+        os.path.join(out_dir, f)
+        for f in os.listdir(out_dir)
+        if f.endswith(".csv")
+    )
+    ds = ray.data.read_csv(files)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": batch.column("lang"),
+                "n_chars": batch.column("n_chars").cast(pa.int64()),
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+            }
+        )
+
+    return tree_group_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["lang"],
+        {
+            "n_docs": (None, "count"),
+            "sum_chars": ("n_chars", "sum"),
+            "min_doc": ("doc_id", "min"),
+            "max_doc": ("doc_id", "max"),
+        },
+    )
+
+
+_SQL_CSV_SOURCE_STATS = """
+SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
+       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM documents GROUP BY 1
+"""
+
+
+def q_tile_dissolve_regions(sf_dir: str, local_max_edges: int = 20_000_000):
+    """Polygon dissolve, raster flavor: occupied grid cells merge into
+    4-connected REGIONS (the GIS dissolve/union-by-touch operation; region
+    id = min cell id, singletons keep their own id). The cell size is
+    density-adaptive — floor(sqrt(0.15 * domain_area / n)) targets ~15%
+    site occupancy at every scale, the sub-critical percolation regime
+    where regions stay small (metadata count only, no data pass; the
+    identical expression computes in the oracle). Plan: parallel
+    grouped-distinct on the packed cell id, ONE scatter-claim exchange
+    builds adjacency edges (each cell emits itself + claims on its right
+    and lower neighbors — edges appear exactly once, no self-join), CC via
+    stages/graph.py, and one final bucketed label-attach exchange with
+    own-id fallback for singleton cells."""
+    from ..stages.graph import connected_components
+    from ..stages.treeagg import grouped_distinct
+
+    _W = 8192  # packed-grid row stride (> 240000 / smallest cell size)
+    ds = _read(sf_dir, "events", ["event_id"])
+    n = ds.count()
+    cell = int(np.floor(np.sqrt(0.15 * 240000.0 * 220000.0 / n)))
+
+    def prep(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy()
+        x = (eid * 9973) % 240000
+        y = (eid * 7919) % 220000
+        return pa.table({"tid": pa.array((x // cell) * _W + y // cell)})
+
+    tiles = grouped_distinct(
+        ds.map_batches(prep, batch_format="pyarrow"), ["tid"]
+    ).materialize()
+
+    def scatter(batch: pa.Table) -> pa.Table:
+        tid = batch.column("tid").to_numpy()
+        own = pa.table(
+            {
+                "pk": pa.array(tid),
+                "claim": pa.array(np.full(len(tid), -1, dtype=np.int64)),
+            }
+        )
+        right = pa.table(
+            {"pk": pa.array(tid + _W), "claim": pa.array(tid)}
+        )
+        nw = tid[tid % _W != _W - 1]
+        down = pa.table({"pk": pa.array(nw + 1), "claim": pa.array(nw)})
+        return pa.concat_tables([own, right, down])
+
+    def to_edges(g: pd.DataFrame) -> pa.Table:
+        pk = g["pk"].to_numpy()
+        cl = g["claim"].to_numpy()
+        own_pk = np.sort(pk[cl == -1])
+        m = cl != -1
+        pkm, clm = pk[m], cl[m]
+        pos = np.searchsorted(own_pk, pkm)
+        pos = np.clip(pos, 0, max(len(own_pk) - 1, 0))
+        hit = (own_pk[pos] == pkm) if len(own_pk) else np.zeros(
+            len(pkm), dtype=bool
+        )
+        return pa.table(
+            {"u": pa.array(clm[hit]), "v": pa.array(pkm[hit])}
+        )
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_bk", pa.array(batch.column("pk").to_numpy() % 64)
+        )
+
+    edges = (
+        tiles.map_batches(scatter, batch_format="pyarrow")
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby("_bk")
+        .map_groups(to_edges, batch_format="pandas")
+    )
+    labels = connected_components(
+        edges, src="u", dst="v", local_max_edges=local_max_edges
+    )
+
+    def lab_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": batch.column("doc_id").cast(pa.int64()),
+                "region": batch.column("comp").cast(pa.int64()),
+            }
+        )
+
+    def tile_rows(batch: pa.Table) -> pa.Table:
+        t = batch.column("tid").to_numpy()
+        return pa.table(
+            {
+                "k": pa.array(t),
+                "region": pa.array(np.full(len(t), -1, dtype=np.int64)),
+            }
+        )
+
+    def resolve(g: pd.DataFrame) -> pa.Table:
+        t = g[g["region"].to_numpy() == -1][["k"]]
+        lab = g[g["region"].to_numpy() != -1]
+        m = t.merge(lab, on="k", how="left")
+        region = m["region"].fillna(m["k"]).astype(np.int64)
+        return pa.table(
+            {"tid": pa.array(m["k"].to_numpy()), "region": pa.array(region)}
+        )
+
+    def bucket_k(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_bk", pa.array(batch.column("k").to_numpy() % 64)
+        )
+
+    return (
+        tiles.map_batches(tile_rows, batch_format="pyarrow")
+        .union(labels.map_batches(lab_rows, batch_format="pyarrow"))
+        .map_batches(bucket_k, batch_format="pyarrow")
+        .groupby("_bk")
+        .map_groups(resolve, batch_format="pandas")
+    )
+
+
+_SQL_TILE_DISSOLVE_REGIONS = """
+WITH RECURSIVE nn AS (SELECT COUNT(*) AS n FROM events),
+s AS (
+  SELECT CAST(FLOOR(SQRT(0.15 * 240000.0 * 220000.0 / n)) AS BIGINT) AS cell
+  FROM nn
+),
+t AS (
+  SELECT DISTINCT ((event_id * 9973) % 240000) // s.cell * 8192
+         + ((event_id * 7919) % 220000) // s.cell AS tid
+  FROM events, s
+),
+e AS (
+  SELECT a.tid AS u, b.tid AS v FROM t a JOIN t b ON b.tid = a.tid + 8192
+  UNION ALL
+  SELECT a.tid, b.tid FROM t a JOIN t b ON b.tid = a.tid + 1
+  WHERE a.tid % 8192 <> 8191
+),
+sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+reach AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s2.v FROM reach r JOIN sym s2 ON r.v = s2.u
+),
+lab AS (SELECT u AS tid, LEAST(u, MIN(v)) AS region FROM reach GROUP BY u)
+SELECT t.tid, COALESCE(lab.region, t.tid) AS region
+FROM t LEFT JOIN lab ON lab.tid = t.tid
+"""
+
+
 QUERIES = {
     "tile_wm_z12": q_tile_wm_z12,
     "tile_3dt_z7": q_tile_3dt_z7,
@@ -10668,6 +11323,14 @@ QUERIES = {
     "snapshot_cdc_diff": q_snapshot_cdc_diff,
     "ts_ffill_resample": q_ts_ffill_resample,
     "jsonl_source_stats": q_jsonl_source_stats,
+    "interval_coverage": q_interval_coverage,
+    "tile_pyramid_rollup": q_tile_pyramid_rollup,
+    "snap_to_roads": q_snap_to_roads,
+    "sssp_weighted": q_sssp_weighted,
+    "track_dtw_pairs": q_track_dtw_pairs,
+    "ab_test_stats": q_ab_test_stats,
+    "csv_source_stats": q_csv_source_stats,
+    "tile_dissolve_regions": q_tile_dissolve_regions,
 }
 
 ORACLES = {
@@ -10814,4 +11477,11 @@ ORACLES = {
     "snapshot_cdc_diff": _SQL_SNAPSHOT_CDC_DIFF,
     "ts_ffill_resample": _SQL_TS_FFILL_RESAMPLE,
     "jsonl_source_stats": _SQL_JSONL_SOURCE_STATS,
+    "interval_coverage": _SQL_INTERVAL_COVERAGE,
+    "tile_pyramid_rollup": _SQL_TILE_PYRAMID_ROLLUP,
+    "snap_to_roads": _SQL_SNAP_TO_ROADS,
+    "sssp_weighted": _SQL_SSSP_WEIGHTED,
+    "ab_test_stats": _SQL_AB_TEST_STATS,
+    "csv_source_stats": _SQL_CSV_SOURCE_STATS,
+    "tile_dissolve_regions": _SQL_TILE_DISSOLVE_REGIONS,
 }

@@ -1,0 +1,265 @@
+"""Trajectory operators: rectilinear map-matching and DTW similarity join.
+
+Reference semantics: the reference's geometry pipeline snaps/clips vertex
+streams against axis-aligned boundaries with exact integer arithmetic
+(`/root/reference/nusamai/src/sink/cesiumtiles/slice.rs` — axis-parallel
+edge clipping); this module applies the same exact-integer point-vs-
+axis-aligned-segment primitive to the classic GIS *map-matching* problem
+(snap GPS points to a road network), and adds a DTW (dynamic-time-warping)
+track-similarity join — the trajectory-mining operator a movement-data
+pipeline needs next to it.
+
+Scale design (100 TB):
+- ``snap_to_roads``: the road network is the SMALL side (derived here from
+  a bounded set of "road" users) — broadcast once via ``ray.put``, probed
+  per batch with one vectorized (batch x segments) int64 distance matrix.
+  ZERO exchanges; points never move. At real scale the road set shards by
+  region tile and each point batch probes only its tile's segments (the
+  same broadcast-or-partition decision the join planner makes).
+- ``track_dtw_pairs``: tracks are fixed-length (first L points), so a
+  track is ONE fixed-width row; candidate pairs are blocked by the track's
+  start cell (the quadratic-cost lever — shrink the cell to bound the
+  per-cell pair count) and the 8x8 DP runs vectorized ACROSS all pairs of
+  a cell (L^2 iterations of pair-wide numpy ops, no per-pair Python DP).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+# integer micro-degree geocode shared with stages/overlay.py and the SQL
+# twins: x = (event_id * 9973) % 240000, y = (event_id * 7919) % 220000
+_DOM_X = 240000
+_DOM_Y = 220000
+ROAD_USERS = 4  # user_id < ROAD_USERS form the road network (bounded)
+
+
+def _xy(eid: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    return (eid * 9973) % _DOM_X, (eid * 7919) % _DOM_Y
+
+
+def build_road_segments(ev: pd.DataFrame) -> pd.DataFrame:
+    """Rectilinear road segments from the road users' consecutive points.
+
+    Each consecutive pair (p1, p2) decomposes L-shaped: a horizontal leg
+    at y1 (sid = 2 * start event_id) when x1 != x2, then a vertical leg at
+    x2 (sid = 2 * start event_id + 1) when y1 != y2 — the Manhattan
+    polyline a grid-snapped road network is. Columns: sid, axis (0 = clamp
+    on x / offset on y, 1 = the converse), lo, hi, c.
+    """
+    ev = ev.sort_values(["user_id", "ts_us", "event_id"], kind="stable")
+    u = ev["user_id"].to_numpy()
+    eid = ev["event_id"].to_numpy()
+    x, y = _xy(eid)
+    same = u[1:] == u[:-1]
+    i = np.nonzero(same)[0]
+    x1, y1, x2, y2 = x[i], y[i], x[i + 1], y[i + 1]
+    sid0 = eid[i] * 2
+    h = x1 != x2
+    v = y1 != y2
+    parts = [
+        pd.DataFrame(
+            {
+                "sid": sid0[h],
+                "axis": np.zeros(int(h.sum()), dtype=np.int64),
+                "lo": np.minimum(x1[h], x2[h]),
+                "hi": np.maximum(x1[h], x2[h]),
+                "c": y1[h],
+            }
+        ),
+        pd.DataFrame(
+            {
+                "sid": sid0[v] + 1,
+                "axis": np.ones(int(v.sum()), dtype=np.int64),
+                "lo": np.minimum(y1[v], y2[v]),
+                "hi": np.maximum(y1[v], y2[v]),
+                "c": x2[v],
+            }
+        ),
+    ]
+    out = pd.concat(parts, ignore_index=True).sort_values("sid")
+    return out.reset_index(drop=True)
+
+
+def snap_points_block(batch: pa.Table, roads: dict) -> pa.Table:
+    """Exact nearest road segment per point (one (n x S) int64 matrix).
+
+    d2 to an axis-aligned segment is INTEGER: clamp overshoot along the
+    segment axis squared plus the perpendicular offset squared. Argmin
+    tie-breaks on sid ascending via a second masked pass (both passes
+    vectorized; no composite-key packing, so no id-width assumption).
+    """
+    eid = batch.column("event_id").to_numpy()
+    px, py = _xy(eid)
+    main = np.where(roads["axis"] == 0, 0, 1)  # 0: clamp x, 1: clamp y
+    lo = roads["lo"][None, :]
+    hi = roads["hi"][None, :]
+    c = roads["c"][None, :]
+    sid = roads["sid"]
+    pm = np.where(main[None, :] == 0, px[:, None], py[:, None])
+    po = np.where(main[None, :] == 0, py[:, None], px[:, None])
+    clamp = np.maximum(np.maximum(lo - pm, pm - hi), 0)
+    off = po - c
+    d2 = clamp * clamp + off * off
+    best = d2.min(axis=1)
+    sid_m = np.where(d2 == best[:, None], sid[None, :], np.iinfo(np.int64).max)
+    return pa.table(
+        {
+            "event_id": pa.array(eid),
+            "road_seg": pa.array(sid_m.min(axis=1)),
+            "d2": pa.array(best),
+        }
+    )
+
+
+def snap_to_roads(sf_dir: str, sample_mod: int = 4):
+    """Map-matching: snap every sampled point (user >= ROAD_USERS,
+    event_id % sample_mod == 0) to its exactly-nearest rectilinear road
+    segment. Road side reads once, builds on the driver (bounded by
+    construction), broadcasts via ``ray.put``; the point side streams."""
+    import ray
+
+    from ..sources.tables import read_table
+
+    ev = read_table(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def prep_roads(batch: pa.Table) -> pa.Table:
+        m = batch.column("user_id").to_numpy() < ROAD_USERS
+        t = batch.filter(pa.array(m))
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "ts_us": t.column("ts").cast(pa.int64()),
+            }
+        )
+
+    road_ev = ev.map_batches(prep_roads, batch_format="pyarrow").to_pandas()
+    seg = build_road_segments(road_ev)
+    roads_ref = ray.put(
+        {k: seg[k].to_numpy() for k in ("sid", "axis", "lo", "hi", "c")}
+    )
+
+    def snap(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy()
+        eid = batch.column("event_id").to_numpy()
+        m = (u >= ROAD_USERS) & (eid % sample_mod == 0)
+        return snap_points_block(batch.filter(pa.array(m)), ray.get(roads_ref))
+
+    return ev.map_batches(snap, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# DTW track-similarity join
+
+DTW_L = 8  # fixed track length (first L points of users with >= L events)
+DTW_CELL = 30000  # start-cell blocking size — the pair-count lever
+
+
+def tracks_fixed(g: pd.DataFrame, L: int = DTW_L) -> pa.Table:
+    """One fixed-width row per user with >= L events: the first L geocoded
+    points (ts, event_id order) flattened to 2L int64 columns + the
+    start-cell blocking key."""
+    g = g.sort_values(["user_id", "ts_us", "event_id"], kind="stable")
+    u = g["user_id"].to_numpy()
+    eid = g["event_id"].to_numpy()
+    starts = np.nonzero(np.r_[True, u[1:] != u[:-1]])[0]
+    sizes = np.diff(np.r_[starts, len(u)])
+    keep = sizes >= L
+    starts = starts[keep]
+    take = (starts[:, None] + np.arange(L)[None, :]).ravel()
+    x, y = _xy(eid[take])
+    x = x.reshape(-1, L)
+    y = y.reshape(-1, L)
+    cols = {"user_id": pa.array(u[starts])}
+    cols["cell"] = pa.array((x[:, 0] // DTW_CELL) * 16 + y[:, 0] // DTW_CELL)
+    for j in range(L):
+        cols[f"x{j}"] = pa.array(x[:, j])
+        cols[f"y{j}"] = pa.array(y[:, j])
+    return pa.table(cols)
+
+
+def dtw_pairs_cell(g: pd.DataFrame, L: int = DTW_L) -> pa.Table:
+    """All (a < b) track pairs of one start cell with their exact DTW
+    distance (squared-euclidean step cost, standard three-move recurrence).
+    The DP runs over L x L iterations of PAIR-WIDE numpy ops."""
+    n = len(g)
+    if n < 2:
+        return pa.table(
+            {
+                "user_a": pa.array([], pa.int64()),
+                "user_b": pa.array([], pa.int64()),
+                "dtw_d2": pa.array([], pa.int64()),
+            }
+        )
+    g = g.sort_values("user_id", kind="stable")
+    uid = g["user_id"].to_numpy()
+    X = np.stack([g[f"x{j}"].to_numpy() for j in range(L)], axis=1)
+    Y = np.stack([g[f"y{j}"].to_numpy() for j in range(L)], axis=1)
+    ai, bi = np.triu_indices(n, k=1)
+    # cost[p, i, j] = d2(track_a[i], track_b[j]) for every pair p
+    dx = X[ai][:, :, None] - X[bi][:, None, :]
+    dy = Y[ai][:, :, None] - Y[bi][:, None, :]
+    cost = dx * dx + dy * dy
+    P = len(ai)
+    INF = np.int64(1) << 60
+    dp = np.full((P, L + 1, L + 1), INF, dtype=np.int64)
+    dp[:, 0, 0] = 0
+    for i in range(1, L + 1):
+        for j in range(1, L + 1):
+            prev = np.minimum(
+                np.minimum(dp[:, i - 1, j], dp[:, i, j - 1]), dp[:, i - 1, j - 1]
+            )
+            dp[:, i, j] = cost[:, i - 1, j - 1] + prev
+    return pa.table(
+        {
+            "user_a": pa.array(uid[ai]),
+            "user_b": pa.array(uid[bi]),
+            "dtw_d2": pa.array(dp[:, L, L]),
+        }
+    )
+
+
+def dtw_brute(a: np.ndarray, b: np.ndarray) -> int:
+    """O(L^2) scalar reference DTW (same recurrence) for the pytest pin."""
+    L = len(a)
+    INF = 1 << 60
+    dp = [[INF] * (L + 1) for _ in range(L + 1)]
+    dp[0][0] = 0
+    for i in range(1, L + 1):
+        for j in range(1, L + 1):
+            c = (int(a[i - 1][0]) - int(b[j - 1][0])) ** 2 + (
+                int(a[i - 1][1]) - int(b[j - 1][1])
+            ) ** 2
+            dp[i][j] = c + min(dp[i - 1][j], dp[i][j - 1], dp[i - 1][j - 1])
+    return dp[L][L]
+
+
+def track_dtw_pairs(sf_dir: str):
+    """DTW similarity join over user tracks: fixed-length tracks in one
+    bucketed exchange, start-cell blocking, vectorized pair DP per cell."""
+    from ..sources.tables import read_table
+
+    ev = read_table(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy()
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "event_id": batch.column("event_id"),
+                "ts_us": batch.column("ts").cast(pa.int64()),
+                "bk": pa.array(u % 64),
+            }
+        )
+
+    tracks = (
+        ev.map_batches(prep, batch_format="pyarrow")
+        .groupby("bk")
+        .map_groups(tracks_fixed, batch_format="pandas")
+    )
+    return tracks.groupby("cell").map_groups(
+        dtw_pairs_cell, batch_format="pandas"
+    )
