@@ -230,6 +230,7 @@ BENCH_QUERIES = [
     "ab_test_stats",
     "csv_source_stats",
     "tile_dissolve_regions",
+    "road_corridor_count",
 ]
 
 

@@ -10721,6 +10721,49 @@ FROM (
 _SQL_SNAP_TO_ROADS = _sql_snap_to_roads()
 
 
+def q_road_corridor_count(sf_dir: str):
+    """Corridor/buffer analysis (stages/trajectory.py): per road segment,
+    the number of sampled points within radius 3000 — exact integer
+    d2 <= r^2 probes against the broadcast road set, zero point
+    exchanges, one tiny (road_seg, count) combiner."""
+    from ..stages.trajectory import road_corridor_count
+
+    return road_corridor_count(sf_dir)
+
+
+_SQL_ROAD_CORRIDOR_COUNT = """
+WITH ev AS (
+  SELECT user_id, event_id, ts,
+         (event_id * 9973) % 240000 AS x,
+         (event_id * 7919) % 220000 AS y
+  FROM events
+), pairs AS (
+  SELECT event_id AS sid0, x AS x1, y AS y1,
+         LEAD(x) OVER w AS x2, LEAD(y) OVER w AS y2
+  FROM ev WHERE user_id < 4
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), roads AS (
+  SELECT sid0 * 2 AS sid, 0 AS axis,
+         LEAST(x1, x2) AS lo, GREATEST(x1, x2) AS hi, y1 AS c
+  FROM pairs WHERE x2 IS NOT NULL AND x1 <> x2
+  UNION ALL
+  SELECT sid0 * 2 + 1, 1, LEAST(y1, y2), GREATEST(y1, y2), x2
+  FROM pairs WHERE x2 IS NOT NULL AND y1 <> y2
+), pts AS (
+  SELECT event_id, x, y FROM ev
+  WHERE user_id >= 4 AND event_id % 4 = 0
+)
+SELECT r.sid AS road_seg, COUNT(*) AS n_pts
+FROM pts p CROSS JOIN roads r
+WHERE POWER(GREATEST(r.lo - (CASE WHEN r.axis = 0 THEN p.x ELSE p.y END),
+                     (CASE WHEN r.axis = 0 THEN p.x ELSE p.y END) - r.hi,
+                     0), 2)
+      + POWER((CASE WHEN r.axis = 0 THEN p.y ELSE p.x END) - r.c, 2)
+      <= 9000000
+GROUP BY 1
+"""
+
+
 _SSSP_ROUNDS = 6
 _SSSP_INF = np.int64(1) << 40
 
@@ -11326,6 +11369,7 @@ QUERIES = {
     "interval_coverage": q_interval_coverage,
     "tile_pyramid_rollup": q_tile_pyramid_rollup,
     "snap_to_roads": q_snap_to_roads,
+    "road_corridor_count": q_road_corridor_count,
     "sssp_weighted": q_sssp_weighted,
     "track_dtw_pairs": q_track_dtw_pairs,
     "ab_test_stats": q_ab_test_stats,
@@ -11480,6 +11524,7 @@ ORACLES = {
     "interval_coverage": _SQL_INTERVAL_COVERAGE,
     "tile_pyramid_rollup": _SQL_TILE_PYRAMID_ROLLUP,
     "snap_to_roads": _SQL_SNAP_TO_ROADS,
+    "road_corridor_count": _SQL_ROAD_CORRIDOR_COUNT,
     "sssp_weighted": _SQL_SSSP_WEIGHTED,
     "ab_test_stats": _SQL_AB_TEST_STATS,
     "csv_source_stats": _SQL_CSV_SOURCE_STATS,

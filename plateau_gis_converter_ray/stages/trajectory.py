@@ -151,6 +151,71 @@ def snap_to_roads(sf_dir: str, sample_mod: int = 4):
     return ev.map_batches(snap, batch_format="pyarrow")
 
 
+def road_corridor_count(sf_dir: str, radius: int = 3000,
+                        sample_mod: int = 4):
+    """Buffer/corridor analysis: per road segment, the count of sampled
+    points within ``radius`` (exact integer d2 <= radius^2 against the
+    broadcast road set — the same zero-exchange probe as snap_to_roads,
+    but many-to-many: a point can fall in several corridors). Output only
+    segments with >= 1 point (inner-join semantics). One tiny combiner
+    exchange over (road_seg, partial count) rows."""
+    import ray
+
+    from ..sources.tables import read_table
+    from .treeagg import tree_group_agg
+
+    ev = read_table(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def prep_roads(batch: pa.Table) -> pa.Table:
+        m = batch.column("user_id").to_numpy() < ROAD_USERS
+        t = batch.filter(pa.array(m))
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "ts_us": t.column("ts").cast(pa.int64()),
+            }
+        )
+
+    road_ev = ev.map_batches(prep_roads, batch_format="pyarrow").to_pandas()
+    seg = build_road_segments(road_ev)
+    roads_ref = ray.put(
+        {k: seg[k].to_numpy() for k in ("sid", "axis", "lo", "hi", "c")}
+    )
+    r2 = radius * radius
+
+    def probe(batch: pa.Table) -> pa.Table:
+        roads = ray.get(roads_ref)
+        u = batch.column("user_id").to_numpy()
+        eid = batch.column("event_id").to_numpy()
+        m = (u >= ROAD_USERS) & (eid % sample_mod == 0)
+        eid = eid[m]
+        px, py = _xy(eid)
+        main = roads["axis"][None, :]
+        lo = roads["lo"][None, :]
+        hi = roads["hi"][None, :]
+        c = roads["c"][None, :]
+        pm = np.where(main == 0, px[:, None], py[:, None])
+        po = np.where(main == 0, py[:, None], px[:, None])
+        clamp = np.maximum(np.maximum(lo - pm, pm - hi), 0)
+        off = po - c
+        hit = clamp * clamp + off * off <= r2
+        # partial per-segment counts: one row per segment with >=1 hit
+        cnt = hit.sum(axis=0, dtype=np.int64)
+        nz = np.nonzero(cnt)[0]
+        return pa.table(
+            {
+                "road_seg": pa.array(roads["sid"][nz]),
+                "n_pts": pa.array(cnt[nz]),
+            }
+        )
+
+    return tree_group_agg(
+        ev.map_batches(probe, batch_format="pyarrow"),
+        ["road_seg"], {"n_pts": ("n_pts", "sum")},
+    )
+
+
 # ---------------------------------------------------------------------------
 # DTW track-similarity join
 
