@@ -231,6 +231,11 @@ BENCH_QUERIES = [
     "csv_source_stats",
     "tile_dissolve_regions",
     "road_corridor_count",
+    # r4 wave 13: mobility family (dwell/OD/coverage-gap/hex-bin)
+    "dwell_segments",
+    "od_matrix",
+    "coverage_gap_points",
+    "hex_bin_counts",
 ]
 
 

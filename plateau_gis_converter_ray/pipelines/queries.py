@@ -10764,6 +10764,187 @@ GROUP BY 1
 """
 
 
+def q_dwell_segments(sf_dir: str):
+    """Stay-point (dwell) detection (stages/trajectory.py): maximal
+    consecutive same-cell runs per user, kept at >= 2 points — the
+    gaps-and-islands trajectory-mining primitive. One bucketed exchange;
+    in-bucket segmentation is shifted-compare + cumsum + bincount."""
+    from ..stages.trajectory import dwell_segments
+
+    return dwell_segments(sf_dir)
+
+
+_SQL_DWELL_SEGMENTS = """
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         ((event_id * 9973) % 240000) // 60000 AS cx,
+         ((event_id * 7919) % 220000) // 55000 AS cy
+  FROM events
+), t AS (
+  SELECT *, CASE WHEN LAG(cx) OVER w IS NULL
+                 OR LAG(cx) OVER w <> cx OR LAG(cy) OVER w <> cy
+            THEN 1 ELSE 0 END AS brk
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+), r AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS run
+  FROM t
+)
+SELECT user_id, cx AS cell_x, cy AS cell_y,
+       COUNT(*) AS n_pts, MIN(us) AS start_us, MAX(us) AS end_us
+FROM r GROUP BY user_id, cx, cy, run
+HAVING COUNT(*) >= 2
+"""
+
+
+def q_od_matrix(sf_dir: str):
+    """Origin-destination trip matrix (stages/trajectory.py): 30-min-gap
+    sessions, first/last grid cell per session, trip counts per (o, d)
+    cell pair. Bucketed session sweep + one tiny combiner exchange."""
+    from ..stages.trajectory import od_matrix
+
+    return od_matrix(sf_dir)
+
+
+_SQL_OD_MATRIX = """
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         ((event_id * 9973) % 240000) // 60000 AS cx,
+         ((event_id * 7919) % 220000) // 55000 AS cy
+  FROM events
+), t AS (
+  SELECT *, CASE WHEN LAG(us) OVER w IS NULL
+                 OR us - LAG(us) OVER w > 30 * 60 * 1000000
+            THEN 1 ELSE 0 END AS new_sess
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+), s AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM t
+), r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                            ORDER BY us, event_id) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                            ORDER BY us DESC, event_id DESC) AS rn_d
+  FROM s
+)
+SELECT o.cx AS o_x, o.cy AS o_y, d.cx AS d_x, d.cy AS d_y,
+       COUNT(*) AS n_trips
+FROM (SELECT user_id, sid, cx, cy FROM r WHERE rn_a = 1) o
+JOIN (SELECT user_id, sid, cx, cy FROM r WHERE rn_d = 1) d
+  USING (user_id, sid)
+GROUP BY 1, 2, 3, 4
+"""
+
+
+def q_coverage_gap_points(sf_dir: str):
+    """Spatial anti-join coverage audit (stages/trajectory.py): sampled
+    points farther than 3000 from every segment of the fixed 64-segment
+    subnetwork (bounded, so gap density is scale-stable). Broadcast probe,
+    zero exchanges, inverted keep condition vs road_corridor_count."""
+    from ..stages.trajectory import coverage_gap_points
+
+    return coverage_gap_points(sf_dir)
+
+
+_SQL_COVERAGE_GAP = """
+WITH ev AS (
+  SELECT user_id, event_id, ts,
+         (event_id * 9973) % 240000 AS x,
+         (event_id * 7919) % 220000 AS y
+  FROM events
+), pairs AS (
+  SELECT event_id AS sid0, x AS x1, y AS y1,
+         LEAD(x) OVER w AS x2, LEAD(y) OVER w AS y2
+  FROM ev WHERE user_id < 4
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), roads_all AS (
+  SELECT sid0 * 2 AS sid, 0 AS axis,
+         LEAST(x1, x2) AS lo, GREATEST(x1, x2) AS hi, y1 AS c
+  FROM pairs WHERE x2 IS NOT NULL AND x1 <> x2
+  UNION ALL
+  SELECT sid0 * 2 + 1, 1, LEAST(y1, y2), GREATEST(y1, y2), x2
+  FROM pairs WHERE x2 IS NOT NULL AND y1 <> y2
+), roads AS (
+  SELECT * FROM roads_all ORDER BY sid LIMIT 64
+), pts AS (
+  SELECT event_id, x, y FROM ev
+  WHERE user_id >= 4 AND event_id % 4 = 0
+), cand AS (
+  SELECT p.event_id,
+         POWER(GREATEST(r.lo - (CASE WHEN r.axis = 0 THEN p.x ELSE p.y END),
+                        (CASE WHEN r.axis = 0 THEN p.x ELSE p.y END) - r.hi,
+                        0), 2)
+         + POWER((CASE WHEN r.axis = 0 THEN p.y ELSE p.x END) - r.c, 2)
+           AS d2f
+  FROM pts p CROSS JOIN roads r
+)
+SELECT event_id, CAST(MIN(d2f) AS BIGINT) AS d2
+FROM cand GROUP BY 1
+HAVING MIN(d2f) > 9000000
+"""
+
+
+def q_hex_bin_counts(sf_dir: str):
+    """Hexagonal binning: every point snaps to the nearer of two staggered
+    rectangular-lattice centers (exact int64 d2 compare, tie -> primary
+    lattice) — the integer-exact hex tessellation aggregate map dashboards
+    run. Per-batch assignment is pure vectorized arithmetic; one tiny
+    (hx, hy) combiner exchange."""
+    ds = _read(sf_dir, "events", ["event_id"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy()
+        x = (eid * 9973) % 240000
+        y = (eid * 7919) % 220000
+        cxa = ((x + 20000) // 40000) * 40000
+        cya = ((y + 18000) // 36000) * 36000
+        cxb = (x // 40000) * 40000 + 20000
+        cyb = (y // 36000) * 36000 + 18000
+        d2a = (x - cxa) ** 2 + (y - cya) ** 2
+        d2b = (x - cxb) ** 2 + (y - cyb) ** 2
+        a = d2a <= d2b
+        return pa.table(
+            {
+                "hx": pa.array(np.where(a, cxa, cxb)),
+                "hy": pa.array(np.where(a, cya, cyb)),
+            }
+        )
+
+    return tree_group_agg(
+        ds.map_batches(assign, batch_format="pyarrow"),
+        ["hx", "hy"], {"n": (None, "count")},
+    )
+
+
+_SQL_HEX_BIN = """
+WITH p AS (
+  SELECT (event_id * 9973) % 240000 AS x,
+         (event_id * 7919) % 220000 AS y
+  FROM events
+), c AS (
+  SELECT x, y,
+         ((x + 20000) // 40000) * 40000 AS cxa,
+         ((y + 18000) // 36000) * 36000 AS cya,
+         (x // 40000) * 40000 + 20000 AS cxb,
+         (y // 36000) * 36000 + 18000 AS cyb
+  FROM p
+), d AS (
+  SELECT *,
+         (x - cxa) * (x - cxa) + (y - cya) * (y - cya) AS d2a,
+         (x - cxb) * (x - cxb) + (y - cyb) * (y - cyb) AS d2b
+  FROM c
+)
+SELECT CASE WHEN d2a <= d2b THEN cxa ELSE cxb END AS hx,
+       CASE WHEN d2a <= d2b THEN cya ELSE cyb END AS hy,
+       COUNT(*) AS n
+FROM d GROUP BY 1, 2
+"""
+
+
 _SSSP_ROUNDS = 6
 _SSSP_INF = np.int64(1) << 40
 
@@ -11370,6 +11551,10 @@ QUERIES = {
     "tile_pyramid_rollup": q_tile_pyramid_rollup,
     "snap_to_roads": q_snap_to_roads,
     "road_corridor_count": q_road_corridor_count,
+    "dwell_segments": q_dwell_segments,
+    "od_matrix": q_od_matrix,
+    "coverage_gap_points": q_coverage_gap_points,
+    "hex_bin_counts": q_hex_bin_counts,
     "sssp_weighted": q_sssp_weighted,
     "track_dtw_pairs": q_track_dtw_pairs,
     "ab_test_stats": q_ab_test_stats,
@@ -11525,6 +11710,10 @@ ORACLES = {
     "tile_pyramid_rollup": _SQL_TILE_PYRAMID_ROLLUP,
     "snap_to_roads": _SQL_SNAP_TO_ROADS,
     "road_corridor_count": _SQL_ROAD_CORRIDOR_COUNT,
+    "dwell_segments": _SQL_DWELL_SEGMENTS,
+    "od_matrix": _SQL_OD_MATRIX,
+    "coverage_gap_points": _SQL_COVERAGE_GAP,
+    "hex_bin_counts": _SQL_HEX_BIN,
     "sssp_weighted": _SQL_SSSP_WEIGHTED,
     "ab_test_stats": _SQL_AB_TEST_STATS,
     "csv_source_stats": _SQL_CSV_SOURCE_STATS,

@@ -328,3 +328,176 @@ def track_dtw_pairs(sf_dir: str):
     return tracks.groupby("cell").map_groups(
         dtw_pairs_cell, batch_format="pandas"
     )
+
+
+# ---------------------------------------------------------------------------
+# Mobility wave: dwell detection, OD matrix, coverage gaps
+
+
+def _prep_cells(batch: pa.Table, cell_w: int, cell_h: int) -> pa.Table:
+    """Point rows with grid-cell assignment and a user bucket key."""
+    eid = batch.column("event_id").to_numpy()
+    u = batch.column("user_id").to_numpy()
+    x, y = _xy(eid)
+    return pa.table(
+        {
+            "user_id": pa.array(u),
+            "event_id": pa.array(eid),
+            "us": batch.column("ts").cast(pa.int64()),
+            "cx": pa.array(x // cell_w),
+            "cy": pa.array(y // cell_h),
+            "bk": pa.array(u % 64),
+        }
+    )
+
+
+def dwell_segments(sf_dir: str, cell_w: int = 60000, cell_h: int = 55000,
+                   min_pts: int = 2):
+    """Stay-point (dwell) detection: maximal runs of consecutive points
+    (per user, (ts, event_id) order) inside the SAME grid cell, kept when
+    the run has >= ``min_pts`` points. The classic trajectory-mining
+    gaps-and-islands: one bucketed exchange (user % 64), inside a bucket
+    the run segmentation is a shifted compare + cumsum + bincount — no
+    per-user Python. At 10^12 rows the bucket count is the parallelism
+    lever and per-bucket memory is O(bucket rows)."""
+    from ..sources.tables import read_table
+
+    ev = read_table(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def sweep(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "us", "event_id"], kind="stable")
+        u = g["user_id"].to_numpy()
+        us = g["us"].to_numpy()
+        cx = g["cx"].to_numpy()
+        cy = g["cy"].to_numpy()
+        new_user = np.r_[True, u[1:] != u[:-1]]
+        brk = new_user | np.r_[
+            True, (cx[1:] != cx[:-1]) | (cy[1:] != cy[:-1])
+        ]
+        run = np.cumsum(brk) - 1
+        n_runs = int(run[-1]) + 1 if len(run) else 0
+        n_pts = np.bincount(run, minlength=n_runs).astype(np.int64)
+        starts = np.nonzero(brk)[0]
+        ends = np.r_[starts[1:] - 1, len(u) - 1] if len(starts) else starts
+        keep = n_pts >= min_pts
+        return pa.table(
+            {
+                "user_id": pa.array(u[starts][keep]),
+                "cell_x": pa.array(cx[starts][keep]),
+                "cell_y": pa.array(cy[starts][keep]),
+                "n_pts": pa.array(n_pts[keep]),
+                "start_us": pa.array(us[starts][keep]),
+                "end_us": pa.array(us[ends][keep]),
+            }
+        )
+
+    return (
+        ev.map_batches(
+            lambda b: _prep_cells(b, cell_w, cell_h), batch_format="pyarrow"
+        )
+        .groupby("bk")
+        .map_groups(sweep, batch_format="pandas")
+    )
+
+
+def od_matrix(sf_dir: str, cell_w: int = 60000, cell_h: int = 55000,
+              gap_us: int = 30 * 60 * 1_000_000):
+    """Origin-destination matrix: sessionize each user's point stream with
+    a 30-min inactivity gap, take the grid cell of the session's first and
+    last point, count trips per (origin cell, destination cell). Session
+    segmentation + endpoint gathers are one bucketed sweep; per-bucket
+    partial counts feed one tiny (o, d) combiner exchange."""
+    from ..sources.tables import read_table
+    from .treeagg import tree_group_agg
+
+    ev = read_table(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def sweep(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "us", "event_id"], kind="stable")
+        u = g["user_id"].to_numpy()
+        us = g["us"].to_numpy()
+        cx = g["cx"].to_numpy()
+        cy = g["cy"].to_numpy()
+        new_sess = np.r_[True, (u[1:] != u[:-1]) | (us[1:] - us[:-1] > gap_us)]
+        starts = np.nonzero(new_sess)[0]
+        ends = np.r_[starts[1:] - 1, len(u) - 1] if len(starts) else starts
+        df = (
+            pd.DataFrame(
+                {
+                    "o_x": cx[starts], "o_y": cy[starts],
+                    "d_x": cx[ends], "d_y": cy[ends],
+                }
+            )
+            .groupby(["o_x", "o_y", "d_x", "d_y"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_trips"})
+        )
+        df["n_trips"] = df["n_trips"].astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    partial = (
+        ev.map_batches(
+            lambda b: _prep_cells(b, cell_w, cell_h), batch_format="pyarrow"
+        )
+        .groupby("bk")
+        .map_groups(sweep, batch_format="pandas")
+    )
+    return tree_group_agg(
+        partial, ["o_x", "o_y", "d_x", "d_y"], {"n_trips": ("n_trips", "sum")}
+    )
+
+
+def coverage_gap_points(sf_dir: str, radius: int = 3000,
+                        sample_mod: int = 4, max_segments: int = 64):
+    """Spatial anti-join / coverage-gap audit: sampled points whose exact
+    integer distance to EVERY segment of a bounded road subnetwork (the
+    ``max_segments`` lowest-sid segments — a fixed-size network, so gap
+    density is scale-stable) exceeds ``radius``. Same broadcast probe as
+    snap_to_roads with the aggregation inverted: keep min-d2 > r^2. ZERO
+    exchanges; output is the gap rows only."""
+    import ray
+
+    from ..sources.tables import read_table
+
+    ev = read_table(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def prep_roads(batch: pa.Table) -> pa.Table:
+        m = batch.column("user_id").to_numpy() < ROAD_USERS
+        t = batch.filter(pa.array(m))
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "ts_us": t.column("ts").cast(pa.int64()),
+            }
+        )
+
+    road_ev = ev.map_batches(prep_roads, batch_format="pyarrow").to_pandas()
+    seg = build_road_segments(road_ev).head(max_segments)
+    roads_ref = ray.put(
+        {k: seg[k].to_numpy() for k in ("sid", "axis", "lo", "hi", "c")}
+    )
+    r2 = radius * radius
+
+    def probe(batch: pa.Table) -> pa.Table:
+        roads = ray.get(roads_ref)
+        u = batch.column("user_id").to_numpy()
+        eid = batch.column("event_id").to_numpy()
+        m = (u >= ROAD_USERS) & (eid % sample_mod == 0)
+        eid = eid[m]
+        px, py = _xy(eid)
+        main = roads["axis"][None, :]
+        lo = roads["lo"][None, :]
+        hi = roads["hi"][None, :]
+        c = roads["c"][None, :]
+        pm = np.where(main == 0, px[:, None], py[:, None])
+        po = np.where(main == 0, py[:, None], px[:, None])
+        clamp = np.maximum(np.maximum(lo - pm, pm - hi), 0)
+        off = po - c
+        d2 = (clamp * clamp + off * off).min(axis=1)
+        gap = d2 > r2
+        return pa.table(
+            {"event_id": pa.array(eid[gap]), "d2": pa.array(d2[gap])}
+        )
+
+    return ev.map_batches(probe, batch_format="pyarrow")
