@@ -532,6 +532,33 @@ def _q_raster_blob_count(sf_dir: str):
     )
 
 
+def _q_flow_accumulation(sf_dir: str):
+    """D8 flow accumulation over the red-plane DEM
+    (stages/raster_ops.py::FlowAccumulation): max-drop flow routing +
+    elevation-banded topological accumulation sweep (<=256 vectorized
+    scatter passes per stack — never per-image serial), zero exchanges.
+    Rows-only (iterative algorithm, no SQL twin); pinned in pytest
+    against a scalar per-cell recompute plus the mass-conservation
+    invariant drained == w*h."""
+    import ray.data
+
+    from plateau_gis_converter_ray.sources.images import ensure_image_table
+    from plateau_gis_converter_ray.stages.raster_ops import FlowAccumulation
+
+    path = ensure_image_table(_sf_of(sf_dir))
+    files = [
+        os.path.join(path, f)
+        for f in sorted(os.listdir(path))
+        if f.endswith(".parquet")
+    ]
+    ds = ray.data.read_parquet(
+        files, columns=["image_id", "bytes", "fmt", "w", "h"]
+    )
+    return ds.map_batches(
+        FlowAccumulation(), batch_format="pyarrow", batch_size=1024
+    )
+
+
 def _q_image_equalize(sf_dir: str):
     """Histogram equalization (stages/decode.py::ImageEqualize): per-image
     integer CDF remap, zero exchanges; tiny per-fmt reduce of the exact
@@ -1030,6 +1057,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "texture_atlas": _q_texture_atlas,
             "image_sharpness": _q_image_sharpness,
             "raster_blob_count": _q_raster_blob_count,
+            "flow_accumulation": _q_flow_accumulation,
             "image_equalize": _q_image_equalize,
             "image_letterbox": _q_image_letterbox,
             "image_augment": _q_image_augment,

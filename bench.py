@@ -236,6 +236,8 @@ BENCH_QUERIES = [
     "od_matrix",
     "coverage_gap_points",
     "hex_bin_counts",
+    # r4 wave 13b: D8 flow accumulation (raster hydrology)
+    "flow_accumulation",
 ]
 
 

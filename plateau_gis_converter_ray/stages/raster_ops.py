@@ -181,3 +181,136 @@ class PyramidLevels:
                 "pos_ck": pa.array(out_ck, pa.int64()),
             }
         )
+
+
+# D8 neighbor order (fixed tie-break): E, SE, S, SW, W, NW, N, NE
+_D8 = ((0, 1), (1, 1), (1, 0), (1, -1), (0, -1), (-1, -1), (-1, 0), (-1, 1))
+
+
+def d8_flow_targets(dem: np.ndarray) -> np.ndarray:
+    """(g, h, w) int64 within-image flat target per cell, -1 for pits.
+
+    Max-drop D8: each cell flows to the neighbor with the largest
+    strictly-positive elevation drop (plain drop, not drop/distance — the
+    max-drop D8 variant; documented, and the scalar pin uses the same
+    rule). Ties break on the fixed _D8 order (np.argmax first-occurrence).
+    Out-of-image neighbors are padded at 255 so their drop is never
+    positive: edges don't drain off the raster, they can be pits."""
+    g, h, w = dem.shape
+    z = np.full((g, h + 2, w + 2), 255, dtype=np.int16)
+    z[:, 1:-1, 1:-1] = dem
+    demi = z[:, 1:-1, 1:-1]
+    # running max over a PACKED key: drop*8 + (7-k) fits int16 (drop in
+    # [-255, 255]), the 8x term dominates so max picks the largest drop,
+    # and among equal drops the larger (7-k) wins = the FIRST k in _D8
+    # order — the whole 8-direction sweep is fused np.maximum, no masks
+    best_key = np.full((g, h, w), np.int16(-(1 << 14)), dtype=np.int16)
+    key = np.empty((g, h, w), dtype=np.int16)
+    for k, (dy, dx) in enumerate(_D8):
+        nb = z[:, 1 + dy: 1 + dy + h, 1 + dx: 1 + dx + w]
+        np.subtract(demi, nb, out=key)
+        np.multiply(key, 8, out=key)
+        np.add(key, 7 - k, out=key)
+        np.maximum(best_key, key, out=best_key)
+    best_drop = best_key >> 3  # arithmetic shift == floor div, exact here
+    best_k = 7 - (best_key & 7)
+    # flat within-image target = cell index + per-direction offset; the
+    # padded border guarantees an out-of-image neighbor never wins with
+    # a positive drop, so the offset is always in-bounds where kept
+    off = np.array([dy * w + dx for dy, dx in _D8], dtype=np.int64)
+    cell = np.arange(h * w, dtype=np.int64).reshape(1, h, w)
+    tgt = cell + off[best_k]
+    tgt[best_drop <= 0] = -1
+    return tgt
+
+
+def flow_accumulation_u8(dem: np.ndarray, tgt: np.ndarray = None) -> np.ndarray:
+    """(g, h, w) int64 D8 flow accumulation (each cell contributes one
+    unit routed strictly downhill to a pit).
+
+    Elevation-banded topological sweep: flow only ever moves to a
+    strictly lower cell, so processing distinct uint8 levels in
+    descending order makes every cell's accumulation final before it is
+    scattered into its target — at most 256 vectorized np.add.at passes
+    over the WHOLE stack regardless of image count (the per-image longest
+    flow path never serializes anything)."""
+    g, h, w = dem.shape
+    if tgt is None:
+        tgt = d8_flow_targets(dem)
+    demf = dem.reshape(-1)
+    tgtf = tgt.reshape(-1)
+    acc = np.ones(g * h * w, dtype=np.int64)
+    # keep only flowing cells (pits receive but never scatter); ONE sort
+    # by the packed (255 - elevation, global target) key orders levels
+    # descending with targets ascending INSIDE each level, so the
+    # per-level scatter is a buffered segmented reduceat + unique-index
+    # add instead of unbuffered np.add.at
+    flow = np.nonzero(tgtf >= 0)[0]
+    if not len(flow):
+        return acc.reshape(g, h, w)
+    gtgt = tgtf[flow] + (flow // (h * w)) * (h * w)
+    o = np.argsort(-demf[flow].astype(np.int16), kind="stable")
+    flow = flow[o]
+    gtgt = gtgt[o]
+    vals = demf[flow]
+    bounds = np.r_[0, np.nonzero(vals[1:] != vals[:-1])[0] + 1, len(vals)]
+    for b0, b1 in zip(bounds[:-1], bounds[1:]):
+        np.add.at(acc, gtgt[b0:b1], acc[flow[b0:b1]])
+    return acc.reshape(g, h, w)
+
+
+class FlowAccumulation:
+    """Per-image D8 flow-accumulation summary over the red-plane DEM:
+    pit count, max accumulation (the main channel's catchment size),
+    drained total (sum of accumulation at pits — exactly h*w by mass
+    conservation, carried as an auditable column), and a position-weighted
+    accumulation checksum pinning the full grid, not just its histogram.
+
+    Decode follows the stage scale contract (stages/decode.py): zero-copy
+    payload views, (fmt, w, h) group-stack decode, per-image OUTPUT rows
+    only — bytes never shuffle. Rows-only query (iterative algorithm, no
+    SQL twin); pinned in pytest against a scalar per-cell recompute plus
+    the conservation invariant."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("image_id").to_pylist()
+        blobs = binary_views(batch.column("bytes"))
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        fmts = batch.column("fmt").to_pylist()
+
+        n = len(ids)
+        n_pits = np.empty(n, dtype=np.int64)
+        acc_max = np.empty(n, dtype=np.int64)
+        drained = np.empty(n, dtype=np.int64)
+        pos_ck = np.empty(n, dtype=np.int64)
+
+        groups: dict[tuple, list[int]] = {}
+        for i in range(n):
+            groups.setdefault((fmts[i], int(ws[i]), int(hs[i])), []).append(i)
+        for (fmt, w, h), rows in groups.items():
+            dem = decode_group_stack(blobs, rows, fmt, w, h)[..., 0]
+            tgt = d8_flow_targets(dem)
+            acc = flow_accumulation_u8(dem, tgt)
+            rows_np = np.array(rows)
+            pits = tgt < 0
+            n_pits[rows_np] = pits.sum(axis=(1, 2), dtype=np.int64)
+            acc_max[rows_np] = acc.max(axis=(1, 2))
+            drained[rows_np] = np.where(pits, acc, 0).sum(
+                axis=(1, 2), dtype=np.int64
+            )
+            g = len(rows)
+            wvec = np.arange(1, h * w + 1, dtype=np.uint64)
+            pos_ck[rows_np] = (
+                acc.reshape(g, -1).astype(np.uint64) * wvec[None, :]
+            ).sum(axis=1, dtype=np.uint64).view(np.int64)
+
+        return pa.table(
+            {
+                "image_id": batch.column("image_id"),
+                "n_pits": pa.array(n_pits),
+                "acc_max": pa.array(acc_max),
+                "drained": pa.array(drained),
+                "acc_ck": pa.array(pos_ck),
+            }
+        )

@@ -114,3 +114,99 @@ def test_pyramid_reduce_exact():
     r = pyramid_reduce_u8(x)
     assert r.shape == (1, 1, 1, 1)
     assert int(r[0, 0, 0, 0]) == (10 + 20 + 30 + 41) // 4
+
+
+# ---------------------------------------------------------------------------
+# D8 flow accumulation
+
+
+def _scalar_flow_acc(dem: np.ndarray):
+    """Scalar reference: per-cell D8 max-drop target, then recursive
+    accumulation with memoization. Returns (tgt, acc) as (h, w) arrays."""
+    from plateau_gis_converter_ray.stages.raster_ops import _D8
+
+    h, w = dem.shape
+    z = dem.astype(int)
+    tgt = np.full((h, w), -1, dtype=np.int64)
+    for i in range(h):
+        for j in range(w):
+            best_k, best_drop = None, 0
+            for k, (dy, dx) in enumerate(_D8):
+                ni, nj = i + dy, j + dx
+                if 0 <= ni < h and 0 <= nj < w:
+                    drop = z[i, j] - z[ni, nj]
+                    if drop > best_drop:
+                        best_k, best_drop = k, drop
+            if best_k is not None:
+                dy, dx = _D8[best_k]
+                tgt[i, j] = (i + dy) * w + (j + dx)
+    # accumulate by descending elevation (strictly-downhill flow makes
+    # this a valid topological order)
+    acc = np.ones(h * w, dtype=np.int64)
+    for c in sorted(range(h * w), key=lambda c: -z[c // w, c % w]):
+        t = tgt[c // w, c % w]
+        if t >= 0:
+            acc[t] += acc[c]
+    return tgt, acc.reshape(h, w)
+
+
+def test_flow_accumulation_matches_scalar():
+    from plateau_gis_converter_ray.stages.raster_ops import (
+        d8_flow_targets,
+        flow_accumulation_u8,
+    )
+
+    rng = np.random.default_rng(29)
+    # two images in one stack, including plateaus (repeat values) so the
+    # strict-drop rule and band ordering are both exercised
+    dem = rng.integers(0, 12, size=(2, 9, 11), dtype=np.uint8)
+    tgt = d8_flow_targets(dem)
+    acc = flow_accumulation_u8(dem)
+    for g in range(2):
+        st, sa = _scalar_flow_acc(dem[g])
+        assert (tgt[g] == st).all()
+        assert (acc[g] == sa).all()
+        # mass conservation: every unit drains to some pit
+        assert int(acc[g][st.reshape(9, 11) < 0].sum()) == 9 * 11
+
+
+def test_flow_accumulation_ramp_channel():
+    from plateau_gis_converter_ray.stages.raster_ops import (
+        flow_accumulation_u8,
+        d8_flow_targets,
+    )
+
+    # a V-valley: columns slope toward the center column, rows slope
+    # south -> all flow converges into the center column and grows
+    # monotonically downslope like a river channel
+    h, w = 8, 7
+    col = np.abs(np.arange(w) - w // 2)
+    dem = (col[None, :] * 10 + (h - 1 - np.arange(h))[:, None]).astype(
+        np.uint8
+    )[None]
+    acc = flow_accumulation_u8(dem)[0]
+    center = acc[:, w // 2]
+    assert (np.diff(center) > 0).all()  # strictly growing downslope
+    assert center[-1] == h * w  # the outlet drains everything
+    tgt = d8_flow_targets(dem)[0]
+    assert (tgt.reshape(-1) < 0).sum() == 1  # single pit at the outlet
+
+
+def test_flow_accumulation_stage(ray_session):
+    import ray.data
+
+    from plateau_gis_converter_ray.stages.raster_ops import FlowAccumulation
+
+    rows = _local_images()
+    import pyarrow as pa
+
+    t = pa.Table.from_pylist(rows[:64])
+    out = FlowAccumulation()(t)
+    assert out.num_rows == 64
+    wh = {(r["w"], r["h"]) for r in rows[:64]}
+    drained = out.column("drained").to_numpy()
+    ws = np.array([r["w"] for r in rows[:64]])
+    hs = np.array([r["h"] for r in rows[:64]])
+    assert (drained == ws * hs).all()
+    assert (out.column("acc_max").to_numpy() >= 1).all()
+    assert (out.column("n_pits").to_numpy() >= 1).all()
