@@ -559,6 +559,32 @@ def _q_flow_accumulation(sf_dir: str):
     )
 
 
+def _q_watershed_labels(sf_dir: str):
+    """Watershed decomposition over the red-plane DEM
+    (stages/raster_ops.py::WatershedStats): pointer doubling over the D8
+    target graph labels every cell with its draining pit in
+    log2(longest-flow-path) vectorized rounds; per-image basin stats,
+    zero exchanges. Rows-only; pinned in pytest against scalar
+    pointer-following and the n_basins == n_pits cross-invariant."""
+    import ray.data
+
+    from plateau_gis_converter_ray.sources.images import ensure_image_table
+    from plateau_gis_converter_ray.stages.raster_ops import WatershedStats
+
+    path = ensure_image_table(_sf_of(sf_dir))
+    files = [
+        os.path.join(path, f)
+        for f in sorted(os.listdir(path))
+        if f.endswith(".parquet")
+    ]
+    ds = ray.data.read_parquet(
+        files, columns=["image_id", "bytes", "fmt", "w", "h"]
+    )
+    return ds.map_batches(
+        WatershedStats(), batch_format="pyarrow", batch_size=1024
+    )
+
+
 def _q_image_equalize(sf_dir: str):
     """Histogram equalization (stages/decode.py::ImageEqualize): per-image
     integer CDF remap, zero exchanges; tiny per-fmt reduce of the exact
@@ -1058,6 +1084,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "image_sharpness": _q_image_sharpness,
             "raster_blob_count": _q_raster_blob_count,
             "flow_accumulation": _q_flow_accumulation,
+            "watershed_labels": _q_watershed_labels,
             "image_equalize": _q_image_equalize,
             "image_letterbox": _q_image_letterbox,
             "image_augment": _q_image_augment,

@@ -236,8 +236,9 @@ BENCH_QUERIES = [
     "od_matrix",
     "coverage_gap_points",
     "hex_bin_counts",
-    # r4 wave 13b: D8 flow accumulation (raster hydrology)
+    # r4 wave 13b: D8 raster hydrology (flow accumulation + watersheds)
     "flow_accumulation",
+    "watershed_labels",
 ]
 
 

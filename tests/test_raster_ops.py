@@ -210,3 +210,41 @@ def test_flow_accumulation_stage(ray_session):
     assert (drained == ws * hs).all()
     assert (out.column("acc_max").to_numpy() >= 1).all()
     assert (out.column("n_pits").to_numpy() >= 1).all()
+
+
+def test_watershed_matches_scalar_following():
+    from plateau_gis_converter_ray.stages.raster_ops import (
+        d8_flow_targets,
+        watershed_labels,
+    )
+
+    rng = np.random.default_rng(31)
+    dem = rng.integers(0, 10, size=(2, 8, 9), dtype=np.uint8)
+    tgt = d8_flow_targets(dem)
+    lab = watershed_labels(tgt)
+    for g in range(2):
+        t = tgt[g].reshape(-1)
+        for c in range(t.size):
+            p = c
+            while t[p] >= 0:
+                p = t[p]
+            assert lab[g].reshape(-1)[c] == p, (g, c)
+
+
+def test_watershed_stage_basins_equal_pits(ray_session):
+    import pyarrow as pa
+
+    from plateau_gis_converter_ray.stages.raster_ops import (
+        FlowAccumulation,
+        WatershedStats,
+    )
+
+    rows = _local_images()
+    t = pa.Table.from_pylist(rows[:48])
+    ws = WatershedStats()(t).to_pandas().set_index("image_id")
+    fa = FlowAccumulation()(t).to_pandas().set_index("image_id")
+    assert (ws["n_basins"] == fa.loc[ws.index, "n_pits"]).all()
+    # the largest basin is at least as big as the largest accumulation
+    # (acc_max counts the cells draining THROUGH one cell; its basin
+    # contains all of them)
+    assert (ws["max_basin"] >= fa.loc[ws.index, "acc_max"]).all()
