@@ -585,6 +585,31 @@ def _q_watershed_labels(sf_dir: str):
     )
 
 
+def _q_terrain_metrics(sf_dir: str):
+    """gdaldem TRI/TPI/roughness terrain metrics
+    (stages/raster_ops.py::TerrainMetrics): exact-integer 3x3 window
+    statistics carried 8x/9x-scaled so no division ever happens, per-image
+    summary rows, zero exchanges. Rows-only; pinned in pytest against a
+    scalar window recompute."""
+    import ray.data
+
+    from plateau_gis_converter_ray.sources.images import ensure_image_table
+    from plateau_gis_converter_ray.stages.raster_ops import TerrainMetrics
+
+    path = ensure_image_table(_sf_of(sf_dir))
+    files = [
+        os.path.join(path, f)
+        for f in sorted(os.listdir(path))
+        if f.endswith(".parquet")
+    ]
+    ds = ray.data.read_parquet(
+        files, columns=["image_id", "bytes", "fmt", "w", "h"]
+    )
+    return ds.map_batches(
+        TerrainMetrics(), batch_format="pyarrow", batch_size=1024
+    )
+
+
 def _q_image_equalize(sf_dir: str):
     """Histogram equalization (stages/decode.py::ImageEqualize): per-image
     integer CDF remap, zero exchanges; tiny per-fmt reduce of the exact
@@ -1085,6 +1110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "raster_blob_count": _q_raster_blob_count,
             "flow_accumulation": _q_flow_accumulation,
             "watershed_labels": _q_watershed_labels,
+            "terrain_metrics": _q_terrain_metrics,
             "image_equalize": _q_image_equalize,
             "image_letterbox": _q_image_letterbox,
             "image_augment": _q_image_augment,

@@ -239,6 +239,7 @@ BENCH_QUERIES = [
     # r4 wave 13b: D8 raster hydrology (flow accumulation + watersheds)
     "flow_accumulation",
     "watershed_labels",
+    "terrain_metrics",
 ]
 
 

@@ -381,3 +381,72 @@ class WatershedStats:
                 "lab_ck": pa.array(lab_ck),
             }
         )
+
+
+class TerrainMetrics:
+    """gdaldem TRI / TPI / roughness over the red-plane DEM: per interior
+    pixel, TRI = mean |z - neighbor| over the 8 neighbors (Riley 1999 as
+    gdaldem computes it: sum of absolute differences / 8), TPI = z - mean
+    of neighbors, roughness = max(neighbor window) - min(neighbor window)
+    including the center. Per-image exact-integer summaries: 8x-scaled
+    TRI sum (exact — no /8 ever happens), 9x-scaled TPI sum, roughness
+    sum/max, interior pixel count. Same decode scale contract as the
+    other raster stages; zero exchanges. Rows-only; pinned in pytest
+    against a scalar window recompute."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("image_id").to_pylist()
+        blobs = binary_views(batch.column("bytes"))
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        fmts = batch.column("fmt").to_pylist()
+
+        n = len(ids)
+        tri8_sum = np.empty(n, dtype=np.int64)
+        tpi9_sum = np.empty(n, dtype=np.int64)
+        rough_sum = np.empty(n, dtype=np.int64)
+        rough_max = np.empty(n, dtype=np.int64)
+        n_px = np.empty(n, dtype=np.int64)
+
+        groups: dict[tuple, list[int]] = {}
+        for i in range(n):
+            groups.setdefault((fmts[i], int(ws[i]), int(hs[i])), []).append(i)
+        for (fmt, w, h), rows in groups.items():
+            dem = decode_group_stack(blobs, rows, fmt, w, h)[..., 0]
+            z = dem.astype(np.int16)
+            c = z[:, 1:-1, 1:-1]
+            g = len(rows)
+            tri = np.zeros((g, h - 2, w - 2), dtype=np.int64)
+            tpi = np.zeros((g, h - 2, w - 2), dtype=np.int64)
+            zmin = c.copy()
+            zmax = c.copy()
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    if dy == 0 and dx == 0:
+                        continue
+                    nb = z[:, 1 + dy: h - 1 + dy, 1 + dx: w - 1 + dx]
+                    tri += np.abs(c - nb)
+                    tpi += nb
+                    np.minimum(zmin, nb, out=zmin)
+                    np.maximum(zmax, nb, out=zmax)
+            # TRI carried 8x-scaled (sum of |dz|), TPI 9x-scaled
+            # (9*z - (z + sum(nb)) = 9*z - window sum): both exact ints
+            tpi = 9 * c.astype(np.int64) - (tpi + c)
+            rough = (zmax - zmin).astype(np.int64)
+            rows_np = np.array(rows)
+            tri8_sum[rows_np] = tri.sum(axis=(1, 2))
+            tpi9_sum[rows_np] = tpi.sum(axis=(1, 2))
+            rough_sum[rows_np] = rough.sum(axis=(1, 2))
+            rough_max[rows_np] = rough.max(axis=(1, 2))
+            n_px[rows_np] = (h - 2) * (w - 2)
+
+        return pa.table(
+            {
+                "image_id": batch.column("image_id"),
+                "tri8_sum": pa.array(tri8_sum),
+                "tpi9_sum": pa.array(tpi9_sum),
+                "rough_sum": pa.array(rough_sum),
+                "rough_max": pa.array(rough_max),
+                "n_px": pa.array(n_px),
+            }
+        )

@@ -248,3 +248,39 @@ def test_watershed_stage_basins_equal_pits(ray_session):
     # (acc_max counts the cells draining THROUGH one cell; its basin
     # contains all of them)
     assert (ws["max_basin"] >= fa.loc[ws.index, "acc_max"]).all()
+
+
+def test_terrain_metrics_match_scalar():
+    import pyarrow as pa
+
+    from plateau_gis_converter_ray.stages.raster_ops import TerrainMetrics
+
+    rows = _local_images()
+    t = pa.Table.from_pylist(rows[:8])
+    out = TerrainMetrics()(t).to_pandas().set_index("image_id")
+    for r in rows[:3]:
+        dem = decode_image(r["bytes"], r["fmt"], r["w"], r["h"])[..., 0]
+        z = dem.astype(int)
+        h, w = z.shape
+        tri8 = tpi9 = rough_s = 0
+        rough_m = 0
+        for i in range(1, h - 1):
+            for j in range(1, w - 1):
+                nbs = [
+                    z[i + dy, j + dx]
+                    for dy in (-1, 0, 1)
+                    for dx in (-1, 0, 1)
+                    if (dy, dx) != (0, 0)
+                ]
+                tri8 += sum(abs(z[i, j] - v) for v in nbs)
+                tpi9 += 9 * z[i, j] - (sum(nbs) + z[i, j])
+                win = nbs + [z[i, j]]
+                rg = max(win) - min(win)
+                rough_s += rg
+                rough_m = max(rough_m, rg)
+        got = out.loc[r["image_id"]]
+        assert got["tri8_sum"] == tri8
+        assert got["tpi9_sum"] == tpi9
+        assert got["rough_sum"] == rough_s
+        assert got["rough_max"] == rough_m
+        assert got["n_px"] == (h - 2) * (w - 2)
