@@ -1052,6 +1052,25 @@ def _q_video_frame_sample(sf_dir: str):
     return video_frame_sample_ds(n_clips=max(16, int(_sf_of(sf_dir) * 3200)))
 
 
+def _q_audio_vad_segments(sf_dir: str):
+    """Energy-threshold VAD segmentation (stages/av.py::AudioVadSegments):
+    exact-integer window energies, vectorized gaps-and-islands run
+    detection across the clip stack. Decoder stubbed deterministically,
+    Ray plumbing real; scalar-pinned in pytest."""
+    from plateau_gis_converter_ray.stages.av import audio_vad_ds
+
+    return audio_vad_ds(n_clips=max(32, int(_sf_of(sf_dir) * 6400)))
+
+
+def _q_video_scene_cuts(sf_dir: str):
+    """Shot-boundary detection (stages/av.py::VideoSceneCuts): per-frame
+    exact integer luma sums, multiplication-only per-mille threshold on
+    consecutive deltas. Stub decoder, real plumbing; scalar-pinned."""
+    from plateau_gis_converter_ray.stages.av import video_scene_cuts_ds
+
+    return video_scene_cuts_ds(n_clips=max(16, int(_sf_of(sf_dir) * 3200)))
+
+
 def _q_citygml_chain(sf_dir: str):
     """Transform chain off REAL parsed XML (v2 corpus: 3 feature types,
     2 LODs, nested generic-attribute trees, BuildingParts): parse ->
@@ -1121,6 +1140,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "appearance_xml_two_phase": _q_appearance_xml_two_phase,
             "audio_features": _q_audio_features,
             "video_frame_sample": _q_video_frame_sample,
+            "audio_vad_segments": _q_audio_vad_segments,
+            "video_scene_cuts": _q_video_scene_cuts,
             "image_dup_clusters": _q_image_dup_clusters,
             "caption_city_stats": _q_caption_city_stats,
             "pip_cell_join": _q_pip_cell_join,

@@ -240,6 +240,9 @@ BENCH_QUERIES = [
     "flow_accumulation",
     "watershed_labels",
     "terrain_metrics",
+    # r4 wave 13c: AV curation lane (VAD segmentation, scene cuts)
+    "audio_vad_segments",
+    "video_scene_cuts",
 ]
 
 

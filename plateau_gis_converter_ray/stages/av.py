@@ -186,3 +186,143 @@ def video_frame_sample_ds(n_clips: int = 64, stride: int = 10):
         VideoFrameSample, fn_constructor_kwargs={"stride": stride},
         batch_format="pyarrow", batch_size=64, concurrency=(1, 4),
     )
+
+
+class AudioVadSegments:
+    """Energy-threshold voice-activity detection: frame the decoded PCM
+    into ``frame_len``-sample windows, a window is ACTIVE when its exact
+    integer energy sum(x^2) clears ``thresh_q`` * frame_len * 2^20 (a
+    quantized per-sample mean-square threshold), and consecutive active
+    windows merge into segments (the same gaps-and-islands run detection
+    as stages/trajectory.py, vectorized across the clip stack). Output one
+    row per clip: total/active window counts, segment count, longest
+    segment — the speech-data curation filter a 100 TB audio pipeline
+    runs before transcription. Decoder is the documented stub; everything
+    Ray-side (schema, stack decode, vectorized window math) is real."""
+
+    def __init__(self, frame_len: int = 160, thresh_q: int = 349_600,
+                 seed: int = 7):
+        self.frame_len = frame_len
+        self.thresh_q = thresh_q
+        self.seed = seed
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .decode import binary_views
+
+        ids = batch.column("clip_id").to_numpy()
+        payloads = binary_views(batch.column("payload"))
+        n_samp = batch.column("n_samples").to_numpy()
+        n = len(ids)
+        n_win = np.empty(n, dtype=np.int64)
+        n_act = np.empty(n, dtype=np.int64)
+        n_seg = np.empty(n, dtype=np.int64)
+        seg_max = np.empty(n, dtype=np.int64)
+        fl = self.frame_len
+        # exact integer threshold: mean square >= thresh_q * 2^20 / 2^10
+        # expressed multiplication-only (energy * 2^10 >= thresh_q *
+        # 2^20 * fl) so no float division enters the decision
+        for ns in np.unique(n_samp):
+            sel = np.nonzero(n_samp == ns)[0]
+            nw = int(ns) // fl
+            pcm = np.stack(
+                [fake_pcm_decode(payloads[i], int(ns), self.seed) for i in sel]
+            )[:, : nw * fl]
+            en = (pcm.reshape(len(sel), nw, fl).astype(np.int64) ** 2).sum(
+                axis=2
+            )
+            act = en * (1 << 10) >= self.thresh_q * (1 << 20) * fl
+            n_win[sel] = nw
+            n_act[sel] = act.sum(axis=1)
+            starts = act & ~np.c_[np.zeros(len(sel), bool), act[:, :-1]]
+            n_seg[sel] = starts.sum(axis=1)
+            # longest run via per-row reset-cumsum: position minus the
+            # last inactive position, maxed over active cells
+            pos = np.arange(nw)
+            last_off = np.maximum.accumulate(
+                np.where(~act, pos, -1), axis=1
+            )
+            runlen = np.where(act, pos - last_off, 0)
+            seg_max[sel] = runlen.max(axis=1) if nw else 0
+        return pa.table(
+            {
+                "clip_id": pa.array(ids),
+                "n_windows": pa.array(n_win),
+                "n_active": pa.array(n_act),
+                "n_segments": pa.array(n_seg),
+                "longest_seg": pa.array(seg_max),
+            }
+        )
+
+
+class VideoSceneCuts:
+    """Scene-cut detection: per frame, the exact integer luma SUM; a cut
+    happens between consecutive frames when |luma_sum delta| exceeds
+    ``thresh_permille`` per-mille of the frame's full-scale sum
+    (255 * w * h) — multiplication-only integer compare, no float. Output
+    one row per video: frame count, cut count, max delta (per-mille,
+    truncating), mean luma of the whole clip (centi-scaled, truncating) —
+    the shot-boundary pass a video curation pipeline runs before
+    keyframe extraction. Stub decoder, real Ray plumbing, scalar pin."""
+
+    def __init__(self, thresh_permille: int = 40, seed: int = 11):
+        self.thresh = thresh_permille
+        self.seed = seed
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .decode import binary_views
+
+        ids = batch.column("video_id").to_numpy()
+        payloads = binary_views(batch.column("payload"))
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        nfs = batch.column("n_frames").to_numpy()
+        n = len(ids)
+        n_cuts = np.empty(n, dtype=np.int64)
+        max_jump = np.empty(n, dtype=np.int64)
+        mean_luma_c = np.empty(n, dtype=np.int64)
+        key = np.stack([ws, hs, nfs], axis=1)
+        for row in np.unique(key, axis=0):
+            w, h, nf = (int(v) for v in row)
+            sel = np.nonzero((ws == w) & (hs == h) & (nfs == nf))[0]
+            planes = np.stack(
+                [fake_frame_decode(payloads[i], nf, w, h, self.seed)
+                 for i in sel]
+            )
+            fsum = planes.reshape(len(sel), nf, -1).sum(
+                axis=2, dtype=np.int64
+            )
+            full = 255 * w * h
+            d = np.abs(np.diff(fsum, axis=1))
+            cuts = d * 1000 > self.thresh * full
+            n_cuts[sel] = cuts.sum(axis=1)
+            dmax = d.max(axis=1) if nf > 1 else np.zeros(len(sel), np.int64)
+            max_jump[sel] = dmax * 1000 // full
+            mean_luma_c[sel] = fsum.sum(axis=1) * 100 // (nf * w * h)
+        return pa.table(
+            {
+                "video_id": pa.array(ids),
+                "n_cuts": pa.array(n_cuts),
+                "max_jump_pm": pa.array(max_jump),
+                "mean_luma_c": pa.array(mean_luma_c),
+            }
+        )
+
+
+def audio_vad_ds(n_clips: int = 64):
+    import ray.data
+
+    ds = ray.data.from_arrow(synth_av_table(n_clips, "audio"))
+    return ds.map_batches(
+        AudioVadSegments, batch_format="pyarrow", batch_size=256,
+        concurrency=(1, 4),
+    )
+
+
+def video_scene_cuts_ds(n_clips: int = 64):
+    import ray.data
+
+    ds = ray.data.from_arrow(synth_av_table(n_clips, "video"))
+    return ds.map_batches(
+        VideoSceneCuts, batch_format="pyarrow", batch_size=64,
+        concurrency=(1, 4),
+    )

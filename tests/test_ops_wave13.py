@@ -143,3 +143,69 @@ class TestHexBin:
             # and the hex radius bound holds: no point farther than half
             # the lattice diagonal from its picked center
             assert min(d2a, d2b) <= (20000 ** 2 + 18000 ** 2), eid
+
+
+class TestAudioVad:
+    def test_matches_scalar(self):
+        import pyarrow as pa
+
+        from plateau_gis_converter_ray.stages.av import (
+            AudioVadSegments,
+            fake_pcm_decode,
+            synth_av_table,
+        )
+
+        t = synth_av_table(48, "audio")
+        out = AudioVadSegments()(t).to_pandas().set_index("clip_id")
+        views = t.column("payload").to_pylist()
+        ns = t.column("n_samples").to_numpy()
+        fl, tq = 160, 349_600
+        for i in range(0, 48, 7):
+            pcm = fake_pcm_decode(views[i], int(ns[i]), 7)
+            nw = int(ns[i]) // fl
+            act = []
+            for k in range(nw):
+                e = int((pcm[k * fl:(k + 1) * fl].astype(np.int64) ** 2).sum())
+                act.append(e * (1 << 10) >= tq * (1 << 20) * fl)
+            segs, cur, longest = 0, 0, 0
+            for a in act:
+                if a:
+                    cur += 1
+                    if cur == 1:
+                        segs += 1
+                    longest = max(longest, cur)
+                else:
+                    cur = 0
+            got = out.loc[i]
+            assert got["n_windows"] == nw
+            assert got["n_active"] == sum(act)
+            assert got["n_segments"] == segs
+            assert got["longest_seg"] == longest
+        # the threshold must split the population (not all-on / all-off)
+        assert 0 < out["n_active"].sum() < out["n_windows"].sum()
+
+
+class TestVideoSceneCuts:
+    def test_matches_scalar(self):
+        from plateau_gis_converter_ray.stages.av import (
+            VideoSceneCuts,
+            fake_frame_decode,
+            synth_av_table,
+        )
+
+        t = synth_av_table(24, "video")
+        out = VideoSceneCuts()(t).to_pandas().set_index("video_id")
+        views = t.column("payload").to_pylist()
+        ws = t.column("w").to_numpy()
+        hs = t.column("h").to_numpy()
+        nfs = t.column("n_frames").to_numpy()
+        for i in range(0, 24, 5):
+            w, h, nf = int(ws[i]), int(hs[i]), int(nfs[i])
+            pl = fake_frame_decode(views[i], nf, w, h, 11)
+            fs = pl.reshape(nf, -1).sum(axis=1).astype(np.int64)
+            full = 255 * w * h
+            d = np.abs(np.diff(fs))
+            got = out.loc[i]
+            assert got["n_cuts"] == int((d * 1000 > 40 * full).sum())
+            assert got["max_jump_pm"] == int(d.max()) * 1000 // full
+            assert got["mean_luma_c"] == int(fs.sum()) * 100 // (nf * w * h)
