@@ -610,6 +610,32 @@ def _q_terrain_metrics(sf_dir: str):
     )
 
 
+def _q_viewshed(sf_dir: str):
+    """R2 viewshed analysis from the center observer
+    (stages/raster_ops.py::ViewshedStats): ring-by-ring running-max sight
+    angles over the Franklin-Ray predecessor lines, vectorized across the
+    decode stack, zero exchanges. Rows-only; pinned in pytest against a
+    scalar per-cell line walk plus flat-terrain / wall-shadow analytic
+    cases."""
+    import ray.data
+
+    from plateau_gis_converter_ray.sources.images import ensure_image_table
+    from plateau_gis_converter_ray.stages.raster_ops import ViewshedStats
+
+    path = ensure_image_table(_sf_of(sf_dir))
+    files = [
+        os.path.join(path, f)
+        for f in sorted(os.listdir(path))
+        if f.endswith(".parquet")
+    ]
+    ds = ray.data.read_parquet(
+        files, columns=["image_id", "bytes", "fmt", "w", "h"]
+    )
+    return ds.map_batches(
+        ViewshedStats(), batch_format="pyarrow", batch_size=1024
+    )
+
+
 def _q_image_equalize(sf_dir: str):
     """Histogram equalization (stages/decode.py::ImageEqualize): per-image
     integer CDF remap, zero exchanges; tiny per-fmt reduce of the exact
@@ -1130,6 +1156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "flow_accumulation": _q_flow_accumulation,
             "watershed_labels": _q_watershed_labels,
             "terrain_metrics": _q_terrain_metrics,
+            "viewshed": _q_viewshed,
             "image_equalize": _q_image_equalize,
             "image_letterbox": _q_image_letterbox,
             "image_augment": _q_image_augment,

@@ -243,6 +243,8 @@ BENCH_QUERIES = [
     # r4 wave 13c: AV curation lane (VAD segmentation, scene cuts)
     "audio_vad_segments",
     "video_scene_cuts",
+    # r4 wave 13d: R2 viewshed
+    "viewshed",
 ]
 
 

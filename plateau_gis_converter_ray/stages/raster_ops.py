@@ -450,3 +450,106 @@ class TerrainMetrics:
                 "n_px": pa.array(n_px),
             }
         )
+
+
+def _r2_predecessors(h: int, w: int, oy: int, ox: int) -> np.ndarray:
+    """(h*w,) int64 predecessor of every cell on the digital line back to
+    the observer (oy, ox): one Bresenham-style step toward the observer
+    along the cell's major axis (the R2/xdraw predecessor structure —
+    Franklin & Ray 1994). The observer maps to itself. Pure geometry:
+    computed ONCE per (h, w) group and shared by every image in the
+    stack."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    dy = yy - oy
+    dx = xx - ox
+    ady = np.abs(dy)
+    adx = np.abs(dx)
+    L = np.maximum(ady, adx)
+    Ls = np.maximum(L, 1)
+    # previous point on the line at parameter t = L-1 (rounded to the
+    # nearest cell, ties toward the observer via floor of the exact
+    # rational (L-1)*d/L + 1/2, computed in integers)
+    py = oy + (2 * (L - 1) * dy + Ls) // (2 * Ls)
+    px = ox + (2 * (L - 1) * dx + Ls) // (2 * Ls)
+    pred = (py * w + px).reshape(-1)
+    pred[(yy == oy).reshape(-1) & (xx == ox).reshape(-1)] = oy * w + ox
+    return pred
+
+
+def viewshed_u8(dem: np.ndarray, oy: int, ox: int) -> np.ndarray:
+    """(g, h, w) bool visibility from the observer standing 1 unit above
+    cell (oy, ox), R2 algorithm: process cells ring by ring (Chebyshev
+    distance), each cell is visible iff its sight angle clears the
+    running max angle along its predecessor line; the running max
+    propagates ring to ring with pure gathers — vectorized over the whole
+    stack, <= max(h, w) rounds. Angles compare as dz/dist in float64 with
+    IDENTICAL arithmetic in the scalar pin (both sides compute the same
+    two floats, so the compare is deterministic)."""
+    g, h, w = dem.shape
+    pred = _r2_predecessors(h, w, oy, ox)
+    yy, xx = np.mgrid[0:h, 0:w]
+    cheb = np.maximum(np.abs(yy - oy), np.abs(xx - ox)).reshape(-1)
+    dist = np.sqrt(((yy - oy) ** 2 + (xx - ox) ** 2).reshape(-1))
+    zo = dem.reshape(g, -1)[:, oy * w + ox].astype(np.float64) + 1.0
+    ang = np.where(
+        dist > 0,
+        (dem.reshape(g, -1) - zo[:, None]) / np.maximum(dist, 1e-300),
+        -np.inf,
+    )
+    # running max angle ALONG THE LINE UP TO (excluding) each cell
+    maxang = np.full((g, h * w), -np.inf)
+    vis = np.zeros((g, h * w), dtype=bool)
+    vis[:, oy * w + ox] = True
+    for r in range(1, int(cheb.max()) + 1):
+        ring = np.nonzero(cheb == r)[0]
+        p = pred[ring]
+        m = np.maximum(maxang[:, p], ang[:, p])
+        maxang[:, ring] = m
+        vis[:, ring] = ang[:, ring] > m
+    return vis.reshape(g, h, w)
+
+
+class ViewshedStats:
+    """Per-image viewshed summary from the center observer: visible-cell
+    count, visible fraction of the far half (y < h//4), and a position-
+    weighted visibility checksum. R2 ring sweep vectorized across the
+    decode stack; zero exchanges. Rows-only; pinned in pytest against a
+    scalar per-cell line walk using the same predecessor structure."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("image_id").to_pylist()
+        blobs = binary_views(batch.column("bytes"))
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        fmts = batch.column("fmt").to_pylist()
+
+        n = len(ids)
+        n_vis = np.empty(n, dtype=np.int64)
+        far_vis = np.empty(n, dtype=np.int64)
+        vis_ck = np.empty(n, dtype=np.int64)
+
+        groups: dict[tuple, list[int]] = {}
+        for i in range(n):
+            groups.setdefault((fmts[i], int(ws[i]), int(hs[i])), []).append(i)
+        for (fmt, w, h), rows in groups.items():
+            dem = decode_group_stack(blobs, rows, fmt, w, h)[..., 0]
+            vis = viewshed_u8(dem, h // 2, w // 2)
+            rows_np = np.array(rows)
+            g = len(rows)
+            n_vis[rows_np] = vis.sum(axis=(1, 2), dtype=np.int64)
+            far_vis[rows_np] = vis[:, : h // 4, :].sum(
+                axis=(1, 2), dtype=np.int64
+            )
+            wvec = np.arange(1, h * w + 1, dtype=np.uint64)
+            vis_ck[rows_np] = (
+                vis.reshape(g, -1).astype(np.uint64) * wvec[None, :]
+            ).sum(axis=1, dtype=np.uint64).view(np.int64)
+
+        return pa.table(
+            {
+                "image_id": batch.column("image_id"),
+                "n_visible": pa.array(n_vis),
+                "far_visible": pa.array(far_vis),
+                "vis_ck": pa.array(vis_ck),
+            }
+        )

@@ -284,3 +284,55 @@ def test_terrain_metrics_match_scalar():
         assert got["rough_sum"] == rough_s
         assert got["rough_max"] == rough_m
         assert got["n_px"] == (h - 2) * (w - 2)
+
+
+def _scalar_viewshed(dem: np.ndarray, oy: int, ox: int) -> np.ndarray:
+    """Scalar R2: per cell, walk the predecessor chain to the observer
+    tracking the max angle — same predecessor structure, same float ops."""
+    from plateau_gis_converter_ray.stages.raster_ops import _r2_predecessors
+
+    h, w = dem.shape
+    pred = _r2_predecessors(h, w, oy, ox)
+    zo = float(dem[oy, ox]) + 1.0
+    vis = np.zeros((h, w), dtype=bool)
+    vis[oy, ox] = True
+    for c in range(h * w):
+        if c == oy * w + ox:
+            continue
+        cy, cx = divmod(c, w)
+        d = np.sqrt(float((cy - oy) ** 2 + (cx - ox) ** 2))
+        a = (float(dem[cy, cx]) - zo) / d
+        m = -np.inf
+        p = pred[c]
+        while p != oy * w + ox:
+            py, px = divmod(p, w)
+            pd = np.sqrt(float((py - oy) ** 2 + (px - ox) ** 2))
+            m = max(m, (float(dem[py, px]) - zo) / pd)
+            p = pred[p]
+        vis[cy, cx] = a > m
+    return vis
+
+
+def test_viewshed_matches_scalar():
+    from plateau_gis_converter_ray.stages.raster_ops import viewshed_u8
+
+    rng = np.random.default_rng(37)
+    dem = rng.integers(0, 40, size=(2, 12, 15), dtype=np.uint8)
+    vis = viewshed_u8(dem, 6, 7)
+    for g in range(2):
+        ref = _scalar_viewshed(dem[g], 6, 7)
+        assert (vis[g] == ref).all()
+
+
+def test_viewshed_flat_and_wall():
+    from plateau_gis_converter_ray.stages.raster_ops import viewshed_u8
+
+    # flat terrain: observer at +1 sees everything
+    flat = np.full((1, 9, 9), 100, dtype=np.uint8)
+    assert viewshed_u8(flat, 4, 4).all()
+    # a tall wall east of the observer shadows everything behind it
+    walled = flat.copy()
+    walled[0, :, 6] = 200
+    vis = viewshed_u8(walled, 4, 4)[0]
+    assert vis[:, :6].all()          # west side fully visible
+    assert vis[4, 6] and not vis[4, 7] and not vis[4, 8]  # shadowed row
