@@ -243,8 +243,9 @@ BENCH_QUERIES = [
     # r4 wave 13c: AV curation lane (VAD segmentation, scene cuts)
     "audio_vad_segments",
     "video_scene_cuts",
-    # r4 wave 13d: R2 viewshed
+    # r4 wave 13d: R2 viewshed + integer-quantized IDW surface
     "viewshed",
+    "idw_interpolation",
 ]
 
 

@@ -10945,6 +10945,79 @@ FROM d GROUP BY 1, 2
 """
 
 
+def q_idw_interpolation(sf_dir: str):
+    """Regularized inverse-distance-weighted surface interpolation onto
+    an 8x8 grid of cell centers: every point contributes value * w and w
+    with the INTEGER-quantized weight w = 2^40 // (d2 + 10^6) — exact,
+    order-independent sums, so the distributed combiner is bit-identical
+    to any execution order (plain float IDW would be batch-order
+    dependent). Per-batch partials are one (n x 64) vectorized weight
+    matrix + a 64-row reduction; one tiny combiner exchange. int64 bound:
+    w <= 2^40/10^6 ~ 1.1e6, |v_c| <= ~1e4, safe to ~1e8 points per cell
+    (sf ~ 10^2); beyond that drop the scale to 2^36."""
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+
+    cx = (np.arange(8, dtype=np.int64) * 30000 + 15000)
+    cy = (np.arange(8, dtype=np.int64) * 27500 + 13750)
+    gx = np.repeat(cx, 8)
+    gy = np.tile(cy, 8)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy()
+        v_c = np.round(batch.column("value").to_numpy() * 100).astype(
+            np.int64
+        )
+        x = (eid * 9973) % 240000
+        y = (eid * 7919) % 220000
+        d2 = (x[:, None] - gx[None, :]) ** 2 + (y[:, None] - gy[None, :]) ** 2
+        wq = (np.int64(1) << 40) // (d2 + 1_000_000)
+        return pa.table(
+            {
+                "gx": pa.array(gx),
+                "gy": pa.array(gy),
+                "num": pa.array((v_c[:, None] * wq).sum(axis=0)),
+                "den": pa.array(wq.sum(axis=0)),
+            }
+        )
+
+    agg = tree_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["gx", "gy"], {"num": ("num", "sum"), "den": ("den", "sum")},
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        num = batch.column("num").to_numpy()
+        den = batch.column("den").to_numpy()
+        # truncating integer centi-value; den > 0 always (weights are
+        # positive for every point against every cell)
+        return batch.append_column("idw_c", pa.array(num // den))
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+_SQL_IDW = """
+WITH grid AS (
+  SELECT gi * 30000 + 15000 AS gx, gj * 27500 + 13750 AS gy
+  FROM range(8) r1(gi) CROSS JOIN range(8) r2(gj)
+), p AS (
+  SELECT (event_id * 9973) % 240000 AS x,
+         (event_id * 7919) % 220000 AS y,
+         CAST(ROUND(value * 100) AS BIGINT) AS v_c
+  FROM events
+), c AS (
+  SELECT gx, gy, v_c,
+         (x - gx) * (x - gx) + (y - gy) * (y - gy) AS d2
+  FROM p CROSS JOIN grid
+), s AS (
+  SELECT gx, gy,
+         SUM(v_c * (1099511627776 // (d2 + 1000000))) AS num,
+         SUM(1099511627776 // (d2 + 1000000)) AS den
+  FROM c GROUP BY 1, 2
+)
+SELECT gx, gy, num, den, num // den AS idw_c FROM s
+"""
+
+
 _SSSP_ROUNDS = 6
 _SSSP_INF = np.int64(1) << 40
 
@@ -11555,6 +11628,7 @@ QUERIES = {
     "od_matrix": q_od_matrix,
     "coverage_gap_points": q_coverage_gap_points,
     "hex_bin_counts": q_hex_bin_counts,
+    "idw_interpolation": q_idw_interpolation,
     "sssp_weighted": q_sssp_weighted,
     "track_dtw_pairs": q_track_dtw_pairs,
     "ab_test_stats": q_ab_test_stats,
@@ -11714,6 +11788,7 @@ ORACLES = {
     "od_matrix": _SQL_OD_MATRIX,
     "coverage_gap_points": _SQL_COVERAGE_GAP,
     "hex_bin_counts": _SQL_HEX_BIN,
+    "idw_interpolation": _SQL_IDW,
     "sssp_weighted": _SQL_SSSP_WEIGHTED,
     "ab_test_stats": _SQL_AB_TEST_STATS,
     "csv_source_stats": _SQL_CSV_SOURCE_STATS,
