@@ -246,6 +246,9 @@ BENCH_QUERIES = [
     # r4 wave 13d: R2 viewshed + integer-quantized IDW surface
     "viewshed",
     "idw_interpolation",
+    # r4 wave 14: basket mining + seasonal profile (oracle-gated)
+    "basket_pairs",
+    "seasonal_profile",
 ]
 
 

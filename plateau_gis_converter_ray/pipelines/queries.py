@@ -11018,6 +11018,109 @@ SELECT gx, gy, num, den, num // den AS idw_c FROM s
 """
 
 
+def q_basket_pairs(sf_dir: str, min_support: int = 2):
+    """Market-basket co-occurrence mining: distinct part pairs inside each
+    order basket, counted across baskets, pruned at ``min_support``. One
+    bucketed exchange keyed by orderkey (a pair must see its whole
+    basket); in-bucket enumeration is a vectorized self-merge (baskets
+    are bounded at 7 lines in TPC-H, so the merge blowup is ~k^2 <= 49
+    per order); per-bucket partial counts feed one tiny combiner. The
+    Apriori-style first pass every recsys/assortment pipeline runs."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ok = batch.column("l_orderkey").to_numpy()
+        return pa.table(
+            {
+                "ok": batch.column("l_orderkey"),
+                "pk": batch.column("l_partkey"),
+                "bk": pa.array(ok % 64),
+            }
+        )
+
+    def pairs(g: pd.DataFrame) -> pa.Table:
+        b = g[["ok", "pk"]].drop_duplicates()
+        m = b.merge(b, on="ok")
+        m = m[m["pk_x"] < m["pk_y"]]
+        out = (
+            m.groupby(["pk_x", "pk_y"], as_index=False)
+            .size()
+            .rename(
+                columns={"pk_x": "part_a", "pk_y": "part_b", "size": "support"}
+            )
+        )
+        out["support"] = out["support"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    agg = tree_group_agg(
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("bk")
+        .map_groups(pairs, batch_format="pandas"),
+        ["part_a", "part_b"], {"support": ("support", "sum")},
+    )
+
+    def prune(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pa.compute.greater_equal(batch.column("support"), min_support)
+        )
+
+    return agg.map_batches(prune, batch_format="pyarrow")
+
+
+_SQL_BASKET_PAIRS = """
+WITH b AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+)
+SELECT a.pk AS part_a, c.pk AS part_b, COUNT(*) AS support
+FROM b a JOIN b c ON a.ok = c.ok AND a.pk < c.pk
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2
+"""
+
+
+def q_seasonal_profile(sf_dir: str):
+    """Hour-of-day seasonal profile per event type: exact int64
+    (n, sum_vc, sum_vc2) so any consumer derives mean/variance without
+    float re-aggregation; hour from pure epoch arithmetic shared verbatim
+    with the SQL twin (no EXTRACT timezone semantics in the compare).
+    Pure combiner — zero wide exchanges."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").cast(pa.int64()).to_numpy()
+        v_c = np.round(batch.column("value").to_numpy() * 100).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "hod": pa.array((us // 3_600_000_000) % 24),
+                "vc": pa.array(v_c),
+                "vc2": pa.array(v_c * v_c),
+            }
+        )
+
+    return tree_group_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["event_type", "hod"],
+        {"n": (None, "count"), "sum_vc": ("vc", "sum"),
+         "sum_vc2": ("vc2", "sum")},
+    )
+
+
+_SQL_SEASONAL_PROFILE = """
+WITH p AS (
+  SELECT event_type,
+         (epoch_us(ts) // 3600000000) % 24 AS hod,
+         CAST(ROUND(value * 100) AS BIGINT) AS vc
+  FROM events
+)
+SELECT event_type, hod, COUNT(*) AS n,
+       SUM(vc) AS sum_vc, SUM(vc * vc) AS sum_vc2
+FROM p GROUP BY 1, 2
+"""
+
+
 _SSSP_ROUNDS = 6
 _SSSP_INF = np.int64(1) << 40
 
@@ -11629,6 +11732,8 @@ QUERIES = {
     "coverage_gap_points": q_coverage_gap_points,
     "hex_bin_counts": q_hex_bin_counts,
     "idw_interpolation": q_idw_interpolation,
+    "basket_pairs": q_basket_pairs,
+    "seasonal_profile": q_seasonal_profile,
     "sssp_weighted": q_sssp_weighted,
     "track_dtw_pairs": q_track_dtw_pairs,
     "ab_test_stats": q_ab_test_stats,
@@ -11789,6 +11894,8 @@ ORACLES = {
     "coverage_gap_points": _SQL_COVERAGE_GAP,
     "hex_bin_counts": _SQL_HEX_BIN,
     "idw_interpolation": _SQL_IDW,
+    "basket_pairs": _SQL_BASKET_PAIRS,
+    "seasonal_profile": _SQL_SEASONAL_PROFILE,
     "sssp_weighted": _SQL_SSSP_WEIGHTED,
     "ab_test_stats": _SQL_AB_TEST_STATS,
     "csv_source_stats": _SQL_CSV_SOURCE_STATS,
