@@ -249,6 +249,8 @@ BENCH_QUERIES = [
     # r4 wave 14: basket mining + seasonal profile (oracle-gated)
     "basket_pairs",
     "seasonal_profile",
+    # r4: incremental ANN index maintenance (append without retrain)
+    "ivfpq_index_append",
 ]
 
 

@@ -5718,6 +5718,60 @@ def q_ivfpq_search_cached(sf_dir: str, nprobe: int = 4):
     )
 
 
+def q_ivfpq_index_append(sf_dir: str, nprobe: int = 4):
+    """Incremental index maintenance (FAISS index.add): append a delta
+    slice (vec_id % 7 == 3, re-identified at +10^7) to a PRIVATE copy of
+    the index — existing codebooks, no retraining, exactly-once by
+    append-id ledger — then search the grown index. The shared cached
+    index used by ann_rerank/mmr_rerank is never mutated. Rows-only; the
+    appended==in-memory-ADC equality and the no-op replay are
+    pytest-pinned (tests/test_ann_index_append.py)."""
+    import hashlib as _hl
+    import json as _json
+    import os
+
+    from ..stages.ann_index import (
+        INDEX_ROOT,
+        _input_fingerprint,
+        ivfpq_index_build,
+        ivfpq_index_append,
+        ivfpq_search_cached,
+    )
+
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    fp = _input_fingerprint(emb_path)
+    tag = _hl.sha256(
+        _json.dumps({"fp": fp, "role": "append_demo"}, sort_keys=True).encode()
+    ).hexdigest()[:16]
+    root = os.path.join(INDEX_ROOT, f"append_demo_{tag}")
+    res = ivfpq_index_build(sf_dir, index_dir=root)
+
+    delta = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def shift(batch: pa.Table) -> pa.Table:
+        vid = batch.column("vec_id").to_numpy()
+        keep = vid % 7 == 3
+        t = batch.filter(pa.array(keep))
+        return pa.table(
+            {
+                "vec_id": pa.array(
+                    t.column("vec_id").to_numpy() + 10_000_000
+                ),
+                "embedding": t.column("embedding"),
+            }
+        )
+
+    ivfpq_index_append(
+        res["index_dir"],
+        delta.map_batches(shift, batch_format="pyarrow"),
+        tag="demo-delta-mod7",
+        delta_fingerprint=fp,
+    )
+    return ivfpq_search_cached(
+        res["index_dir"], _ann_query_head(sf_dir), topk=10, nprobe=nprobe
+    )
+
+
 # ---------------------------------------------------------------------------
 # Trajectory length: per-user sum of consecutive-event step distances in
 # ts order — the movement-analytics op over the deterministic geocode. One
@@ -11672,6 +11726,7 @@ QUERIES = {
     "bfs_hops": q_bfs_hops,
     "ivfpq_index_build": q_ivfpq_index_build,
     "ivfpq_search_cached": q_ivfpq_search_cached,
+    "ivfpq_index_append": q_ivfpq_index_append,
     "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
     "rich_idle_customers": q_rich_idle_customers,
     "dense_rank_events": q_dense_rank_events,

@@ -286,3 +286,100 @@ def ivfpq_search_cached(
     codes_ds = ray.data.read_parquet(paths)
     return ivfpq_adc_search(codes_ds, coarse, books, queries, topk=topk,
                             nprobe=nprobe)
+
+
+def _append_id(fingerprint: list, tag: str) -> str:
+    return hashlib.sha256(
+        json.dumps({"fp": fingerprint, "tag": tag}, sort_keys=True).encode()
+    ).hexdigest()[:16]
+
+
+def ivfpq_index_append(
+    index_dir: str, delta_ds, tag: str, delta_fingerprint: list
+) -> dict:
+    """Incremental index maintenance (FAISS ``index.add``): encode new
+    vectors with the EXISTING codebooks — no retraining — and land them
+    as additional part files inside the existing bucket partitions.
+
+    Exactly-once by ledger: the append id (digest of the delta
+    fingerprint + tag) is recorded in ``meta.json``; a replayed append is
+    a NO-OP touching no file. Crash-window safe: part files are written
+    tmp + os.replace under DETERMINISTIC names
+    (``part-a<append_id>.parquet``), so a replay after a crash before the
+    meta update rewrites identical bytes instead of duplicating rows; the
+    meta rewrite is the atomic commit point (written LAST). Commit
+    records return to the DRIVER (no worker-side manifest appends).
+
+    Returns {"appended": bool, "rows": n, "buckets": [(bucket, rows)]}.
+    """
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from .pq import ivfpq_encode
+    from .treeagg import clean_arrow
+
+    meta = load_index_meta(index_dir)
+    aid = _append_id(delta_fingerprint, tag)
+    if aid in meta.get("appends", []):
+        return {"appended": False, "rows": 0,
+                "buckets": [tuple(b) for b in meta["buckets"]]}
+
+    coarse = meta["coarse_np"]
+    books = meta["books_np"]
+    codes = ivfpq_encode(delta_ds, coarse, books)
+    codes_root = os.path.join(index_dir, "codes")
+
+    def write_delta(group):
+        df = group.to_pandas() if hasattr(group, "to_pandas") else group
+        b = int(df["bucket"].iloc[0])
+        df = df.sort_values("vec_id").reset_index(drop=True)
+        bdir = os.path.join(codes_root, f"bucket={b}")
+        os.makedirs(bdir, exist_ok=True)
+        tbl = pa.Table.from_pandas(
+            df, preserve_index=False
+        ).replace_schema_metadata(None)
+        final = os.path.join(bdir, f"part-a{aid}.parquet")
+        tmp = final + ".tmp"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, final)  # atomic, idempotent under replay
+        return clean_arrow(pd.DataFrame({"bucket": [b], "rows": [len(df)]}))
+
+    commits = (
+        codes.groupby("bucket")
+        .map_groups(write_delta, batch_format="pandas")
+        .to_pandas()
+        .sort_values("bucket")
+    )
+    manifest = PartitionManifest(index_dir, {"append": aid})
+    by_bucket = {int(r.bucket): int(r.rows) for r in commits.itertuples(index=False)}
+    for b, rows in by_bucket.items():
+        manifest.commit_partition(
+            f"bucket={b}/part-a{aid}",
+            rows=rows,
+            checksum=0,
+            lineage={"append_id": aid, "fingerprint": delta_fingerprint},
+            metrics={},
+        )
+    # meta rewrite = the commit point: bucket row counts updated, append
+    # ledgered. Parts become search-visible as they land (each is
+    # individually atomic and carries CORRECT rows, so early visibility
+    # is a freshness wart, not corruption); a crash before this rewrite
+    # is healed by replay, which rewrites identical bytes under the same
+    # deterministic names — never duplicates
+    buckets = {int(b): int(r) for b, r in meta["buckets"]}
+    for b, rows in by_bucket.items():
+        buckets[b] = buckets.get(b, 0) + rows
+    meta_out = {k: v for k, v in meta.items()
+                if k not in ("coarse_np", "books_np")}
+    meta_out["buckets"] = sorted([b, r] for b, r in buckets.items())
+    meta_out["appends"] = meta.get("appends", []) + [aid]
+    meta_path = os.path.join(index_dir, "meta.json")
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta_out, f)
+    os.replace(tmp, meta_path)
+    return {
+        "appended": True,
+        "rows": int(commits["rows"].sum()),
+        "buckets": sorted(buckets.items()),
+    }
