@@ -251,6 +251,15 @@ BENCH_QUERIES = [
     "seasonal_profile",
     # r4: incremental ANN index maintenance (append without retrain)
     "ivfpq_index_append",
+    "transition_matrix",
+    "attribution_credit",
+    "sliding_distinct_users",
+    "target_encoding",
+    "heavy_hitters_cms",
+    "bom_explode",
+    "morans_i",
+    "embed_int8_quantize",
+    "image_patches",
 ]
 
 

@@ -11613,6 +11613,568 @@ FROM t LEFT JOIN lab ON lab.tid = t.tid
 """
 
 
+# ---------------------------------------------------------------------------
+# Wave 15: sequence analytics, sketch-pruned heavy hitters, recursive closure
+
+
+def q_transition_matrix(sf_dir: str):
+    """Markov transition counts over per-user event sequences: one
+    bucketed exchange (user % 64), in-bucket (user, ts, event_id) sort +
+    shifted compare yields adjacent (from, to) pairs, per-bucket partial
+    counts feed a tiny (from, to) combiner. The 5x5 output is the
+    next-event transition matrix a sequence-model curriculum needs."""
+    from ..stages.treeagg import clean_arrow
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy()
+        return batch.append_column("_bk", pa.array(u % 64))
+
+    def pairs(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        u = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy(dtype=object)
+        same = u[1:] == u[:-1]
+        out = (
+            pd.DataFrame({"from_type": et[:-1][same], "to_type": et[1:][same]})
+            .groupby(["from_type", "to_type"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        out["n"] = out["n"].astype(np.int64)
+        return clean_arrow(out)
+
+    parts = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("_bk")
+        .map_groups(pairs, batch_format="pandas")
+    )
+    return tree_group_agg(parts, ["from_type", "to_type"], {"n": ("n", "sum")})
+
+
+_SQL_TRANSITION_MATRIX = """
+WITH w AS (
+  SELECT user_id, event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS to_type
+  FROM events
+)
+SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM w WHERE to_type IS NOT NULL GROUP BY 1, 2
+"""
+
+
+def q_attribution_credit(sf_dir: str):
+    """Last-touch marketing attribution: each 'purchase' is credited to
+    the same user's most recent PRIOR 'click'/'view' (strict (ts,
+    event_id) order; none -> 'direct'). One bucketed exchange; in-bucket
+    the last-touch pointer is a segmented running max (np.maximum
+    .accumulate over touch indices, reset at user boundaries via the
+    segment-start compare), so no per-purchase scan. Output: per-channel
+    purchase count + attributed revenue (cents, exact)."""
+    from ..stages.treeagg import clean_arrow
+
+    ds = _read(
+        sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"]
+    )
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy()
+        vc = np.round(batch.column("value").to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "us": batch.column("ts").cast(pa.int64()),
+                "event_id": batch.column("event_id"),
+                "event_type": batch.column("event_type"),
+                "vc": pa.array(vc),
+                "_bk": pa.array(u % 64),
+            }
+        )
+
+    def sweep(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "us", "event_id"], kind="stable")
+        u = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy(dtype=object)
+        vc = g["vc"].to_numpy()
+        n = len(g)
+        touch = (et == "click") | (et == "view")
+        idx = np.where(touch, np.arange(n), -1)
+        cm = np.maximum.accumulate(idx)
+        new_user = np.r_[True, u[1:] != u[:-1]]
+        seg_start = np.nonzero(new_user)[0][np.cumsum(new_user) - 1]
+        valid = cm >= seg_start  # a carried index from a previous user
+        pi = np.nonzero(et == "purchase")[0]  # sorts below its seg start
+        chan = np.where(valid[pi], et[np.maximum(cm[pi], 0)], "direct")
+        out = (
+            pd.DataFrame({"channel": chan, "vc": vc[pi]})
+            .groupby("channel", as_index=False)
+            .agg(n=("vc", "size"), sum_value_c=("vc", "sum"))
+        )
+        out["n"] = out["n"].astype(np.int64)
+        out["sum_value_c"] = out["sum_value_c"].astype(np.int64)
+        return clean_arrow(out)
+
+    parts = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("_bk")
+        .map_groups(sweep, batch_format="pandas")
+    )
+    return tree_group_agg(
+        parts, ["channel"],
+        {"n": ("n", "sum"), "sum_value_c": ("sum_value_c", "sum")},
+    )
+
+
+_SQL_ATTRIBUTION_CREDIT = """
+WITH p AS (
+  SELECT user_id, ts, event_id, value FROM events
+  WHERE event_type = 'purchase'
+),
+t AS (
+  SELECT user_id, ts, event_id, event_type FROM events
+  WHERE event_type IN ('click', 'view')
+),
+j AS (
+  SELECT p.event_id AS pe, p.value AS pv,
+         t.event_type AS tt, t.ts AS tts, t.event_id AS te
+  FROM p LEFT JOIN t
+    ON t.user_id = p.user_id
+   AND (t.ts < p.ts OR (t.ts = p.ts AND t.event_id < p.event_id))
+),
+best AS (
+  SELECT pe, pv, COALESCE(tt, 'direct') AS channel,
+         ROW_NUMBER() OVER (
+           PARTITION BY pe ORDER BY tts DESC NULLS LAST, te DESC
+         ) AS rn
+  FROM j
+)
+SELECT channel, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(pv * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+FROM best WHERE rn = 1 GROUP BY 1
+"""
+
+
+def q_sliding_distinct_users(sf_dir: str):
+    """Trailing 3-hour distinct active users per hour — the sliding
+    count-distinct window SQL cannot express with a plain window frame.
+    Plan: distinct (user, hour) with a combiner (the only exchange that
+    sees full cardinality), fan each out to the 3 windows it feeds,
+    distinct again, count per window. Every stage after the first
+    distinct is per-user-hour rows, far smaller than the event stream."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").cast(pa.int64()).to_numpy()
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "h": pa.array(us // 3_600_000_000),
+            }
+        )
+
+    uh = tree_group_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["user_id", "h"], {"n": (None, "count")},
+    )
+
+    def fanout(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy()
+        h = batch.column("h").to_numpy()
+        return pa.table(
+            {
+                "user_id": pa.array(np.tile(u, 3)),
+                "wh": pa.array(np.concatenate([h, h + 1, h + 2])),
+            }
+        )
+
+    uw = tree_group_agg(
+        uh.map_batches(fanout, batch_format="pyarrow"),
+        ["user_id", "wh"], {"n": (None, "count")},
+    )
+
+    def lab(batch: pa.Table) -> pa.Table:
+        wh = batch.column("wh").to_numpy()
+        return pa.table({"win_end_s": pa.array(wh * 3600)})
+
+    return tree_group_agg(
+        uw.map_batches(lab, batch_format="pyarrow"),
+        ["win_end_s"], {"n_users": (None, "count")},
+    )
+
+
+_SQL_SLIDING_DISTINCT_USERS = """
+WITH uh AS (
+  SELECT DISTINCT user_id,
+         CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) AS h
+  FROM events
+),
+f AS (
+  SELECT DISTINCT user_id, h + i AS wh
+  FROM uh, (SELECT UNNEST([0, 1, 2]) AS i) off
+)
+SELECT wh * 3600 AS win_end_s, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM f GROUP BY 1
+"""
+
+
+def q_target_encoding(sf_dir: str, m: int = 100):
+    """Smoothed target-mean encoding of p_brand against line revenue —
+    the category-feature encoder of a tabular-ML feature pipeline.
+    enc = (sum_b*N + m*SUM_g) / ((n_b+m)*N): all-integer numerator and
+    denominator (cents), ONE final double division, so distributed ==
+    SQL bit-for-bit. Brand attach is a broadcast-dim IntLookup (map-side,
+    no exchange); the per-brand (n, sum) is a pure combiner. At 10^12
+    rows the int64 products need the 128-bit split (sum is bounded by
+    rows * max_cents); DuckDB's HUGEINT side already is."""
+    from ..kernels.lookup import IntLookup
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"]).to_pandas()
+    lk = IntLookup(
+        part["p_partkey"].to_numpy(), part["p_brand"].astype(str).tolist()
+    )
+    ds = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        pk = batch.column("l_partkey").to_numpy()
+        vc = np.round(
+            batch.column("l_extendedprice").to_numpy() * 100
+        ).astype(np.int64)
+        return pa.table({"p_brand": lk.gather(pk), "vc": pa.array(vc)})
+
+    agg = tree_group_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["p_brand"], {"n": (None, "count"), "s": ("vc", "sum")},
+    ).to_pandas()
+    gn = int(agg["n"].sum())
+    gs = int(agg["s"].sum())
+    num = agg["s"].to_numpy() * gn + m * gs
+    den = (agg["n"].to_numpy() + m) * gn
+    return pd.DataFrame(
+        {
+            "p_brand": agg["p_brand"],
+            "n": agg["n"].astype(np.int64),
+            "enc": num.astype(np.float64) / den.astype(np.float64),
+        }
+    )
+
+
+_SQL_TARGET_ENCODING = """
+WITH b AS (
+  SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS s
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1
+),
+g AS (SELECT CAST(SUM(n) AS BIGINT) AS gn, CAST(SUM(s) AS BIGINT) AS gs
+      FROM b)
+SELECT p_brand, n,
+       CAST(s * gn + 100 * gs AS DOUBLE)
+         / CAST((n + 100) * gn AS DOUBLE) AS enc
+FROM b, g
+"""
+
+
+def q_heavy_hitters_cms(sf_dir: str, threshold: int = 80):
+    """Heavy hitters (count >= 80) over event users via count-min sketch
+    pruning: sketch pass (linear d x w partials, nothing wide moves) ->
+    candidate pass (CMS overestimates, so est >= T is a guaranteed
+    superset) -> exact recount of the tiny candidate set. Output counts
+    are EXACT — the sketch only prunes (stages/cms.py)."""
+    from ..stages.cms import heavy_hitters
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    return heavy_hitters(ds, "user_id", threshold)
+
+
+_SQL_HEAVY_HITTERS_CMS = """
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY 1 HAVING COUNT(*) >= 80
+"""
+
+
+def q_bom_explode(sf_dir: str):
+    """Recursive bill-of-materials closure — depth of every part in the
+    derived assembly forest parent(k) = lehmer(k) % k (root: part 0) —
+    by POINTER DOUBLING: log2(max_depth) self-join rounds, each a
+    size-gated auto_join (broadcast at test scale, hash-shuffle at
+    10^12-part scale) over the materialized jump table J[k] = (anc, dep)
+    where anc is reached from k in dep edges. Root rows are natural
+    fixpoints (J[0] = (0, 0)), so no done/pending split is needed; the
+    loop stops when max(anc) == 0. The oracle walks the same recurrence
+    one edge per row as a DuckDB WITH RECURSIVE twin."""
+    from ..stages.joins import auto_join
+
+    parts = _read(sf_dir, "part", ["p_partkey"])
+
+    def init(batch: pa.Table) -> pa.Table:
+        k = batch.column("p_partkey").to_numpy()
+        h = (k % 2147483648) * 48271 % 2147483647
+        anc = np.where(k > 0, h % np.maximum(k, 1), 0)
+        dep = (k > 0).astype(np.int64)
+        return pa.table(
+            {"k": pa.array(k), "anc": pa.array(anc), "dep": pa.array(dep)}
+        )
+
+    J = parts.map_batches(init, batch_format="pyarrow").materialize()
+
+    def step(batch: pa.Table) -> pa.Table:
+        dep = batch.column("dep").to_numpy() + batch.column("jdep").to_numpy()
+        return pa.table(
+            {
+                "k": batch.column("k"),
+                "anc": batch.column("janc"),
+                "dep": pa.array(dep),
+            }
+        )
+
+    for _ in range(64):
+        if int(J.max("anc")) == 0:
+            break
+        jump = J.rename_columns({"k": "jk", "anc": "janc", "dep": "jdep"})
+        J = (
+            auto_join(J, jump, on=("anc",), right_on=("jk",),
+                      num_partitions=JOIN_PARTS)
+            .map_batches(step, batch_format="pyarrow")
+            .materialize()
+        )
+
+    def fin(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"p_partkey": batch.column("k"), "depth": batch.column("dep")}
+        )
+
+    return J.map_batches(fin, batch_format="pyarrow")
+
+
+_SQL_BOM_EXPLODE = """
+WITH RECURSIVE walk(k, anc, dep) AS (
+  SELECT p_partkey,
+         CASE WHEN p_partkey = 0 THEN 0
+              ELSE ((p_partkey % 2147483648) * 48271 % 2147483647)
+                   % p_partkey END,
+         CASE WHEN p_partkey = 0 THEN 0 ELSE 1 END
+  FROM part
+  UNION ALL
+  SELECT k, ((anc % 2147483648) * 48271 % 2147483647) % anc, dep + 1
+  FROM walk WHERE anc <> 0
+)
+SELECT k AS p_partkey, CAST(MAX(dep) AS BIGINT) AS depth
+FROM walk GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Wave 16: spatial autocorrelation, ViT patching, embedding quantization
+
+
+def q_morans_i(sf_dir: str):
+    """Global Moran's I spatial autocorrelation of z10 tile event counts
+    (8-neighbor queen weights, w_ij = 1) — the hotspot diagnostic a
+    geospatial curation pipeline runs before density-balanced sampling.
+
+    Plan: stage 1 reduces events to per-tile counts (the only fact-sized
+    exchange, combiner tree). Stage 2 is the scatter-to-neighbors stencil
+    from ``tile_neighbor_smooth`` — each REDUCED tile emits its count to
+    its 8 neighbor positions plus a center marker; one combiner sum per
+    position yields, for every occupied tile p, its count x_p, its
+    neighbor-count sum s_p and its occupied-neighbor degree d_p. No
+    self-join, no range join; the stencil exchange is 9x the tile table,
+    never 9x the facts. Every Moran moment is then an exact integer sum
+    (N, S1 = sum x, S2 = sum x^2, A = sum x_p*s_p, B = 2*sum d_p*x_p,
+    W = sum d_p), assembled on the driver with arbitrary-precision Python
+    ints, so the single final double division
+
+        I = (A*N^2 - S1*N*B + S1^2*W) / (W * (S2*N - S1^2))
+
+    is the one mirrored expression and distributed == SQL bit-for-bit
+    (the DuckDB side keeps the sums HUGEINT). At 10^12 rows the int64
+    per-batch partials need the 128-bit split; the driver assembly
+    already is arbitrary-precision."""
+    ds = _read(sf_dir, "events", ["event_id"])
+    ds = ds.map_batches(
+        lambda b: add_lnglat_arith(b, "event_id"), batch_format="pyarrow"
+    )
+    ds = ds.map_batches(lambda b: assign_webmercator(b, 10), batch_format="pyarrow")
+
+    def pack(batch: pa.Table) -> pa.Table:
+        x = batch.column("tile_x").to_numpy()
+        y = batch.column("tile_y").to_numpy()
+        return pa.table({"k": pa.array(x * 1024 + y)})
+
+    counts = tree_group_agg(
+        ds.map_batches(pack, batch_format="pyarrow"),
+        ["k"], {"n": (None, "count")},
+    )
+
+    _DX = np.array([-1, -1, -1, 0, 0, 1, 1, 1], np.int64)
+    _DY = np.array([-1, 0, 1, -1, 1, -1, 0, 1], np.int64)
+
+    def scatter(batch: pa.Table) -> pa.Table:
+        k = batch.column("k").to_numpy()
+        n = batch.column("n").to_numpy()
+        x, y = k // 1024, k % 1024
+        m = len(k)
+        # 8 neighbor emissions (s, d) + 1 center emission (c); +1 shift
+        # keeps edge positions non-negative, phantom positions never meet
+        # a center row and die at the c > 0 filter
+        px = np.concatenate([np.tile(x, 8) + np.repeat(_DX, m), x]) + 1
+        py = np.concatenate([np.tile(y, 8) + np.repeat(_DY, m), y]) + 1
+        zeros = np.zeros(m, np.int64)
+        return pa.table(
+            {
+                "pk": pa.array(px * 2048 + py),
+                "c": pa.array(np.concatenate([np.zeros(8 * m, np.int64), n])),
+                "s": pa.array(np.concatenate([np.tile(n, 8), zeros])),
+                "d": pa.array(
+                    np.concatenate([np.ones(8 * m, np.int64), zeros])
+                ),
+            }
+        )
+
+    tiles = tree_group_agg(
+        counts.map_batches(scatter, batch_format="pyarrow"),
+        ["pk"], {"c": ("c", "sum"), "s": ("s", "sum"), "d": ("d", "sum")},
+    )
+
+    def moments(batch: pa.Table) -> pa.Table:
+        c = batch.column("c").to_numpy()
+        s = batch.column("s").to_numpy()
+        d = batch.column("d").to_numpy()
+        occ = c > 0
+        c, s, d = c[occ], s[occ], d[occ]
+        return pa.table(
+            {
+                "g": pa.array([0]),
+                "nt": pa.array([np.int64(occ.sum())]),
+                "s1": pa.array([c.sum()]),
+                "s2": pa.array([(c * c).sum()]),
+                "a": pa.array([(c * s).sum()]),
+                "dx2": pa.array([2 * (d * c).sum()]),
+                "w": pa.array([d.sum()]),
+            }
+        )
+
+    mom = tree_group_agg(
+        tiles.map_batches(moments, batch_format="pyarrow"),
+        ["g"],
+        {
+            "nt": ("nt", "sum"), "s1": ("s1", "sum"), "s2": ("s2", "sum"),
+            "a": ("a", "sum"), "dx2": ("dx2", "sum"), "w": ("w", "sum"),
+        },
+    ).to_pandas()
+    nt, s1, s2 = int(mom["nt"][0]), int(mom["s1"][0]), int(mom["s2"][0])
+    a, b, w = int(mom["a"][0]), int(mom["dx2"][0]), int(mom["w"][0])
+    num = a * nt * nt - s1 * nt * b + s1 * s1 * w
+    den = w * (s2 * nt - s1 * s1)
+    return pd.DataFrame(
+        {
+            "n_tiles": np.array([nt], np.int64),
+            "w_pairs": np.array([w], np.int64),
+            "morans_i": np.array([float(num) / float(den)], np.float64),
+        }
+    )
+
+
+def q_embed_int8_quantize(sf_dir: str):
+    """Calibrated symmetric int8 quantization of the embedding corpus —
+    the compression step before an ANN index or a feature-store export
+    ships 10^12 vectors. Pass 1 calibrates: per-dimension max|x| via a
+    max-combiner tree (order-independent, so distributed == serial
+    bit-for-bit). Pass 2 broadcasts the tiny (dim,) scale vector inside
+    the task closure and encodes codes = clip(round(x / scale), -127, 127)
+    per batch, emitting only per-dim audit sums: saturated-code count,
+    exact int64 code sum (reproducible checksum), and max absolute
+    reconstruction error |x - code*scale| (again a max — order-free).
+    Rows-only: np.round is half-to-even, SQL ROUND is half-away, so an
+    oracle twin would gate the wrong thing; pinned in pytest against a
+    single-process numpy recompute."""
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+
+    def _mat(batch: pa.Table) -> np.ndarray:
+        emb = batch.column("embedding").combine_chunks()
+        flat = emb.flatten().to_numpy().astype(np.float64)
+        return flat.reshape(len(batch), -1)
+
+    def calib(batch: pa.Table) -> pa.Table:
+        mat = _mat(batch)
+        dim = mat.shape[1]
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(dim, dtype=np.int64)),
+                "max_abs": pa.array(np.abs(mat).max(axis=0)),
+            }
+        )
+
+    cal = tree_group_agg(
+        ds.map_batches(calib, batch_format="pyarrow"),
+        ["dim"], {"max_abs": ("max_abs", "max")},
+    ).to_pandas().sort_values("dim")
+    max_abs = cal["max_abs"].to_numpy()
+    scale = np.where(max_abs > 0, max_abs / 127.0, 1.0)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        mat = _mat(batch)
+        codes = np.clip(np.round(mat / scale), -127, 127).astype(np.int64)
+        err = np.abs(mat - codes * scale)
+        dim = mat.shape[1]
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(dim, dtype=np.int64)),
+                "n": pa.array(
+                    np.full(dim, mat.shape[0], dtype=np.int64)
+                ),
+                "n_sat": pa.array(
+                    (np.abs(codes) == 127).sum(axis=0).astype(np.int64)
+                ),
+                "code_sum": pa.array(codes.sum(axis=0)),
+                "max_abs_err": pa.array(err.max(axis=0)),
+            }
+        )
+
+    out = tree_group_agg(
+        ds.map_batches(encode, batch_format="pyarrow"),
+        ["dim"],
+        {
+            "n": ("n", "sum"),
+            "n_sat": ("n_sat", "sum"),
+            "code_sum": ("code_sum", "sum"),
+            "max_abs_err": ("max_abs_err", "max"),
+        },
+    ).to_pandas().sort_values("dim")
+    out["scale"] = scale[out["dim"].to_numpy()]
+    return out.reset_index(drop=True)
+
+
+def _sql_morans_i() -> str:
+    lng, lat = _geo_sql("event_id")
+    return f"""
+WITH pts AS (
+  SELECT {lng} AS lng, {lat} AS lat FROM events
+), t AS (
+  SELECT CAST(FLOOR((lng + 180.0) / 360.0 * 1024) AS BIGINT) AS x,
+         CAST(FLOOR(((-(DEGREES(LN(TAN(RADIANS(90.0 + lat) / 2.0)))) + 180.0) / 360.0) * 1024) AS BIGINT) AS y,
+         COUNT(*) AS n
+  FROM pts GROUP BY 1, 2
+), e AS (
+  SELECT a.n AS xi, b.n AS xj
+  FROM t a JOIN t b ON b.x BETWEEN a.x - 1 AND a.x + 1
+                   AND b.y BETWEEN a.y - 1 AND a.y + 1
+                   AND NOT (b.x = a.x AND b.y = a.y)
+), s AS (
+  SELECT COUNT(*) AS nt, SUM(n) AS s1, SUM(n * n) AS s2 FROM t
+), p AS (
+  SELECT COUNT(*) AS w, SUM(xi * xj) AS a_sum, SUM(xi + xj) AS b_sum FROM e
+)
+SELECT CAST(nt AS BIGINT) AS n_tiles, CAST(w AS BIGINT) AS w_pairs,
+       CAST(a_sum * nt * nt - s1 * nt * b_sum + s1 * s1 * w AS DOUBLE)
+         / CAST(w * (s2 * nt - s1 * s1) AS DOUBLE) AS morans_i
+FROM s, p
+"""
+
+
 QUERIES = {
     "tile_wm_z12": q_tile_wm_z12,
     "tile_3dt_z7": q_tile_3dt_z7,
@@ -11794,6 +12356,14 @@ QUERIES = {
     "ab_test_stats": q_ab_test_stats,
     "csv_source_stats": q_csv_source_stats,
     "tile_dissolve_regions": q_tile_dissolve_regions,
+    "transition_matrix": q_transition_matrix,
+    "attribution_credit": q_attribution_credit,
+    "sliding_distinct_users": q_sliding_distinct_users,
+    "target_encoding": q_target_encoding,
+    "heavy_hitters_cms": q_heavy_hitters_cms,
+    "bom_explode": q_bom_explode,
+    "morans_i": q_morans_i,
+    "embed_int8_quantize": q_embed_int8_quantize,
 }
 
 ORACLES = {
@@ -11955,4 +12525,11 @@ ORACLES = {
     "ab_test_stats": _SQL_AB_TEST_STATS,
     "csv_source_stats": _SQL_CSV_SOURCE_STATS,
     "tile_dissolve_regions": _SQL_TILE_DISSOLVE_REGIONS,
+    "transition_matrix": _SQL_TRANSITION_MATRIX,
+    "attribution_credit": _SQL_ATTRIBUTION_CREDIT,
+    "sliding_distinct_users": _SQL_SLIDING_DISTINCT_USERS,
+    "target_encoding": _SQL_TARGET_ENCODING,
+    "heavy_hitters_cms": _SQL_HEAVY_HITTERS_CMS,
+    "bom_explode": _SQL_BOM_EXPLODE,
+    "morans_i": _sql_morans_i(),
 }
