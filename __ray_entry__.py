@@ -506,6 +506,60 @@ def _q_image_sharpness(sf_dir: str):
     )
 
 
+def _q_image_patches(sf_dir: str):
+    """ViT-style 4x4 patch statistics (stages/decode.py::ImagePatches):
+    per-patch exact int64 gray sum/sq-sum via two np.add.reduceat passes
+    over each decode stack, then the flat-patch curation filter
+    (patch_var < 25) reduced per grid position — 16 output rows carrying
+    exact counts and totals. Zero exchanges on the payload; only the
+    16-row partials move. Rows-only; the patch sums are pinned against a
+    per-image slicing recompute in pytest."""
+    import ray.data
+
+    from plateau_gis_converter_ray.sources.images import ensure_image_table
+    from plateau_gis_converter_ray.stages.decode import ImagePatches
+    from plateau_gis_converter_ray.stages.treeagg import tree_group_agg
+
+    path = ensure_image_table(_sf_of(sf_dir))
+    files = [
+        os.path.join(path, f)
+        for f in sorted(os.listdir(path))
+        if f.endswith(".parquet")
+    ]
+    ds = ray.data.read_parquet(
+        files, columns=["image_id", "bytes", "fmt", "w", "h"]
+    )
+    patches = ds.map_batches(
+        ImagePatches(grid=4), batch_format="pyarrow", batch_size=1024
+    )
+
+    import numpy as np
+    import pyarrow as pa
+
+    def prep(batch: pa.Table) -> pa.Table:
+        var = batch.column("patch_var").to_numpy()
+        return pa.table(
+            {
+                "patch_row": batch.column("patch_row"),
+                "patch_col": batch.column("patch_col"),
+                "flat": pa.array((var < 25.0).astype(np.int64)),
+                "gray_sum": batch.column("gray_sum"),
+                "n_px": batch.column("n_px"),
+            }
+        )
+
+    return tree_group_agg(
+        patches.map_batches(prep, batch_format="pyarrow"),
+        ["patch_row", "patch_col"],
+        {
+            "n_patches": (None, "count"),
+            "n_flat": ("flat", "sum"),
+            "gray_total": ("gray_sum", "sum"),
+            "px_total": ("n_px", "sum"),
+        },
+    )
+
+
 def _q_raster_blob_count(sf_dir: str):
     """Connected-component blob labeling per image
     (stages/decode.py::RasterBlobCount): vectorized min-label propagation
@@ -1152,6 +1206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "raster_pyramid": _q_raster_pyramid,
             "texture_atlas": _q_texture_atlas,
             "image_sharpness": _q_image_sharpness,
+            "image_patches": _q_image_patches,
             "raster_blob_count": _q_raster_blob_count,
             "flow_accumulation": _q_flow_accumulation,
             "watershed_labels": _q_watershed_labels,

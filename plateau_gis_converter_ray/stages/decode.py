@@ -636,3 +636,76 @@ def blob_count_brute(img: np.ndarray, threshold: int = 384):
                         stack.append((ii, jj))
             max_blob = max(max_blob, size)
     return n_blobs, int(fg.sum()), max_blob
+
+
+class ImagePatches:
+    """ViT-style patch statistics: each image splits into a ``grid x grid``
+    tile of patches (floor-split boundaries ``(i*h)//grid``, so any h, w
+    work) and every patch emits its EXACT int64 gray sum + pixel count —
+    the pre-tokenization feature a vision-training curation pass runs to
+    drop flat/low-information patches before pixel shipping.
+
+    Vectorized per (fmt, w, h) decode group: gray plane = channel sum,
+    then TWO ``np.add.reduceat`` passes (rows, then cols) realize every
+    patch sum for the whole stack — no per-image or per-patch Python. The
+    1 -> grid^2 explode happens on metadata-sized rows; payload bytes
+    never leave the task and nothing shuffles. ``patch_mean`` is the one
+    float column, computed from the exact ints with a single division.
+    """
+
+    def __init__(self, grid: int = 4):
+        self.grid = int(grid)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        g = self.grid
+        ids = batch.column("image_id").to_pylist()
+        blobs = binary_views(batch.column("bytes"))
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        fmts = batch.column("fmt").to_pylist()
+        n = batch.num_rows
+
+        sums = np.zeros((n, g, g), dtype=np.int64)
+        sqs = np.zeros((n, g, g), dtype=np.int64)
+        npx = np.zeros((n, g, g), dtype=np.int64)
+
+        groups: dict[tuple, list[int]] = {}
+        for i in range(n):
+            groups.setdefault((fmts[i], int(ws[i]), int(hs[i])), []).append(i)
+        for (fmt, w, h), rows in groups.items():
+            stack = decode_group_stack(blobs, rows, fmt, w, h)
+            gray = stack.sum(axis=3, dtype=np.int64)  # (m, h, w) 0..765
+
+            def _patch_sums(plane):
+                eh = (np.arange(g + 1, dtype=np.int64) * h) // g
+                ew = (np.arange(g + 1, dtype=np.int64) * w) // g
+                part = np.add.reduceat(plane, eh[:-1], axis=1)  # (m, g, w)
+                return np.add.reduceat(part, ew[:-1], axis=2), eh, ew
+
+            part, eh, ew = _patch_sums(gray)
+            sq, _, _ = _patch_sums(gray * gray)
+            rows_np = np.array(rows)
+            sums[rows_np] = part
+            sqs[rows_np] = sq
+            npx[rows_np] = np.diff(eh)[:, None] * np.diff(ew)[None, :]
+
+        pr = np.tile(np.repeat(np.arange(g, dtype=np.int64), g), n)
+        pc = np.tile(np.arange(g, dtype=np.int64), g * n)
+        flat_s = sums.reshape(-1)
+        flat_q = sqs.reshape(-1)
+        flat_n = npx.reshape(-1)
+        fn = flat_n.astype(np.float64)
+        mean = flat_s.astype(np.float64) / fn
+        var = flat_q.astype(np.float64) / fn - mean * mean
+        return pa.table(
+            {
+                "image_id": pa.array(np.repeat(np.array(ids, object), g * g)),
+                "patch_row": pa.array(pr),
+                "patch_col": pa.array(pc),
+                "gray_sum": pa.array(flat_s),
+                "gray_sq_sum": pa.array(flat_q),
+                "n_px": pa.array(flat_n),
+                "patch_mean": pa.array(mean),
+                "patch_var": pa.array(var),
+            }
+        )
