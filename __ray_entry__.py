@@ -560,6 +560,60 @@ def _q_image_patches(sf_dir: str):
     )
 
 
+def _q_image_entropy(sf_dir: str):
+    """Gray-histogram Shannon entropy per image
+    (stages/decode.py::ImageEntropy) — the information-content curation
+    filter. One np.add.at histogram scatter per decode stack, fixed
+    bin-order entropy reduction (bit-deterministic), then a per-fmt
+    reduce using only order-free aggregations (count, min, max, low-
+    entropy flag sum). Rows-only; pinned against a per-image recompute."""
+    import ray.data
+
+    from plateau_gis_converter_ray.sources.images import ensure_image_table
+    from plateau_gis_converter_ray.stages.decode import ImageEntropy
+    from plateau_gis_converter_ray.stages.treeagg import tree_group_agg
+
+    path = ensure_image_table(_sf_of(sf_dir))
+    files = [
+        os.path.join(path, f)
+        for f in sorted(os.listdir(path))
+        if f.endswith(".parquet")
+    ]
+    ds = ray.data.read_parquet(
+        files, columns=["image_id", "bytes", "fmt", "w", "h"]
+    )
+    ent = ds.map_batches(
+        ImageEntropy(), batch_format="pyarrow", batch_size=1024
+    )
+
+    import numpy as np
+    import pyarrow as pa
+
+    def prep(batch: pa.Table) -> pa.Table:
+        e = batch.column("entropy_nats").to_numpy()
+        return pa.table(
+            {
+                "fmt": batch.column("fmt"),
+                "low": pa.array((e < 4.0).astype(np.int64)),
+                "ent_min": batch.column("entropy_nats"),
+                "ent_max": batch.column("entropy_nats"),
+                "levels": batch.column("n_levels"),
+            }
+        )
+
+    return tree_group_agg(
+        ent.map_batches(prep, batch_format="pyarrow"),
+        ["fmt"],
+        {
+            "n": (None, "count"),
+            "n_low": ("low", "sum"),
+            "ent_min": ("ent_min", "min"),
+            "ent_max": ("ent_max", "max"),
+            "levels_total": ("levels", "sum"),
+        },
+    )
+
+
 def _q_raster_blob_count(sf_dir: str):
     """Connected-component blob labeling per image
     (stages/decode.py::RasterBlobCount): vectorized min-label propagation
@@ -1207,6 +1261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "texture_atlas": _q_texture_atlas,
             "image_sharpness": _q_image_sharpness,
             "image_patches": _q_image_patches,
+            "image_entropy": _q_image_entropy,
             "raster_blob_count": _q_raster_blob_count,
             "flow_accumulation": _q_flow_accumulation,
             "watershed_labels": _q_watershed_labels,

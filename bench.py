@@ -260,6 +260,9 @@ BENCH_QUERIES = [
     "morans_i",
     "embed_int8_quantize",
     "image_patches",
+    "k_core",
+    "getis_ord_hotspots",
+    "image_entropy",
 ]
 
 

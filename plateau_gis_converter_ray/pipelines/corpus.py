@@ -93,7 +93,11 @@ def write_corpus_dedup(sf_dir: str, out_dir: str, n_shards: int = 8,
 
         def _w(tmp: str) -> None:
             pq.write_table(
-                pa.Table.from_pandas(g, preserve_index=False),
+                # metadata-free: the pandas schema blob would resurface on
+                # read and defeat Ray's block-schema dedup
+                pa.Table.from_pandas(
+                    g, preserve_index=False
+                ).replace_schema_metadata(None),
                 os.path.join(tmp, "part.parquet"),
             )
 

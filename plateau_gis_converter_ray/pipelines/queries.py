@@ -11104,7 +11104,11 @@ def q_basket_pairs(sf_dir: str, min_support: int = 2):
             )
         )
         out["support"] = out["support"].astype(np.int64)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        # metadata-free: the pandas schema blob is unhashable and defeats
+        # Ray's block-schema dedup (the r2 regression root cause)
+        from ..stages.treeagg import clean_arrow
+
+        return clean_arrow(out)
 
     agg = tree_group_agg(
         ds.map_batches(prep, batch_format="pyarrow")
@@ -12078,6 +12082,278 @@ def q_morans_i(sf_dir: str):
     )
 
 
+# pytest flips this to force the distributed peel path (fast-path parity)
+_KCORE_FORCE_DISTRIBUTED = False
+
+
+def q_k_core(sf_dir: str, k: int = 3, rounds: int = 16):
+    """k-core decomposition of the co-purchase graph (parts co-occurring
+    in >= 2 order baskets, the ``basket_pairs`` edge set) — the dense-
+    community extraction a recsys curation pipeline runs to separate
+    catalogue staples from long-tail noise.
+
+    Operator contract: exactly ``rounds`` peel applications (each drops
+    every node whose degree < k, then re-filters edges) — peeling is
+    idempotent at fixpoint, so once converged the remaining rounds are
+    no-ops and the result IS the true k-core; pytest asserts fixpoint is
+    reached within the budget at the tested scales (max observed: 10
+    rounds at sf0.01). Distributed plan: per-round degree = one combiner
+    tree over the symmetric edge list; survivors are a node-bounded
+    driver array (dim-table-sized, like every broadcast lookup in the
+    repo) shipped once per round into a vectorized searchsorted edge
+    filter. The SQL twin unrolls the same ``rounds`` as MATERIALIZED
+    CTEs (materialization forced — each round references its
+    predecessor three times and inlining would blow up 3^rounds)."""
+    import ray.data
+
+    pairs = q_basket_pairs(sf_dir, min_support=2)
+
+    def sym(batch: pa.Table) -> pa.Table:
+        a = batch.column("part_a").to_numpy()
+        b = batch.column("part_b").to_numpy()
+        return pa.table(
+            {
+                "u": pa.array(np.concatenate([a, b])),
+                "v": pa.array(np.concatenate([b, a])),
+            }
+        )
+
+    edges = pairs.map_batches(sym, batch_format="pyarrow").materialize()
+
+    # size-gated driver fast path (sssp_weighted precedent): peel rounds
+    # over a sub-2M-edge graph are pure fixed cost as Dataset ops; the
+    # distributed path below is force-tested equal in pytest
+    if not _KCORE_FORCE_DISTRIBUTED and edges.count() <= 2_000_000:
+        et = edges.to_pandas()
+        s = et["u"].to_numpy()
+        d = et["v"].to_numpy()
+        for _ in range(rounds):
+            if len(s) == 0:
+                break
+            nodes, cnt = np.unique(s, return_counts=True)
+            surv = nodes[cnt >= k]
+            if len(surv) == len(nodes):
+                break
+
+            def memb(x):
+                if len(surv) == 0:
+                    return np.zeros(len(x), bool)
+                p = np.minimum(np.searchsorted(surv, x), len(surv) - 1)
+                return surv[p] == x
+
+            m = memb(s) & memb(d)
+            s, d = s[m], d[m]
+        if len(s) == 0:
+            return pd.DataFrame(
+                {"part_id": np.array([], np.int64),
+                 "core_deg": np.array([], np.int64)}
+            )
+        nodes, cnt = np.unique(s, return_counts=True)
+        return pd.DataFrame(
+            {"part_id": nodes.astype(np.int64),
+             "core_deg": cnt.astype(np.int64)}
+        )
+
+    empty = None
+    for _ in range(rounds):
+        deg = tree_group_agg(
+            edges, ["u"], {"deg": (None, "count")}
+        ).to_pandas()
+        surv = np.sort(deg.loc[deg["deg"] >= k, "u"].to_numpy())
+        if len(surv) == len(deg):
+            break  # fixpoint: every remaining node already has deg >= k
+        if len(surv) == 0:
+            empty = True
+            break
+
+        def filt(batch: pa.Table, surv=surv) -> pa.Table:
+            def memb(x):
+                p = np.minimum(np.searchsorted(surv, x), len(surv) - 1)
+                return surv[p] == x
+
+            u = batch.column("u").to_numpy()
+            v = batch.column("v").to_numpy()
+            return batch.filter(pa.array(memb(u) & memb(v)))
+
+        edges = edges.map_batches(filt, batch_format="pyarrow").materialize()
+
+    # typed seed keeps the schema contract when the core is empty
+    seed = ray.data.from_arrow(
+        pa.table(
+            {"part_id": pa.array([], pa.int64()),
+             "core_deg": pa.array([], pa.int64())}
+        )
+    )
+    if empty:
+        return seed
+
+    final = tree_group_agg(edges, ["u"], {"core_deg": (None, "count")})
+
+    def fin(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "part_id": batch.column("u").cast(pa.int64()),
+                "core_deg": batch.column("core_deg").cast(pa.int64()),
+            }
+        )
+
+    return seed.union(final.map_batches(fin, batch_format="pyarrow"))
+
+
+def _sql_k_core(k: int = 3, rounds: int = 16) -> str:
+    parts = [
+        "WITH b AS MATERIALIZED ("
+        "SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),",
+        "p AS MATERIALIZED (SELECT a.pk AS u, c.pk AS v FROM b a JOIN b c"
+        " ON a.ok = c.ok AND a.pk < c.pk GROUP BY 1, 2"
+        " HAVING COUNT(*) >= 2),",
+        "e0 AS MATERIALIZED ("
+        "SELECT u, v FROM p UNION ALL SELECT v AS u, u AS v FROM p)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f", e{i} AS MATERIALIZED (SELECT e.u, e.v FROM e{i-1} e"
+            f" JOIN (SELECT u FROM e{i-1} GROUP BY u"
+            f" HAVING COUNT(*) >= {k}) su ON e.u = su.u"
+            f" JOIN (SELECT u AS v FROM e{i-1} GROUP BY u"
+            f" HAVING COUNT(*) >= {k}) sv ON e.v = sv.v)"
+        )
+    parts.append(
+        f"\nSELECT u AS part_id, CAST(COUNT(*) AS BIGINT) AS core_deg"
+        f" FROM e{rounds} GROUP BY 1"
+    )
+    return "\n".join(parts)
+
+
+def q_getis_ord_hotspots(sf_dir: str):
+    """Getis-Ord Gi* hotspot z-scores per occupied z10 tile — the LOCAL
+    sibling of ``morans_i``: which tiles sit in statistically hot (or
+    cold) 3x3 neighborhoods. Same scatter-to-neighbors plan, but the
+    stencil INCLUDES the center (Gi*), so one combiner yields each
+    occupied tile's 9-cell sum s9 and occupied-cell count m directly;
+    the global moments (n, S1, S2) come from the same reduced table.
+    All inputs to the z-score are exact integers; the z expression is
+    evaluated in ONE mirrored float order on both sides (IEEE division
+    and sqrt are correctly rounded, so distributed == SQL bit-for-bit,
+    the grouped_corr precedent)."""
+    ds = _read(sf_dir, "events", ["event_id"])
+    ds = ds.map_batches(
+        lambda b: add_lnglat_arith(b, "event_id"), batch_format="pyarrow"
+    )
+    ds = ds.map_batches(lambda b: assign_webmercator(b, 10), batch_format="pyarrow")
+
+    def pack(batch: pa.Table) -> pa.Table:
+        x = batch.column("tile_x").to_numpy()
+        y = batch.column("tile_y").to_numpy()
+        return pa.table({"k": pa.array(x * 1024 + y)})
+
+    counts = tree_group_agg(
+        ds.map_batches(pack, batch_format="pyarrow"),
+        ["k"], {"n": (None, "count")},
+    )
+
+    _DX9 = np.array([-1, -1, -1, 0, 0, 0, 1, 1, 1], np.int64)
+    _DY9 = np.array([-1, 0, 1, -1, 0, 1, -1, 0, 1], np.int64)
+
+    def scatter(batch: pa.Table) -> pa.Table:
+        kk = batch.column("k").to_numpy()
+        n = batch.column("n").to_numpy()
+        x, y = kk // 1024, kk % 1024
+        m = len(kk)
+        center = (_DX9 == 0) & (_DY9 == 0)
+        px = np.tile(x, 9) + np.repeat(_DX9, m) + 1
+        py = np.tile(y, 9) + np.repeat(_DY9, m) + 1
+        return pa.table(
+            {
+                "pk": pa.array(px * 2048 + py),
+                "c": pa.array(
+                    np.where(np.repeat(center, m), np.tile(n, 9), 0)
+                ),
+                "s9": pa.array(np.tile(n, 9)),
+                "m": pa.array(np.ones(9 * m, np.int64)),
+            }
+        )
+
+    tiles = tree_group_agg(
+        counts.map_batches(scatter, batch_format="pyarrow"),
+        ["pk"], {"c": ("c", "sum"), "s9": ("s9", "sum"), "m": ("m", "sum")},
+    ).materialize()
+
+    def moments(batch: pa.Table) -> pa.Table:
+        c = batch.column("c").to_numpy()
+        occ = c > 0
+        c = c[occ]
+        return pa.table(
+            {
+                "g": pa.array([0]),
+                "nt": pa.array([np.int64(occ.sum())]),
+                "s1": pa.array([c.sum()]),
+                "s2": pa.array([(c * c).sum()]),
+            }
+        )
+
+    mom = tree_group_agg(
+        tiles.map_batches(moments, batch_format="pyarrow"),
+        ["g"],
+        {"nt": ("nt", "sum"), "s1": ("s1", "sum"), "s2": ("s2", "sum")},
+    ).to_pandas()
+    nn = float(mom["nt"][0])
+    s1 = float(mom["s1"][0])
+    s2 = float(mom["s2"][0])
+
+    def zscore(batch: pa.Table) -> pa.Table:
+        c = batch.column("c").to_numpy()
+        occ = c > 0
+        pk = batch.column("pk").to_numpy()[occ]
+        s9 = batch.column("s9").to_numpy()[occ].astype(np.float64)
+        m = batch.column("m").to_numpy()[occ].astype(np.float64)
+        # EXACT expression mirror of the SQL twin — one op order
+        xb = s1 / nn
+        gi = (s9 - xb * m) / (
+            np.sqrt(s2 / nn - xb * xb)
+            * np.sqrt((nn * m - m * m) / (nn - 1.0))
+        )
+        return pa.table(
+            {
+                "tile_x": pa.array(pk // 2048 - 1),
+                "tile_y": pa.array(pk % 2048 - 1),
+                "n": pa.array(c[occ]),
+                "gi_z": pa.array(gi),
+            }
+        )
+
+    return tiles.map_batches(zscore, batch_format="pyarrow")
+
+
+def _sql_getis_ord() -> str:
+    lng, lat = _geo_sql("event_id")
+    return f"""
+WITH pts AS (
+  SELECT {lng} AS lng, {lat} AS lat FROM events
+), t AS (
+  SELECT CAST(FLOOR((lng + 180.0) / 360.0 * 1024) AS BIGINT) AS x,
+         CAST(FLOOR(((-(DEGREES(LN(TAN(RADIANS(90.0 + lat) / 2.0)))) + 180.0) / 360.0) * 1024) AS BIGINT) AS y,
+         COUNT(*) AS n
+  FROM pts GROUP BY 1, 2
+), nb AS (
+  SELECT a.x, a.y, a.n,
+         CAST(SUM(b.n) AS DOUBLE) AS s9, CAST(COUNT(*) AS DOUBLE) AS m
+  FROM t a JOIN t b ON b.x BETWEEN a.x - 1 AND a.x + 1
+                   AND b.y BETWEEN a.y - 1 AND a.y + 1
+  GROUP BY 1, 2, 3
+), g AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS nn, CAST(SUM(n) AS DOUBLE) AS s1,
+         CAST(SUM(n * n) AS DOUBLE) AS s2
+  FROM t
+)
+SELECT x AS tile_x, y AS tile_y, CAST(n AS BIGINT) AS n,
+       (s9 - (s1 / nn) * m)
+         / (SQRT(s2 / nn - (s1 / nn) * (s1 / nn))
+            * SQRT((nn * m - m * m) / (nn - 1.0))) AS gi_z
+FROM nb, g
+"""
+
+
 def q_embed_int8_quantize(sf_dir: str):
     """Calibrated symmetric int8 quantization of the embedding corpus —
     the compression step before an ANN index or a feature-store export
@@ -12364,6 +12640,8 @@ QUERIES = {
     "bom_explode": q_bom_explode,
     "morans_i": q_morans_i,
     "embed_int8_quantize": q_embed_int8_quantize,
+    "k_core": q_k_core,
+    "getis_ord_hotspots": q_getis_ord_hotspots,
 }
 
 ORACLES = {
@@ -12532,4 +12810,6 @@ ORACLES = {
     "heavy_hitters_cms": _SQL_HEAVY_HITTERS_CMS,
     "bom_explode": _SQL_BOM_EXPLODE,
     "morans_i": _sql_morans_i(),
+    "k_core": _sql_k_core(),
+    "getis_ord_hotspots": _sql_getis_ord(),
 }

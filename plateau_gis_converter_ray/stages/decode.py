@@ -709,3 +709,59 @@ class ImagePatches:
                 "patch_var": pa.array(var),
             }
         )
+
+
+class ImageEntropy:
+    """Shannon entropy of the gray-level histogram per image — the
+    information-content curation filter (near-uniform synthetic frames,
+    letterboxes and flat fills score low and get dropped before training).
+
+    Gray plane = channel sum (766 levels, no rounding); the whole
+    (fmt, w, h) stack builds its (m, 766) histogram matrix with ONE
+    np.add.at scatter over img_idx*766 + level; entropy is the fixed
+    ascending-bin-order reduction -sum(p * ln p) per row, so the float
+    result is bit-deterministic (no data-dependent accumulation order).
+    Emits (image_id, n_px, n_levels, entropy_nats) — zero exchanges,
+    payload never leaves the decode task.
+    """
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("image_id")
+        blobs = binary_views(batch.column("bytes"))
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        fmts = batch.column("fmt").to_pylist()
+        n = batch.num_rows
+
+        ent = np.zeros(n, dtype=np.float64)
+        nlev = np.zeros(n, dtype=np.int64)
+        npx = np.zeros(n, dtype=np.int64)
+
+        groups: dict[tuple, list[int]] = {}
+        for i in range(n):
+            groups.setdefault((fmts[i], int(ws[i]), int(hs[i])), []).append(i)
+        for (fmt, w, h), rows in groups.items():
+            stack = decode_group_stack(blobs, rows, fmt, w, h)
+            gray = stack.sum(axis=3, dtype=np.int64)  # (m, h, w) 0..765
+            m = len(rows)
+            flat = (
+                np.arange(m, dtype=np.int64)[:, None, None] * 766 + gray
+            ).ravel()
+            hist = np.bincount(flat, minlength=m * 766).reshape(m, 766)
+            p = hist / float(h * w)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                terms = np.where(hist > 0, -p * np.log(p), 0.0)
+            rows_np = np.array(rows)
+            ent[rows_np] = terms.sum(axis=1)  # fixed bin order: exact repeat
+            nlev[rows_np] = (hist > 0).sum(axis=1)
+            npx[rows_np] = h * w
+
+        return pa.table(
+            {
+                "image_id": ids,
+                "fmt": batch.column("fmt"),
+                "n_px": pa.array(npx),
+                "n_levels": pa.array(nlev),
+                "entropy_nats": pa.array(ent),
+            }
+        )

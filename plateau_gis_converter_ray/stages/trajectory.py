@@ -433,7 +433,10 @@ def od_matrix(sf_dir: str, cell_w: int = 60000, cell_h: int = 55000,
             .rename(columns={"size": "n_trips"})
         )
         df["n_trips"] = df["n_trips"].astype(np.int64)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        # metadata-free: pandas schema blobs defeat Ray's block-schema dedup
+        from .treeagg import clean_arrow
+
+        return clean_arrow(df)
 
     partial = (
         ev.map_batches(
