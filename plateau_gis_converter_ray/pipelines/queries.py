@@ -12354,6 +12354,102 @@ FROM nb, g
 """
 
 
+def q_implicit_quadtree(sf_dir: str):
+    """3D Tiles 1.1 implicit-quadtree subtree encoding over the z11
+    WebMercator event tiles (`sinks/implicit.py`): each occupied tile
+    scatters its bounded ancestor chain to the owning subtrees, ONE
+    distinct combiner on (subtree, bit, kind) pairs, then every
+    ``.subtree`` availability blob (tile/content/child bitstreams,
+    spec-layout binary container) builds independently per group —
+    embarrassingly parallel, the explicit-tileset scale path the north
+    star's "implicit-quadtree tile IDs" needs. Oracle: the per-subtree
+    bit counts are pure distinct-ancestor arithmetic, mirrored in SQL
+    with UNNEST + shifts; blob byte layout is round-trip pinned in
+    pytest (SQL can't see bytes)."""
+    from ..sinks.implicit import implicit_subtrees
+
+    ds = _read(sf_dir, "events", ["event_id"])
+    ds = ds.map_batches(
+        lambda b: add_lnglat_arith(b, "event_id"), batch_format="pyarrow"
+    )
+    ds = ds.map_batches(lambda b: assign_webmercator(b, 11), batch_format="pyarrow")
+
+    def pack(batch: pa.Table) -> pa.Table:
+        x = batch.column("tile_x").to_numpy()
+        y = batch.column("tile_y").to_numpy()
+        return pa.table({"k": pa.array(x * 2048 + y)})
+
+    occupied = tree_group_agg(
+        ds.map_batches(pack, batch_format="pyarrow"),
+        ["k"], {"n": (None, "count")},
+    )
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        k = batch.column("k").to_numpy()
+        return pa.table(
+            {
+                "z": pa.array(np.full(len(k), 11, np.int64)),
+                "x": pa.array(k // 2048),
+                "y": pa.array(k % 2048),
+            }
+        )
+
+    subs = implicit_subtrees(
+        occupied.map_batches(unpack, batch_format="pyarrow"), subtree_levels=4
+    )
+
+    def stats(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "root_level": batch.column("root_level").cast(pa.int64()),
+                "root_x": batch.column("root_x").cast(pa.int64()),
+                "root_y": batch.column("root_y").cast(pa.int64()),
+                "n_tile_bits": batch.column("n_tile_bits").cast(pa.int64()),
+                "n_content_bits":
+                    batch.column("n_content_bits").cast(pa.int64()),
+                "n_child_bits":
+                    batch.column("n_child_bits").cast(pa.int64()),
+            }
+        )
+
+    return subs.map_batches(stats, batch_format="pyarrow")
+
+
+def _sql_implicit_quadtree() -> str:
+    lng, lat = _geo_sql("event_id")
+    return f"""
+WITH pts AS (
+  SELECT {lng} AS lng, {lat} AS lat FROM events
+), t AS (
+  SELECT DISTINCT
+         CAST(FLOOR((lng + 180.0) / 360.0 * 2048) AS BIGINT) AS x,
+         CAST(FLOOR(((-(DEGREES(LN(TAN(RADIANS(90.0 + lat) / 2.0)))) + 180.0) / 360.0) * 2048) AS BIGINT) AS y
+  FROM pts
+), anc AS (
+  SELECT DISTINCT 11 - i AS z, x >> i AS xa, y >> i AS ya
+  FROM t, (SELECT UNNEST(range(12)) AS i) lv
+), sub AS (
+  SELECT z, xa, ya, (z // 4) * 4 AS rl,
+         xa >> (z % 4) AS rx, ya >> (z % 4) AS ry
+  FROM anc
+), tiles AS (
+  SELECT rl, rx, ry, CAST(COUNT(*) AS BIGINT) AS n_tile_bits,
+         CAST(SUM(CASE WHEN z = 11 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_content_bits
+  FROM sub GROUP BY 1, 2, 3
+), childs AS (
+  SELECT rl - 4 AS rl, rx >> 4 AS rx, ry >> 4 AS ry,
+         CAST(COUNT(*) AS BIGINT) AS n_child_bits
+  FROM sub WHERE z = rl AND rl > 0 GROUP BY 1, 2, 3
+)
+SELECT t.rl AS root_level, t.rx AS root_x, t.ry AS root_y,
+       t.n_tile_bits, t.n_content_bits,
+       COALESCE(c.n_child_bits, 0) AS n_child_bits
+FROM tiles t LEFT JOIN childs c
+  ON c.rl = t.rl AND c.rx = t.rx AND c.ry = t.ry
+"""
+
+
 def q_embed_int8_quantize(sf_dir: str):
     """Calibrated symmetric int8 quantization of the embedding corpus —
     the compression step before an ANN index or a feature-store export
@@ -12642,6 +12738,7 @@ QUERIES = {
     "embed_int8_quantize": q_embed_int8_quantize,
     "k_core": q_k_core,
     "getis_ord_hotspots": q_getis_ord_hotspots,
+    "implicit_quadtree": q_implicit_quadtree,
 }
 
 ORACLES = {
@@ -12812,4 +12909,5 @@ ORACLES = {
     "morans_i": _sql_morans_i(),
     "k_core": _sql_k_core(),
     "getis_ord_hotspots": _sql_getis_ord(),
+    "implicit_quadtree": _sql_implicit_quadtree(),
 }
