@@ -238,6 +238,84 @@ def implicit_subtrees(tiles_ds, subtree_levels: int = 4):
     )
 
 
+def write_implicit_tileset(
+    tiles_ds,
+    out_dir: str,
+    *,
+    max_level: int,
+    subtree_levels: int = 4,
+    fingerprint=None,
+    config: dict | None = None,
+):
+    """Write a complete implicit-tiling artifact: ``subtrees/*.subtree``
+    blobs in parallel + the root ``tileset.json`` + a ``meta.json``
+    completion marker written LAST (atomic via tmp + ``os.replace``).
+
+    Resume contract (mirrors ``stages/ann_index.py``): a complete artifact
+    whose ``meta.json`` carries the same ``fingerprint`` + config is
+    skipped entirely — no file touched (mtime-pinned in pytest). Workers
+    write blob payloads under DETERMINISTIC names (tmp + replace, so a
+    replayed task is idempotent) and return commit records to the DRIVER;
+    only the driver writes the manifest. NOTE: like ``sinks/compact.py``,
+    payload writes from workers assume all nodes share ``out_dir``'s
+    filesystem (object store / NFS on a real cluster).
+
+    Returns ``{"out_dir", "built": bool, "subtrees": [(level,x,y,nbytes)]}``.
+    """
+    import os
+
+    cfg = {"subtree_levels": int(subtree_levels), "max_level": int(max_level),
+           "version": 1, **(config or {})}
+    fp = fingerprint if fingerprint is not None else []
+    meta_path = os.path.join(out_dir, "meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if meta["config"] == cfg and meta["fingerprint"] == fp:
+            return {
+                "out_dir": out_dir,
+                "built": False,
+                "subtrees": [tuple(s) for s in meta["subtrees"]],
+            }
+
+    sub_dir = os.path.join(out_dir, "subtrees")
+    os.makedirs(sub_dir, exist_ok=True)
+    subs = implicit_subtrees(tiles_ds, subtree_levels=subtree_levels)
+
+    def write_blobs(batch: pd.DataFrame) -> pd.DataFrame:
+        recs = []
+        for _, row in batch.iterrows():
+            rl, rx, ry = int(row.root_level), int(row.root_x), int(row.root_y)
+            blob = row.blob
+            final = os.path.join(sub_dir, f"{rl}.{rx}.{ry}.subtree")
+            tmp = final + ".tmp"  # deterministic: replay overwrites itself
+            with open(tmp, "wb") as f:
+                f.write(blob)
+            os.replace(tmp, final)
+            recs.append((rl, rx, ry, len(blob)))
+        return pd.DataFrame(recs, columns=["level", "x", "y", "nbytes"])
+
+    # commit records come back to the driver through the Dataset —
+    # one tiny row per subtree, never the payload
+    committed = subs.map_batches(write_blobs, batch_format="pandas").to_pandas()
+    records = sorted(map(tuple, committed.itertuples(index=False)))
+
+    ts_path = os.path.join(out_dir, "tileset.json")
+    tmp = ts_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(implicit_tileset_json(max_level, subtree_levels), f,
+                  sort_keys=True, indent=1)
+    os.replace(tmp, ts_path)
+
+    meta = {"config": cfg, "fingerprint": fp,
+            "subtrees": [list(r) for r in records]}
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f, sort_keys=True)
+    os.replace(tmp, meta_path)  # atomic completion marker, written LAST
+    return {"out_dir": out_dir, "built": True, "subtrees": records}
+
+
 def implicit_tileset_json(max_level: int, subtree_levels: int = 4) -> dict:
     """Root tileset.json with the implicitTiling descriptor (spec §8.5)."""
     return {

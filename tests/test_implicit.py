@@ -150,3 +150,63 @@ def test_implicit_pipeline_availability_sets(ray_session):
         np.array([11]), np.array([1000]), np.array([700]), S
     )
     assert (int(rl[0]), int(rx[0]), int(ry[0])) == (8, 125, 87)
+
+
+def test_write_implicit_tileset_resume(ray_session, tmp_path):
+    """Full artifact write + the resume contract: a complete artifact
+    with a matching fingerprint+config is skipped touching NO file; a
+    changed fingerprint rebuilds."""
+    import os
+
+    import pyarrow as pa
+    import ray.data
+
+    from plateau_gis_converter_ray.sinks.implicit import (
+        decode_subtree,
+        write_implicit_tileset,
+    )
+
+    def tiles():
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "z": pa.array([11, 11, 11], pa.int64()),
+                    "x": pa.array([1000, 1001, 40], pa.int64()),
+                    "y": pa.array([700, 700, 50], pa.int64()),
+                }
+            )
+        )
+
+    out = str(tmp_path / "implicit")
+    r1 = write_implicit_tileset(
+        tiles(), out, max_level=11, fingerprint=[["events", 1]]
+    )
+    assert r1["built"] and len(r1["subtrees"]) >= 3
+    assert os.path.exists(os.path.join(out, "tileset.json"))
+    ts = json.load(open(os.path.join(out, "tileset.json")))
+    it = ts["root"]["implicitTiling"]
+    assert it["subdivisionScheme"] == "QUADTREE" and it["subtreeLevels"] == 4
+    # every committed record corresponds to a decodable file
+    for lv, x, y, nb in r1["subtrees"]:
+        p = os.path.join(out, "subtrees", f"{lv}.{x}.{y}.subtree")
+        blob = open(p, "rb").read()
+        assert len(blob) == nb
+        decode_subtree(blob, 4)
+
+    mtimes = {
+        f: os.path.getmtime(os.path.join(out, "subtrees", f))
+        for f in os.listdir(os.path.join(out, "subtrees"))
+    }
+    r2 = write_implicit_tileset(
+        tiles(), out, max_level=11, fingerprint=[["events", 1]]
+    )
+    assert not r2["built"]
+    assert r2["subtrees"] == r1["subtrees"]
+    for f, m in mtimes.items():
+        assert os.path.getmtime(os.path.join(out, "subtrees", f)) == m
+
+    # changed input fingerprint: never serves the stale artifact
+    r3 = write_implicit_tileset(
+        tiles(), out, max_level=11, fingerprint=[["events", 2]]
+    )
+    assert r3["built"]
