@@ -614,6 +614,56 @@ def _q_image_entropy(sf_dir: str):
     )
 
 
+def _q_image_ssim(sf_dir: str):
+    """Windowed SSIM of every decoded image vs its deterministic
+    re-synthesis (stages/decode.py::ImageSSIM) — the perceptual quality
+    score next to psnr_db: lossless fmts pin at exactly 1e6 ppm, the
+    lossy stub lands high but below. Integer ppm output keeps every
+    aggregate an order-free exact sum. Rows-only; pinned against a
+    scalar per-window recompute in pytest."""
+    import ray.data
+
+    from plateau_gis_converter_ray.sources.images import ensure_image_table
+    from plateau_gis_converter_ray.stages.decode import ImageSSIM
+    from plateau_gis_converter_ray.stages.treeagg import tree_group_agg
+
+    path = ensure_image_table(_sf_of(sf_dir))
+    files = [
+        os.path.join(path, f)
+        for f in sorted(os.listdir(path))
+        if f.endswith(".parquet")
+    ]
+    ds = ray.data.read_parquet(
+        files, columns=["image_id", "bytes", "fmt", "w", "h"]
+    )
+    ss = ds.map_batches(ImageSSIM(), batch_format="pyarrow", batch_size=1024)
+
+    import numpy as np
+    import pyarrow as pa
+
+    def prep(batch: pa.Table) -> pa.Table:
+        p = batch.column("ssim_ppm").to_numpy()
+        return pa.table(
+            {
+                "fmt": batch.column("fmt"),
+                "perfect": pa.array((p == 1_000_000).astype(np.int64)),
+                "ppm": batch.column("ssim_ppm"),
+                "ppm_min": batch.column("ssim_ppm"),
+            }
+        )
+
+    return tree_group_agg(
+        ss.map_batches(prep, batch_format="pyarrow"),
+        ["fmt"],
+        {
+            "n": (None, "count"),
+            "n_perfect": ("perfect", "sum"),
+            "ppm_sum": ("ppm", "sum"),
+            "ppm_min": ("ppm_min", "min"),
+        },
+    )
+
+
 def _q_raster_blob_count(sf_dir: str):
     """Connected-component blob labeling per image
     (stages/decode.py::RasterBlobCount): vectorized min-label propagation
@@ -1262,6 +1312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "image_sharpness": _q_image_sharpness,
             "image_patches": _q_image_patches,
             "image_entropy": _q_image_entropy,
+            "image_ssim": _q_image_ssim,
             "raster_blob_count": _q_raster_blob_count,
             "flow_accumulation": _q_flow_accumulation,
             "watershed_labels": _q_watershed_labels,

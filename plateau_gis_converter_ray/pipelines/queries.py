@@ -12450,6 +12450,213 @@ FROM tiles t LEFT JOIN childs c
 """
 
 
+def q_geofence_transitions(sf_dir: str):
+    """Geofence entry/exit detection — the spatial × sequence composite a
+    fleet/mobility pipeline runs constantly: geocode each event, assign it
+    to one of three non-overlapping fences (Tokyo-bay hotspot + two
+    offshore boxes; 0 = outside), then detect per-user region CHANGES in
+    strict (ts, event_id) order. One bucketed exchange (user % 64); the
+    region test and the shifted compare are pure vectorized arithmetic;
+    a tiny (from_region, to_region) combiner finishes. The SQL twin
+    shares the geocode + box constants verbatim, so the doubles agree
+    bit-for-bit."""
+    from ..stages.treeagg import clean_arrow
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = add_lnglat_arith(batch, "event_id")
+        lng = batch.column("lng").to_numpy()
+        lat = batch.column("lat").to_numpy()
+        r = np.zeros(len(lng), np.int64)
+        for rid, (g0, g1, t0, t1) in _GEOFENCES.items():
+            r[(lng >= g0) & (lng < g1) & (lat >= t0) & (lat < t1)] = rid
+        u = batch.column("user_id").to_numpy()
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "us": batch.column("ts").cast(pa.int64()),
+                "event_id": batch.column("event_id"),
+                "region": pa.array(r),
+                "_bk": pa.array(u % 64),
+            }
+        )
+
+    def sweep(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "us", "event_id"], kind="stable")
+        u = g["user_id"].to_numpy()
+        r = g["region"].to_numpy()
+        ch = (u[1:] == u[:-1]) & (r[1:] != r[:-1])
+        out = (
+            pd.DataFrame({"from_region": r[:-1][ch], "to_region": r[1:][ch]})
+            .groupby(["from_region", "to_region"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        out["n"] = out["n"].astype(np.int64)
+        return clean_arrow(out)
+
+    parts = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_bk")
+        .map_groups(sweep, batch_format="pandas")
+    )
+    return tree_group_agg(
+        parts, ["from_region", "to_region"], {"n": ("n", "sum")}
+    )
+
+
+# non-overlapping axis-aligned fences (region id -> lng0, lng1, lat0, lat1);
+# region 1 is the Tokyo-bay hotspot box (stages/geocode.py TOKYO_BAY)
+_GEOFENCES = {
+    1: (139.5, 140.1, 35.3, 35.8),
+    2: (125.0, 130.0, 30.0, 34.0),
+    3: (135.0, 139.0, 38.0, 42.0),
+}
+
+
+def _sql_geofence_transitions() -> str:
+    lng, lat = _geo_sql("event_id")
+    cases = " ".join(
+        f"WHEN lng >= {g0} AND lng < {g1} AND lat >= {t0} AND lat < {t1} "
+        f"THEN {rid}"
+        for rid, (g0, g1, t0, t1) in _GEOFENCES.items()
+    )
+    return f"""
+WITH e AS (
+  SELECT user_id, ts, event_id, {lng} AS lng, {lat} AS lat FROM events
+), r AS (
+  SELECT user_id, ts, event_id,
+         CAST(CASE {cases} ELSE 0 END AS BIGINT) AS region
+  FROM e
+), w AS (
+  SELECT user_id, region AS from_region,
+         LEAD(region) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS to_region
+  FROM r
+)
+SELECT from_region, to_region, CAST(COUNT(*) AS BIGINT) AS n
+FROM w WHERE to_region IS NOT NULL AND to_region <> from_region
+GROUP BY 1, 2
+"""
+
+
+def q_cusum_changepoint(sf_dir: str):
+    """Per-event-type CUSUM changepoint: the global position k maximizing
+    |n·cumsum_k − k·total| (the integer-scaled deviation of the running
+    sum from the fitted mean line — the classic single-changepoint
+    statistic), tie-broken to the EARLIEST k. Exact and scale-safe with
+    NO global sort: phase 1 reduces to per-(type, hour) partial
+    (count, sum) — a tiny combiner table whose prefix offsets the driver
+    computes and broadcasts; phase 2 buckets rows by hour, sorts only
+    inside the bucket, adds the offsets for global (k, cumsum), and emits
+    one candidate argmax per (type, bucket); a driver-side reduce over
+    the ≤ types×hours candidates picks the global winner. All moments are
+    exact int64 (cents); the SQL twin mirrors the arithmetic in HUGEINT."""
+    import ray
+
+    from ..stages.treeagg import clean_arrow
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "ts", "value"])
+    HOUR = 3_600_000_000
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").cast(pa.int64()).to_numpy()
+        vc = np.round(batch.column("value").to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "us": pa.array(us),
+                "event_id": batch.column("event_id"),
+                "vc": pa.array(vc),
+                "hb": pa.array(us // HOUR),
+            }
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    partial = tree_group_agg(
+        prepped, ["event_type", "hb"],
+        {"cnt": (None, "count"), "s": ("vc", "sum")},
+    ).to_pandas()  # types × hours — driver-small by construction
+    partial = partial.sort_values(["event_type", "hb"], kind="stable")
+    g = partial.groupby("event_type", sort=False)
+    partial["cnt_before"] = g["cnt"].cumsum() - partial["cnt"]
+    partial["sum_before"] = g["s"].cumsum() - partial["s"]
+    totals = partial.groupby("event_type", as_index=False).agg(
+        n=("cnt", "sum"), tot=("s", "sum")
+    )
+    offsets = {
+        (r.event_type, int(r.hb)): (int(r.cnt_before), int(r.sum_before))
+        for r in partial.itertuples()
+    }
+    tot_by_type = {r.event_type: (int(r.n), int(r.tot))
+                   for r in totals.itertuples()}
+    side = ray.put((offsets, tot_by_type))
+
+    def bucket_argmax(grp: pd.DataFrame) -> pd.DataFrame:
+        offs, tots = ray.get(side)
+        grp = grp.sort_values(["event_type", "us", "event_id"], kind="stable")
+        et = grp["event_type"].to_numpy(dtype=object)
+        vc = grp["vc"].to_numpy()
+        hb = int(grp["hb"].iloc[0])
+        rows = []
+        seg = np.r_[0, np.nonzero(et[1:] != et[:-1])[0] + 1, len(et)]
+        for a, b in zip(seg[:-1], seg[1:]):
+            t = et[a]
+            cb, sb = offs[(t, hb)]
+            n, tot = tots[t]
+            k = cb + np.arange(1, b - a + 1, dtype=np.int64)
+            cum = sb + np.cumsum(vc[a:b])
+            dev = np.abs(n * cum - k * tot)
+            i = np.lexsort((k, -dev))[0]  # max dev, earliest k
+            rows.append((t, int(k[i]), int(dev[i])))
+        return pd.DataFrame(rows, columns=["event_type", "k", "dev_n"])
+
+    cand = (
+        prepped.groupby("hb")
+        .map_groups(bucket_argmax, batch_format="pandas")
+        .to_pandas()  # ≤ types × hours candidate rows
+    )
+    cand = cand.sort_values(
+        ["event_type", "dev_n", "k"], ascending=[True, False, True],
+        kind="stable",
+    )
+    out = cand.groupby("event_type", as_index=False).first()
+    out["k"] = out["k"].astype(np.int64)
+    out["dev_n"] = out["dev_n"].astype(np.int64)
+    return clean_arrow(out[["event_type", "k", "dev_n"]])
+
+
+_SQL_CUSUM_CHANGEPOINT = """
+WITH e AS (
+  SELECT event_type, ts, event_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS vc
+  FROM events
+), w AS (
+  SELECT event_type,
+         ROW_NUMBER() OVER
+           (PARTITION BY event_type ORDER BY ts, event_id) AS k,
+         SUM(vc) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS cum
+  FROM e
+), t AS (
+  SELECT event_type, COUNT(*) AS n, SUM(vc) AS tot FROM e GROUP BY 1
+), d AS (
+  SELECT w.event_type, w.k,
+         ABS(CAST(t.n AS HUGEINT) * w.cum
+             - CAST(w.k AS HUGEINT) * t.tot) AS dev
+  FROM w JOIN t ON t.event_type = w.event_type
+), r AS (
+  SELECT event_type, k, dev,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY dev DESC, k ASC) AS rn
+  FROM d
+)
+SELECT event_type, CAST(k AS BIGINT) AS k, CAST(dev AS BIGINT) AS dev_n
+FROM r WHERE rn = 1
+"""
+
+
 def q_embed_int8_quantize(sf_dir: str):
     """Calibrated symmetric int8 quantization of the embedding corpus —
     the compression step before an ANN index or a feature-store export
@@ -12739,6 +12946,8 @@ QUERIES = {
     "k_core": q_k_core,
     "getis_ord_hotspots": q_getis_ord_hotspots,
     "implicit_quadtree": q_implicit_quadtree,
+    "geofence_transitions": q_geofence_transitions,
+    "cusum_changepoint": q_cusum_changepoint,
 }
 
 ORACLES = {
@@ -12910,4 +13119,6 @@ ORACLES = {
     "k_core": _sql_k_core(),
     "getis_ord_hotspots": _sql_getis_ord(),
     "implicit_quadtree": _sql_implicit_quadtree(),
+    "geofence_transitions": _sql_geofence_transitions(),
+    "cusum_changepoint": _SQL_CUSUM_CHANGEPOINT,
 }

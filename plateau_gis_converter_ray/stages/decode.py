@@ -765,3 +765,81 @@ class ImageEntropy:
                 "entropy_nats": pa.array(ent),
             }
         )
+
+
+def ssim_windows_batch(x: np.ndarray, y: np.ndarray, win: int = 8) -> np.ndarray:
+    """Mean SSIM over non-overlapping ``win`` x ``win`` uniform windows for a
+    (g, h, w) float64 gray stack pair — the Wang et al. index with a uniform
+    (not Gaussian) window and population statistics, the form most batch
+    quality monitors ship. Returns (g,) float64 in [-1, 1]."""
+    g, h, w = x.shape
+    H, W = (h // win) * win, (w // win) * win
+    xw = x[:, :H, :W].reshape(g, H // win, win, W // win, win)
+    yw = y[:, :H, :W].reshape(g, H // win, win, W // win, win)
+    m = float(win * win)
+    sx = xw.sum(axis=(2, 4))
+    sy = yw.sum(axis=(2, 4))
+    sxx = (xw * xw).sum(axis=(2, 4))
+    syy = (yw * yw).sum(axis=(2, 4))
+    sxy = (xw * yw).sum(axis=(2, 4))
+    mux, muy = sx / m, sy / m
+    vx = sxx / m - mux * mux
+    vy = syy / m - muy * muy
+    cov = sxy / m - mux * muy
+    c1 = (0.01 * 255.0) ** 2
+    c2 = (0.03 * 255.0) ** 2
+    s = ((2.0 * mux * muy + c1) * (2.0 * cov + c2)) / (
+        (mux * mux + muy * muy + c1) * (vx + vy + c2)
+    )
+    return s.mean(axis=(1, 2))
+
+
+class ImageSSIM:
+    """Per-image SSIM against the deterministic re-synthesis — the
+    perceptual sibling of the psnr_db invariant (BASELINE.json per-row
+    check): lossless fmts score exactly 1.0, the lossy stub lands high
+    but < 1. Emits ``ssim_ppm = round(ssim * 1e6)`` as int64 so every
+    downstream aggregate is an order-free exact integer sum (float
+    accumulation order across Ray blocks would jitter a mean).
+
+    Same decode discipline as ImageDecodeStats: zero-copy payload views,
+    one (fmt, w, h) group stack, fully vectorized window statistics.
+    """
+
+    def __init__(self, win: int = 8):
+        self.win = win
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..kernels.imagecodec import synth_pixels_batch
+        from ..sources.images import source_index
+
+        ids = batch.column("image_id").to_pylist()
+        blobs = binary_views(batch.column("bytes"))
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        fmts = batch.column("fmt").to_pylist()
+        n = len(ids)
+        ppm = np.empty(n, dtype=np.int64)
+
+        groups: dict[tuple, list[int]] = {}
+        for i in range(n):
+            groups.setdefault((fmts[i], int(ws[i]), int(hs[i])), []).append(i)
+        idx_all = source_index(
+            np.array([int(s[4:]) for s in ids], dtype=np.int64)
+        )
+        for (fmt, w, h), rows in groups.items():
+            rows_np = np.array(rows)
+            stack = decode_group_stack(blobs, rows, fmt, w, h)
+            ref = synth_pixels_batch(idx_all[rows_np], w, h)
+            gx = stack.sum(axis=3, dtype=np.int64) / 3.0
+            gy = ref.sum(axis=3, dtype=np.int64) / 3.0
+            s = ssim_windows_batch(gx, gy, self.win)
+            ppm[rows_np] = np.round(s * 1e6).astype(np.int64)
+
+        return pa.table(
+            {
+                "image_id": ids,
+                "fmt": batch.column("fmt"),
+                "ssim_ppm": pa.array(ppm),
+            }
+        )

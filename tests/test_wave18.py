@@ -1,0 +1,139 @@
+"""Wave 18 pins: geofence transition semantics, CUSUM two-phase parity,
+SSIM stage vs a scalar per-window recompute.
+
+geofence_transitions and cusum_changepoint are oracle-gated at three
+scales by tools/check_queries.py; these pins cover the parts SQL can't —
+the distributed-prefix construction and the image SSIM math.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tests.conftest import SF_SMALL
+
+
+def _to_pandas(res):
+    return res if isinstance(res, pd.DataFrame) else res.to_pandas()
+
+
+def test_cusum_matches_single_machine_recompute(ray_session):
+    """The bucketed two-phase prefix (per-(type, hour) offsets + in-bucket
+    cumsum) must equal a plain single-array recompute of argmax
+    |n*cum_k - k*tot| per type with earliest-k ties."""
+    import plateau_gis_converter_ray.pipelines.queries as q
+
+    got = _to_pandas(q.q_cusum_changepoint(SF_SMALL)).sort_values(
+        "event_type"
+    )
+
+    ev = pd.read_parquet(
+        SF_SMALL + "/events.parquet",
+        columns=["event_id", "event_type", "ts", "value"],
+    )
+    ev["vc"] = np.round(ev["value"].to_numpy() * 100).astype(np.int64)
+    ev["us"] = ev["ts"].astype("int64")
+    want = []
+    for t, g in ev.groupby("event_type"):
+        g = g.sort_values(["us", "event_id"], kind="stable")
+        vc = g["vc"].to_numpy()
+        n, tot = len(vc), int(vc.sum())
+        k = np.arange(1, n + 1, dtype=np.int64)
+        dev = np.abs(n * np.cumsum(vc) - k * tot)
+        i = np.lexsort((k, -dev))[0]
+        want.append((t, int(k[i]), int(dev[i])))
+    want = pd.DataFrame(want, columns=["event_type", "k", "dev_n"])
+    assert got["k"].tolist() == want["k"].tolist()
+    assert got["dev_n"].tolist() == want["dev_n"].tolist()
+
+
+def test_geofence_transitions_conservation(ray_session):
+    """Flow conservation on transitions: for every user sequence the
+    number of entries into a region differs from exits by at most 1, so
+    summed over users |entries(r) - exits(r)| <= n_users. Also: no
+    self-transitions by construction."""
+    import plateau_gis_converter_ray.pipelines.queries as q
+
+    tr = _to_pandas(q.q_geofence_transitions(SF_SMALL))
+    assert (tr["from_region"] != tr["to_region"]).all()
+    ev = pd.read_parquet(SF_SMALL + "/events.parquet", columns=["user_id"])
+    n_users = ev["user_id"].nunique()
+    for r in (1, 2, 3):
+        entries = int(tr.loc[tr["to_region"] == r, "n"].sum())
+        exits = int(tr.loc[tr["from_region"] == r, "n"].sum())
+        assert abs(entries - exits) <= n_users
+
+
+def test_ssim_stage_vs_scalar_recompute(ray_session):
+    """ImageSSIM's vectorized window statistics == a plain per-window
+    scalar loop; lossless fmts pin at exactly 1e6 ppm."""
+    import pyarrow.parquet as pq
+
+    from plateau_gis_converter_ray.kernels.imagecodec import (
+        decode_image,
+        synth_pixels,
+    )
+    from plateau_gis_converter_ray.sources.images import (
+        ensure_image_table,
+        source_index,
+    )
+    from plateau_gis_converter_ray.stages.decode import ImageSSIM
+
+    path = ensure_image_table(0.001)
+    f = sorted(p for p in os.listdir(path) if p.endswith(".parquet"))[0]
+    t = pq.read_table(
+        os.path.join(path, f), columns=["image_id", "bytes", "fmt", "w", "h"]
+    ).slice(0, 64)
+    out = ImageSSIM()(t).to_pandas()
+
+    def scalar_ssim(x, y, win=8):
+        h, w = x.shape
+        vals = []
+        for r in range(h // win):
+            for c in range(w // win):
+                a = x[r * win : (r + 1) * win, c * win : (c + 1) * win]
+                b = y[r * win : (r + 1) * win, c * win : (c + 1) * win]
+                mx, my = a.mean(), b.mean()
+                vx, vy = a.var(), b.var()
+                cov = (a * b).mean() - mx * my
+                c1, c2 = (0.01 * 255.0) ** 2, (0.03 * 255.0) ** 2
+                vals.append(
+                    ((2 * mx * my + c1) * (2 * cov + c2))
+                    / ((mx * mx + my * my + c1) * (vx + vy + c2))
+                )
+        return float(np.mean(vals))
+
+    df = t.to_pandas()
+    for i in range(0, len(df), 11):
+        row = df.iloc[i]
+        dec = decode_image(
+            row["bytes"], row["fmt"], int(row["w"]), int(row["h"])
+        )
+        src = int(source_index(int(row["image_id"][4:])))
+        ref = synth_pixels(src, int(row["w"]), int(row["h"]))
+        gx = dec.sum(axis=2, dtype=np.int64) / 3.0
+        gy = ref.sum(axis=2, dtype=np.int64) / 3.0
+        want = int(np.round(scalar_ssim(gx, gy) * 1e6))
+        got = int(out.iloc[i]["ssim_ppm"])
+        assert abs(got - want) <= 1  # float assoc. differs; ppm-rounded
+
+    lossless = out[out["fmt"].isin(["raw", "ppm", "rle"])]
+    assert len(lossless) and (lossless["ssim_ppm"] == 1_000_000).all()
+    lossy = out[~out["fmt"].isin(["raw", "ppm", "rle"])]
+    if len(lossy):
+        assert (lossy["ssim_ppm"] < 1_000_000).all()
+        assert (lossy["ssim_ppm"] > 500_000).all()
+
+
+def test_image_ssim_query_rows(ray_session):
+    import __ray_entry__ as entry
+
+    res = _to_pandas(entry.queries()["image_ssim"](SF_SMALL))
+    assert set(res.columns) == {"fmt", "n", "n_perfect", "ppm_sum", "ppm_min"}
+    assert res["n"].sum() > 0
+    loss = res[res["fmt"].isin(["raw", "ppm", "rle"])]
+    assert (loss["n_perfect"] == loss["n"]).all()
