@@ -263,6 +263,13 @@ BENCH_QUERIES = [
     "k_core",
     "getis_ord_hotspots",
     "image_entropy",
+    # r4 wave 18: 3D Tiles 1.1 implicit-quadtree availability, geofence
+    # entry/exit transitions, two-phase-prefix CUSUM changepoint, SSIM
+    "implicit_quadtree",
+    "geofence_transitions",
+    "cusum_changepoint",
+    "image_ssim",
+    "polygon_rasterize",
 ]
 
 

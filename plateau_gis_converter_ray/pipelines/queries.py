@@ -12657,6 +12657,78 @@ FROM r WHERE rn = 1
 """
 
 
+def q_polygon_rasterize(sf_dir: str):
+    """Vector→raster burn-in — the inverse of raster_vector_clip: every
+    municipality polygon (holes included) is scan-filled onto the 0.05°
+    lat/lng grid by a vectorized cell-center PIP over only its own bbox
+    window (never the global grid), one task batch per polygon shard with
+    the tiny polygon table broadcast via ray.put. Output per polygon:
+    burned-cell count + the burned raster's integer bbox, from one tiny
+    (pid)-keyed combiner over the emitted cell rows. Rows-only (the
+    jittered-octagon vertices aren't SQL-reproducible); pinned in pytest
+    against a dense-global-grid brute recompute."""
+    import ray
+    import ray.data
+
+    from ..kernels.pip import points_in_polygon
+    from ..sources.municipalities import WEST, SOUTH, municipality_polygons
+
+    CELL = 0.05
+    polys = municipality_polygons()
+    pref = ray.put(polys)
+
+    ds = ray.data.from_arrow(
+        pa.table({"pid": pa.array(np.arange(len(polys), dtype=np.int64))})
+    ).repartition(16)
+
+    def raster(batch: pa.Table) -> pa.Table:
+        ps = ray.get(pref)
+        pid_out, n_out, bb = [], [], []
+        for pid in batch.column("pid").to_numpy():
+            rings = ps[pid]["rings"]
+            outer = rings[0]
+            ix0 = int(np.floor((outer[:, 0].min() - WEST) / CELL))
+            ix1 = int(np.ceil((outer[:, 0].max() - WEST) / CELL))
+            iy0 = int(np.floor((outer[:, 1].min() - SOUTH) / CELL))
+            iy1 = int(np.ceil((outer[:, 1].max() - SOUTH) / CELL))
+            ix = np.arange(ix0, ix1 + 1, dtype=np.int64)
+            iy = np.arange(iy0, iy1 + 1, dtype=np.int64)
+            gx, gy = np.meshgrid(ix, iy, indexing="ij")
+            cx = WEST + (gx.ravel() + 0.5) * CELL
+            cy = SOUTH + (gy.ravel() + 0.5) * CELL
+            inside = points_in_polygon(cx, cy, rings)
+            bix, biy = gx.ravel()[inside], gy.ravel()[inside]
+            pid_out.append(np.full(int(inside.sum()), pid, np.int64))
+            n_out.append(np.stack([bix, biy], axis=1))
+        p = np.concatenate(pid_out) if pid_out else np.empty(0, np.int64)
+        c = (
+            np.concatenate(n_out)
+            if n_out
+            else np.empty((0, 2), np.int64)
+        )
+        return pa.table(
+            {
+                "pid": pa.array(p),
+                "cix": pa.array(c[:, 0]),
+                "ciy": pa.array(c[:, 1]),
+            }
+        )
+
+    burned = ds.map_batches(raster, batch_format="pyarrow")
+    per_poly = tree_group_agg(
+        burned,
+        ["pid"],
+        {
+            "n_cells": (None, "count"),
+            "ix_min": ("cix", "min"),
+            "ix_max": ("cix", "max"),
+            "iy_min": ("ciy", "min"),
+            "iy_max": ("ciy", "max"),
+        },
+    )
+    return per_poly
+
+
 def q_embed_int8_quantize(sf_dir: str):
     """Calibrated symmetric int8 quantization of the embedding corpus —
     the compression step before an ANN index or a feature-store export
@@ -12948,6 +13020,7 @@ QUERIES = {
     "implicit_quadtree": q_implicit_quadtree,
     "geofence_transitions": q_geofence_transitions,
     "cusum_changepoint": q_cusum_changepoint,
+    "polygon_rasterize": q_polygon_rasterize,
 }
 
 ORACLES = {

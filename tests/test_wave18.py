@@ -137,3 +137,57 @@ def test_image_ssim_query_rows(ray_session):
     assert res["n"].sum() > 0
     loss = res[res["fmt"].isin(["raw", "ppm", "rle"])]
     assert (loss["n_perfect"] == loss["n"]).all()
+
+
+def test_polygon_rasterize_vs_dense_brute(ray_session):
+    """The bbox-windowed burn == a dense global-grid brute recompute
+    (counts AND bboxes), holes excluded correctly for the enclave polys."""
+    import plateau_gis_converter_ray.pipelines.queries as q
+    from plateau_gis_converter_ray.kernels.pip import points_in_polygon
+    from plateau_gis_converter_ray.sources.municipalities import (
+        EAST,
+        NORTH,
+        SOUTH,
+        WEST,
+        municipality_polygons,
+    )
+
+    got = (
+        _to_pandas(q.q_polygon_rasterize(SF_SMALL))
+        .sort_values("pid")
+        .reset_index(drop=True)
+    )
+    CELL = 0.05
+    # pad 64 cells (3.2 deg) past the Japan bbox: polygons near the edge
+    # overhang it (max radius ~2.5 deg) and the burn is bbox-windowed,
+    # not clipped to the bbox
+    PAD = 64
+    nx = int(round((EAST - WEST) / CELL))
+    ny = int(round((NORTH - SOUTH) / CELL))
+    gx, gy = np.meshgrid(
+        np.arange(-PAD, nx + PAD, dtype=np.int64),
+        np.arange(-PAD, ny + PAD, dtype=np.int64),
+        indexing="ij",
+    )
+    cx = WEST + (gx.ravel() + 0.5) * CELL
+    cy = SOUTH + (gy.ravel() + 0.5) * CELL
+    polys = municipality_polygons()
+    holed = 0
+    for pid, p in enumerate(polys):
+        inside = points_in_polygon(cx, cy, p["rings"])
+        n = int(inside.sum())
+        row = got[got["pid"] == pid]
+        if n == 0:
+            assert len(row) == 0  # fully off-grid or sub-cell: no burn
+            continue
+        assert int(row["n_cells"].iloc[0]) == n
+        assert int(row["ix_min"].iloc[0]) == int(gx.ravel()[inside].min())
+        assert int(row["ix_max"].iloc[0]) == int(gx.ravel()[inside].max())
+        assert int(row["iy_min"].iloc[0]) == int(gy.ravel()[inside].min())
+        assert int(row["iy_max"].iloc[0]) == int(gy.ravel()[inside].max())
+        if len(p["rings"]) > 1:
+            # the hole genuinely removes cells vs outer-ring-only
+            outer_only = int(points_in_polygon(cx, cy, p["rings"][:1]).sum())
+            assert n < outer_only
+            holed += 1
+    assert holed >= 1
