@@ -614,6 +614,43 @@ def _q_image_entropy(sf_dir: str):
     )
 
 
+def _q_contour_segments(sf_dir: str):
+    """Marching-squares contour extraction over the red-plane DEM
+    (stages/raster_ops.py::ContourSegments) — raster -> vector lines, the
+    inverse pairing of polygon_rasterize. Integer 16-case segment counts
+    reduce per fmt with order-free sums/max only. Rows-only; the case
+    table is pinned against a scalar per-cell recompute in pytest."""
+    import ray.data
+
+    from plateau_gis_converter_ray.sources.images import ensure_image_table
+    from plateau_gis_converter_ray.stages.raster_ops import ContourSegments
+    from plateau_gis_converter_ray.stages.treeagg import tree_group_agg
+
+    path = ensure_image_table(_sf_of(sf_dir))
+    files = [
+        os.path.join(path, f)
+        for f in sorted(os.listdir(path))
+        if f.endswith(".parquet")
+    ]
+    ds = ray.data.read_parquet(
+        files, columns=["image_id", "bytes", "fmt", "w", "h"]
+    )
+    seg = ds.map_batches(
+        ContourSegments(), batch_format="pyarrow", batch_size=1024
+    )
+    return tree_group_agg(
+        seg,
+        ["fmt"],
+        {
+            "n": (None, "count"),
+            "diag_total": ("n_diag", "sum"),
+            "straight_total": ("n_straight", "sum"),
+            "boundary_total": ("n_boundary", "sum"),
+            "boundary_max": ("n_boundary", "max"),
+        },
+    )
+
+
 def _q_image_ssim(sf_dir: str):
     """Windowed SSIM of every decoded image vs its deterministic
     re-synthesis (stages/decode.py::ImageSSIM) — the perceptual quality
@@ -1313,6 +1350,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "image_patches": _q_image_patches,
             "image_entropy": _q_image_entropy,
             "image_ssim": _q_image_ssim,
+            "contour_segments": _q_contour_segments,
             "raster_blob_count": _q_raster_blob_count,
             "flow_accumulation": _q_flow_accumulation,
             "watershed_labels": _q_watershed_labels,

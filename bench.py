@@ -270,6 +270,7 @@ BENCH_QUERIES = [
     "cusum_changepoint",
     "image_ssim",
     "polygon_rasterize",
+    "contour_segments",
 ]
 
 

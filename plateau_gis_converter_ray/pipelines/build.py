@@ -227,6 +227,47 @@ def _tiles3d_run(ds, params, out_dir):
     return write_tiles_3dt(ds, out_dir)
 
 
+def _implicit_run(ds, params, out_dir):
+    """3D Tiles 1.1 implicit-quadtree sink: reduce the webmercator-keyed
+    rows to distinct occupied (z, x, y) tiles (one combiner — the payload
+    never reaches the writer), then emit the ``.subtree`` availability
+    blobs + root tileset.json via :func:`sinks.implicit
+    .write_implicit_tileset` (atomic, fingerprint-keyed resume). The
+    lineage fingerprint is the input row count — cheap (scan-rooted
+    count) and enough to catch a changed input between runs."""
+    import pyarrow as pa
+
+    from ..sinks.implicit import write_implicit_tileset
+    from ..stages.treeagg import tree_group_agg
+
+    z = params.get("max_zoom") or 12
+    n_rows = ds.count()
+
+    def pick(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        return pa.table(
+            {
+                "z": pa.array(np.full(b.num_rows, z, dtype=np.int64)),
+                "x": b.column("tile_x").cast(pa.int64()),
+                "y": b.column("tile_y").cast(pa.int64()),
+            }
+        )
+
+    tiles = tree_group_agg(
+        ds.map_batches(pick, batch_format="pyarrow"),
+        ["z", "x", "y"],
+        {"n": (None, "count")},
+    ).select_columns(["z", "x", "y"])
+    return write_implicit_tileset(
+        tiles,
+        out_dir,
+        max_level=z,
+        subtree_levels=params.get("subtree_levels") or 4,
+        fingerprint=[["rows", int(n_rows)]],
+    )
+
+
 def _shapefile_run(ds, params, out_dir):
     from ..sinks.shapefile import write_per_type_shapefiles
 
@@ -341,6 +382,20 @@ BUILTIN_SINKS: dict[str, SinkProvider] = {
             max_zoom=p.get("max_zoom") or 12,
         ),
         run=_tiles3d_run,
+    ),
+    "implicit": SinkProvider(
+        name="implicit",
+        description="3D Tiles 1.1 implicit-quadtree availability "
+        "(.subtree blobs + tileset.json, OGC 22-025r4 §8)",
+        parameters=[
+            Parameter("max_zoom", "integer", default=12),
+            Parameter("subtree_levels", "integer", default=4),
+        ],
+        make_requirements=lambda p: DataRequirements(
+            tile_scheme="webmercator",
+            max_zoom=p.get("max_zoom") or 12,
+        ),
+        run=_implicit_run,
     ),
     "shapefile": SinkProvider(
         name="shapefile",

@@ -553,3 +553,71 @@ class ViewshedStats:
                 "vis_ck": pa.array(vis_ck),
             }
         )
+
+
+# marching squares (midpoint rule), corner bits TL=1 TR=2 BR=4 BL=8:
+# single-corner cases cut one diagonal (sqrt(2)/2) segment, opposite-edge
+# pairs one straight (unit) segment, saddles (5, 10) two diagonals under
+# the fixed "separate corners" convention — all counts pure integers
+_MS_DIAG = np.array([0, 1, 1, 0, 1, 2, 0, 1, 1, 0, 2, 1, 0, 1, 1, 0],
+                    dtype=np.int8)
+_MS_STRAIGHT = np.array([0, 0, 0, 1, 0, 0, 1, 0, 0, 1, 0, 0, 1, 0, 0, 0],
+                        dtype=np.int8)
+
+
+class ContourSegments:
+    """Marching-squares iso-contour extraction (raster -> vector lines) of
+    the red-plane DEM at a fixed threshold — the contour sibling of
+    `polygon_rasterize`'s vector -> raster burn. Per 2x2 cell the 16-case
+    lookup yields integer diagonal/straight segment counts (saddles use
+    the fixed separate-corners convention), so every output is an exact
+    int64 and batch-composition-independent. Same decode scale contract
+    as the other raster stages: group-stacked decode, one vectorized
+    case-index computation per stack, zero exchanges. Rows-only; pinned
+    in pytest against a scalar per-cell recompute."""
+
+    def __init__(self, threshold: int = 128):
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("image_id").to_pylist()
+        blobs = binary_views(batch.column("bytes"))
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        fmts = batch.column("fmt").to_pylist()
+
+        n = len(ids)
+        n_diag = np.empty(n, dtype=np.int64)
+        n_straight = np.empty(n, dtype=np.int64)
+        n_boundary = np.empty(n, dtype=np.int64)
+
+        groups: dict[tuple, list[int]] = {}
+        for i in range(n):
+            groups.setdefault((fmts[i], int(ws[i]), int(hs[i])), []).append(i)
+        for (fmt, w, h), rows in groups.items():
+            dem = decode_group_stack(blobs, rows, fmt, w, h)[..., 0]
+            gmask = dem > self.threshold
+            case = (
+                gmask[:, :-1, :-1].astype(np.uint8)
+                + 2 * gmask[:, :-1, 1:]
+                + 4 * gmask[:, 1:, 1:]
+                + 8 * gmask[:, 1:, :-1]
+            )
+            rows_np = np.array(rows)
+            d = _MS_DIAG[case]
+            s = _MS_STRAIGHT[case]
+            n_diag[rows_np] = d.sum(axis=(1, 2), dtype=np.int64)
+            n_straight[rows_np] = s.sum(axis=(1, 2), dtype=np.int64)
+            n_boundary[rows_np] = ((case != 0) & (case != 15)).sum(
+                axis=(1, 2), dtype=np.int64
+            )
+
+        return pa.table(
+            {
+                "image_id": batch.column("image_id"),
+                "fmt": batch.column("fmt"),
+                "n_diag": pa.array(n_diag),
+                "n_straight": pa.array(n_straight),
+                "n_boundary": pa.array(n_boundary),
+            }
+        )

@@ -298,3 +298,44 @@ def test_cli_query_listing_and_unknown():
     with redirect_stdout(io.StringIO()), contextlib.redirect_stderr(err):
         rc = main(["query", "no_such_query"])
     assert rc == 2
+
+
+def test_cli_implicit_sink_e2e(tmp_path):
+    """CLI drive of the implicit-quadtree sink: webmercator keying, one
+    distinct-tile combiner, .subtree blobs + root tileset.json with the
+    implicitTiling descriptor; rerun resume-skips on the row-count
+    fingerprint."""
+    import pandas as pd
+
+    inp = str(tmp_path / "pts.parquet")
+    pd.DataFrame(
+        {
+            "fid": range(24),
+            "lng": [135.0 + (i % 6) * 0.4 for i in range(24)],
+            "lat": [34.0 + (i % 4) * 0.3 for i in range(24)],
+        }
+    ).to_parquet(inp, index=False)
+    out = str(tmp_path / "imp")
+    cmd = [sys.executable, "-m", "plateau_gis_converter_ray", "convert",
+           inp, out, "--sink", "implicit", "--param", "max_zoom=10",
+           "--num-cpus", "2"]
+    r = subprocess.run(
+        cmd, capture_output=True, text=True, cwd="/root/repo", timeout=180
+    )
+    assert r.returncode == 0, r.stderr[-800:]
+    rec = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rec["result"]["built"] is True
+    assert len(rec["result"]["subtrees"]) >= 1
+    subs = list((tmp_path / "imp" / "subtrees").glob("*.subtree"))
+    assert subs
+    ts = json.loads((tmp_path / "imp" / "tileset.json").read_text())
+    it = ts["root"]["implicitTiling"]
+    assert it["subdivisionScheme"] == "QUADTREE"
+    assert it["availableLevels"] == 11
+
+    r2 = subprocess.run(
+        cmd, capture_output=True, text=True, cwd="/root/repo", timeout=180
+    )
+    assert r2.returncode == 0, r2.stderr[-800:]
+    rec2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert rec2["result"]["built"] is False

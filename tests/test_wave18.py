@@ -191,3 +191,47 @@ def test_polygon_rasterize_vs_dense_brute(ray_session):
             assert n < outer_only
             holed += 1
     assert holed >= 1
+
+
+def test_contour_segments_vs_scalar(ray_session):
+    """ContourSegments' vectorized case table == a scalar per-2x2-cell
+    marching-squares walk, including the saddle convention."""
+    import pyarrow.parquet as pq
+
+    from plateau_gis_converter_ray.kernels.imagecodec import decode_image
+    from plateau_gis_converter_ray.sources.images import ensure_image_table
+    from plateau_gis_converter_ray.stages.raster_ops import ContourSegments
+
+    path = ensure_image_table(0.001)
+    f = sorted(p for p in os.listdir(path) if p.endswith(".parquet"))[0]
+    t = pq.read_table(
+        os.path.join(path, f), columns=["image_id", "bytes", "fmt", "w", "h"]
+    ).slice(0, 24)
+    out = ContourSegments()(t).to_pandas()
+    df = t.to_pandas()
+
+    DIAG = [0, 1, 1, 0, 1, 2, 0, 1, 1, 0, 2, 1, 0, 1, 1, 0]
+    STR = [0, 0, 0, 1, 0, 0, 1, 0, 0, 1, 0, 0, 1, 0, 0, 0]
+    for i in range(0, len(df), 7):
+        row = df.iloc[i]
+        dem = decode_image(
+            row["bytes"], row["fmt"], int(row["w"]), int(row["h"])
+        )[..., 0]
+        g = dem > 128
+        nd = ns = nb = 0
+        for y in range(dem.shape[0] - 1):
+            for x in range(dem.shape[1] - 1):
+                c = (
+                    int(g[y, x])
+                    + 2 * int(g[y, x + 1])
+                    + 4 * int(g[y + 1, x + 1])
+                    + 8 * int(g[y + 1, x])
+                )
+                nd += DIAG[c]
+                ns += STR[c]
+                nb += int(c not in (0, 15))
+        assert int(out.iloc[i]["n_diag"]) == nd
+        assert int(out.iloc[i]["n_straight"]) == ns
+        assert int(out.iloc[i]["n_boundary"]) == nb
+    # contours exist somewhere in the sample
+    assert out["n_boundary"].sum() > 0
