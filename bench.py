@@ -271,6 +271,8 @@ BENCH_QUERIES = [
     "image_ssim",
     "polygon_rasterize",
     "contour_segments",
+    "hmm_map_match",
+    "quadkey_encode",
 ]
 
 

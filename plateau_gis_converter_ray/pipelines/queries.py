@@ -12729,6 +12729,76 @@ def q_polygon_rasterize(sf_dir: str):
     return per_poly
 
 
+def q_hmm_map_match(sf_dir: str):
+    """HMM (Viterbi) map-matching (stages/trajectory.py::hmm_map_match):
+    the probabilistic upgrade of snap_to_roads — per point the 4 nearest
+    road segments are candidate states, integer emission (snap d2) +
+    transition (midpoint d2 // 16) costs, batch-wide vectorized Viterbi.
+    One bucketed exchange builds fixed-length tracks; the bounded road
+    network broadcasts. Rows-only; scalar-Viterbi pinned in pytest."""
+    from ..stages.trajectory import hmm_map_match
+
+    return hmm_map_match(sf_dir)
+
+
+def q_quadkey_encode(sf_dir: str):
+    """Bing-maps quadkey addressing of the z12 WebMercator event tiles:
+    the interleaved base-4 digit string (msb first) every tile-serving
+    stack uses as the storage key. Digits come from pure bit arithmetic
+    (mirrored verbatim in the SQL twin); the string materializes via one
+    contiguous (n, 12) byte-matrix view — no per-row Python. One tiny
+    (quadkey) combiner finishes."""
+    ds = _read(sf_dir, "events", ["event_id"])
+    ds = ds.map_batches(
+        lambda b: add_lnglat_arith(b, "event_id"), batch_format="pyarrow"
+    )
+    ds = ds.map_batches(lambda b: assign_webmercator(b, 12), batch_format="pyarrow")
+
+    def pack(batch: pa.Table) -> pa.Table:
+        x = batch.column("tile_x").to_numpy().astype(np.int64)
+        y = batch.column("tile_y").to_numpy().astype(np.int64)
+        return pa.table({"k": pa.array(x * 4096 + y)})
+
+    # combine on the packed int64 tile key (strings would widen every
+    # exchange 12x); render the quadkey once per DISTINCT tile after
+    reduced = tree_group_agg(
+        ds.map_batches(pack, batch_format="pyarrow"),
+        ["k"], {"n": (None, "count")},
+    )
+
+    def render(batch: pa.Table) -> pa.Table:
+        k = batch.column("k").to_numpy()
+        x, y = k // 4096, k % 4096
+        n = len(k)
+        digits = np.empty((n, 12), dtype=np.uint8)
+        for i in range(12):
+            bit = 11 - i
+            digits[:, i] = 48 + (((y >> bit) & 1) * 2 + ((x >> bit) & 1))
+        s = digits.reshape(n, 12).view("S12").ravel().astype("U12")
+        return pa.table({"quadkey": pa.array(s), "n": batch.column("n")})
+
+    return reduced.map_batches(render, batch_format="pyarrow")
+
+
+def _sql_quadkey_encode() -> str:
+    lng, lat = _geo_sql("event_id")
+    digit = " || ".join(
+        f"CAST(((y >> {11 - i}) & 1) * 2 + ((x >> {11 - i}) & 1) AS VARCHAR)"
+        for i in range(12)
+    )
+    return f"""
+WITH pts AS (
+  SELECT {lng} AS lng, {lat} AS lat FROM events
+), t AS (
+  SELECT CAST(FLOOR((lng + 180.0) / 360.0 * 4096) AS BIGINT) AS x,
+         CAST(FLOOR(((-(DEGREES(LN(TAN(RADIANS(90.0 + lat) / 2.0)))) + 180.0) / 360.0) * 4096) AS BIGINT) AS y
+  FROM pts
+)
+SELECT {digit} AS quadkey, CAST(COUNT(*) AS BIGINT) AS n
+FROM t GROUP BY 1
+"""
+
+
 def q_embed_int8_quantize(sf_dir: str):
     """Calibrated symmetric int8 quantization of the embedding corpus —
     the compression step before an ANN index or a feature-store export
@@ -13021,6 +13091,8 @@ QUERIES = {
     "geofence_transitions": q_geofence_transitions,
     "cusum_changepoint": q_cusum_changepoint,
     "polygon_rasterize": q_polygon_rasterize,
+    "hmm_map_match": q_hmm_map_match,
+    "quadkey_encode": q_quadkey_encode,
 }
 
 ORACLES = {
@@ -13194,4 +13266,5 @@ ORACLES = {
     "implicit_quadtree": _sql_implicit_quadtree(),
     "geofence_transitions": _sql_geofence_transitions(),
     "cusum_changepoint": _SQL_CUSUM_CHANGEPOINT,
+    "quadkey_encode": _sql_quadkey_encode(),
 }

@@ -504,3 +504,152 @@ def coverage_gap_points(sf_dir: str, radius: int = 3000,
         )
 
     return ev.map_batches(probe, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# HMM (Viterbi) map-matching — the probabilistic upgrade of snap_to_roads:
+# per point the C nearest segments are candidate states, emission cost is
+# the exact int64 snap distance, transition cost penalizes jumping between
+# far-apart segments (squared midpoint distance // HMM_TRANS_DIV), and the
+# per-track Viterbi picks the globally cheapest state sequence. Everything
+# is integer, so the DP is deterministic and the scalar pin is exact.
+
+HMM_L = 8        # fixed track length (same contract as DTW tracks)
+HMM_C = 4        # candidate states per point
+HMM_TRANS_DIV = 16  # transition weight: d2(midpoints) // 16
+
+
+def _hmm_candidates(x: np.ndarray, y: np.ndarray, roads: dict):
+    """Top-C nearest segments per point: (n, C) sid / d2 / midpoint arrays.
+    Ties break on sid ascending via lexsort on (d2, sid)."""
+    main = np.where(roads["axis"] == 0, 0, 1)
+    lo = roads["lo"][None, :]
+    hi = roads["hi"][None, :]
+    c = roads["c"][None, :]
+    pm = np.where(main[None, :] == 0, x[:, None], y[:, None])
+    po = np.where(main[None, :] == 0, y[:, None], x[:, None])
+    clamp = np.maximum(np.maximum(lo - pm, pm - hi), 0)
+    off = po - c
+    d2 = clamp * clamp + off * off
+    order = np.lexsort((np.broadcast_to(roads["sid"], d2.shape), d2), axis=1)
+    top = order[:, :HMM_C]
+    mid_main = (roads["lo"] + roads["hi"]) // 2
+    mx = np.where(roads["axis"] == 0, mid_main, roads["c"])
+    my = np.where(roads["axis"] == 0, roads["c"], mid_main)
+    return (
+        roads["sid"][top],
+        np.take_along_axis(d2, top, axis=1),
+        mx[top],
+        my[top],
+    )
+
+
+def viterbi_tracks(px: np.ndarray, py: np.ndarray, roads: dict):
+    """Vectorized Viterbi across all tracks at once.
+
+    ``px``/``py``: (T, L) int64 track points. Returns (total_cost (T,),
+    end_seg (T,), n_distinct (T,)) — the optimal path cost, the matched
+    segment of the LAST point, and how many distinct segments the optimal
+    path visits. DP state is (T, C); each of the L-1 steps evaluates the
+    full (T, C, C) transition tensor with integer numpy ops only.
+    Tie-breaks: argmin over predecessor i and state j take the smallest
+    index (np.argmin convention), matching the scalar pin."""
+    T, L = px.shape
+    sids = np.empty((T, L, HMM_C), np.int64)
+    emis = np.empty((T, L, HMM_C), np.int64)
+    mxs = np.empty((T, L, HMM_C), np.int64)
+    mys = np.empty((T, L, HMM_C), np.int64)
+    for t in range(L):  # L is a small constant; each call is batch-wide
+        sids[:, t], emis[:, t], mxs[:, t], mys[:, t] = _hmm_candidates(
+            px[:, t], py[:, t], roads
+        )
+    cost = emis[:, 0].copy()  # (T, C)
+    back = np.zeros((T, L, HMM_C), np.int64)
+    for t in range(1, L):
+        dmx = mxs[:, t - 1][:, :, None] - mxs[:, t][:, None, :]
+        dmy = mys[:, t - 1][:, :, None] - mys[:, t][:, None, :]
+        trans = (dmx * dmx + dmy * dmy) // HMM_TRANS_DIV  # (T, C, C)
+        tot = cost[:, :, None] + trans  # predecessor i -> state j
+        back[:, t] = np.argmin(tot, axis=1)
+        cost = np.min(tot, axis=1) + emis[:, t]
+    end_state = np.argmin(cost, axis=1)  # (T,)
+    total = cost[np.arange(T), end_state]
+    # backtrack (L steps, vectorized across tracks)
+    path = np.empty((T, L), np.int64)
+    s = end_state
+    for t in range(L - 1, -1, -1):
+        path[:, t] = sids[np.arange(T), t, s]
+        s = back[np.arange(T), t, s]
+    end_seg = path[:, -1]
+    srt = np.sort(path, axis=1)
+    n_distinct = 1 + (srt[:, 1:] != srt[:, :-1]).sum(axis=1)
+    return total, end_seg, n_distinct
+
+
+def hmm_map_match(sf_dir: str):
+    """HMM map-matching over fixed-length tracks: one bucketed exchange
+    builds the (T, L) track rows (``tracks_fixed`` contract), the bounded
+    road network broadcasts via ray.put, and the batch-wide integer
+    Viterbi matches every track. Rows-only; pinned in pytest against a
+    scalar per-track Viterbi."""
+    import ray
+
+    from ..sources.tables import read_table
+
+    ev = read_table(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def prep_roads(batch: pa.Table) -> pa.Table:
+        m = batch.column("user_id").to_numpy() < ROAD_USERS
+        t = batch.filter(pa.array(m))
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "ts_us": t.column("ts").cast(pa.int64()),
+            }
+        )
+
+    road_ev = ev.map_batches(prep_roads, batch_format="pyarrow").to_pandas()
+    seg = build_road_segments(road_ev)
+    roads_ref = ray.put(
+        {k: seg[k].to_numpy() for k in ("sid", "axis", "lo", "hi", "c")}
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy()
+        t = batch.filter(pa.array(u >= ROAD_USERS))
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "event_id": t.column("event_id"),
+                "ts_us": t.column("ts").cast(pa.int64()),
+                "_bk": pa.array(t.column("user_id").to_numpy() % 64),
+            }
+        )
+
+    tracks = (
+        ev.map_batches(prep, batch_format="pyarrow")
+        .groupby("_bk")
+        .map_groups(lambda g: tracks_fixed(g, HMM_L), batch_format="pandas")
+    )
+
+    def match(batch: pa.Table) -> pa.Table:
+        roads = ray.get(roads_ref)
+        T = batch.num_rows
+        px = np.stack(
+            [batch.column(f"x{j}").to_numpy() for j in range(HMM_L)], axis=1
+        )
+        py = np.stack(
+            [batch.column(f"y{j}").to_numpy() for j in range(HMM_L)], axis=1
+        )
+        total, end_seg, n_distinct = viterbi_tracks(px, py, roads)
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "path_cost": pa.array(total),
+                "end_seg": pa.array(end_seg),
+                "n_distinct_segs": pa.array(n_distinct),
+            }
+        )
+
+    return tracks.map_batches(match, batch_format="pyarrow")

@@ -235,3 +235,81 @@ def test_contour_segments_vs_scalar(ray_session):
         assert int(out.iloc[i]["n_boundary"]) == nb
     # contours exist somewhere in the sample
     assert out["n_boundary"].sum() > 0
+
+
+def test_hmm_map_match_vs_scalar_viterbi(ray_session):
+    """The batch-wide integer Viterbi == a scalar per-track DP with the
+    same candidate sets, tie-breaks included; and the HMM path cost never
+    beats per-point independent snapping on emissions alone."""
+    import plateau_gis_converter_ray.pipelines.queries as q
+    from plateau_gis_converter_ray.stages.trajectory import (
+        HMM_C,
+        HMM_L,
+        HMM_TRANS_DIV,
+        ROAD_USERS,
+        _hmm_candidates,
+        _xy,
+        build_road_segments,
+    )
+
+    got = (
+        _to_pandas(q.q_hmm_map_match(SF_SMALL))
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) > 0
+
+    ev = pd.read_parquet(
+        SF_SMALL + "/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    ev["ts_us"] = ev["ts"].astype("int64")
+    roads_df = build_road_segments(ev[ev["user_id"] < ROAD_USERS])
+    roads = {k: roads_df[k].to_numpy() for k in
+             ("sid", "axis", "lo", "hi", "c")}
+
+    pts = ev[ev["user_id"] >= ROAD_USERS].sort_values(
+        ["user_id", "ts_us", "event_id"], kind="stable"
+    )
+    checked = 0
+    for uid, g in pts.groupby("user_id"):
+        if len(g) < HMM_L or checked >= 6:
+            continue
+        eid = g["event_id"].to_numpy()[:HMM_L]
+        x, y = _xy(eid)
+        # scalar Viterbi
+        cands = [
+            _hmm_candidates(x[t : t + 1], y[t : t + 1], roads)
+            for t in range(HMM_L)
+        ]
+        cost = list(cands[0][1][0])
+        back = [[0] * HMM_C for _ in range(HMM_L)]
+        for t in range(1, HMM_L):
+            newc = []
+            for j in range(HMM_C):
+                best, bi = None, 0
+                for i in range(HMM_C):
+                    dmx = int(cands[t - 1][2][0][i]) - int(cands[t][2][0][j])
+                    dmy = int(cands[t - 1][3][0][i]) - int(cands[t][3][0][j])
+                    tr = (dmx * dmx + dmy * dmy) // HMM_TRANS_DIV
+                    v = cost[i] + tr
+                    if best is None or v < best:
+                        best, bi = v, i
+                newc.append(best + int(cands[t][1][0][j]))
+                back[t][j] = bi
+            cost = newc
+        end = int(np.argmin(cost))
+        total = cost[end]
+        s = end
+        path = [0] * HMM_L
+        for t in range(HMM_L - 1, -1, -1):
+            path[t] = int(cands[t][0][0][s])
+            s = back[t][s]
+        row = got[got["user_id"] == uid].iloc[0]
+        assert int(row["path_cost"]) == int(total)
+        assert int(row["end_seg"]) == path[-1]
+        assert int(row["n_distinct_segs"]) == len(set(path))
+        # sanity: HMM cost >= sum of best emissions (transitions >= 0)
+        emis_min = sum(int(cands[t][1][0].min()) for t in range(HMM_L))
+        assert int(row["path_cost"]) >= emis_min
+        checked += 1
+    assert checked >= 3
