@@ -273,6 +273,8 @@ BENCH_QUERIES = [
     "contour_segments",
     "hmm_map_match",
     "quadkey_encode",
+    "split_candidates",
+    "l_diversity",
 ]
 
 

@@ -12799,6 +12799,162 @@ FROM t GROUP BY 1
 """
 
 
+def q_split_candidates(sf_dir: str):
+    """Decision-stump split-candidate sweep — the inner loop of
+    GBDT/feature-selection training: for each of 9 fixed value-cent
+    thresholds, the exact left/right (count, positive-label count) the
+    Gini/entropy gain formula consumes (label = event is a 'purchase').
+    Pure combiner plan: per batch each row scatters into its threshold
+    bucket ONCE (searchsorted), the per-bucket partials tree-merge, and
+    the <=10-row suffix-sum finish happens on the driver — no per-
+    threshold rescan, no wide exchange. All outputs are exact int64 (the
+    gain pick stays exact off them); the SQL twin mirrors the bucket +
+    suffix-sum arithmetic."""
+    from ..stages.treeagg import clean_arrow
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    TH = np.array([1000, 2000, 3000, 4000, 5000, 6000, 7000, 8000, 9000],
+                  dtype=np.int64)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        vc = np.round(batch.column("value").to_numpy() * 100).astype(np.int64)
+        pos = pc.cast(
+            pc.equal(batch.column("event_type"), "purchase"), pa.int64()
+        )
+        # bucket b: rows with TH[b-1] <= vc < TH[b] (b in 0..9)
+        b = np.searchsorted(TH, vc, side="right")
+        return pa.table({"bucket": pa.array(b), "pos": pos})
+
+    part = tree_group_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["bucket"], {"n": (None, "count"), "n_pos": ("pos", "sum")},
+    ).to_pandas()  # <= 10 rows
+    part = part.sort_values("bucket")
+    full = np.zeros(10, np.int64)
+    fpos = np.zeros(10, np.int64)
+    full[part["bucket"].to_numpy()] = part["n"].to_numpy()
+    fpos[part["bucket"].to_numpy()] = part["n_pos"].to_numpy()
+    cn, cp = np.cumsum(full), np.cumsum(fpos)
+    out = pd.DataFrame(
+        {
+            "threshold_c": TH,
+            "n_left": cn[:9],
+            "pos_left": cp[:9],
+            "n_right": cn[9] - cn[:9],
+            "pos_right": cp[9] - cp[:9],
+        }
+    ).astype(np.int64)
+    return clean_arrow(out)
+
+
+_SQL_SPLIT_CANDIDATES = """
+WITH e AS (
+  SELECT CAST(ROUND(value * 100) AS BIGINT) AS vc,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+  FROM events
+), th AS (
+  SELECT UNNEST([1000, 2000, 3000, 4000, 5000, 6000, 7000, 8000, 9000])
+    AS threshold_c
+)
+SELECT th.threshold_c,
+       CAST(SUM(CASE WHEN e.vc < th.threshold_c THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_left,
+       CAST(SUM(CASE WHEN e.vc < th.threshold_c THEN e.pos ELSE 0 END)
+         AS BIGINT) AS pos_left,
+       CAST(SUM(CASE WHEN e.vc >= th.threshold_c THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_right,
+       CAST(SUM(CASE WHEN e.vc >= th.threshold_c THEN e.pos ELSE 0 END)
+         AS BIGINT) AS pos_right
+FROM e, th GROUP BY 1
+"""
+
+
+def q_l_diversity(sf_dir: str):
+    """l-diversity governance audit — the sibling of k_anonymity: for
+    each quasi-identifier group (nation, value decile-of-cents bucket)
+    over customers joined to their orders, the number of DISTINCT
+    sensitive values (order priority bucket = o_orderkey % 5) present;
+    groups with fewer than l = 3 distinct sensitive values are flagged.
+    Plan: one distinct combiner on (qid, sensitive) — the classic
+    two-level distinct-then-count without ever shipping row payloads —
+    then a tiny (qid) count. Oracle mirrors both levels."""
+    from ..stages.joins import auto_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def prep_c(batch: pa.Table) -> pa.Table:
+        bal = np.round(batch.column("c_acctbal").to_numpy() * 100).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "c_custkey": batch.column("c_custkey"),
+                "nat": batch.column("c_nationkey").cast(pa.int64()),
+                # +100000 keeps the operand positive (acctbal >= -999.99)
+                # so numpy floor-div == DuckDB truncating int division
+                "balb": pa.array((bal + 100000) // 100000),
+            }
+        )
+
+    joined = auto_join(
+        orders,
+        cust.map_batches(prep_c, batch_format="pyarrow"),
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ok = batch.column("o_orderkey").to_numpy()
+        return pa.table(
+            {
+                "nat": batch.column("nat"),
+                "balb": batch.column("balb"),
+                "sens": pa.array(ok % 5),
+            }
+        )
+
+    pairs = tree_group_agg(
+        joined.map_batches(prep, batch_format="pyarrow"),
+        ["nat", "balb", "sens"], {"m": (None, "count")},
+    )
+
+    def drop_m(batch: pa.Table) -> pa.Table:
+        return batch.select(["nat", "balb"])
+
+    counted = tree_group_agg(
+        pairs.map_batches(drop_m, batch_format="pyarrow"),
+        ["nat", "balb"], {"n_sensitive": (None, "count")},
+    )
+
+    def flag(batch: pa.Table) -> pa.Table:
+        ns = batch.column("n_sensitive").to_numpy()
+        return batch.append_column(
+            "violates_l3", pa.array((ns < 3).astype(np.int64))
+        )
+
+    return counted.map_batches(flag, batch_format="pyarrow")
+
+
+_SQL_L_DIVERSITY = """
+WITH j AS (
+  SELECT CAST(c.c_nationkey AS BIGINT) AS nat,
+         (CAST(ROUND(c.c_acctbal * 100) AS BIGINT) + 100000) // 100000
+           AS balb,
+         o.o_orderkey % 5 AS sens
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+), d AS (
+  SELECT DISTINCT nat, balb, sens FROM j
+)
+SELECT nat, balb, CAST(COUNT(*) AS BIGINT) AS n_sensitive,
+       CAST(CASE WHEN COUNT(*) < 3 THEN 1 ELSE 0 END AS BIGINT)
+         AS violates_l3
+FROM d GROUP BY 1, 2
+"""
+
+
 def q_embed_int8_quantize(sf_dir: str):
     """Calibrated symmetric int8 quantization of the embedding corpus —
     the compression step before an ANN index or a feature-store export
@@ -13093,6 +13249,8 @@ QUERIES = {
     "polygon_rasterize": q_polygon_rasterize,
     "hmm_map_match": q_hmm_map_match,
     "quadkey_encode": q_quadkey_encode,
+    "split_candidates": q_split_candidates,
+    "l_diversity": q_l_diversity,
 }
 
 ORACLES = {
@@ -13267,4 +13425,6 @@ ORACLES = {
     "geofence_transitions": _sql_geofence_transitions(),
     "cusum_changepoint": _SQL_CUSUM_CHANGEPOINT,
     "quadkey_encode": _sql_quadkey_encode(),
+    "split_candidates": _SQL_SPLIT_CANDIDATES,
+    "l_diversity": _SQL_L_DIVERSITY,
 }
