@@ -275,6 +275,7 @@ BENCH_QUERIES = [
     "quadkey_encode",
     "split_candidates",
     "l_diversity",
+    "poly_overlap_area",
 ]
 
 

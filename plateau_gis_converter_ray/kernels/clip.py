@@ -211,3 +211,47 @@ def slice_polygon_mvt(
                 # reverse winding (mvt/slice.rs:260-261)
                 local = local[::-1].copy()
                 tile.append((ri == 0, local))
+
+
+def convex_clip(subject: "np.ndarray", clip: "np.ndarray") -> "np.ndarray":
+    """Sutherland–Hodgman clip of (convex or not) ``subject`` against a
+    CONVEX ``clip`` ring — both (N, 2) float64, CCW, open. Returns the
+    clipped ring ((M, 2), possibly empty). The general-polygon slicers in
+    this module clip against AXIS-ALIGNED edges only (slice.rs parity);
+    this kernel is the arbitrary-convex-window variant the polygon-overlay
+    operator needs (intersection of two convex rings)."""
+    import numpy as np
+
+    out = subject
+    k = len(clip)
+    for i in range(k):
+        if len(out) == 0:
+            return out.reshape(0, 2)
+        a = clip[i]
+        b = clip[(i + 1) % k]
+        ex, ey = b[0] - a[0], b[1] - a[1]
+        # signed side of each vertex vs the (CCW) clip edge: >= 0 keeps
+        side = ex * (out[:, 1] - a[1]) - ey * (out[:, 0] - a[0])
+        nxt = np.roll(side, -1)
+        pts = []
+        for j in range(len(out)):
+            p, q = out[j], out[(j + 1) % len(out)]
+            if side[j] >= 0:
+                pts.append(p)
+            if (side[j] >= 0) != (nxt[j] >= 0):
+                t = side[j] / (side[j] - nxt[j])
+                pts.append(p + t * (q - p))
+        out = np.asarray(pts, dtype=np.float64).reshape(-1, 2)
+    return out
+
+
+def ring_area(ring: "np.ndarray") -> float:
+    """Shoelace area of a CCW (N, 2) ring (0.0 for N < 3)."""
+    import numpy as np
+
+    if len(ring) < 3:
+        return 0.0
+    x, y = ring[:, 0], ring[:, 1]
+    return float(
+        0.5 * np.abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+    )

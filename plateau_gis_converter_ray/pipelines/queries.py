@@ -12955,6 +12955,74 @@ FROM d GROUP BY 1, 2
 """
 
 
+def q_poly_overlap_area(sf_dir: str):
+    """Polygon-overlay intersection AREA join — the map-overlay operator
+    areal interpolation and boundary reconciliation need: for every
+    bbox-overlapping municipality pair, the exact intersection area by
+    Sutherland–Hodgman convex clipping (kernels/clip.py::convex_clip)
+    with hole inclusion–exclusion (A(o∩o) − A(h_a∩o_b) − A(o_a∩h_b) +
+    A(h_a∩h_b)). Candidate pairs come from the tiny polygon table's bbox
+    self-join on the driver; the clip work shards across tasks (at scale
+    pairs block by grid cell exactly like seg_intersect_join). Rows-only;
+    pinned in pytest against a Fraction-exact clip recompute and a
+    PIP-grid area estimate."""
+    import ray
+    import ray.data
+
+    from ..kernels.clip import convex_clip, ring_area
+    from ..sources.municipalities import municipality_polygons
+
+    polys = municipality_polygons()
+    boxes = np.array(
+        [
+            [
+                p["rings"][0][:, 0].min(), p["rings"][0][:, 0].max(),
+                p["rings"][0][:, 1].min(), p["rings"][0][:, 1].max(),
+            ]
+            for p in polys
+        ]
+    )
+    n = len(polys)
+    ia, ib = np.triu_indices(n, k=1)
+    ok = (
+        (boxes[ia, 0] <= boxes[ib, 1]) & (boxes[ib, 0] <= boxes[ia, 1])
+        & (boxes[ia, 2] <= boxes[ib, 3]) & (boxes[ib, 2] <= boxes[ia, 3])
+    )
+    ia, ib = ia[ok], ib[ok]
+    pref = ray.put(polys)
+
+    pairs = ray.data.from_arrow(
+        pa.table({"pa_": pa.array(ia.astype(np.int64)),
+                  "pb_": pa.array(ib.astype(np.int64))})
+    ).repartition(8)
+
+    def clip_area(batch: pa.Table) -> pa.Table:
+        ps = ray.get(pref)
+        a_ = batch.column("pa_").to_numpy()
+        b_ = batch.column("pb_").to_numpy()
+        areas = np.empty(len(a_), np.float64)
+        for j in range(len(a_)):
+            ra, rb = ps[a_[j]]["rings"], ps[b_[j]]["rings"]
+            area = ring_area(convex_clip(ra[0], rb[0]))
+            if len(ra) > 1:
+                area -= ring_area(convex_clip(ra[1], rb[0]))
+            if len(rb) > 1:
+                area -= ring_area(convex_clip(ra[0], rb[1]))
+            if len(ra) > 1 and len(rb) > 1:
+                area += ring_area(convex_clip(ra[1], rb[1]))
+            areas[j] = area
+        t = pa.table(
+            {
+                "pid_a": batch.column("pa_"),
+                "pid_b": batch.column("pb_"),
+                "area": pa.array(areas),
+            }
+        )
+        return t.filter(pa.array(areas > 1e-12))
+
+    return pairs.map_batches(clip_area, batch_format="pyarrow")
+
+
 def q_embed_int8_quantize(sf_dir: str):
     """Calibrated symmetric int8 quantization of the embedding corpus —
     the compression step before an ANN index or a feature-store export
@@ -13251,6 +13319,7 @@ QUERIES = {
     "quadkey_encode": q_quadkey_encode,
     "split_candidates": q_split_candidates,
     "l_diversity": q_l_diversity,
+    "poly_overlap_area": q_poly_overlap_area,
 }
 
 ORACLES = {

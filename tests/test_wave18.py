@@ -313,3 +313,90 @@ def test_hmm_map_match_vs_scalar_viterbi(ray_session):
         assert int(row["path_cost"]) >= emis_min
         checked += 1
     assert checked >= 3
+
+
+def test_poly_overlap_area_vs_fraction_exact_and_grid(ray_session):
+    """convex_clip float areas == a Fraction-exact Sutherland-Hodgman
+    recompute (to float tolerance), and each pair area agrees with a
+    dense PIP-grid estimate within grid resolution."""
+    from fractions import Fraction
+
+    import plateau_gis_converter_ray.pipelines.queries as q
+    from plateau_gis_converter_ray.kernels.pip import points_in_polygon
+    from plateau_gis_converter_ray.sources.municipalities import (
+        municipality_polygons,
+    )
+
+    got = _to_pandas(q.q_poly_overlap_area(SF_SMALL))
+    assert len(got) > 0
+    polys = municipality_polygons()
+
+    def frac_clip(subject, clip):
+        out = [(Fraction(float(x)), Fraction(float(y))) for x, y in subject]
+        k = len(clip)
+        for i in range(k):
+            if not out:
+                return []
+            ax, ay = Fraction(float(clip[i][0])), Fraction(float(clip[i][1]))
+            bx, by = (
+                Fraction(float(clip[(i + 1) % k][0])),
+                Fraction(float(clip[(i + 1) % k][1])),
+            )
+            ex, ey = bx - ax, by - ay
+            side = [ex * (p[1] - ay) - ey * (p[0] - ax) for p in out]
+            pts = []
+            for j in range(len(out)):
+                p, qq = out[j], out[(j + 1) % len(out)]
+                s0, s1 = side[j], side[(j + 1) % len(out)]
+                if s0 >= 0:
+                    pts.append(p)
+                if (s0 >= 0) != (s1 >= 0):
+                    t = s0 / (s0 - s1)
+                    pts.append(
+                        (p[0] + t * (qq[0] - p[0]), p[1] + t * (qq[1] - p[1]))
+                    )
+            out = pts
+        return out
+
+    def frac_area(ring):
+        if len(ring) < 3:
+            return Fraction(0)
+        s = Fraction(0)
+        for i in range(len(ring)):
+            x0, y0 = ring[i]
+            x1, y1 = ring[(i + 1) % len(ring)]
+            s += x0 * y1 - x1 * y0
+        return abs(s) / 2
+
+    checked = 0
+    for row in got.itertuples():
+        if checked >= 8:
+            break
+        ra = polys[int(row.pid_a)]["rings"]
+        rb = polys[int(row.pid_b)]["rings"]
+        want = frac_area(frac_clip(ra[0], rb[0]))
+        if len(ra) > 1:
+            want -= frac_area(frac_clip(ra[1], rb[0]))
+        if len(rb) > 1:
+            want -= frac_area(frac_clip(ra[0], rb[1]))
+        if len(ra) > 1 and len(rb) > 1:
+            want += frac_area(frac_clip(ra[1], rb[1]))
+        assert abs(float(row.area) - float(want)) < 1e-9 * max(
+            1.0, float(want)
+        )
+        # independent grid sanity: PIP-in-both cell count x cell area
+        cell = 0.01
+        x0 = min(ra[0][:, 0].min(), rb[0][:, 0].min()) - cell
+        x1 = max(ra[0][:, 0].max(), rb[0][:, 0].max()) + cell
+        y0 = min(ra[0][:, 1].min(), rb[0][:, 1].min()) - cell
+        y1 = max(ra[0][:, 1].max(), rb[0][:, 1].max()) + cell
+        gx, gy = np.meshgrid(
+            np.arange(x0, x1, cell), np.arange(y0, y1, cell), indexing="ij"
+        )
+        inside = points_in_polygon(
+            gx.ravel() + cell / 2, gy.ravel() + cell / 2, ra
+        ) & points_in_polygon(gx.ravel() + cell / 2, gy.ravel() + cell / 2, rb)
+        est = inside.sum() * cell * cell
+        assert abs(est - float(row.area)) < 0.15 * max(0.02, float(row.area))
+        checked += 1
+    assert checked >= 3
