@@ -276,6 +276,8 @@ BENCH_QUERIES = [
     "split_candidates",
     "l_diversity",
     "poly_overlap_area",
+    "percent_rank_orders",
+    "bounce_rate",
 ]
 
 

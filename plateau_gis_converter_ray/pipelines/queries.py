@@ -13023,6 +13023,180 @@ def q_poly_overlap_area(sf_dir: str):
     return pairs.map_batches(clip_area, batch_format="pyarrow")
 
 
+def q_percent_rank_orders(sf_dir: str):
+    """PERCENT_RANK / CUME_DIST of each order's total within its
+    priority class, WITHOUT a global sort: the class histogram of
+    total-cents is a combiner (classes × distinct totals stay bounded
+    because totals are cents-quantized); rank = count-below via a
+    per-class cumulative over the REDUCED histogram, broadcast back and
+    probed with searchsorted. Output avoids float division the same way
+    every exact query here does — (rank_below, n_peers, n_class) int64
+    triplets, from which PERCENT_RANK = rank_below/(n_class-1) and
+    CUME_DIST = (rank_below+n_peers)/n_class derive exactly."""
+    import ray
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority",
+                                  "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        tc = np.round(batch.column("o_totalprice").to_numpy() * 100).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "prio": batch.column("o_orderpriority"),
+                "tc": pa.array(tc),
+            }
+        )
+
+    hist = tree_group_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["prio", "tc"], {"m": (None, "count")},
+    ).to_pandas()  # bounded: priorities x distinct cent totals seen
+    hist = hist.sort_values(["prio", "tc"], kind="stable")
+    g = hist.groupby("prio", sort=False)
+    hist["below"] = g["m"].cumsum() - hist["m"]
+    totals = {p: int(s) for p, s in g["m"].sum().items()}
+    side = ray.put(
+        {
+            p: (
+                gg["tc"].to_numpy(),
+                gg["below"].to_numpy(),
+                gg["m"].to_numpy(),
+            )
+            for p, gg in hist.groupby("prio", sort=False)
+        }
+    )
+
+    def attach(batch: pa.Table) -> pa.Table:
+        lut = ray.get(side)
+        tc = np.round(batch.column("o_totalprice").to_numpy() * 100).astype(
+            np.int64
+        )
+        prio = batch.column("o_orderpriority").to_numpy(zero_copy_only=False)
+        below = np.empty(len(tc), np.int64)
+        peers = np.empty(len(tc), np.int64)
+        ncls = np.empty(len(tc), np.int64)
+        for p in np.unique(prio):
+            keys, b, m = lut[p]
+            sel = prio == p
+            pos = np.searchsorted(keys, tc[sel])
+            below[sel] = b[pos]
+            peers[sel] = m[pos]
+            ncls[sel] = totals[p]
+        return pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey"),
+                "rank_below": pa.array(below),
+                "n_peers": pa.array(peers),
+                "n_class": pa.array(ncls),
+            }
+        )
+
+    return ds.map_batches(attach, batch_format="pyarrow")
+
+
+_SQL_PERCENT_RANK_ORDERS = """
+WITH o AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS tc
+  FROM orders
+)
+SELECT o_orderkey,
+       CAST(RANK() OVER (PARTITION BY o_orderpriority ORDER BY tc) - 1
+         AS BIGINT) AS rank_below,
+       CAST(COUNT(*) OVER (PARTITION BY o_orderpriority, tc) AS BIGINT)
+         AS n_peers,
+       CAST(COUNT(*) OVER (PARTITION BY o_orderpriority) AS BIGINT)
+         AS n_class
+FROM o
+"""
+
+
+def q_bounce_rate(sf_dir: str):
+    """Sessionized bounce rate per event type of the session's FIRST
+    event: sessions (30-min gaps) with exactly one event are bounces.
+    One bucketed exchange; the session segmentation is the shared
+    gaps-and-islands shifted-compare; the per-first-type combiner ships
+    (n_sessions, n_bounces) only."""
+    from ..stages.treeagg import clean_arrow
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    GAP = 1_800_000_000
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy()
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "us": batch.column("ts").cast(pa.int64()),
+                "event_id": batch.column("event_id"),
+                "event_type": batch.column("event_type"),
+                "_bk": pa.array(u % 64),
+            }
+        )
+
+    def sweep(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "us", "event_id"], kind="stable")
+        u = g["user_id"].to_numpy()
+        us = g["us"].to_numpy()
+        et = g["event_type"].to_numpy()
+        new = np.r_[True, (u[1:] != u[:-1]) | (us[1:] - us[:-1] > GAP)]
+        sid = np.cumsum(new) - 1
+        sizes = np.bincount(sid)
+        first_idx = np.nonzero(new)[0]
+        out = (
+            pd.DataFrame(
+                {
+                    "first_type": et[first_idx],
+                    "bounce": (sizes == 1).astype(np.int64),
+                }
+            )
+            .groupby("first_type", as_index=False)
+            .agg(n_sessions=("bounce", "size"), n_bounces=("bounce", "sum"))
+        )
+        out["n_sessions"] = out["n_sessions"].astype(np.int64)
+        out["n_bounces"] = out["n_bounces"].astype(np.int64)
+        return clean_arrow(out)
+
+    parts = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("_bk")
+        .map_groups(sweep, batch_format="pandas")
+    )
+    return tree_group_agg(
+        parts, ["first_type"],
+        {"n_sessions": ("n_sessions", "sum"),
+         "n_bounces": ("n_bounces", "sum")},
+    )
+
+
+_SQL_BOUNCE_RATE = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id, event_type FROM events
+), m AS (
+  SELECT *,
+         CASE WHEN us - LAG(us) OVER w > 1800000000
+                OR LAG(us) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+), s AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+                             ORDER BY us, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+), agg AS (
+  SELECT event_type AS first_type,
+         COUNT(*) OVER (PARTITION BY user_id, sid) AS sz,
+         ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                            ORDER BY us, event_id) AS rn
+  FROM s
+)
+SELECT first_type, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces
+FROM agg WHERE rn = 1 GROUP BY 1
+"""
+
+
 def q_embed_int8_quantize(sf_dir: str):
     """Calibrated symmetric int8 quantization of the embedding corpus —
     the compression step before an ANN index or a feature-store export
@@ -13320,6 +13494,8 @@ QUERIES = {
     "split_candidates": q_split_candidates,
     "l_diversity": q_l_diversity,
     "poly_overlap_area": q_poly_overlap_area,
+    "percent_rank_orders": q_percent_rank_orders,
+    "bounce_rate": q_bounce_rate,
 }
 
 ORACLES = {
@@ -13496,4 +13672,6 @@ ORACLES = {
     "quadkey_encode": _sql_quadkey_encode(),
     "split_candidates": _SQL_SPLIT_CANDIDATES,
     "l_diversity": _SQL_L_DIVERSITY,
+    "percent_rank_orders": _SQL_PERCENT_RANK_ORDERS,
+    "bounce_rate": _SQL_BOUNCE_RATE,
 }
