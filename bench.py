@@ -278,6 +278,7 @@ BENCH_QUERIES = [
     "poly_overlap_area",
     "percent_rank_orders",
     "bounce_rate",
+    "areal_interpolation",
 ]
 
 

@@ -13197,6 +13197,95 @@ FROM agg WHERE rn = 1 GROUP BY 1
 """
 
 
+def q_areal_interpolation(sf_dir: str):
+    """Areal (dasymetric) interpolation — the spatial-statistics operator
+    that re-aggregates counts from one zone system to another: event
+    counts per rectangular mesh cell redistribute to each municipality
+    proportionally to area(mesh ∩ muni) / area(mesh), the intersection
+    areas coming from the convex-clip overlay kernel (holes subtracted).
+    Plan: the big side (events -> per-mesh counts) is the existing
+    arithmetic mesh combiner; the weight table (48 polys × bbox-touched
+    cells, computed in parallel tasks) is driver-small by construction
+    and joins the counts by broadcast — one combiner, zero wide
+    exchanges. Rows-only (float areas); pinned in pytest against a
+    scalar per-municipality recompute + weight-range invariants."""
+    import ray
+    import ray.data
+
+    from ..kernels.clip import convex_clip, ring_area
+    from ..sources.municipalities import (
+        EAST,
+        NORTH,
+        SOUTH,
+        WEST,
+        mesh_polygons,
+        municipality_polygons,
+    )
+    from ..stages.spatial_join import mesh_assign_arith
+    from ..stages.treeagg import clean_arrow
+
+    NX, NY = 24, 22
+    polys = municipality_polygons()
+    pref = ray.put(polys)
+    dx = (EAST - WEST) / NX
+    dy = (NORTH - SOUTH) / NY
+
+    pids = ray.data.from_arrow(
+        pa.table({"pid": pa.array(np.arange(len(polys), dtype=np.int64))})
+    ).repartition(8)
+
+    def weights(batch: pa.Table) -> pa.Table:
+        ps = ray.get(pref)
+        out_pid, out_mid, out_w = [], [], []
+        for pid in batch.column("pid").to_numpy():
+            rings = ps[pid]["rings"]
+            outer = rings[0]
+            ix0 = max(0, int(np.floor((outer[:, 0].min() - WEST) / dx)))
+            ix1 = min(NX - 1, int(np.floor((outer[:, 0].max() - WEST) / dx)))
+            iy0 = max(0, int(np.floor((outer[:, 1].min() - SOUTH) / dy)))
+            iy1 = min(NY - 1, int(np.floor((outer[:, 1].max() - SOUTH) / dy)))
+            for ix in range(ix0, ix1 + 1):
+                for iy in range(iy0, iy1 + 1):
+                    w0, s0 = WEST + ix * dx, SOUTH + iy * dy
+                    rect = np.array(
+                        [[w0, s0], [w0 + dx, s0], [w0 + dx, s0 + dy],
+                         [w0, s0 + dy]]
+                    )
+                    a = ring_area(convex_clip(rect, outer))
+                    if len(rings) > 1:
+                        a -= ring_area(convex_clip(rect, rings[1]))
+                    if a > 1e-12:
+                        out_pid.append(pid)
+                        out_mid.append(f"mesh_{ix}_{iy}")
+                        out_w.append(a / (dx * dy))
+        return pa.table(
+            {
+                "pid": pa.array(np.array(out_pid, np.int64)),
+                "mesh_id": pa.array(out_mid, pa.string()),
+                "w": pa.array(np.array(out_w, np.float64)),
+            }
+        )
+
+    wtab = pids.map_batches(weights, batch_format="pyarrow").to_pandas()
+
+    ev = _read(sf_dir, "events", ["event_id"])
+    ev = ev.map_batches(
+        lambda b: add_lnglat_arith(b, "event_id"), batch_format="pyarrow"
+    )
+    ev = ev.map_batches(mesh_assign_arith, batch_format="pyarrow")
+    counts = tree_group_agg(
+        ev.select_columns(["mesh_id"]), ["mesh_id"], {"n": (None, "count")}
+    ).to_pandas()  # <= 528 rows
+
+    m = wtab.merge(counts, on="mesh_id", how="inner")
+    m["part"] = m["n"] * m["w"]
+    out = m.groupby("pid", as_index=False).agg(
+        interp_count=("part", "sum"), n_cells=("mesh_id", "size")
+    )
+    out["n_cells"] = out["n_cells"].astype(np.int64)
+    return clean_arrow(out.sort_values("pid").reset_index(drop=True))
+
+
 def q_embed_int8_quantize(sf_dir: str):
     """Calibrated symmetric int8 quantization of the embedding corpus —
     the compression step before an ANN index or a feature-store export
@@ -13496,6 +13585,7 @@ QUERIES = {
     "poly_overlap_area": q_poly_overlap_area,
     "percent_rank_orders": q_percent_rank_orders,
     "bounce_rate": q_bounce_rate,
+    "areal_interpolation": q_areal_interpolation,
 }
 
 ORACLES = {

@@ -400,3 +400,75 @@ def test_poly_overlap_area_vs_fraction_exact_and_grid(ray_session):
         assert abs(est - float(row.area)) < 0.15 * max(0.02, float(row.area))
         checked += 1
     assert checked >= 3
+
+
+def test_areal_interpolation_scalar_recompute(ray_session):
+    """Weights in (0, 1]; per-mesh weight sums <= 1 + overlap slack is NOT
+    guaranteed (municipalities overlap), but each (pid, mesh) weight must
+    equal the scalar clip recompute, and a municipality's interpolated
+    count must equal the scalar dot product of its weights with the exact
+    per-mesh counts."""
+    import duckdb
+
+    import plateau_gis_converter_ray.pipelines.queries as q
+    from plateau_gis_converter_ray.kernels.clip import convex_clip, ring_area
+    from plateau_gis_converter_ray.sources.municipalities import (
+        EAST,
+        NORTH,
+        SOUTH,
+        WEST,
+        municipality_polygons,
+    )
+
+    got = _to_pandas(q.q_areal_interpolation(SF_SMALL))
+    assert len(got) > 0
+    assert (got["interp_count"] >= 0).all()
+    assert (got["n_cells"] >= 1).all()
+
+    # exact per-mesh counts via the registered oracle arithmetic
+    con = duckdb.connect()
+    lng, lat = q._geo_sql("event_id")
+    counts = con.sql(f"""
+      WITH pts AS (SELECT {lng} AS lng, {lat} AS lat
+                   FROM read_parquet('{SF_SMALL}/events.parquet'))
+      SELECT 'mesh_' ||
+        CAST(LEAST(CAST(FLOOR((lng - 122.0) / 24.0 * 24) AS BIGINT), 23)
+          AS VARCHAR) || '_' ||
+        CAST(LEAST(CAST(FLOOR((lat - 24.0) / 22.0 * 22) AS BIGINT), 21)
+          AS VARCHAR) AS mesh_id, COUNT(*) AS n
+      FROM pts GROUP BY 1
+    """).df()
+    cmap = dict(zip(counts["mesh_id"], counts["n"]))
+
+    polys = municipality_polygons()
+    dx, dy = (EAST - WEST) / 24, (NORTH - SOUTH) / 22
+    for pid in [0, 3, 7, 11]:
+        rings = polys[pid]["rings"]
+        outer = rings[0]
+        want = 0.0
+        ncells = 0
+        ix0 = max(0, int(np.floor((outer[:, 0].min() - WEST) / dx)))
+        ix1 = min(23, int(np.floor((outer[:, 0].max() - WEST) / dx)))
+        iy0 = max(0, int(np.floor((outer[:, 1].min() - SOUTH) / dy)))
+        iy1 = min(21, int(np.floor((outer[:, 1].max() - SOUTH) / dy)))
+        for ix in range(ix0, ix1 + 1):
+            for iy in range(iy0, iy1 + 1):
+                w0, s0 = WEST + ix * dx, SOUTH + iy * dy
+                rect = np.array([[w0, s0], [w0 + dx, s0],
+                                 [w0 + dx, s0 + dy], [w0, s0 + dy]])
+                a = ring_area(convex_clip(rect, outer))
+                if len(rings) > 1:
+                    a -= ring_area(convex_clip(rect, rings[1]))
+                if a > 1e-12:
+                    assert 0.0 < a / (dx * dy) <= 1.0 + 1e-12
+                    mid = f"mesh_{ix}_{iy}"
+                    if mid in cmap:
+                        want += cmap[mid] * (a / (dx * dy))
+                        ncells += 1
+        row = got[got["pid"] == pid]
+        if ncells == 0:
+            continue
+        assert len(row) == 1
+        assert abs(float(row["interp_count"].iloc[0]) - want) < 1e-6 * max(
+            1.0, want
+        )
