@@ -279,6 +279,8 @@ BENCH_QUERIES = [
     "percent_rank_orders",
     "bounce_rate",
     "areal_interpolation",
+    "bearing_sectors",
+    "polygon_compactness",
 ]
 
 

@@ -13286,6 +13286,163 @@ def q_areal_interpolation(sf_dir: str):
     return clean_arrow(out.sort_values("pid").reset_index(drop=True))
 
 
+def q_bearing_sectors(sf_dir: str):
+    """Wind-rose bearing histogram of per-user movement: consecutive
+    points (strict (ts, event_id) order, integer micro-degree geocode)
+    classify into 8 compass sectors by pure integer comparisons (E/NE/N/
+    NW/W/SW/S/SE — diagonal when |dx| and |dy| are within 2x of each
+    other, ties resolved by the fixed comparison order) plus sector 8
+    for zero moves. One bucketed exchange; the SQL twin repeats the CASE
+    ladder verbatim on LEAD() deltas."""
+    from ..stages.treeagg import clean_arrow
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy()
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "us": batch.column("ts").cast(pa.int64()),
+                "event_id": batch.column("event_id"),
+                "_bk": pa.array(u % 64),
+            }
+        )
+
+    def sweep(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "us", "event_id"], kind="stable")
+        u = g["user_id"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        x = (eid * 9973) % 240000
+        y = (eid * 7919) % 220000
+        same = u[1:] == u[:-1]
+        dx = (x[1:] - x[:-1])[same]
+        dy = (y[1:] - y[:-1])[same]
+        ax, ay = np.abs(dx), np.abs(dy)
+        diag = (2 * ax >= ay) & (2 * ay >= ax) & ((ax > 0) | (ay > 0))
+        sector = np.full(len(dx), 8, np.int64)  # zero move
+        horiz = (~diag) & (ax >= ay) & (ax > 0)
+        vert = (~diag) & (ay > ax)
+        sector[horiz & (dx > 0)] = 0   # E
+        sector[horiz & (dx < 0)] = 4   # W
+        sector[vert & (dy > 0)] = 2    # N
+        sector[vert & (dy < 0)] = 6    # S
+        sector[diag & (dx > 0) & (dy > 0)] = 1   # NE
+        sector[diag & (dx < 0) & (dy > 0)] = 3   # NW
+        sector[diag & (dx < 0) & (dy < 0)] = 5   # SW
+        sector[diag & (dx > 0) & (dy < 0)] = 7   # SE
+        # diagonal with one zero component can't happen (diag needs both
+        # within 2x), except exact zero handled above
+        out = (
+            pd.DataFrame({"sector": sector})
+            .groupby("sector", as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        out["n"] = out["n"].astype(np.int64)
+        return clean_arrow(out)
+
+    parts = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("_bk")
+        .map_groups(sweep, batch_format="pandas")
+    )
+    return tree_group_agg(parts, ["sector"], {"n": ("n", "sum")})
+
+
+_SQL_BEARING_SECTORS = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id,
+         (event_id * 9973) % 240000 AS x,
+         (event_id * 7919) % 220000 AS y
+  FROM events
+), w AS (
+  SELECT user_id,
+         LEAD(x) OVER win - x AS dx,
+         LEAD(y) OVER win - y AS dy,
+         LEAD(user_id) OVER win AS nu
+  FROM e WINDOW win AS (ORDER BY user_id, us, event_id)
+), m AS (
+  SELECT dx, dy, ABS(dx) AS ax, ABS(dy) AS ay,
+         (2 * ABS(dx) >= ABS(dy) AND 2 * ABS(dy) >= ABS(dx)
+          AND (ABS(dx) > 0 OR ABS(dy) > 0)) AS diag
+  FROM w WHERE nu = user_id
+), s AS (
+  SELECT CASE
+    WHEN diag AND dx > 0 AND dy > 0 THEN 1
+    WHEN diag AND dx < 0 AND dy > 0 THEN 3
+    WHEN diag AND dx < 0 AND dy < 0 THEN 5
+    WHEN diag AND dx > 0 AND dy < 0 THEN 7
+    WHEN NOT diag AND ax >= ay AND dx > 0 THEN 0
+    WHEN NOT diag AND ax >= ay AND dx < 0 THEN 4
+    WHEN NOT diag AND ay > ax AND dy > 0 THEN 2
+    WHEN NOT diag AND ay > ax AND dy < 0 THEN 6
+    ELSE 8 END AS sector
+  FROM m
+)
+SELECT CAST(sector AS BIGINT) AS sector, CAST(COUNT(*) AS BIGINT) AS n
+FROM s GROUP BY 1
+"""
+
+
+def q_polygon_compactness(sf_dir: str):
+    """Polygon morphometry audit over the municipality table: shoelace
+    area (holes subtracted), perimeter (holes added), vertex count and
+    the Polsby–Popper compactness 4πA/P² — the shape-quality metrics a
+    boundary-QA pipeline reports. The polygon table is tiny; the metric
+    kernel still runs sharded (same task layout as polygon_rasterize).
+    Rows-only; pinned against a scalar recompute."""
+    import ray
+    import ray.data
+
+    from ..kernels.clip import ring_area
+    from ..sources.municipalities import municipality_polygons
+
+    polys = municipality_polygons()
+    pref = ray.put(polys)
+    ds = ray.data.from_arrow(
+        pa.table({"pid": pa.array(np.arange(len(polys), dtype=np.int64))})
+    ).repartition(8)
+
+    def metrics(batch: pa.Table) -> pa.Table:
+        ps = ray.get(pref)
+        pid = batch.column("pid").to_numpy()
+        area = np.empty(len(pid), np.float64)
+        perim = np.empty(len(pid), np.float64)
+        nv = np.empty(len(pid), np.int64)
+        for j, p in enumerate(pid):
+            rings = ps[p]["rings"]
+            a = ring_area(rings[0])
+            pe = float(
+                np.sqrt(
+                    ((rings[0] - np.roll(rings[0], -1, axis=0)) ** 2).sum(
+                        axis=1
+                    )
+                ).sum()
+            )
+            v = len(rings[0])
+            for h in rings[1:]:
+                a -= ring_area(h)
+                pe += float(
+                    np.sqrt(((h - np.roll(h, -1, axis=0)) ** 2).sum(axis=1))
+                    .sum()
+                )
+                v += len(h)
+            area[j], perim[j], nv[j] = a, pe, v
+        pp = 4.0 * np.pi * area / (perim * perim)
+        return pa.table(
+            {
+                "pid": batch.column("pid"),
+                "area": pa.array(area),
+                "perimeter": pa.array(perim),
+                "n_vertices": pa.array(nv),
+                "polsby_popper": pa.array(pp),
+            }
+        )
+
+    return ds.map_batches(metrics, batch_format="pyarrow")
+
+
 def q_embed_int8_quantize(sf_dir: str):
     """Calibrated symmetric int8 quantization of the embedding corpus —
     the compression step before an ANN index or a feature-store export
@@ -13586,6 +13743,8 @@ QUERIES = {
     "percent_rank_orders": q_percent_rank_orders,
     "bounce_rate": q_bounce_rate,
     "areal_interpolation": q_areal_interpolation,
+    "bearing_sectors": q_bearing_sectors,
+    "polygon_compactness": q_polygon_compactness,
 }
 
 ORACLES = {
@@ -13764,4 +13923,5 @@ ORACLES = {
     "l_diversity": _SQL_L_DIVERSITY,
     "percent_rank_orders": _SQL_PERCENT_RANK_ORDERS,
     "bounce_rate": _SQL_BOUNCE_RATE,
+    "bearing_sectors": _SQL_BEARING_SECTORS,
 }

@@ -472,3 +472,42 @@ def test_areal_interpolation_scalar_recompute(ray_session):
         assert abs(float(row["interp_count"].iloc[0]) - want) < 1e-6 * max(
             1.0, want
         )
+
+
+def test_polygon_compactness_scalar(ray_session):
+    """Metrics == scalar recompute; compactness in (0, 1] for simple
+    polygons (without holes), lower when a hole adds perimeter."""
+    import plateau_gis_converter_ray.pipelines.queries as q
+    from plateau_gis_converter_ray.sources.municipalities import (
+        municipality_polygons,
+    )
+
+    got = (
+        _to_pandas(q.q_polygon_compactness(SF_SMALL))
+        .sort_values("pid")
+        .reset_index(drop=True)
+    )
+    polys = municipality_polygons()
+    assert len(got) == len(polys)
+    for pid in [0, 3, 5, 11, 19]:
+        rings = polys[pid]["rings"]
+        area = 0.0
+        per = 0.0
+        for ri, r in enumerate(rings):
+            x, y = r[:, 0], r[:, 1]
+            a = 0.5 * abs(
+                float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+            )
+            area += a if ri == 0 else -a
+            per += float(
+                np.sqrt(((r - np.roll(r, -1, axis=0)) ** 2).sum(axis=1)).sum()
+            )
+        row = got.iloc[pid]
+        assert abs(float(row["area"]) - area) < 1e-9 * max(1.0, area)
+        assert abs(float(row["perimeter"]) - per) < 1e-9 * max(1.0, per)
+        assert int(row["n_vertices"]) == sum(len(r) for r in rings)
+    simple = got[got["n_vertices"] == 8]
+    assert ((simple["polsby_popper"] > 0) & (simple["polsby_popper"] <= 1.0)).all()
+    holed = got[got["n_vertices"] > 8]
+    assert len(holed) >= 1
+    assert holed["polsby_popper"].max() < simple["polsby_popper"].max()
