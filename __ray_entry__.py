@@ -614,6 +614,19 @@ def _q_image_entropy(sf_dir: str):
     )
 
 
+def _q_flagship_incremental(sf_dir: str):
+    """Incremental flagship (IVM): chunked tile-assignment counts fold
+    into a maintained keyed parquet table via the exactly-once upsert
+    ledger (pipelines/flagship.py::run_flagship_incremental); applying
+    chunks one at a time == the one-shot batch aggregate (pytest-pinned
+    in test_flagship_incremental.py). Returns the maintained table."""
+    from plateau_gis_converter_ray.pipelines.flagship import (
+        run_flagship_incremental,
+    )
+
+    return run_flagship_incremental(sf=_sf_of(sf_dir))["table"]
+
+
 def _q_contour_segments(sf_dir: str):
     """Marching-squares contour extraction over the red-plane DEM
     (stages/raster_ops.py::ContourSegments) — raster -> vector lines, the
@@ -1351,6 +1364,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "image_entropy": _q_image_entropy,
             "image_ssim": _q_image_ssim,
             "contour_segments": _q_contour_segments,
+            "flagship_incremental": _q_flagship_incremental,
             "raster_blob_count": _q_raster_blob_count,
             "flow_accumulation": _q_flow_accumulation,
             "watershed_labels": _q_watershed_labels,

@@ -281,6 +281,7 @@ BENCH_QUERIES = [
     "areal_interpolation",
     "bearing_sectors",
     "polygon_compactness",
+    "flagship_incremental",
 ]
 
 

@@ -515,3 +515,71 @@ def write_flagship_glb_tiles(out_dir: str, tiles_dir: str | None = None):
     return agg.groupby(["zoom", "tile_x", "tile_y"]).map_groups(
         write_tile, batch_format="pandas"
     )
+
+
+def run_flagship_incremental(sf: float = 0.001, out_dir: str | None = None,
+                             n_chunks: int = 4):
+    """Incremental flagship (IVM): each input chunk's ADDITIVE tile-
+    assignment counts fold into a maintained keyed table via
+    ``sinks/upsert.py`` mode='sum' — the Delta/Iceberg-style maintained
+    aggregate, so newly ingested image files update the serving table in
+    O(chunk + touched buckets) instead of a full recompute. Exactly-once
+    per (chunk, bucket) comes from the parquet ``applied_chunks`` ledger
+    (atomic with the data), so a killed or replayed run tops up only the
+    unapplied buckets. Applying chunks one at a time equals the one-shot
+    batch aggregate (pytest-pinned). Only the additive measure
+    (n_assignments) is maintained — min/max extents are not sum-mergeable
+    through this sink and stay with the batch path.
+
+    Key packing: (tile_id, muni_id) -> tile_id * 64 + muni_id + 1
+    (muni_id in [-1, 47], tile ids fit far below 2^57)."""
+    import ray  # noqa: F401  (session owned by the caller)
+
+    from ..sinks.upsert import read_keyed_table, upsert
+    from ..sources.images import ensure_image_table
+
+    table_dir = ensure_image_table(sf)
+    files = sorted(
+        os.path.join(table_dir, f)
+        for f in os.listdir(table_dir)
+        if f.endswith(".parquet")
+    )
+    out_dir = out_dir or (
+        f"/tmp/plateau_ray_out/flagship_ivm_{PIPELINE_VERSION}_sf{sf:g}"
+    )
+    os.makedirs(out_dir, exist_ok=True)
+
+    def pack(batch: pa.Table) -> pa.Table:
+        tid = batch.column("tile_id").to_numpy()
+        d = batch.column("muni_id").combine_chunks().dictionary_encode()
+        uniq = d.dictionary.to_pylist()  # <= 49 distinct muni ids
+        vals = np.array(
+            [int(u[5:]) if u.startswith("muni_") else -1 for u in uniq],
+            dtype=np.int64,
+        )
+        mid = vals[d.indices.to_numpy(zero_copy_only=False)]
+        return pa.table(
+            {
+                "k": pa.array(tid * 64 + mid + 1),
+                "n_assignments": batch.column("n_assignments"),
+            }
+        )
+
+    chunks = [files[i::n_chunks] for i in range(n_chunks)]
+    touched = []
+    for ci, chunk_files in enumerate(chunks):
+        if not chunk_files:
+            continue
+        upd = tile_aggregate_ds(chunk_files).map_batches(
+            pack, batch_format="pyarrow"
+        )
+        touched.append(
+            int(
+                upsert(
+                    out_dir, upd, key="k", n_buckets=32, mode="sum",
+                    chunk_id=f"chunk{ci:04d}",
+                )
+            )
+        )
+    return {"out_dir": out_dir, "touched_per_chunk": touched,
+            "table": read_keyed_table(out_dir)}

@@ -1,0 +1,77 @@
+"""Incremental flagship (IVM) pins: chunk-at-a-time upsert == one-shot
+batch aggregate; replaying a chunk changes nothing (exactly-once via the
+per-bucket applied_chunks ledger)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _counts(df: pd.DataFrame) -> pd.DataFrame:
+    return df.sort_values("k").reset_index(drop=True)
+
+
+def test_incremental_equals_batch_and_replay_is_noop(ray_session, tmp_path):
+    import os
+
+    from plateau_gis_converter_ray.pipelines.flagship import (
+        run_flagship_incremental,
+        tile_aggregate_ds,
+    )
+    from plateau_gis_converter_ray.sinks.upsert import read_keyed_table, upsert
+    from plateau_gis_converter_ray.sources.images import ensure_image_table
+
+    out = str(tmp_path / "ivm")
+    res = run_flagship_incremental(sf=0.01, out_dir=out, n_chunks=3)
+    inc = _counts(res["table"].to_pandas())
+    assert len(inc) > 0
+
+    table_dir = ensure_image_table(0.01)
+    files = sorted(
+        os.path.join(table_dir, f)
+        for f in os.listdir(table_dir)
+        if f.endswith(".parquet")
+    )
+    def mid_of(s: pd.Series) -> np.ndarray:
+        return s.map(
+            lambda u: int(u[5:]) if u.startswith("muni_") else -1
+        ).to_numpy()
+
+    batch = tile_aggregate_ds(files).to_pandas()
+    batch["k"] = (
+        batch["tile_id"].to_numpy() * 64 + mid_of(batch["muni_id"]) + 1
+    )
+    want = _counts(
+        batch.groupby("k", as_index=False)["n_assignments"].sum()
+    )
+    assert inc["k"].tolist() == want["k"].tolist()
+    assert inc["n_assignments"].tolist() == want["n_assignments"].tolist()
+
+    # replay chunk 1: ledger makes every touched bucket a no-op
+    def pack(b: pa.Table) -> pa.Table:
+        d = b.column("muni_id").combine_chunks().dictionary_encode()
+        vals = np.array(
+            [int(u[5:]) if u.startswith("muni_") else -1
+             for u in d.dictionary.to_pylist()],
+            dtype=np.int64,
+        )
+        mid = vals[d.indices.to_numpy(zero_copy_only=False)]
+        return pa.table(
+            {
+                "k": pa.array(b.column("tile_id").to_numpy() * 64 + mid + 1),
+                "n_assignments": b.column("n_assignments"),
+            }
+        )
+
+    chunk1 = files[1::3]
+    upd = tile_aggregate_ds(chunk1).map_batches(pack, batch_format="pyarrow")
+    upsert(out, upd, key="k", n_buckets=32, mode="sum", chunk_id="chunk0001")
+    again = _counts(read_keyed_table(out).to_pandas())
+    assert again["n_assignments"].tolist() == inc["n_assignments"].tolist()
+
+    # a genuinely NEW chunk id with the same rows doubles those keys
+    upsert(out, upd, key="k", n_buckets=32, mode="sum", chunk_id="extra")
+    boosted = _counts(read_keyed_table(out).to_pandas())
+    assert boosted["n_assignments"].sum() > again["n_assignments"].sum()
