@@ -13025,15 +13025,20 @@ def q_poly_overlap_area(sf_dir: str):
 
 def q_percent_rank_orders(sf_dir: str):
     """PERCENT_RANK / CUME_DIST of each order's total within its
-    priority class, WITHOUT a global sort: the class histogram of
-    total-cents is a combiner (classes × distinct totals stay bounded
-    because totals are cents-quantized); rank = count-below via a
-    per-class cumulative over the REDUCED histogram, broadcast back and
-    probed with searchsorted. Output avoids float division the same way
-    every exact query here does — (rank_below, n_peers, n_class) int64
-    triplets, from which PERCENT_RANK = rank_below/(n_class-1) and
-    CUME_DIST = (rank_below+n_peers)/n_class derive exactly."""
+    priority class WITHOUT a global sort — the two-phase range-bucket
+    prefix (same scheme as cusum_changepoint): phase 1 reduces to
+    per-(prio, range-bucket) counts (tc >> 16 — a BOUNDED ~800-bucket
+    table regardless of row count, never the distinct-value histogram);
+    the driver computes per-bucket below-offsets + class totals and
+    broadcasts them; phase 2 buckets rows by range and ranks INSIDE the
+    bucket with a local sort (equal totals can't straddle buckets).
+    Output avoids float division the way every exact query here does —
+    (rank_below, n_peers, n_class) int64 triplets, from which
+    PERCENT_RANK = rank_below/(n_class-1) and CUME_DIST =
+    (rank_below+n_peers)/n_class derive exactly."""
     import ray
+
+    from ..stages.treeagg import clean_arrow
 
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority",
                                   "o_totalprice"])
@@ -13044,56 +13049,62 @@ def q_percent_rank_orders(sf_dir: str):
         )
         return pa.table(
             {
+                "o_orderkey": batch.column("o_orderkey"),
                 "prio": batch.column("o_orderpriority"),
                 "tc": pa.array(tc),
+                "rb": pa.array(tc >> 16),
             }
         )
 
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+
+    def drop_keys(batch: pa.Table) -> pa.Table:
+        return batch.select(["prio", "rb"])
+
     hist = tree_group_agg(
-        ds.map_batches(prep, batch_format="pyarrow"),
-        ["prio", "tc"], {"m": (None, "count")},
-    ).to_pandas()  # bounded: priorities x distinct cent totals seen
-    hist = hist.sort_values(["prio", "tc"], kind="stable")
+        prepped.map_batches(drop_keys, batch_format="pyarrow"),
+        ["prio", "rb"], {"m": (None, "count")},
+    ).to_pandas()  # bounded: priorities x (price range / 2^16) buckets
+    hist = hist.sort_values(["prio", "rb"], kind="stable")
     g = hist.groupby("prio", sort=False)
     hist["below"] = g["m"].cumsum() - hist["m"]
     totals = {p: int(s) for p, s in g["m"].sum().items()}
-    side = ray.put(
-        {
-            p: (
-                gg["tc"].to_numpy(),
-                gg["below"].to_numpy(),
-                gg["m"].to_numpy(),
+    offsets = {
+        (r.prio, int(r.rb)): int(r.below) for r in hist.itertuples()
+    }
+    side = ray.put((offsets, totals))
+
+    def rank_bucket(grp: pd.DataFrame) -> pa.Table:
+        offs, tots = ray.get(side)
+        grp = grp.sort_values(["prio", "tc"], kind="stable")
+        prio = grp["prio"].to_numpy()
+        tc = grp["tc"].to_numpy()
+        rb = int(grp["rb"].iloc[0])
+        below = np.empty(len(grp), np.int64)
+        peers = np.empty(len(grp), np.int64)
+        ncls = np.empty(len(grp), np.int64)
+        seg = np.r_[0, np.nonzero(prio[1:] != prio[:-1])[0] + 1, len(prio)]
+        for a, b in zip(seg[:-1], seg[1:]):
+            t = tc[a:b]
+            lo = np.searchsorted(t, t, side="left")
+            hi = np.searchsorted(t, t, side="right")
+            below[a:b] = offs[(prio[a], rb)] + lo
+            peers[a:b] = hi - lo
+            ncls[a:b] = tots[prio[a]]
+        return clean_arrow(
+            pd.DataFrame(
+                {
+                    "o_orderkey": grp["o_orderkey"].to_numpy(),
+                    "rank_below": below,
+                    "n_peers": peers,
+                    "n_class": ncls,
+                }
             )
-            for p, gg in hist.groupby("prio", sort=False)
-        }
+        )
+
+    return prepped.groupby("rb").map_groups(
+        rank_bucket, batch_format="pandas"
     )
-
-    def attach(batch: pa.Table) -> pa.Table:
-        lut = ray.get(side)
-        tc = np.round(batch.column("o_totalprice").to_numpy() * 100).astype(
-            np.int64
-        )
-        prio = batch.column("o_orderpriority").to_numpy(zero_copy_only=False)
-        below = np.empty(len(tc), np.int64)
-        peers = np.empty(len(tc), np.int64)
-        ncls = np.empty(len(tc), np.int64)
-        for p in np.unique(prio):
-            keys, b, m = lut[p]
-            sel = prio == p
-            pos = np.searchsorted(keys, tc[sel])
-            below[sel] = b[pos]
-            peers[sel] = m[pos]
-            ncls[sel] = totals[p]
-        return pa.table(
-            {
-                "o_orderkey": batch.column("o_orderkey"),
-                "rank_below": pa.array(below),
-                "n_peers": pa.array(peers),
-                "n_class": pa.array(ncls),
-            }
-        )
-
-    return ds.map_batches(attach, batch_format="pyarrow")
 
 
 _SQL_PERCENT_RANK_ORDERS = """
