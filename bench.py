@@ -282,6 +282,7 @@ BENCH_QUERIES = [
     "bearing_sectors",
     "polygon_compactness",
     "flagship_incremental",
+    "seasonal_naive_mase",
 ]
 
 

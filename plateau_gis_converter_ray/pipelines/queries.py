@@ -13454,6 +13454,80 @@ def q_polygon_compactness(sf_dir: str):
     return ds.map_batches(metrics, batch_format="pyarrow")
 
 
+def q_seasonal_naive_mase(sf_dir: str):
+    """Forecast-skill evaluation (MASE components) for the hourly
+    per-type value series: the seasonal-naive (t−24h) absolute error sum
+    vs the one-step-naive (t−1h) denominator, over the DENSIFIED hour
+    grid (missing hours are exact zeros, identical in the SQL twin).
+    The hourly series comes from one combiner — types × hours rows,
+    driver-small at any input size — so the lag arithmetic is exact
+    int64 on the reduced table; nothing row-scale ever leaves the
+    combiner."""
+    from ..stages.treeagg import clean_arrow
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    HOUR = 3_600_000_000
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").cast(pa.int64()).to_numpy()
+        vc = np.round(batch.column("value").to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "hb": pa.array(us // HOUR),
+                "vc": pa.array(vc),
+            }
+        )
+
+    hourly = tree_group_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["event_type", "hb"], {"s": ("vc", "sum")},
+    ).to_pandas()  # types x hours
+
+    rows = []
+    for t, g in hourly.groupby("event_type"):
+        g = g.sort_values("hb")
+        lo, hi = int(g["hb"].min()), int(g["hb"].max())
+        dense = np.zeros(hi - lo + 1, np.int64)
+        dense[g["hb"].to_numpy() - lo] = g["s"].to_numpy()
+        sn = np.abs(dense[24:] - dense[:-24]).sum() if len(dense) > 24 else 0
+        nv = np.abs(dense[1:] - dense[:-1]).sum() if len(dense) > 1 else 0
+        rows.append((t, np.int64(len(dense)), np.int64(sn), np.int64(nv)))
+    out = pd.DataFrame(
+        rows, columns=["event_type", "n_hours", "sn_abs_err", "naive_abs_err"]
+    )
+    return clean_arrow(out)
+
+
+_SQL_SEASONAL_NAIVE_MASE = """
+WITH e AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hb,
+         CAST(ROUND(value * 100) AS BIGINT) AS vc
+  FROM events
+), h AS (
+  SELECT event_type, hb, SUM(vc) AS s FROM e GROUP BY 1, 2
+), b AS (
+  SELECT event_type, MIN(hb) AS lo, MAX(hb) AS hi FROM h GROUP BY 1
+), grid AS (
+  SELECT b.event_type, g.hb
+  FROM b, UNNEST(range(b.lo, b.hi + 1)) AS g(hb)
+), d AS (
+  SELECT grid.event_type, grid.hb, COALESCE(h.s, 0) AS s
+  FROM grid LEFT JOIN h
+    ON h.event_type = grid.event_type AND h.hb = grid.hb
+), w AS (
+  SELECT event_type, s,
+         LAG(s, 1) OVER win AS p1,
+         LAG(s, 24) OVER win AS p24
+  FROM d WINDOW win AS (PARTITION BY event_type ORDER BY hb)
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+       CAST(COALESCE(SUM(ABS(s - p24)), 0) AS BIGINT) AS sn_abs_err,
+       CAST(COALESCE(SUM(ABS(s - p1)), 0) AS BIGINT) AS naive_abs_err
+FROM w GROUP BY 1
+"""
+
+
 def q_embed_int8_quantize(sf_dir: str):
     """Calibrated symmetric int8 quantization of the embedding corpus —
     the compression step before an ANN index or a feature-store export
@@ -13756,6 +13830,7 @@ QUERIES = {
     "areal_interpolation": q_areal_interpolation,
     "bearing_sectors": q_bearing_sectors,
     "polygon_compactness": q_polygon_compactness,
+    "seasonal_naive_mase": q_seasonal_naive_mase,
 }
 
 ORACLES = {
@@ -13935,4 +14010,5 @@ ORACLES = {
     "percent_rank_orders": _SQL_PERCENT_RANK_ORDERS,
     "bounce_rate": _SQL_BOUNCE_RATE,
     "bearing_sectors": _SQL_BEARING_SECTORS,
+    "seasonal_naive_mase": _SQL_SEASONAL_NAIVE_MASE,
 }
