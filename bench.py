@@ -283,6 +283,7 @@ BENCH_QUERIES = [
     "polygon_compactness",
     "flagship_incremental",
     "seasonal_naive_mase",
+    "ann_recall_eval",
 ]
 
 

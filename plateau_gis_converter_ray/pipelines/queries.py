@@ -13528,6 +13528,76 @@ FROM w GROUP BY 1
 """
 
 
+def q_ann_recall_eval(sf_dir: str):
+    """Index-quality monitoring as a first-class operator: recall@10 of
+    the cached IVF-PQ index vs the EXACT integer-quantized L2 top-10,
+    per query. The exact side is a distributed block top-k (broadcast
+    query matrix, per-block prune to 10 rows — only blocks × 80 candidate
+    rows ever reach the driver merge); the ANN side reads only the probed
+    bucket partitions. Output: qid, n_hit, recall_pct (exact ints).
+    Rows-only; the exact side doubles as the recall pin's ground truth
+    (tests pin recall bounds)."""
+    import ray
+
+    from ..stages.ann_index import ivfpq_index_build, ivfpq_search_cached
+    from ..stages.knn import quantize
+    from ..stages.treeagg import clean_arrow
+
+    q = _ann_query_head(sf_dir)
+    res = ivfpq_index_build(sf_dir)
+    ann = ivfpq_search_cached(res["index_dir"], q, topk=10, nprobe=4)
+    ann_df = ann.to_pandas() if hasattr(ann, "to_pandas") else ann
+
+    qv = quantize(np.asarray(q["vecs"]))
+    qref = ray.put((np.asarray(q["qid"], np.int64), qv))
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        qid, qm = ray.get(qref)
+        vid = batch.column("vec_id").to_numpy()
+        v = quantize(
+            np.stack(batch.column("embedding").to_numpy(zero_copy_only=False))
+        )
+        d2 = (
+            (v * v).sum(1)[None, :]
+            - 2 * (qm @ v.T)
+            + (qm * qm).sum(1)[:, None]
+        )  # (m, n) exact int64
+        rows = []
+        for i in range(len(qid)):
+            order = np.lexsort((vid, d2[i]))[: min(10, len(vid))]
+            rows.append(
+                np.stack(
+                    [np.full(len(order), qid[i]), vid[order], d2[i][order]],
+                    axis=1,
+                )
+            )
+        r = np.concatenate(rows)
+        return pa.table(
+            {
+                "qid": pa.array(r[:, 0]),
+                "vec_id": pa.array(r[:, 1]),
+                "d2": pa.array(r[:, 2]),
+            }
+        )
+
+    cand = (
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(block_topk, batch_format="pyarrow")
+        .to_pandas()  # blocks x queries x 10 — driver-small by the prune
+    )
+    cand = cand.sort_values(["qid", "d2", "vec_id"], kind="stable")
+    exact = cand.groupby("qid").head(10)
+
+    rows = []
+    for qid, g in exact.groupby("qid"):
+        truth = set(g["vec_id"].tolist())
+        got = set(ann_df.loc[ann_df["qid"] == qid, "ann_id"].tolist())
+        hit = len(truth & got)
+        rows.append((int(qid), np.int64(hit), np.int64(hit * 10)))
+    out = pd.DataFrame(rows, columns=["qid", "n_hit", "recall_pct"])
+    return clean_arrow(out)
+
+
 def q_embed_int8_quantize(sf_dir: str):
     """Calibrated symmetric int8 quantization of the embedding corpus —
     the compression step before an ANN index or a feature-store export
@@ -13831,6 +13901,7 @@ QUERIES = {
     "bearing_sectors": q_bearing_sectors,
     "polygon_compactness": q_polygon_compactness,
     "seasonal_naive_mase": q_seasonal_naive_mase,
+    "ann_recall_eval": q_ann_recall_eval,
 }
 
 ORACLES = {

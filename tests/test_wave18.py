@@ -511,3 +511,46 @@ def test_polygon_compactness_scalar(ray_session):
     holed = got[got["n_vertices"] > 8]
     assert len(holed) >= 1
     assert holed["polsby_popper"].max() < simple["polsby_popper"].max()
+
+
+def test_ann_recall_eval_matches_local_truth(ray_session):
+    """The distributed exact side == the local _exact_topk recompute;
+    recall bounds hold (self-hit guarantees n_hit >= 1; mean >= 0.4 as
+    the pq recall pin)."""
+    import plateau_gis_converter_ray.pipelines.queries as q
+    from plateau_gis_converter_ray.stages.knn import quantize
+
+    got = _to_pandas(q.q_ann_recall_eval(SF_SMALL)).sort_values("qid")
+    assert len(got) == 8
+    assert (got["n_hit"] >= 1).all()          # self-hit always recalled
+    assert got["n_hit"].mean() >= 4.0         # recall@10 mean >= 0.4
+    assert (got["recall_pct"] == got["n_hit"] * 10).all()
+
+    emb = pd.read_parquet(
+        SF_SMALL + "/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).sort_values("vec_id").reset_index(drop=True)
+    v = quantize(np.stack(emb["embedding"].to_numpy()))
+    vid = emb["vec_id"].to_numpy()
+    qv = v[:8]
+    d2 = (v * v).sum(1)[None, :] - 2 * (qv @ v.T) + (qv * qv).sum(1)[:, None]
+    from plateau_gis_converter_ray.stages.ann_index import (
+        ivfpq_index_build,
+        ivfpq_search_cached,
+    )
+
+    res = ivfpq_index_build(SF_SMALL)
+    ann = ivfpq_search_cached(
+        res["index_dir"],
+        {"qid": vid[:8], "vecs": np.stack(emb["embedding"].to_numpy()[:8])},
+        topk=10, nprobe=4,
+    )
+    ann_df = ann.to_pandas() if hasattr(ann, "to_pandas") else ann
+    for i in range(8):
+        order = np.lexsort((vid, d2[i]))[:10]
+        truth = set(vid[order].tolist())
+        hits = len(
+            truth
+            & set(ann_df.loc[ann_df["qid"] == vid[i], "ann_id"].tolist())
+        )
+        row = got[got["qid"] == vid[i]]
+        assert int(row["n_hit"].iloc[0]) == hits
