@@ -284,6 +284,7 @@ BENCH_QUERIES = [
     "flagship_incremental",
     "seasonal_naive_mase",
     "ann_recall_eval",
+    "nearest_neighbor_dist",
 ]
 
 

@@ -13598,6 +13598,40 @@ def q_ann_recall_eval(sf_dir: str):
     return clean_arrow(out)
 
 
+def q_nearest_neighbor_dist(sf_dir: str):
+    """Large-sample exact spatial self-NN (stages/knn.py::
+    nearest_neighbor_dist) — the north star's cell-ring kNN at
+    population scale: ONE 3x3-ring candidate exchange with a
+    density-adaptive cell size, Chebyshev-1 exactness bound, broadcast
+    brute tail only for the rare boundary points. The SQL twin is the
+    sampled cross join (exact integer distances, (d2, nn_id) ties)."""
+    from ..stages.knn import nearest_neighbor_dist
+
+    return nearest_neighbor_dist(sf_dir)
+
+
+_SQL_NEAREST_NEIGHBOR_DIST = """
+WITH p AS (
+  SELECT event_id,
+         (event_id * 9973) % 240000 AS x,
+         (event_id * 7919) % 220000 AS y
+  FROM events
+), s AS (
+  SELECT * FROM p WHERE event_id % 97 = 0
+), d AS (
+  SELECT s.event_id, q.event_id AS nn,
+         (s.x - q.x) * (s.x - q.x) + (s.y - q.y) * (s.y - q.y) AS d2,
+         ROW_NUMBER() OVER (
+           PARTITION BY s.event_id
+           ORDER BY (s.x - q.x) * (s.x - q.x)
+                    + (s.y - q.y) * (s.y - q.y), q.event_id) AS rn
+  FROM s JOIN p q ON q.event_id <> s.event_id
+)
+SELECT event_id, CAST(nn AS BIGINT) AS nn_id, CAST(d2 AS BIGINT) AS d2
+FROM d WHERE rn = 1
+"""
+
+
 def q_embed_int8_quantize(sf_dir: str):
     """Calibrated symmetric int8 quantization of the embedding corpus —
     the compression step before an ANN index or a feature-store export
@@ -13902,6 +13936,7 @@ QUERIES = {
     "polygon_compactness": q_polygon_compactness,
     "seasonal_naive_mase": q_seasonal_naive_mase,
     "ann_recall_eval": q_ann_recall_eval,
+    "nearest_neighbor_dist": q_nearest_neighbor_dist,
 }
 
 ORACLES = {
@@ -14082,4 +14117,5 @@ ORACLES = {
     "bounce_rate": _SQL_BOUNCE_RATE,
     "bearing_sectors": _SQL_BEARING_SECTORS,
     "seasonal_naive_mase": _SQL_SEASONAL_NAIVE_MASE,
+    "nearest_neighbor_dist": _SQL_NEAREST_NEIGHBOR_DIST,
 }

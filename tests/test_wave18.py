@@ -554,3 +554,23 @@ def test_ann_recall_eval_matches_local_truth(ray_session):
         )
         row = got[got["qid"] == vid[i]]
         assert int(row["n_hit"].iloc[0]) == hits
+
+
+def test_nearest_neighbor_dist_tail_path_equals_ring(ray_session):
+    """Shrinking the grid cell (cell_scale=0.3) forces most sample points
+    through the broadcast brute TAIL; the result must be identical to the
+    default ring-dominant path (both exact)."""
+    from plateau_gis_converter_ray.stages.knn import nearest_neighbor_dist
+
+    a = (
+        _to_pandas(nearest_neighbor_dist(SF_SMALL))
+        .sort_values("event_id").reset_index(drop=True)
+    )
+    b = (
+        _to_pandas(nearest_neighbor_dist(SF_SMALL, cell_scale=0.3))
+        .sort_values("event_id").reset_index(drop=True)
+    )
+    assert a["event_id"].tolist() == b["event_id"].tolist()
+    assert a["nn_id"].tolist() == b["nn_id"].tolist()
+    assert a["d2"].tolist() == b["d2"].tolist()
+    assert (a["d2"] > 0).all()
