@@ -68,3 +68,19 @@ def zxy_from_lnglat_webmercator(z: int, lng, lat):
     x = np.clip(x, 0, n - 1)
     y = np.clip(y, 0, n - 1)
     return x, y
+
+
+def quadkey_strings(x, y, z: int):
+    """Bing-maps quadkeys for tile coords at zoom ``z`` — digit i (msb
+    first) = 2*y_bit + x_bit, built via one contiguous (n, z) byte-matrix
+    view (no per-row Python)."""
+    import numpy as np
+
+    x = np.asarray(x, dtype=np.int64)
+    y = np.asarray(y, dtype=np.int64)
+    n = len(x)
+    digits = np.empty((n, z), dtype=np.uint8)
+    for i in range(z):
+        bit = z - 1 - i
+        digits[:, i] = 48 + (((y >> bit) & 1) * 2 + ((x >> bit) & 1))
+    return digits.reshape(n, z).view(f"S{z}").ravel().astype(f"U{z}")

@@ -12767,14 +12767,10 @@ def q_quadkey_encode(sf_dir: str):
     )
 
     def render(batch: pa.Table) -> pa.Table:
+        from ..kernels.webmercator import quadkey_strings
+
         k = batch.column("k").to_numpy()
-        x, y = k // 4096, k % 4096
-        n = len(k)
-        digits = np.empty((n, 12), dtype=np.uint8)
-        for i in range(12):
-            bit = 11 - i
-            digits[:, i] = 48 + (((y >> bit) & 1) * 2 + ((x >> bit) & 1))
-        s = digits.reshape(n, 12).view("S12").ravel().astype("U12")
+        s = quadkey_strings(k // 4096, k % 4096, 12)
         return pa.table({"quadkey": pa.array(s), "n": batch.column("n")})
 
     return reduced.map_batches(render, batch_format="pyarrow")

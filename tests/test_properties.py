@@ -276,3 +276,63 @@ def test_tileset_root_bbox_bounds_all_contents(entries):
         assert east >= math.radians(lngmin + dx) - 1e-12
         assert south <= math.radians(latmin) + 1e-12
         assert north >= math.radians(latmin + dy) - 1e-12
+
+
+@settings(max_examples=40, deadline=None)
+@given(convex_polygon(), convex_polygon())
+def test_convex_clip_intersection_properties(pa_, pb_):
+    """area(A ∩ B) <= min(area A, area B); the operation is symmetric in
+    area; clipping A by itself reproduces area(A)."""
+    from plateau_gis_converter_ray.kernels.clip import convex_clip, ring_area
+
+    aa, ab = ring_area(pa_), ring_area(pb_)
+    i_ab = ring_area(convex_clip(pa_, pb_))
+    i_ba = ring_area(convex_clip(pb_, pa_))
+    tol = 1e-9 * max(1.0, aa, ab)
+    assert i_ab <= min(aa, ab) + tol
+    assert abs(i_ab - i_ba) <= tol
+    assert abs(ring_area(convex_clip(pa_, pa_)) - aa) <= tol
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(0, 2**32 - 1), st.integers(6, 24), st.integers(6, 24))
+def test_marching_squares_complement_invariance(seed, h, w):
+    """Inverting the binary mask yields IDENTICAL segment counts — the
+    16-case lookup tables are palindromic (case c <-> 15 - c), so the
+    iso-contour between fg and bg is the same line set."""
+    from plateau_gis_converter_ray.stages.raster_ops import (
+        _MS_DIAG,
+        _MS_STRAIGHT,
+    )
+
+    assert (_MS_DIAG == _MS_DIAG[::-1]).all()
+    assert (_MS_STRAIGHT == _MS_STRAIGHT[::-1]).all()
+    rng = np.random.default_rng(seed)
+    g = rng.integers(0, 2, size=(h, w)).astype(bool)
+
+    def counts(mask):
+        case = (
+            mask[:-1, :-1].astype(np.uint8)
+            + 2 * mask[:-1, 1:]
+            + 4 * mask[1:, 1:]
+            + 8 * mask[1:, :-1]
+        )
+        return int(_MS_DIAG[case].sum()), int(_MS_STRAIGHT[case].sum())
+
+    assert counts(g) == counts(~g)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(0, 4095), st.integers(0, 4095))
+def test_quadkey_roundtrip(x, y):
+    """kernels.webmercator.quadkey_strings decodes back to exactly (x, y)."""
+    from plateau_gis_converter_ray.kernels.webmercator import quadkey_strings
+
+    qk = str(quadkey_strings([x], [y], 12)[0])
+    rx = ry = 0
+    for ch in qk:
+        d = int(ch)
+        rx = (rx << 1) | (d & 1)
+        ry = (ry << 1) | (d >> 1)
+    assert (rx, ry) == (x, y)
+    assert len(qk) == 12
