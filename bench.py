@@ -285,6 +285,7 @@ BENCH_QUERIES = [
     "seasonal_naive_mase",
     "ann_recall_eval",
     "nearest_neighbor_dist",
+    "kmv_source_overlap",
 ]
 
 

@@ -13628,6 +13628,79 @@ FROM d WHERE rn = 1
 """
 
 
+def q_kmv_source_overlap(sf_dir: str):
+    """Cross-source content-overlap monitoring via KMV (k-minimum-values)
+    sketches (stages/sketch.py) — the SET-OPERATION sketch next to HLL
+    (union-only) and CMS (frequency): per source, the 256 smallest
+    distinct 8-gram hashes are a pure (k × blocks)-bounded combiner; the
+    driver merges the tiny per-source sketches and reports pairwise
+    Jaccard / intersection / distinct estimates — the dataset-mixing
+    dedup-pressure dashboard. Rows-only (estimates by design, like
+    approx_distinct_events); the estimator error bound and the exact-
+    below-k property are pytest-pinned against exact n-gram sets."""
+    from ..stages.sketch import (
+        KMV_K,
+        kmv_distinct_estimate,
+        kmv_jaccard_estimate,
+        kmv_merge,
+        kmv_partial_batch,
+    )
+    from ..stages.treeagg import clean_arrow
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        src = batch.column("source").to_numpy(zero_copy_only=False)
+        txt = batch.column("text").to_pylist()
+        outs, outv = [], []
+        for s in np.unique(src):
+            vals = kmv_partial_batch(
+                [txt[i] for i in np.nonzero(src == s)[0]]
+            )
+            outs.append(np.full(len(vals), s, object))
+            outv.append(vals)
+        return pa.table(
+            {
+                "source": pa.array(np.concatenate(outs)),
+                "v": pa.array(np.concatenate(outv)),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        sk = kmv_merge(g["v"].to_numpy())
+        return pd.DataFrame({"source": g["source"].iloc[:1].repeat(len(sk)),
+                             "v": sk})
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()  # sources x k rows — driver-small
+    )
+    sketches = {
+        s: np.sort(g["v"].to_numpy()) for s, g in merged.groupby("source")
+    }
+    names = sorted(sketches)
+    rows = []
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            j, inter = kmv_jaccard_estimate(sketches[a], sketches[b])
+            rows.append(
+                (
+                    a, b,
+                    kmv_distinct_estimate(sketches[a]),
+                    kmv_distinct_estimate(sketches[b]),
+                    j, inter,
+                )
+            )
+    out = pd.DataFrame(
+        rows,
+        columns=["source_a", "source_b", "d_est_a", "d_est_b",
+                 "jaccard_est", "intersect_est"],
+    )
+    return clean_arrow(out)
+
+
 def q_embed_int8_quantize(sf_dir: str):
     """Calibrated symmetric int8 quantization of the embedding corpus —
     the compression step before an ANN index or a feature-store export
@@ -13933,6 +14006,7 @@ QUERIES = {
     "seasonal_naive_mase": q_seasonal_naive_mase,
     "ann_recall_eval": q_ann_recall_eval,
     "nearest_neighbor_dist": q_nearest_neighbor_dist,
+    "kmv_source_overlap": q_kmv_source_overlap,
 }
 
 ORACLES = {

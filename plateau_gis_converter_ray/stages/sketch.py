@@ -147,3 +147,52 @@ def cm_build(ds, key_col: str, w: int = 2048, d: int = 4) -> np.ndarray:
         )
     final = out.to_pandas()
     return np.frombuffer(final["cm"].iloc[0], dtype=np.int64).reshape(d, w).copy()
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch — the SET-OPERATION sketch next to
+# HyperLogLog (union-only) and count-min (frequency): keeping the k smallest
+# distinct hash values of a set supports distinct-count estimation
+# (D ~= (k-1) * 2^64 / h_k) AND union/intersection estimates by sketch
+# merge (Beyer et al. 2007). Partials are (key, hash) rows bounded by
+# k x blocks — a pure combiner; the k-th smallest never needs a global sort.
+
+KMV_K = 256
+
+
+def kmv_partial_batch(texts, n: int = 8, k: int = KMV_K) -> np.ndarray:
+    """k smallest distinct n-gram hashes over a batch's texts (int64
+    bit-pattern of the uint64 hash, shifted to be order-preserving)."""
+    from ..kernels.text import char_ngram_hashes
+
+    hs = [np.unique(char_ngram_hashes(t, n)) for t in texts]
+    u = np.unique(np.concatenate(hs)) if hs else np.empty(0, np.uint64)
+    u = u[: k]  # np.unique is sorted ascending
+    # order-preserving signed view: flip the top bit so uint64 order == int64
+    return (u ^ np.uint64(1 << 63)).astype(np.int64)
+
+
+def kmv_merge(values: np.ndarray, k: int = KMV_K) -> np.ndarray:
+    """Merge partial KMV value lists: distinct + k smallest (order-free)."""
+    return np.unique(values)[: k]
+
+
+def kmv_distinct_estimate(sketch: np.ndarray, k: int = KMV_K) -> float:
+    """(k-1) / U(h_k) with hashes mapped back to uniform [0, 1)."""
+    if len(sketch) < k:
+        return float(len(sketch))  # exact below k
+    hk = (sketch[k - 1].astype(np.uint64) ^ np.uint64(1 << 63)).astype(
+        np.float64
+    )
+    return (k - 1) / (hk / 2.0 ** 64)
+
+
+def kmv_jaccard_estimate(a: np.ndarray, b: np.ndarray, k: int = KMV_K):
+    """Jaccard + intersection estimates from two merged sketches: over the
+    union sketch's k smallest values, the match fraction estimates J."""
+    u = np.unique(np.concatenate([a, b]))[: k]
+    in_a = np.isin(u, a)
+    in_b = np.isin(u, b)
+    j = float((in_a & in_b).sum()) / max(len(u), 1)
+    d_union = kmv_distinct_estimate(u, k) if len(u) >= k else float(len(u))
+    return j, j * d_union

@@ -574,3 +574,54 @@ def test_nearest_neighbor_dist_tail_path_equals_ring(ray_session):
     assert a["nn_id"].tolist() == b["nn_id"].tolist()
     assert a["d2"].tolist() == b["d2"].tolist()
     assert (a["d2"] > 0).all()
+
+
+def test_kmv_estimates_within_bound(ray_session):
+    """KMV distinct/Jaccard estimates vs exact n-gram sets: relative
+    error within the ~3/sqrt(k) bound (k=256 -> ~19%, assert 25%);
+    below-k sketches are EXACT."""
+    import duckdb
+
+    import plateau_gis_converter_ray.pipelines.queries as q
+    from plateau_gis_converter_ray.kernels.text import char_ngram_hashes
+    from plateau_gis_converter_ray.stages.sketch import (
+        kmv_distinct_estimate,
+        kmv_merge,
+        kmv_partial_batch,
+    )
+
+    got = _to_pandas(q.q_kmv_source_overlap(SF_SMALL))
+    assert len(got) > 0
+
+    docs = pd.read_parquet(
+        SF_SMALL + "/documents.parquet", columns=["source", "text"]
+    )
+    exact = {
+        s: set(
+            np.concatenate(
+                [np.unique(char_ngram_hashes(t, 8)) for t in g["text"]]
+            ).tolist()
+        )
+        for s, g in docs.groupby("source")
+    }
+    checked = 0
+    for row in got.itertuples():
+        if checked >= 12:
+            break
+        ea, eb = exact[row.source_a], exact[row.source_b]
+        for est, true in (
+            (row.d_est_a, len(ea)),
+            (row.d_est_b, len(eb)),
+        ):
+            assert abs(est - true) <= 0.25 * true + 2
+        true_j = len(ea & eb) / len(ea | eb)
+        assert abs(row.jaccard_est - true_j) <= 0.12
+        assert abs(row.intersect_est - len(ea & eb)) <= (
+            0.25 * len(ea | eb) + 4
+        )
+        checked += 1
+    assert checked >= 6
+
+    # below-k exactness: a tiny synthetic corpus (< 256 distinct grams)
+    sk = kmv_merge(kmv_partial_batch(["abcdefghij"], n=8))
+    assert kmv_distinct_estimate(sk) == len(sk) == 3
