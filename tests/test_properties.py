@@ -233,8 +233,13 @@ def test_shapefile_polygonz_roundtrip_property(features, seed):
     assert len(back["shapes"]) == len(shapes)
     for got, want in zip(back["shapes"], shapes):
         w = want[0]
-        x, y = w[:, 0], w[:, 1]
-        if float((x * np.roll(y, -1) - np.roll(x, -1) * y).sum()) > 0:
+        # use the writer's own strict left-to-right signed area — a
+        # pairwise .sum() can flip orientation on near-zero-area rings
+        # (hypothesis found a subnormal-coordinate triangle where the
+        # two summation orders disagree)
+        from plateau_gis_converter_ray.sinks.shapefile import _signed_area_xy
+
+        if _signed_area_xy(w) > 0:
             w = w[::-1]  # writer re-orders CCW outer rings to CW
         assert np.array_equal(got[0], w)  # f64 bit-exact
     assert [r["fid"] for r in back["records"]] == [str(i) for i in range(len(shapes))]
