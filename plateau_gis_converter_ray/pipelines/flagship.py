@@ -565,10 +565,24 @@ def run_flagship_incremental(sf: float = 0.001, out_dir: str | None = None,
             }
         )
 
+    # chunk-level completion manifest: a fully-applied chunk skips even
+    # the partial-aggregate recompute on replay (the per-bucket
+    # applied_chunks ledger remains the exactly-once authority — a crash
+    # BETWEEN the upsert and this manifest append replays the chunk and
+    # the ledger tops up only unapplied buckets)
+    import json as _json
+
+    manifest_path = os.path.join(out_dir, "chunks.json")
+    done: set = set()
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            done = set(_json.load(f)["applied"])
+
     chunks = [files[i::n_chunks] for i in range(n_chunks)]
     touched = []
     for ci, chunk_files in enumerate(chunks):
-        if not chunk_files:
+        cid = f"chunk{ci:04d}"
+        if not chunk_files or cid in done:
             continue
         upd = tile_aggregate_ds(chunk_files).map_batches(
             pack, batch_format="pyarrow"
@@ -577,9 +591,14 @@ def run_flagship_incremental(sf: float = 0.001, out_dir: str | None = None,
             int(
                 upsert(
                     out_dir, upd, key="k", n_buckets=32, mode="sum",
-                    chunk_id=f"chunk{ci:04d}",
+                    chunk_id=cid,
                 )
             )
         )
+        done.add(cid)
+        tmp = manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump({"applied": sorted(done)}, f)
+        os.replace(tmp, manifest_path)  # atomic, AFTER the upsert
     return {"out_dir": out_dir, "touched_per_chunk": touched,
             "table": read_keyed_table(out_dir)}

@@ -75,3 +75,20 @@ def test_incremental_equals_batch_and_replay_is_noop(ray_session, tmp_path):
     upsert(out, upd, key="k", n_buckets=32, mode="sum", chunk_id="extra")
     boosted = _counts(read_keyed_table(out).to_pandas())
     assert boosted["n_assignments"].sum() > again["n_assignments"].sum()
+
+
+def test_rerun_skips_all_chunks(ray_session, tmp_path):
+    """A second run over the same out_dir consults the chunk manifest and
+    recomputes NOTHING (touched_per_chunk empty, table identical)."""
+    from plateau_gis_converter_ray.pipelines.flagship import (
+        run_flagship_incremental,
+    )
+
+    out = str(tmp_path / "ivm2")
+    r1 = run_flagship_incremental(sf=0.01, out_dir=out, n_chunks=3)
+    t1 = _counts(r1["table"].to_pandas())
+    assert len(r1["touched_per_chunk"]) == 3
+    r2 = run_flagship_incremental(sf=0.01, out_dir=out, n_chunks=3)
+    assert r2["touched_per_chunk"] == []
+    t2 = _counts(r2["table"].to_pandas())
+    assert t1["n_assignments"].tolist() == t2["n_assignments"].tolist()
