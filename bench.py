@@ -286,6 +286,7 @@ BENCH_QUERIES = [
     "ann_recall_eval",
     "nearest_neighbor_dist",
     "kmv_source_overlap",
+    "knn_dist_k4",
 ]
 
 

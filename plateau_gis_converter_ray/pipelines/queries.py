@@ -13628,6 +13628,40 @@ FROM d WHERE rn = 1
 """
 
 
+def q_knn_dist_k4(sf_dir: str):
+    """Exact top-4 spatial kNN for the population sample (stages/knn.py::
+    knn_dist_topk) — the k-distance primitive LOF-style density scoring
+    needs, via the same density-adaptive cell-ring exchange with the
+    Chebyshev-1 bound on the K-TH distance and a broadcast brute tail.
+    The SQL twin keeps rn <= 4 of the sampled cross join."""
+    from ..stages.knn import knn_dist_topk
+
+    return knn_dist_topk(sf_dir, k=4)
+
+
+_SQL_KNN_DIST_K4 = """
+WITH p AS (
+  SELECT event_id,
+         (event_id * 9973) % 240000 AS x,
+         (event_id * 7919) % 220000 AS y
+  FROM events
+), s AS (
+  SELECT * FROM p WHERE event_id % 97 = 0
+), d AS (
+  SELECT s.event_id, q.event_id AS nn,
+         (s.x - q.x) * (s.x - q.x) + (s.y - q.y) * (s.y - q.y) AS d2,
+         ROW_NUMBER() OVER (
+           PARTITION BY s.event_id
+           ORDER BY (s.x - q.x) * (s.x - q.x)
+                    + (s.y - q.y) * (s.y - q.y), q.event_id) AS rn
+  FROM s JOIN p q ON q.event_id <> s.event_id
+)
+SELECT event_id, CAST(rn AS BIGINT) AS rank, CAST(nn AS BIGINT) AS nn_id,
+       CAST(d2 AS BIGINT) AS d2
+FROM d WHERE rn <= 4
+"""
+
+
 def q_kmv_source_overlap(sf_dir: str):
     """Cross-source content-overlap monitoring via KMV (k-minimum-values)
     sketches (stages/sketch.py) — the SET-OPERATION sketch next to HLL
@@ -14007,6 +14041,7 @@ QUERIES = {
     "ann_recall_eval": q_ann_recall_eval,
     "nearest_neighbor_dist": q_nearest_neighbor_dist,
     "kmv_source_overlap": q_kmv_source_overlap,
+    "knn_dist_k4": q_knn_dist_k4,
 }
 
 ORACLES = {
@@ -14188,4 +14223,5 @@ ORACLES = {
     "bearing_sectors": _SQL_BEARING_SECTORS,
     "seasonal_naive_mase": _SQL_SEASONAL_NAIVE_MASE,
     "nearest_neighbor_dist": _SQL_NEAREST_NEIGHBOR_DIST,
+    "knn_dist_k4": _SQL_KNN_DIST_K4,
 }

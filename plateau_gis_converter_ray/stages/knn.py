@@ -968,3 +968,151 @@ def nearest_neighbor_dist(sf_dir: str, sample_mod: int = 97,
     out = resolved.sort_values("event_id").reset_index(drop=True)
     out = out[["event_id", "nn_id", "d2"]].astype(np.int64)
     return clean_arrow(out)
+
+
+def knn_dist_topk(sf_dir: str, k: int = 4, sample_mod: int = 97,
+                  cell_scale: float = 2.0):
+    """Exact top-k nearest neighbors for the deterministic sample —
+    :func:`nearest_neighbor_dist` generalized to k (the k-distance /
+    LOF-style density primitive). Same plan: each sample point meets ALL
+    its 3x3-ring candidates in exactly ONE cell group (candidates
+    replicate, the sample point doesn't), so in-segment lexsort yields
+    the ring top-k directly; a point is resolved iff it found >= k
+    candidates AND its k-th distance <= C^2 (the Chebyshev-1 bound
+    applied to the k-th neighbor); the rest go to the broadcast brute
+    tail whose per-block top-k partials merge on the driver."""
+    import ray
+
+    from ..sources.tables import read_table
+    from .treeagg import clean_arrow
+
+    DX, DY = 240000, 220000
+    ds = read_table(sf_dir, "events", ["event_id"])
+    n = ds.count()
+    C = int(cell_scale * np.sqrt(DX * DY / max(n, 1))) + 1
+
+    def prep(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy()
+        x = (eid * 9973) % DX
+        y = (eid * 7919) % DY
+        cx, cy = x // C, y // C
+        reps = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                cell = (cx + dx) * 4096 + (cy + dy)
+                reps.append(np.stack(
+                    [cell, eid, x, y, np.zeros(len(eid), np.int64)], axis=1))
+        m = eid % sample_mod == 0
+        if m.any():
+            reps.append(np.stack(
+                [cx[m] * 4096 + cy[m], eid[m], x[m], y[m],
+                 np.ones(int(m.sum()), np.int64)], axis=1))
+        r = np.concatenate(reps)
+        return pa.table(
+            {"cell": pa.array(r[:, 0]), "eid": pa.array(r[:, 1]),
+             "x": pa.array(r[:, 2]), "y": pa.array(r[:, 3]),
+             "is_s": pa.array(r[:, 4]), "_cb": pa.array(r[:, 0] % 256)}
+        )
+
+    def ring_topk(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["cell", "is_s", "eid"], kind="stable")
+        cell = g["cell"].to_numpy()
+        eid = g["eid"].to_numpy()
+        x = g["x"].to_numpy()
+        y = g["y"].to_numpy()
+        is_s = g["is_s"].to_numpy()
+        seg = np.r_[0, np.nonzero(cell[1:] != cell[:-1])[0] + 1, len(cell)]
+        out = []
+        for a, b in zip(seg[:-1], seg[1:]):
+            sm = is_s[a:b] == 1
+            if not sm.any():
+                continue
+            cm = ~sm
+            sx, sy, sid = x[a:b][sm], y[a:b][sm], eid[a:b][sm]
+            px, py, pid = x[a:b][cm], y[a:b][cm], eid[a:b][cm]
+            if len(pid) == 0:
+                continue
+            d2 = (sx[:, None] - px[None, :]) ** 2 + (
+                sy[:, None] - py[None, :]) ** 2
+            d2[sid[:, None] == pid[None, :]] = np.iinfo(np.int64).max
+            kk = min(k, len(pid))
+            order = np.lexsort(
+                (np.broadcast_to(pid, d2.shape), d2), axis=1)[:, :kk]
+            rows = np.repeat(sid, kk)
+            ranks = np.tile(np.arange(1, kk + 1, dtype=np.int64), len(sid))
+            nn = pid[order].ravel()
+            dd = np.take_along_axis(d2, order, axis=1).ravel()
+            keep = dd < np.iinfo(np.int64).max  # self-only cells
+            out.append(np.stack([rows, ranks, nn, dd], axis=1)[keep])
+        if not out:
+            return clean_arrow(pd.DataFrame(
+                columns=["event_id", "rank", "nn_id", "d2"], dtype=np.int64))
+        r = np.concatenate(out)
+        return clean_arrow(pd.DataFrame(
+            {"event_id": r[:, 0], "rank": r[:, 1],
+             "nn_id": r[:, 2], "d2": r[:, 3]}))
+
+    ring = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_cb")
+        .map_groups(ring_topk, batch_format="pandas")
+        .to_pandas()  # <= k * sample rows
+    )
+    counts = ring.groupby("event_id")["rank"].max()
+    kth = ring[ring["rank"] == k].set_index("event_id")["d2"]
+    resolved_ids = set(
+        i for i in counts.index
+        if counts[i] >= k and int(kth.get(i, np.iinfo(np.int64).max)) <= C * C
+    )
+    resolved = ring[ring["event_id"].isin(resolved_ids)]
+
+    def sample_ids(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy()
+        return pa.table({"event_id": pa.array(eid[eid % sample_mod == 0])})
+
+    all_s = ds.map_batches(sample_ids, batch_format="pyarrow").to_pandas()
+    tail_ids = np.array(
+        sorted(set(all_s["event_id"].tolist()) - resolved_ids),
+        dtype=np.int64,
+    )
+
+    if len(tail_ids):
+        tx = (tail_ids * 9973) % DX
+        ty = (tail_ids * 7919) % DY
+        tref = ray.put((tail_ids, tx, ty))
+
+        def brute_partial(batch: pa.Table) -> pa.Table:
+            tids, tx, ty = ray.get(tref)
+            eid = batch.column("event_id").to_numpy()
+            x = (eid * 9973) % DX
+            y = (eid * 7919) % DY
+            d2 = (tx[:, None] - x[None, :]) ** 2 + (
+                ty[:, None] - y[None, :]) ** 2
+            d2[tids[:, None] == eid[None, :]] = np.iinfo(np.int64).max
+            kk = min(k, d2.shape[1])
+            order = np.lexsort(
+                (np.broadcast_to(eid, d2.shape), d2), axis=1)[:, :kk]
+            return pa.table(
+                {
+                    "event_id": pa.array(np.repeat(tids, kk)),
+                    "nn_id": pa.array(eid[order].ravel()),
+                    "d2": pa.array(
+                        np.take_along_axis(d2, order, axis=1).ravel()),
+                }
+            )
+
+        parts = ds.map_batches(
+            brute_partial, batch_format="pyarrow").to_pandas()
+        parts = parts[parts["d2"] < np.iinfo(np.int64).max]
+        parts = parts.sort_values(["event_id", "d2", "nn_id"], kind="stable")
+        parts["rank"] = parts.groupby("event_id").cumcount() + 1
+        tail = parts[parts["rank"] <= k]
+        resolved = pd.concat(
+            [resolved, tail[["event_id", "rank", "nn_id", "d2"]]],
+            ignore_index=True,
+        )
+
+    out = resolved.sort_values(["event_id", "rank"]).reset_index(drop=True)
+    return clean_arrow(
+        out[["event_id", "rank", "nn_id", "d2"]].astype(np.int64)
+    )

@@ -625,3 +625,33 @@ def test_kmv_estimates_within_bound(ray_session):
     # below-k exactness: a tiny synthetic corpus (< 256 distinct grams)
     sk = kmv_merge(kmv_partial_batch(["abcdefghij"], n=8))
     assert kmv_distinct_estimate(sk) == len(sk) == 3
+
+
+def test_knn_dist_k4_tail_path_equals_ring(ray_session):
+    """Shrinking the cell forces the brute tail for the top-4 variant;
+    results must be identical (both exact), and rank-1 rows must equal
+    nearest_neighbor_dist's output."""
+    from plateau_gis_converter_ray.stages.knn import (
+        knn_dist_topk,
+        nearest_neighbor_dist,
+    )
+
+    a = (
+        _to_pandas(knn_dist_topk(SF_SMALL, k=4))
+        .sort_values(["event_id", "rank"]).reset_index(drop=True)
+    )
+    b = (
+        _to_pandas(knn_dist_topk(SF_SMALL, k=4, cell_scale=0.3))
+        .sort_values(["event_id", "rank"]).reset_index(drop=True)
+    )
+    for c in ("event_id", "rank", "nn_id", "d2"):
+        assert a[c].tolist() == b[c].tolist()
+    nn1 = (
+        _to_pandas(nearest_neighbor_dist(SF_SMALL))
+        .sort_values("event_id").reset_index(drop=True)
+    )
+    r1 = a[a["rank"] == 1].sort_values("event_id").reset_index(drop=True)
+    assert r1["nn_id"].tolist() == nn1["nn_id"].tolist()
+    assert r1["d2"].tolist() == nn1["d2"].tolist()
+    # k-distance is monotone in rank per point
+    assert (a.groupby("event_id")["d2"].diff().dropna() >= 0).all()
