@@ -287,6 +287,7 @@ BENCH_QUERIES = [
     "nearest_neighbor_dist",
     "kmv_source_overlap",
     "knn_dist_k4",
+    "lof_outliers",
 ]
 
 

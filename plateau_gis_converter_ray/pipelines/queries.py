@@ -13662,6 +13662,19 @@ FROM d WHERE rn <= 4
 """
 
 
+def q_lof_outliers(sf_dir: str):
+    """LOF density-based anomaly scores for the population sample
+    (stages/knn.py::lof_scores) — built ON the k-distance primitive:
+    three bounded targeted passes of the cell-ring kNN (sample, 1-hop
+    neighbors, 2-hop kdist-only), exact integer reachability sums,
+    mirrored final divisions. Rows-only (float LOF ratios); pinned in
+    pytest against a brute full-matrix recompute with the same
+    squared-distance variant."""
+    from ..stages.knn import lof_scores
+
+    return lof_scores(sf_dir)
+
+
 def q_kmv_source_overlap(sf_dir: str):
     """Cross-source content-overlap monitoring via KMV (k-minimum-values)
     sketches (stages/sketch.py) — the SET-OPERATION sketch next to HLL
@@ -14042,6 +14055,7 @@ QUERIES = {
     "nearest_neighbor_dist": q_nearest_neighbor_dist,
     "kmv_source_overlap": q_kmv_source_overlap,
     "knn_dist_k4": q_knn_dist_k4,
+    "lof_outliers": q_lof_outliers,
 }
 
 ORACLES = {

@@ -971,7 +971,7 @@ def nearest_neighbor_dist(sf_dir: str, sample_mod: int = 97,
 
 
 def knn_dist_topk(sf_dir: str, k: int = 4, sample_mod: int = 97,
-                  cell_scale: float = 2.0):
+                  cell_scale: float = 2.0, target_ids=None):
     """Exact top-k nearest neighbors for the deterministic sample —
     :func:`nearest_neighbor_dist` generalized to k (the k-distance /
     LOF-style density primitive). Same plan: each sample point meets ALL
@@ -1002,7 +1002,12 @@ def knn_dist_topk(sf_dir: str, k: int = 4, sample_mod: int = 97,
                 cell = (cx + dx) * 4096 + (cy + dy)
                 reps.append(np.stack(
                     [cell, eid, x, y, np.zeros(len(eid), np.int64)], axis=1))
-        m = eid % sample_mod == 0
+        if target_ids is not None:
+            pos = np.searchsorted(target_ids, eid)
+            pos[pos >= len(target_ids)] = 0
+            m = target_ids[pos] == eid
+        else:
+            m = eid % sample_mod == 0
         if m.any():
             reps.append(np.stack(
                 [cx[m] * 4096 + cy[m], eid[m], x[m], y[m],
@@ -1068,7 +1073,13 @@ def knn_dist_topk(sf_dir: str, k: int = 4, sample_mod: int = 97,
 
     def sample_ids(batch: pa.Table) -> pa.Table:
         eid = batch.column("event_id").to_numpy()
-        return pa.table({"event_id": pa.array(eid[eid % sample_mod == 0])})
+        if target_ids is not None:
+            pos = np.searchsorted(target_ids, eid)
+            pos[pos >= len(target_ids)] = 0
+            m = target_ids[pos] == eid
+        else:
+            m = eid % sample_mod == 0
+        return pa.table({"event_id": pa.array(eid[m])})
 
     all_s = ds.map_batches(sample_ids, batch_format="pyarrow").to_pandas()
     tail_ids = np.array(
@@ -1116,3 +1127,87 @@ def knn_dist_topk(sf_dir: str, k: int = 4, sample_mod: int = 97,
     return clean_arrow(
         out[["event_id", "rank", "nn_id", "d2"]].astype(np.int64)
     )
+
+
+def lof_scores(sf_dir: str, k: int = 4, sample_mod: int = 97,
+               cell_scale: float = 2.0):
+    """Local Outlier Factor (squared-distance variant) for the sample —
+    the density-based anomaly score built ON the k-distance primitive:
+    pass 1 = sample top-k (:func:`knn_dist_topk`); pass 2 = the SAME
+    operator re-targeted (``target_ids``) at the sample's neighbor set
+    (<= k x sample ids — bounded), yielding every neighbor's k-distance;
+    then reach2(p,o) = max(d2(p,o), kdist2(o)), lrd = k / sum reach2,
+    LOF = mean(lrd of neighbors) / lrd(p). Exact integer reach2 sums;
+    the two float divisions are the mirrored final expressions. The
+    squared-distance variant (documented) keeps every comparison exact —
+    max of squares == square of max for nonnegative distances. Pinned in
+    pytest against a brute full-matrix recompute."""
+    import pandas as _pd
+
+    p1 = knn_dist_topk(sf_dir, k, sample_mod, cell_scale)
+    df1 = p1.to_pandas() if hasattr(p1, "to_pandas") else p1
+    nbrs = np.unique(df1["nn_id"].to_numpy())
+    sample_ids = np.unique(df1["event_id"].to_numpy())
+    extra = np.setdiff1d(nbrs, sample_ids)
+    if len(extra):
+        p2 = knn_dist_topk(sf_dir, k, cell_scale=cell_scale,
+                           target_ids=np.sort(extra))
+        df2 = p2.to_pandas() if hasattr(p2, "to_pandas") else p2
+        all_knn = _pd.concat([df1, df2], ignore_index=True)
+    else:
+        all_knn = df1
+    kd = all_knn[all_knn["rank"] == all_knn.groupby("event_id")["rank"]
+                 .transform("max")]
+    kdist2 = dict(zip(kd["event_id"], kd["d2"]))
+    # 2-hop k-distances: the 1-hop neighbors' reach sums need THEIR
+    # neighbors' kdist — one more targeted pass for kdist ONLY (bounded
+    # <= k^2 x sample ids)
+    hop2 = np.setdiff1d(
+        np.unique(all_knn["nn_id"].to_numpy()),
+        np.array(sorted(kdist2), dtype=np.int64),
+    )
+    if len(hop2):
+        p3 = knn_dist_topk(sf_dir, k, cell_scale=cell_scale,
+                           target_ids=np.sort(hop2))
+        df3 = p3.to_pandas() if hasattr(p3, "to_pandas") else p3
+        kd3 = df3[df3["rank"] == df3.groupby("event_id")["rank"]
+                  .transform("max")]
+        kdist2.update(dict(zip(kd3["event_id"], kd3["d2"])))
+
+    # reachability sums per point — vectorized: attach each neighbor's
+    # kdist via a sorted searchsorted lookup, segment-sum reach2
+    kd_ids = np.array(sorted(kdist2), dtype=np.int64)
+    kd_vals = np.array([kdist2[i] for i in kd_ids], dtype=np.int64)
+
+    def kd_of(ids: np.ndarray) -> np.ndarray:
+        return kd_vals[np.searchsorted(kd_ids, ids)]
+
+    ak = all_knn.sort_values(["event_id", "rank"], kind="stable")
+    reach = np.maximum(ak["d2"].to_numpy(), kd_of(ak["nn_id"].to_numpy()))
+    e = ak["event_id"].to_numpy()
+    seg = np.r_[0, np.nonzero(e[1:] != e[:-1])[0] + 1]
+    seg_ids = e[seg]
+    rsum = np.add.reduceat(reach, seg)
+    rcnt = np.diff(np.r_[seg, len(e)])
+    lrd_vals = rcnt / rsum  # exact int sums, one division
+    lrd_ids = seg_ids
+
+    def lrd_of(ids: np.ndarray) -> np.ndarray:
+        return lrd_vals[np.searchsorted(lrd_ids, ids)]
+
+    d1 = df1.sort_values(["event_id", "rank"], kind="stable")
+    e1 = d1["event_id"].to_numpy()
+    s1 = np.r_[0, np.nonzero(e1[1:] != e1[:-1])[0] + 1]
+    nb_lrd = lrd_of(d1["nn_id"].to_numpy())
+    mean_nb = np.add.reduceat(nb_lrd, s1) / np.diff(np.r_[s1, len(e1)])
+    sids = e1[s1]
+    out = _pd.DataFrame(
+        {
+            "event_id": sids,
+            "kdist2": kd_of(sids),
+            "lof": mean_nb / lrd_of(sids),
+        }
+    )
+    from .treeagg import clean_arrow
+
+    return clean_arrow(out)

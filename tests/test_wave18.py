@@ -655,3 +655,42 @@ def test_knn_dist_k4_tail_path_equals_ring(ray_session):
     assert r1["d2"].tolist() == nn1["d2"].tolist()
     # k-distance is monotone in rank per point
     assert (a.groupby("event_id")["d2"].diff().dropna() >= 0).all()
+
+
+def test_lof_vs_brute_full_matrix(ray_session):
+    """LOF (squared-distance variant) == a brute full-distance-matrix
+    recompute for every sampled point; scores near 1 for uniform-density
+    points by construction of the variant."""
+    import plateau_gis_converter_ray.pipelines.queries as q
+
+    got = (
+        _to_pandas(q.q_lof_outliers(SF_SMALL))
+        .sort_values("event_id").reset_index(drop=True)
+    )
+    assert len(got) > 0
+
+    ev = pd.read_parquet(SF_SMALL + "/events.parquet", columns=["event_id"])
+    eid = np.sort(ev["event_id"].to_numpy())
+    x = (eid * 9973) % 240000
+    y = (eid * 7919) % 220000
+    d2 = (x[:, None] - x[None, :]) ** 2 + (y[:, None] - y[None, :]) ** 2
+    np.fill_diagonal(d2, np.iinfo(np.int64).max)
+    K = 4
+    order = np.lexsort((np.broadcast_to(eid, d2.shape), d2), axis=1)[:, :K]
+    kdist = np.take_along_axis(d2, order, axis=1)[:, -1]
+    idx_of = {int(e): i for i, e in enumerate(eid)}
+
+    def reach_sum(i):
+        nb = order[i]
+        return int(np.maximum(d2[i, nb], kdist[nb]).sum()), K
+
+    def lrd(i):
+        s, m = reach_sum(i)
+        return m / s
+
+    for row in got.itertuples():
+        i = idx_of[int(row.event_id)]
+        assert int(row.kdist2) == int(kdist[i])
+        want = float(np.mean([lrd(j) for j in order[i]]) / lrd(i))
+        assert abs(float(row.lof) - want) < 1e-9 * max(1.0, want)
+    assert got["lof"].median() < 3.0  # uniform-ish density -> LOF ~ 1
