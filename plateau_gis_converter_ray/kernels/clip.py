@@ -245,6 +245,42 @@ def convex_clip(subject: "np.ndarray", clip: "np.ndarray") -> "np.ndarray":
     return out
 
 
+def clip_intersection_area(subject: "np.ndarray", clip: "np.ndarray") -> float:
+    """Exact area of ``subject`` ∩ ``clip`` for a SIMPLE (possibly CONCAVE)
+    ``clip`` ring — the general-polygon overlay the areal operators need.
+
+    Sutherland–Hodgman against a concave clip window is NOT the polygon
+    intersection (it clips to each edge's half-plane in sequence), so
+    ``clip`` is decomposed into SIGNED fan triangles (v0, v_i, v_{i+1});
+    each triangle is convex, so :func:`convex_clip` is exact on it, and the
+    signed sum telescopes to the winding-number indicator of the simple
+    ring: CCW triangles add area(subject ∩ T), CW triangles subtract it.
+    ``subject`` may itself be concave (S–H of a concave subject against a
+    convex window yields degenerate bridge edges whose shoelace
+    contribution is zero, so the area is still exact). Both rings (N, 2)
+    float64, open; ``clip`` in either orientation."""
+    import numpy as np
+
+    if len(subject) < 3 or len(clip) < 3:
+        return 0.0
+    v0 = clip[0]
+    total = 0.0
+    for i in range(1, len(clip) - 1):
+        a, b = clip[i], clip[i + 1]
+        cross = (a[0] - v0[0]) * (b[1] - v0[1]) - (a[1] - v0[1]) * (
+            b[0] - v0[0]
+        )
+        if cross == 0.0:
+            continue
+        if cross > 0.0:
+            tri = np.array([v0, a, b], dtype=np.float64)
+            total += ring_area(convex_clip(subject, tri))
+        else:
+            tri = np.array([v0, b, a], dtype=np.float64)
+            total -= ring_area(convex_clip(subject, tri))
+    return abs(total) if abs(total) > 1e-15 else 0.0
+
+
 def ring_area(ring: "np.ndarray") -> float:
     """Shoelace area of a CCW (N, 2) ring (0.0 for N < 3)."""
     import numpy as np

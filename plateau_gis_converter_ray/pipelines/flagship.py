@@ -573,12 +573,39 @@ def run_flagship_incremental(sf: float = 0.001, out_dir: str | None = None,
     import json as _json
 
     manifest_path = os.path.join(out_dir, "chunks.json")
+    chunks = [files[i::n_chunks] for i in range(n_chunks)]
+    # chunk ids are only meaningful FOR THIS file set: fingerprint each
+    # chunk's (basename, size) list so a regenerated/extended table at the
+    # same sf invalidates stale "applied" entries instead of silently
+    # covering a different file subset (r4 ADVICE; write_implicit_tileset
+    # already fingerprints its input the same way)
+    import hashlib as _hashlib
+
+    def _chunk_fp(chunk_files: list) -> str:
+        h = _hashlib.sha256()
+        for f in chunk_files:
+            h.update(os.path.basename(f).encode())
+            h.update(str(os.path.getsize(f)).encode())
+        return h.hexdigest()[:16]
+
+    fps = {f"chunk{ci:04d}": _chunk_fp(cf) for ci, cf in enumerate(chunks)}
     done: set = set()
     if os.path.exists(manifest_path):
         with open(manifest_path) as f:
-            done = set(_json.load(f)["applied"])
+            m = _json.load(f)
+        stale = [
+            cid for cid in m["applied"]
+            if m.get("fingerprints", {}).get(cid) != fps.get(cid)
+        ]
+        if stale:
+            raise RuntimeError(
+                f"flagship_ivm: input file set changed under applied "
+                f"chunks {stale} in {out_dir} — the maintained table no "
+                "longer matches the batch aggregate; delete the out_dir "
+                "to rebuild from scratch."
+            )
+        done = set(m["applied"])
 
-    chunks = [files[i::n_chunks] for i in range(n_chunks)]
     touched = []
     for ci, chunk_files in enumerate(chunks):
         cid = f"chunk{ci:04d}"
@@ -598,7 +625,13 @@ def run_flagship_incremental(sf: float = 0.001, out_dir: str | None = None,
         done.add(cid)
         tmp = manifest_path + ".tmp"
         with open(tmp, "w") as f:
-            _json.dump({"applied": sorted(done)}, f)
+            _json.dump(
+                {
+                    "applied": sorted(done),
+                    "fingerprints": {c: fps[c] for c in sorted(done)},
+                },
+                f,
+            )
         os.replace(tmp, manifest_path)  # atomic, AFTER the upsert
     return {"out_dir": out_dir, "touched_per_chunk": touched,
             "table": read_keyed_table(out_dir)}

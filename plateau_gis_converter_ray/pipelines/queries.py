@@ -12552,7 +12552,15 @@ def q_cusum_changepoint(sf_dir: str):
     inside the bucket, adds the offsets for global (k, cumsum), and emits
     one candidate argmax per (type, bucket); a driver-side reduce over
     the ≤ types×hours candidates picks the global winner. All moments are
-    exact int64 (cents); the SQL twin mirrors the arithmetic in HUGEINT."""
+    exact int64 (cents); the SQL twin mirrors the arithmetic in HUGEINT.
+    Overflow contract (r4 ADVICE): dev = |n·cum − k·tot| ≤ 2·n·Σ|vc|, and
+    the DECLARED output type is BIGINT — so exactness past int64 is
+    unrepresentable by contract, not just by implementation. The driver
+    checks the bound against wrap-proof float64 per-type abs-sums (an
+    int64 Σ|vc| could itself overflow before the guard reads it; the
+    float's ~1e-16 relative error is dwarfed by the bound's factor-2
+    slack and a 0.999 margin) and raises OverflowError with the measured
+    bound; below it the int64 numpy arithmetic is provably exact."""
     import ray
 
     from ..stages.treeagg import clean_arrow
@@ -12569,6 +12577,11 @@ def q_cusum_changepoint(sf_dir: str):
                 "us": pa.array(us),
                 "event_id": batch.column("event_id"),
                 "vc": pa.array(vc),
+                # float64 abs-values: the GUARD's sum must itself be
+                # wrap-proof (an int64 Σ|vc| can overflow before the
+                # guard reads it); float relative error ~1e-16 is dwarfed
+                # by the bound's factor-2 slack
+                "avf": pa.array(np.abs(vc).astype(np.float64)),
                 "hb": pa.array(us // HOUR),
             }
         )
@@ -12576,14 +12589,14 @@ def q_cusum_changepoint(sf_dir: str):
     prepped = ds.map_batches(prep, batch_format="pyarrow")
     partial = tree_group_agg(
         prepped, ["event_type", "hb"],
-        {"cnt": (None, "count"), "s": ("vc", "sum")},
+        {"cnt": (None, "count"), "s": ("vc", "sum"), "sa": ("avf", "sum")},
     ).to_pandas()  # types × hours — driver-small by construction
     partial = partial.sort_values(["event_type", "hb"], kind="stable")
     g = partial.groupby("event_type", sort=False)
     partial["cnt_before"] = g["cnt"].cumsum() - partial["cnt"]
     partial["sum_before"] = g["s"].cumsum() - partial["s"]
     totals = partial.groupby("event_type", as_index=False).agg(
-        n=("cnt", "sum"), tot=("s", "sum")
+        n=("cnt", "sum"), tot=("s", "sum"), sa=("sa", "sum")
     )
     offsets = {
         (r.event_type, int(r.hb)): (int(r.cnt_before), int(r.sum_before))
@@ -12591,6 +12604,19 @@ def q_cusum_changepoint(sf_dir: str):
     }
     tot_by_type = {r.event_type: (int(r.n), int(r.tot))
                    for r in totals.itertuples()}
+    # exact Python-int overflow guard: dev = |n·cum − k·tot| with
+    # |cum| ≤ Σ|vc| and k·|tot| ≤ n·Σ|vc|, so dev ≤ 2·n·Σ|vc| — if that
+    # bound reaches 2^63 the int64 products below (and the BIGINT output
+    # column) can wrap: fail loudly with the measured bound instead
+    for r in totals.itertuples():
+        bound = 2.0 * float(r.n) * float(r.sa)
+        if bound >= 0.999 * 2**63:
+            raise OverflowError(
+                f"cusum_changepoint: event_type={r.event_type!r} has "
+                f"2*n*sum(|vc|)~{bound:.3e} >= ~2^63; the dev statistic "
+                "no longer fits the declared BIGINT output (nor int64 "
+                "intermediates). Re-scale `value` or shard the type."
+            )
     side = ray.put((offsets, tot_by_type))
 
     def bucket_argmax(grp: pd.DataFrame) -> pd.DataFrame:
@@ -12954,8 +12980,10 @@ FROM d GROUP BY 1, 2
 def q_poly_overlap_area(sf_dir: str):
     """Polygon-overlay intersection AREA join — the map-overlay operator
     areal interpolation and boundary reconciliation need: for every
-    bbox-overlapping municipality pair, the exact intersection area by
-    Sutherland–Hodgman convex clipping (kernels/clip.py::convex_clip)
+    bbox-overlapping municipality pair, the exact intersection area via
+    the signed fan-triangle general-polygon overlay
+    (kernels/clip.py::clip_intersection_area — exact for CONCAVE
+    municipality rings, which ~10/48 jittered octagons are; r4 ADVICE)
     with hole inclusion–exclusion (A(o∩o) − A(h_a∩o_b) − A(o_a∩h_b) +
     A(h_a∩h_b)). Candidate pairs come from the tiny polygon table's bbox
     self-join on the driver; the clip work shards across tasks (at scale
@@ -12965,7 +12993,7 @@ def q_poly_overlap_area(sf_dir: str):
     import ray
     import ray.data
 
-    from ..kernels.clip import convex_clip, ring_area
+    from ..kernels.clip import clip_intersection_area
     from ..sources.municipalities import municipality_polygons
 
     polys = municipality_polygons()
@@ -12999,13 +13027,13 @@ def q_poly_overlap_area(sf_dir: str):
         areas = np.empty(len(a_), np.float64)
         for j in range(len(a_)):
             ra, rb = ps[a_[j]]["rings"], ps[b_[j]]["rings"]
-            area = ring_area(convex_clip(ra[0], rb[0]))
+            area = clip_intersection_area(ra[0], rb[0])
             if len(ra) > 1:
-                area -= ring_area(convex_clip(ra[1], rb[0]))
+                area -= clip_intersection_area(ra[1], rb[0])
             if len(rb) > 1:
-                area -= ring_area(convex_clip(ra[0], rb[1]))
+                area -= clip_intersection_area(ra[0], rb[1])
             if len(ra) > 1 and len(rb) > 1:
-                area += ring_area(convex_clip(ra[1], rb[1]))
+                area += clip_intersection_area(ra[1], rb[1])
             areas[j] = area
         t = pa.table(
             {
@@ -13209,7 +13237,8 @@ def q_areal_interpolation(sf_dir: str):
     that re-aggregates counts from one zone system to another: event
     counts per rectangular mesh cell redistribute to each municipality
     proportionally to area(mesh ∩ muni) / area(mesh), the intersection
-    areas coming from the convex-clip overlay kernel (holes subtracted).
+    areas coming from the signed-fan-triangle overlay kernel (exact for
+    concave municipality rings; holes subtracted).
     Plan: the big side (events -> per-mesh counts) is the existing
     arithmetic mesh combiner; the weight table (48 polys × bbox-touched
     cells, computed in parallel tasks) is driver-small by construction
@@ -13219,7 +13248,7 @@ def q_areal_interpolation(sf_dir: str):
     import ray
     import ray.data
 
-    from ..kernels.clip import convex_clip, ring_area
+    from ..kernels.clip import clip_intersection_area
     from ..sources.municipalities import (
         EAST,
         NORTH,
@@ -13258,9 +13287,9 @@ def q_areal_interpolation(sf_dir: str):
                         [[w0, s0], [w0 + dx, s0], [w0 + dx, s0 + dy],
                          [w0, s0 + dy]]
                     )
-                    a = ring_area(convex_clip(rect, outer))
+                    a = clip_intersection_area(rect, outer)
                     if len(rings) > 1:
-                        a -= ring_area(convex_clip(rect, rings[1]))
+                        a -= clip_intersection_area(rect, rings[1])
                     if a > 1e-12:
                         out_pid.append(pid)
                         out_mid.append(f"mesh_{ix}_{iy}")
@@ -13706,6 +13735,13 @@ def q_kmv_source_overlap(sf_dir: str):
             )
             outs.append(np.full(len(vals), s, object))
             outv.append(vals)
+        if not outs:  # zero-row input batch (r4 ADVICE): typed empty out
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "v": pa.array(np.empty(0, np.int64)),
+                }
+            )
         return pa.table(
             {
                 "source": pa.array(np.concatenate(outs)),

@@ -194,6 +194,11 @@ def implicit_subtrees(tiles_ds, subtree_levels: int = 4):
                 roots.append(np.stack([prl, prx, pry], axis=1))
                 bits.append(cidx)
                 kinds.append(np.full(int(pm.sum()), 2, np.int8))
+        if not roots:  # zero-row input batch (r4 ADVICE): typed empty out
+            e = pa.array(np.empty(0, np.int64))
+            return pa.table(
+                {"rl": e, "rx": e, "ry": e, "bit": e, "kind": e}
+            )
         r = np.concatenate(roots)
         return pa.table(
             {

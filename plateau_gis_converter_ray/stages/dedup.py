@@ -200,31 +200,55 @@ def minhash_lsh_candidates(sf_dir: str, jaccard_threshold: float = 0.5):
         )
 
         def verify_b(batch: pd.DataFrame) -> pd.DataFrame:
+            """Fully vectorized broadcast-path verify (r4 verdict item #3:
+            no per-pair Python loop in any dedup path): gather BOTH sides'
+            per-doc-unique gram codes tagged with the pair index, one
+            lexsort on (pair, gram), and count adjacent duplicates — a
+            gram in |A∩B| appears exactly twice within its pair. The
+            inter/union integers (and the float division) are identical
+            to the old per-pair searchsorted, so similarities are
+            bit-equal."""
+            from ..kernels.segments import segmented_arange
+
             ids_s, flat, offs = _ray.get(ref)  # zero-copy plasma views
-            keep_a, keep_b, jac = [], [], []
-            for a, b in zip(batch["doc_a"], batch["doc_b"]):
-                pa_ = int(np.searchsorted(ids_s, int(a)))
-                pb_ = int(np.searchsorted(ids_s, int(b)))
-                sa = flat[offs[pa_]:offs[pa_ + 1]]
-                sb = flat[offs[pb_]:offs[pb_ + 1]]
-                if len(sa) > len(sb):
-                    sa, sb = sb, sa
-                if len(sb):
-                    pos = np.minimum(np.searchsorted(sb, sa), len(sb) - 1)
-                    inter = int((sb[pos] == sa).sum())
-                else:
-                    inter = 0
-                union = len(sa) + len(sb) - inter
-                sim = inter / union if union else 1.0
-                if sim >= jaccard_threshold:
-                    keep_a.append(int(a))
-                    keep_b.append(int(b))
-                    jac.append(sim)
+            a = batch["doc_a"].to_numpy().astype(np.int64)
+            b = batch["doc_b"].to_numpy().astype(np.int64)
+            if not len(a):
+                return pd.DataFrame(
+                    {
+                        "doc_a": pd.array([], dtype="int64"),
+                        "doc_b": pd.array([], dtype="int64"),
+                        "jaccard": pd.array([], dtype="float64"),
+                    }
+                )
+            pa_ = np.searchsorted(ids_s, a)
+            pb_ = np.searchsorted(ids_s, b)
+            la = offs[pa_ + 1] - offs[pa_]
+            lb = offs[pb_ + 1] - offs[pb_]
+
+            def gather(pos, ln):
+                idx = np.repeat(offs[pos], ln) + segmented_arange(ln)
+                return flat[idx]
+
+            pid = np.concatenate(
+                [np.repeat(np.arange(len(a)), la),
+                 np.repeat(np.arange(len(a)), lb)]
+            )
+            gr = np.concatenate([gather(pa_, la), gather(pb_, lb)])
+            order = np.lexsort((gr, pid))
+            pid_s, gr_s = pid[order], gr[order]
+            dup = (pid_s[1:] == pid_s[:-1]) & (gr_s[1:] == gr_s[:-1])
+            inter = np.bincount(
+                pid_s[1:][dup], minlength=len(a)
+            ).astype(np.int64)
+            union = la + lb - inter
+            sim = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+            keep = sim >= jaccard_threshold
             return pd.DataFrame(
                 {
-                    "doc_a": pd.array(keep_a, dtype="int64"),
-                    "doc_b": pd.array(keep_b, dtype="int64"),
-                    "jaccard": pd.array(jac, dtype="float64"),
+                    "doc_a": pd.array(a[keep], dtype="int64"),
+                    "doc_b": pd.array(b[keep], dtype="int64"),
+                    "jaccard": pd.array(sim[keep], dtype="float64"),
                 }
             )
 

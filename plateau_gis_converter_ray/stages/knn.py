@@ -824,7 +824,12 @@ def nearest_neighbor_dist(sf_dir: str, sample_mod: int = 97,
     ds = read_table(sf_dir, "events", ["event_id"])
     n = ds.count()  # scan-rooted metadata count
     C = int(cell_scale * np.sqrt(DX * DY / max(n, 1))) + 1
-    gx = DX // C + 1
+    # injective cell-key stride: cy+dy spans [-1, DY//C + 1], so any
+    # stride > DY//C + 2 keeps (cx, cy) packing collision-free at EVERY n
+    # (the old fixed 4096 collided once DY//C > 4094, i.e. n >~ 2.4M:
+    # still exact -- collisions only merged candidate sets -- but group
+    # sizes grew unboundedly; r4 ADVICE)
+    STRIDE = DY // C + 3
 
     def prep(batch: pa.Table) -> pa.Table:
         eid = batch.column("event_id").to_numpy()
@@ -836,7 +841,7 @@ def nearest_neighbor_dist(sf_dir: str, sample_mod: int = 97,
         reps = []
         for dx in (-1, 0, 1):
             for dy in (-1, 0, 1):
-                cell = (cx + dx) * 4096 + (cy + dy)
+                cell = (cx + dx) * STRIDE + (cy + dy)
                 reps.append(
                     np.stack(
                         [cell, eid, x, y, np.zeros(len(eid), np.int64)],
@@ -848,7 +853,7 @@ def nearest_neighbor_dist(sf_dir: str, sample_mod: int = 97,
             reps.append(
                 np.stack(
                     [
-                        cx[m] * 4096 + cy[m],
+                        cx[m] * STRIDE + cy[m],
                         eid[m],
                         x[m],
                         y[m],
@@ -990,6 +995,7 @@ def knn_dist_topk(sf_dir: str, k: int = 4, sample_mod: int = 97,
     ds = read_table(sf_dir, "events", ["event_id"])
     n = ds.count()
     C = int(cell_scale * np.sqrt(DX * DY / max(n, 1))) + 1
+    STRIDE = DY // C + 3  # injective at every n (see nearest_neighbor_dist)
 
     def prep(batch: pa.Table) -> pa.Table:
         eid = batch.column("event_id").to_numpy()
@@ -999,7 +1005,7 @@ def knn_dist_topk(sf_dir: str, k: int = 4, sample_mod: int = 97,
         reps = []
         for dx in (-1, 0, 1):
             for dy in (-1, 0, 1):
-                cell = (cx + dx) * 4096 + (cy + dy)
+                cell = (cx + dx) * STRIDE + (cy + dy)
                 reps.append(np.stack(
                     [cell, eid, x, y, np.zeros(len(eid), np.int64)], axis=1))
         if target_ids is not None:
@@ -1010,7 +1016,7 @@ def knn_dist_topk(sf_dir: str, k: int = 4, sample_mod: int = 97,
             m = eid % sample_mod == 0
         if m.any():
             reps.append(np.stack(
-                [cx[m] * 4096 + cy[m], eid[m], x[m], y[m],
+                [cx[m] * STRIDE + cy[m], eid[m], x[m], y[m],
                  np.ones(int(m.sum()), np.int64)], axis=1))
         r = np.concatenate(reps)
         return pa.table(
@@ -1129,8 +1135,41 @@ def knn_dist_topk(sf_dir: str, k: int = 4, sample_mod: int = 97,
     )
 
 
+LOF_DRIVER_ROW_LIMIT = 2_000_000  # ~100 MB of (event_id, nn_id, rank, d2)
+
+
+def _bounded_driver_df(res, what: str, limit: int):
+    """Measured-size ceiling on the LOF composition's driver-side tables
+    (the stages/joins.py pattern, r4 verdict item #4): the composition is
+    bounded by ``sample_mod`` BY CONVENTION (~1% sample -> <= k^2 x sample
+    intermediate ids); enforce it by MEASURE so ``sample_mod=1`` at fact
+    scale fails loudly instead of materializing the corpus on the
+    driver."""
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        res = res.materialize()
+        n = res.count()  # metadata on a materialized dataset
+        if n > limit:
+            raise RuntimeError(
+                f"lof_scores: driver-side {what} has {n} rows > "
+                f"driver_row_limit={limit}; raise sample_mod (the sample "
+                "must stay a bounded fraction) or the limit explicitly."
+            )
+        return res.to_pandas()
+    df = res.to_pandas() if hasattr(res, "to_pandas") else res
+    if len(df) > limit:
+        raise RuntimeError(
+            f"lof_scores: driver-side {what} has {len(df)} rows > "
+            f"driver_row_limit={limit}; raise sample_mod (the sample "
+            "must stay a bounded fraction) or the limit explicitly."
+        )
+    return df
+
+
 def lof_scores(sf_dir: str, k: int = 4, sample_mod: int = 97,
-               cell_scale: float = 2.0):
+               cell_scale: float = 2.0,
+               driver_row_limit: int = LOF_DRIVER_ROW_LIMIT):
     """Local Outlier Factor (squared-distance variant) for the sample —
     the density-based anomaly score built ON the k-distance primitive:
     pass 1 = sample top-k (:func:`knn_dist_topk`); pass 2 = the SAME
@@ -1145,14 +1184,15 @@ def lof_scores(sf_dir: str, k: int = 4, sample_mod: int = 97,
     import pandas as _pd
 
     p1 = knn_dist_topk(sf_dir, k, sample_mod, cell_scale)
-    df1 = p1.to_pandas() if hasattr(p1, "to_pandas") else p1
+    df1 = _bounded_driver_df(p1, "sample top-k", driver_row_limit)
     nbrs = np.unique(df1["nn_id"].to_numpy())
     sample_ids = np.unique(df1["event_id"].to_numpy())
     extra = np.setdiff1d(nbrs, sample_ids)
     if len(extra):
         p2 = knn_dist_topk(sf_dir, k, cell_scale=cell_scale,
                            target_ids=np.sort(extra))
-        df2 = p2.to_pandas() if hasattr(p2, "to_pandas") else p2
+        df2 = _bounded_driver_df(p2, "1-hop neighbor top-k",
+                                 driver_row_limit)
         all_knn = _pd.concat([df1, df2], ignore_index=True)
     else:
         all_knn = df1
@@ -1169,7 +1209,8 @@ def lof_scores(sf_dir: str, k: int = 4, sample_mod: int = 97,
     if len(hop2):
         p3 = knn_dist_topk(sf_dir, k, cell_scale=cell_scale,
                            target_ids=np.sort(hop2))
-        df3 = p3.to_pandas() if hasattr(p3, "to_pandas") else p3
+        df3 = _bounded_driver_df(p3, "2-hop kdist top-k",
+                                 driver_row_limit)
         kd3 = df3[df3["rank"] == df3.groupby("event_id")["rank"]
                   .transform("max")]
         kdist2.update(dict(zip(kd3["event_id"], kd3["d2"])))

@@ -92,3 +92,34 @@ def test_rerun_skips_all_chunks(ray_session, tmp_path):
     assert r2["touched_per_chunk"] == []
     t2 = _counts(r2["table"].to_pandas())
     assert t1["n_assignments"].tolist() == t2["n_assignments"].tolist()
+
+def test_stale_manifest_fingerprint_detected(ray_session, tmp_path):
+    """If the applied-chunk fingerprints in chunks.json no longer match
+    the current file set (regenerated/extended fixture), the run must
+    REFUSE to continue rather than let chunk ids silently cover a
+    different file subset (r4 ADVICE)."""
+    import json
+
+    import pytest
+
+    from plateau_gis_converter_ray.pipelines.flagship import (
+        run_flagship_incremental,
+    )
+
+    out = str(tmp_path / "ivm3")
+    run_flagship_incremental(sf=0.01, out_dir=out, n_chunks=3)
+    mpath = f"{out}/chunks.json"
+    with open(mpath) as f:
+        m = json.load(f)
+    assert set(m["fingerprints"]) == set(m["applied"])
+    # corrupt one applied fingerprint == "the file set changed"
+    m["fingerprints"][m["applied"][0]] = "0" * 16
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+    with pytest.raises(RuntimeError, match="input file set changed"):
+        run_flagship_incremental(sf=0.01, out_dir=out, n_chunks=3)
+    # a legacy manifest with NO fingerprints is equally stale
+    with open(mpath, "w") as f:
+        json.dump({"applied": m["applied"]}, f)
+    with pytest.raises(RuntimeError, match="input file set changed"):
+        run_flagship_incremental(sf=0.01, out_dir=out, n_chunks=3)

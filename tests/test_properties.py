@@ -299,6 +299,63 @@ def test_convex_clip_intersection_properties(pa_, pb_):
     assert abs(ring_area(convex_clip(pa_, pa_)) - aa) <= tol
 
 
+def test_clip_intersection_area_concave_clip():
+    """The signed fan-triangle overlay is EXACT on a concave clip ring
+    where Sutherland–Hodgman provably is not: L-shape (area 3) inside a
+    2x2 square — S–H clips to the half-plane kernel (area 1). Also:
+    symmetry, self-intersection identity, and a concave-vs-concave pair
+    vs a dense-grid estimate."""
+    import numpy as np
+
+    from plateau_gis_converter_ray.kernels.clip import (
+        clip_intersection_area,
+        convex_clip,
+        ring_area,
+    )
+
+    L = np.array(
+        [[0, 0], [2, 0], [2, 1], [1, 1], [1, 2], [0, 2]], dtype=np.float64
+    )
+    sq = np.array([[0, 0], [2, 0], [2, 2], [0, 2]], dtype=np.float64)
+    # the exact answer
+    assert abs(clip_intersection_area(sq, L) - 3.0) < 1e-12
+    assert abs(clip_intersection_area(L, sq) - 3.0) < 1e-12
+    # self-intersection == own area, concave subject AND clip
+    assert abs(clip_intersection_area(L, L) - 3.0) < 1e-12
+    # orientation-insensitive in the clip ring
+    assert abs(clip_intersection_area(sq, L[::-1].copy()) - 3.0) < 1e-12
+    # ...and S-H against the concave window is indeed wrong (kernel only)
+    assert abs(ring_area(convex_clip(sq, L)) - 1.0) < 1e-12
+    # concave x concave, offset: grid cross-check
+    L2 = L + np.array([0.5, 0.5])
+    got = clip_intersection_area(L, L2)
+    cell = 1 / 256
+    gx, gy = np.meshgrid(
+        np.arange(0, 3, cell) + cell / 2,
+        np.arange(0, 3, cell) + cell / 2,
+        indexing="ij",
+    )
+
+    def in_L(ring, x, y):
+        # winding via even-odd ray cast (simple rings)
+        inside = np.zeros(x.shape, bool)
+        n = len(ring)
+        for i in range(n):
+            x0, y0 = ring[i]
+            x1, y1 = ring[(i + 1) % n]
+            hit = ((y0 > y) != (y1 > y)) & (
+                x < (x1 - x0) * (y - y0) / (y1 - y0) + x0
+            )
+            inside ^= hit
+        return inside
+
+    est = (
+        (in_L(L, gx, gy) & in_L(L2, gx, gy)).sum() * cell * cell
+    )
+    assert abs(got - est) < 0.05
+    assert abs(clip_intersection_area(L2, L) - got) < 1e-12
+
+
 @settings(max_examples=30, deadline=None)
 @given(st.integers(0, 2**32 - 1), st.integers(6, 24), st.integers(6, 24))
 def test_marching_squares_complement_invariance(seed, h, w):
