@@ -66,7 +66,7 @@ def citygml_chain_ds(gml_dir: str):
     """parse -> flatten -> lod-filter(highest) -> dot-flatten attrs:
     one fused map chain over the file-parallel XML read; returns rows
     (gml_id, file, ftype, lod_kept, n_pts, usage, district, grade,
-    parentId)."""
+    prov_src — the depth-3 leaf, parentId)."""
     from ..sources.citygml_xml import read_citygml_v2
     from ..stages.transforms import dot_flatten, filter_highest_lod
 
@@ -86,6 +86,7 @@ def citygml_chain_ds(gml_dir: str):
                 "usage": t.column("attrs.usage"),
                 "district": t.column("attrs.extra.district"),
                 "grade": t.column("attrs.extra.meta.grade"),
+                "prov_src": t.column("attrs.extra.meta.prov.src"),
                 "parentId": t.column("parentId"),
                 "parentType": t.column("parentType"),
             }

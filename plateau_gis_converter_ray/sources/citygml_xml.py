@@ -36,6 +36,9 @@ NS = {
     "tran": "http://www.opengis.net/citygml/transportation/2.0",
     "luse": "http://www.opengis.net/citygml/landuse/2.0",
     "app": "http://www.opengis.net/citygml/appearance/2.0",
+    "frn": "http://www.opengis.net/citygml/cityfurniture/2.0",
+    "brid": "http://www.opengis.net/citygml/bridge/2.0",
+    "veg": "http://www.opengis.net/citygml/vegetation/2.0",
 }
 
 USAGE_CODES = {f"u{k}": name for k, name in enumerate(
@@ -208,7 +211,8 @@ def ensure_citygml_corpus(sf: float, base: str = "/tmp/plateau_ray_data") -> str
 # two-phase theme stores, so the flatten/jsonify/lod-filter/mergedown
 # transform chain and the appearance resolve run off REAL parsed XML.
 
-GENERATOR_V2 = "v2"
+GENERATOR_V2 = "v3"  # r4 verdict item #5: 6 feature types, depth-3 trees,
+# interior-ring multi-surface solid
 
 
 def _ring_xml(ring_id: str, idx: int, n_pts: int = 4) -> str:
@@ -229,9 +233,10 @@ def _ring_xml(ring_id: str, idx: int, n_pts: int = 4) -> str:
 
 
 def _generic_attrs_xml(idx: int) -> str:
-    """Depth-2 generic-attribute tree: set 'extra' holding a string, a
-    measure, and a NESTED set 'meta' (the recursive Object/Value shape of
-    parser.rs attribute trees)."""
+    """Depth-3 generic-attribute tree: set 'extra' holding a string, a
+    measure, a NESTED set 'meta' holding a leaf AND a further nested set
+    'prov' (the recursive Object/Value shape of parser.rs attribute
+    trees, one level deeper than the v2 corpus per the r4 verdict)."""
     score = (idx % 50) / 2
     return (
         '<gen:genericAttributeSet name="extra">'
@@ -242,13 +247,85 @@ def _generic_attrs_xml(idx: int) -> str:
         f'<gen:genericAttributeSet name="meta">'
         f'<gen:stringAttribute name="grade">'
         f"<gen:value>g{idx % 5}</gen:value></gen:stringAttribute>"
+        f'<gen:genericAttributeSet name="prov">'
+        f'<gen:stringAttribute name="src">'
+        f"<gen:value>s{idx % 3}</gen:value></gen:stringAttribute>"
+        f"</gen:genericAttributeSet>"
         f"</gen:genericAttributeSet>"
         f"</gen:genericAttributeSet>"
     )
 
 
+def _bridge_solid_xml(idx: int) -> str:
+    """brid:lod2Solid: a CompositeSurface of TWO surfaceMembers, the first
+    polygon carrying an INTERIOR ring (the parser.rs multi-surface +
+    holes geometry shape). Exterior 5 posList entries, interior 4,
+    second surface 5 — 14 total."""
+    from ..stages.geocode import geocode_arith
+
+    lng, lat = geocode_arith(np.array([idx], dtype=np.int64))
+    lng, lat = float(lng[0]), float(lat[0])
+    d = 0.0005 + (idx % 5) * 0.0001
+
+    def ring(pts):
+        return " ".join(f"{a:.7f} {b:.7f} 0" for a, b in pts + pts[:1])
+
+    ext = ring([(lat, lng), (lat, lng + d), (lat + d, lng + d),
+                (lat + d, lng)])
+    hole = ring([(lat + 0.3 * d, lng + 0.3 * d),
+                 (lat + 0.3 * d, lng + 0.5 * d),
+                 (lat + 0.5 * d, lng + 0.4 * d)])
+    top = ring([(lat + d, lng), (lat + d, lng + d),
+                (lat + 2 * d, lng + d), (lat + 2 * d, lng)])
+    return (
+        "<brid:lod2Solid><gml:Solid><gml:exterior><gml:CompositeSurface>"
+        f'<gml:surfaceMember><gml:Polygon gml:id="surf_{idx}">'
+        f'<gml:exterior><gml:LinearRing gml:id="ring_{idx}">'
+        f"<gml:posList>{ext}</gml:posList></gml:LinearRing></gml:exterior>"
+        f'<gml:interior><gml:LinearRing gml:id="ring_i{idx}">'
+        f"<gml:posList>{hole}</gml:posList></gml:LinearRing></gml:interior>"
+        "</gml:Polygon></gml:surfaceMember>"
+        f'<gml:surfaceMember><gml:Polygon gml:id="surf_b{idx}">'
+        f'<gml:exterior><gml:LinearRing gml:id="ring_b{idx}">'
+        f"<gml:posList>{top}</gml:posList></gml:LinearRing></gml:exterior>"
+        "</gml:Polygon></gml:surfaceMember>"
+        "</gml:CompositeSurface></gml:exterior></gml:Solid></brid:lod2Solid>"
+    )
+
+
 def _member_xml_v2(idx: int) -> str:
-    ftype = idx % 3
+    ftype = idx % 6
+    if ftype == 3:
+        return (
+            "<core:cityObjectMember>"
+            f'<frn:CityFurniture gml:id="frn_{idx:08d}">'
+            f"<frn:function>f{idx % 6}</frn:function>"
+            + _generic_attrs_xml(idx)
+            + "<frn:lod1Geometry><gml:MultiSurface><gml:surfaceMember>"
+            + _ring_xml(f"ring_{idx}", idx)
+            + "</gml:surfaceMember></gml:MultiSurface></frn:lod1Geometry>"
+            "</frn:CityFurniture></core:cityObjectMember>"
+        )
+    if ftype == 4:
+        return (
+            f'<core:cityObjectMember><brid:Bridge gml:id="brid_{idx:08d}">'
+            f"<brid:function>f{idx % 6}</brid:function>"
+            + _generic_attrs_xml(idx)
+            + _bridge_solid_xml(idx)
+            + "</brid:Bridge></core:cityObjectMember>"
+        )
+    if ftype == 5:
+        h = (idx % 25) + 1
+        return (
+            "<core:cityObjectMember>"
+            f'<veg:SolitaryVegetationObject gml:id="veg_{idx:08d}">'
+            f'<veg:height uom="m">{h}.5</veg:height>'
+            + _generic_attrs_xml(idx)
+            + "<veg:lod1Geometry><gml:MultiSurface><gml:surfaceMember>"
+            + _ring_xml(f"ring_{idx}", idx)
+            + "</gml:surfaceMember></gml:MultiSurface></veg:lod1Geometry>"
+            "</veg:SolitaryVegetationObject></core:cityObjectMember>"
+        )
     if ftype == 0:
         h = (idx * 7) % 200 + 3
         part = ""
@@ -329,8 +406,10 @@ def _appearance_xml_v2(theme: str, idxs: list[int]) -> str:
 
 def write_citygml_files_v2(out_dir: str, n_files: int,
                            feats_per_file: int) -> str:
-    """v2 corpus: 3 feature types, 2 LODs, nested attribute trees, building
-    parts, per-file appearance themes. File f carries BOTH an rgbTexture
+    """v3 corpus: 6 feature types (Building+Parts, Road, LandUse,
+    CityFurniture, Bridge with an interior-ring multi-surface solid,
+    SolitaryVegetationObject), 3 LODs, depth-3 attribute trees, per-file
+    appearance themes. File f carries BOTH an rgbTexture
     and an FMETheme appearance when f % 4 != 0, else FMETheme only — the
     'rgbTexture when present, else FME fallback' selection of
     appearance.rs:17-21 is exercised both ways."""
@@ -379,13 +458,27 @@ def _attrs_type():
                 ("usage", pa.string()),
                 ("function", pa.string()),
                 ("class", pa.string()),
+                ("height_m", pa.float64()),
                 (
                     "extra",
                     pa.struct(
                         [
                             ("district", pa.string()),
                             ("score", pa.float64()),
-                            ("meta", pa.struct([("grade", pa.string())])),
+                            (
+                                "meta",
+                                pa.struct(
+                                    [
+                                        ("grade", pa.string()),
+                                        (
+                                            "prov",
+                                            pa.struct(
+                                                [("src", pa.string())]
+                                            ),
+                                        ),
+                                    ]
+                                ),
+                            ),
                         ]
                     ),
                 ),
@@ -423,6 +516,10 @@ def _feature_tags():
             f"{{{NS['bldg']}}}Building": "bldg:Building",
             f"{{{NS['tran']}}}Road": "tran:Road",
             f"{{{NS['luse']}}}LandUse": "luse:LandUse",
+            f"{{{NS['frn']}}}CityFurniture": "frn:CityFurniture",
+            f"{{{NS['brid']}}}Bridge": "brid:Bridge",
+            f"{{{NS['veg']}}}SolitaryVegetationObject":
+                "veg:SolitaryVegetationObject",
         }
     return _FEATURE_TAGS
 
@@ -494,24 +591,33 @@ class CityGmlParseV2:
                     if ftype is None:
                         continue
                     attrs = {"usage": None, "function": None,
-                             "class": None, "extra": None}
+                             "class": None, "height_m": None, "extra": None}
                     usage = feat.find(f"{{{NS['bldg']}}}usage")
                     if usage is not None:
                         attrs["usage"] = usage.text
-                    fn = feat.find(f"{{{NS['tran']}}}function")
-                    if fn is not None:
-                        attrs["function"] = fn.text
+                    for fns in ("tran", "frn", "brid"):
+                        fn = feat.find(f"{{{NS[fns]}}}function")
+                        if fn is not None:
+                            attrs["function"] = fn.text
+                            break
                     cl = feat.find(f"{{{NS['luse']}}}class")
                     if cl is not None:
                         attrs["class"] = cl.text
+                    hm = feat.find(f"{{{NS['veg']}}}height")
+                    if hm is not None:
+                        attrs["height_m"] = float(hm.text)
                     gset = feat.find(f"{{{NS['gen']}}}genericAttributeSet")
                     if gset is not None:
                         tree = _parse_generic_tree(gset)
                         meta = tree.get("meta") or {}
+                        prov = meta.get("prov") or {}
                         attrs["extra"] = {
                             "district": tree.get("district"),
                             "score": tree.get("score"),
-                            "meta": {"grade": meta.get("grade")},
+                            "meta": {
+                                "grade": meta.get("grade"),
+                                "prov": {"src": prov.get("src")},
+                            },
                         }
                     lods, ring_ids, n_pts = _geometry_of(feat)
                     children = []

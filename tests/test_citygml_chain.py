@@ -22,14 +22,23 @@ def _expected_counts(n: int) -> pd.DataFrame:
     idx = np.arange(n)
     rows = []
     # buildings keep lod1 (lods [0,1] -> highest), 2 rings x 5 pts
-    b = idx[idx % 3 == 0]
+    b = idx[idx % 6 == 0]
     rows.append(("bldg:Building", 1, len(b), 10 * len(b), len(b)))
-    p = idx[(idx % 3 == 0) & (idx % 4 == 0)]
+    p = idx[(idx % 6 == 0) & (idx % 4 == 0)]
     rows.append(("bldg:BuildingPart", 1, len(p), 5 * len(p), 0))
-    lu = idx[idx % 3 == 2]
+    # bridge: lod2 solid, exterior 5 + interior 4 + second surface 5
+    br = idx[idx % 6 == 4]
+    rows.append(("brid:Bridge", 2, len(br), 14 * len(br), len(br)))
+    fr = idx[idx % 6 == 3]
+    rows.append(("frn:CityFurniture", 1, len(fr), 5 * len(fr), len(fr)))
+    lu = idx[idx % 6 == 2]
     rows.append(("luse:LandUse", 0, len(lu), 5 * len(lu), len(lu)))
-    rd = idx[idx % 3 == 1]
+    rd = idx[idx % 6 == 1]
     rows.append(("tran:Road", 1, len(rd), 5 * len(rd), len(rd)))
+    vg = idx[idx % 6 == 5]
+    rows.append(
+        ("veg:SolitaryVegetationObject", 1, len(vg), 5 * len(vg), len(vg))
+    )
     return pd.DataFrame(
         rows, columns=["ftype", "lod_kept", "n_features", "sum_pts", "n_grade"]
     )
@@ -57,8 +66,9 @@ def test_chain_golden_counts(ray_session, corpus_dir):
 
 
 def test_chain_rows_attribute_tree_depth(ray_session, corpus_dir):
-    """The depth-2 generic-attribute tree survives parse -> dot_flatten:
-    leaves land as flat columns with the generator's values."""
+    """The depth-3 generic-attribute tree survives parse -> dot_flatten:
+    leaves land as flat columns with the generator's values (including
+    the third-level prov.src leaf on every typed feature)."""
     from plateau_gis_converter_ray.pipelines.citygml_chain import (
         citygml_chain_ds,
     )
@@ -69,6 +79,12 @@ def test_chain_rows_attribute_tree_depth(ray_session, corpus_dir):
     assert (b["usage"].to_numpy() == [f"u{i % 8}" for i in idx]).all()
     assert (b["district"].to_numpy() == [f"d{i % 16}" for i in idx]).all()
     assert (b["grade"].to_numpy() == [f"g{i % 5}" for i in idx]).all()
+    assert (b["prov_src"].to_numpy() == [f"s{i % 3}" for i in idx]).all()
+    # the depth-3 leaf also lands on every NON-building typed feature
+    others = df[~df["ftype"].isin(["bldg:Building", "bldg:BuildingPart"])]
+    oidx = others["gml_id"].str.split("_").str[-1].astype(int)
+    assert (others["prov_src"].to_numpy()
+            == [f"s{i % 3}" for i in oidx]).all()
     # flattened parts carry parent attribution (flatten.rs role)
     parts = df[df["ftype"] == "bldg:BuildingPart"]
     pidx = parts["gml_id"].str.replace("part_", "").astype(int)
@@ -90,12 +106,18 @@ def test_jsonify_from_parsed_xml(ray_session, corpus_dir):
         batch_format="pyarrow",
     )
     df = ds.to_pandas()
-    row = df[df["gml_id"] == "bldg_00000003"].iloc[0]
+    row = df[df["gml_id"] == "bldg_00000006"].iloc[0]
     tree = json.loads(row["attrs"])
-    assert tree["usage"] == "u3"
-    assert tree["extra"]["district"] == "d3"
-    assert tree["extra"]["meta"]["grade"] == "g3"
-    assert tree["extra"]["score"] == 1.5
+    assert tree["usage"] == "u6"
+    assert tree["extra"]["district"] == "d6"
+    assert tree["extra"]["meta"]["grade"] == "g1"
+    assert tree["extra"]["meta"]["prov"]["src"] == "s0"
+    assert tree["extra"]["score"] == 3.0
+    # the new types round-trip their own attrs through jsonify too
+    veg = json.loads(df[df["gml_id"] == "veg_00000005"].iloc[0]["attrs"])
+    assert veg["height_m"] == 6.5 and veg["extra"]["meta"]["prov"]["src"] == "s2"
+    brid = json.loads(df[df["gml_id"] == "brid_00000004"].iloc[0]["attrs"])
+    assert brid["function"] == "f4"
 
 
 def test_mergedown_from_parsed_xml(ray_session, corpus_dir):
@@ -112,6 +134,8 @@ def test_mergedown_from_parsed_xml(ray_session, corpus_dir):
     exp = np.where(idx % 4 == 0, 3, 2)
     assert (b["n_rings_merged"].to_numpy() == exp).all()
     assert (df[df["ftype"] == "tran:Road"]["n_rings_merged"] == 1).all()
+    # bridge: exterior + interior + second surface, no children
+    assert (df[df["ftype"] == "brid:Bridge"]["n_rings_merged"] == 3).all()
 
 
 def test_appearance_xml_two_phase(ray_session, corpus_dir):
