@@ -1044,7 +1044,7 @@ def _q_earcut_triangulate(sf_dir: str):
     are pinned in pytest; the emitted areas make the rows self-checking."""
     import ray.data
     import numpy as np
-    import pandas as pd
+    import pyarrow as _pa
 
     from plateau_gis_converter_ray.kernels.clip import ring_area
     from plateau_gis_converter_ray.kernels.earcut import earcut
@@ -1052,10 +1052,15 @@ def _q_earcut_triangulate(sf_dir: str):
 
     n_polys = max(64, int(_sf_of(sf_dir) * 64000))
 
-    def triangulate(batch) -> pd.DataFrame:
-        ids = batch["id"].to_numpy()
-        out = []
-        for pid in ids:
+    def triangulate(batch: _pa.Table) -> _pa.Table:
+        # earcut is inherently per-polygon (rings are 8-16 vertices); the
+        # batch I/O is zero-copy Arrow and the per-ring math stays numpy
+        ids = batch.column("id").to_numpy()
+        nv = np.empty(len(ids), np.int64)
+        nt = np.empty(len(ids), np.int64)
+        ra = np.empty(len(ids), np.int64)
+        ta = np.empty(len(ids), np.int64)
+        for j, pid in enumerate(ids):
             k = 8 + int(pid) % 9  # 8..16 vertices
             s = splitmix64(
                 np.arange(k, dtype=np.uint64)
@@ -1072,19 +1077,22 @@ def _q_earcut_triangulate(sf_dir: str):
                 (b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1])
                 - (b[:, 1] - a[:, 1]) * (c[:, 0] - a[:, 0])
             )
-            out.append(
-                {
-                    "pid": int(pid),
-                    "n_vertices": k,
-                    "n_triangles": len(tris),
-                    "ring_area_e9": int(round(abs(ring_area(ring)) * 1e9)),
-                    "tri_area_e9": int(round(areas.sum() * 1e9)),
-                }
-            )
-        return pd.DataFrame(out)
+            nv[j] = k
+            nt[j] = len(tris)
+            ra[j] = int(round(abs(ring_area(ring)) * 1e9))
+            ta[j] = int(round(areas.sum() * 1e9))
+        return _pa.table(
+            {
+                "pid": _pa.array(ids.astype(np.int64)),
+                "n_vertices": _pa.array(nv),
+                "n_triangles": _pa.array(nt),
+                "ring_area_e9": _pa.array(ra),
+                "tri_area_e9": _pa.array(ta),
+            }
+        )
 
     return ray.data.range(n_polys).map_batches(
-        triangulate, batch_format="pandas", batch_size=2048
+        triangulate, batch_format="pyarrow", batch_size=2048
     )
 
 

@@ -593,18 +593,28 @@ def run_flagship_incremental(sf: float = 0.001, out_dir: str | None = None,
     if os.path.exists(manifest_path):
         with open(manifest_path) as f:
             m = _json.load(f)
-        stale = [
-            cid for cid in m["applied"]
-            if m.get("fingerprints", {}).get(cid) != fps.get(cid)
-        ]
-        if stale:
-            raise RuntimeError(
-                f"flagship_ivm: input file set changed under applied "
-                f"chunks {stale} in {out_dir} — the maintained table no "
-                "longer matches the batch aggregate; delete the out_dir "
-                "to rebuild from scratch."
-            )
-        done = set(m["applied"])
+        if "fingerprints" not in m:
+            # legacy (pre-fingerprint) manifest layout: the maintained
+            # table is derived state and rebuilds deterministically —
+            # wipe and start over rather than trusting unverifiable
+            # chunk ids
+            import shutil
+
+            shutil.rmtree(out_dir)
+            os.makedirs(out_dir, exist_ok=True)
+        else:
+            stale = [
+                cid for cid in m["applied"]
+                if m["fingerprints"].get(cid) != fps.get(cid)
+            ]
+            if stale:
+                raise RuntimeError(
+                    f"flagship_ivm: input file set changed under applied "
+                    f"chunks {stale} in {out_dir} — the maintained table "
+                    "no longer matches the batch aggregate; delete the "
+                    "out_dir to rebuild from scratch."
+                )
+            done = set(m["applied"])
 
     touched = []
     for ci, chunk_files in enumerate(chunks):

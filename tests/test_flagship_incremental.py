@@ -118,8 +118,12 @@ def test_stale_manifest_fingerprint_detected(ray_session, tmp_path):
         json.dump(m, f)
     with pytest.raises(RuntimeError, match="input file set changed"):
         run_flagship_incremental(sf=0.01, out_dir=out, n_chunks=3)
-    # a legacy manifest with NO fingerprints is equally stale
+    # a legacy manifest with NO fingerprints is a format upgrade, not a
+    # divergence: the run wipes the (deterministically rebuildable)
+    # table and rebuilds from scratch
     with open(mpath, "w") as f:
         json.dump({"applied": m["applied"]}, f)
-    with pytest.raises(RuntimeError, match="input file set changed"):
-        run_flagship_incremental(sf=0.01, out_dir=out, n_chunks=3)
+    r = run_flagship_incremental(sf=0.01, out_dir=out, n_chunks=3)
+    assert len(r["touched_per_chunk"]) == 3  # full rebuild happened
+    with open(mpath) as f:
+        assert set(json.load(f)["fingerprints"]) == set(m["applied"])
