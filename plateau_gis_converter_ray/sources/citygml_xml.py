@@ -39,6 +39,7 @@ NS = {
     "frn": "http://www.opengis.net/citygml/cityfurniture/2.0",
     "brid": "http://www.opengis.net/citygml/bridge/2.0",
     "veg": "http://www.opengis.net/citygml/vegetation/2.0",
+    "wtr": "http://www.opengis.net/citygml/waterbody/2.0",
 }
 
 USAGE_CODES = {f"u{k}": name for k, name in enumerate(
@@ -211,7 +212,7 @@ def ensure_citygml_corpus(sf: float, base: str = "/tmp/plateau_ray_data") -> str
 # two-phase theme stores, so the flatten/jsonify/lod-filter/mergedown
 # transform chain and the appearance resolve run off REAL parsed XML.
 
-GENERATOR_V2 = "v3"  # r4 verdict item #5: 6 feature types, depth-3 trees,
+GENERATOR_V2 = "v4"  # r4 verdict item #5: 6 feature types, depth-3 trees,
 # interior-ring multi-surface solid
 
 
@@ -431,6 +432,20 @@ def write_citygml_files_v2(out_dir: str, n_files: int,
         idxs = [f * feats_per_file + j for j in range(feats_per_file)]
         parts = [header]
         parts.extend(_member_xml_v2(i) for i in idxs)
+        # one feature of a type the parser's tag map does NOT know
+        # (wtr:WaterBody): exercises the generic-fallback parse path —
+        # real PLATEAU files carry 137 types, and unknown ones must not
+        # silently drop (r4 verdict "What's missing" #1)
+        xi = n_files * feats_per_file + f
+        parts.append(
+            "<core:cityObjectMember>"
+            f'<wtr:WaterBody gml:id="wtr_{xi:08d}">'
+            + _generic_attrs_xml(xi)
+            + "<wtr:lod1MultiSurface><gml:MultiSurface><gml:surfaceMember>"
+            + _ring_xml(f"ring_{xi}", xi)
+            + "</gml:surfaceMember></gml:MultiSurface></wtr:lod1MultiSurface>"
+            "</wtr:WaterBody></core:cityObjectMember>"
+        )
         if f % 4 != 0:
             parts.append(_appearance_xml_v2("rgbTexture", idxs))
         parts.append(_appearance_xml_v2("FMETheme", idxs))
@@ -507,6 +522,21 @@ def _child_type():
 
 
 _FEATURE_TAGS = None
+_NS_PREFIX = None
+
+
+def _generic_ftype(tag: str) -> str:
+    """prefix:Local for a feature tag NOT in the typed map — the generic
+    fallback naming (reverse namespace lookup; bare local name when the
+    namespace is unknown too)."""
+    global _NS_PREFIX
+    if _NS_PREFIX is None:
+        _NS_PREFIX = {v: k for k, v in NS.items()}
+    if tag.startswith("{"):
+        uri, local = tag[1:].split("}", 1)
+        pfx = _NS_PREFIX.get(uri)
+        return f"{pfx}:{local}" if pfx else local
+    return tag
 
 
 def _feature_tags():
@@ -589,7 +619,12 @@ class CityGmlParseV2:
                 for feat in member:
                     ftype = tags.get(feat.tag)
                     if ftype is None:
-                        continue
+                        # generic fallback: ANY identified feature parses
+                        # (attrs tree + LOD geometry) — unknown PLATEAU
+                        # types must not silently drop
+                        if feat.get(f"{{{NS['gml']}}}id") is None:
+                            continue
+                        ftype = _generic_ftype(feat.tag)
                     attrs = {"usage": None, "function": None,
                              "class": None, "height_m": None, "extra": None}
                     usage = feat.find(f"{{{NS['bldg']}}}usage")
@@ -688,7 +723,8 @@ class AppearanceJoinParse:
             fname = os.path.basename(path)
             for member in root.iter(f"{{{NS['core']}}}cityObjectMember"):
                 for feat in member:
-                    if tags.get(feat.tag) is None:
+                    if (tags.get(feat.tag) is None
+                            and feat.get(f"{{{NS['gml']}}}id") is None):
                         continue
                     ring = feat.find(f".//{{{NS['gml']}}}LinearRing")
                     poly = feat.find(f".//{{{NS['gml']}}}Polygon")

@@ -18,7 +18,7 @@ def corpus_dir():
     return ensure_citygml_corpus_v2(SF)
 
 
-def _expected_counts(n: int) -> pd.DataFrame:
+def _expected_counts(n: int, n_files: int) -> pd.DataFrame:
     idx = np.arange(n)
     rows = []
     # buildings keep lod1 (lods [0,1] -> highest), 2 rings x 5 pts
@@ -39,6 +39,8 @@ def _expected_counts(n: int) -> pd.DataFrame:
     rows.append(
         ("veg:SolitaryVegetationObject", 1, len(vg), 5 * len(vg), len(vg))
     )
+    # one unknown-type (generic-fallback) wtr:WaterBody per file
+    rows.append(("wtr:WaterBody", 1, n_files, 5 * n_files, n_files))
     return pd.DataFrame(
         rows, columns=["ftype", "lod_kept", "n_features", "sum_pts", "n_grade"]
     )
@@ -56,9 +58,9 @@ def test_chain_golden_counts(ray_session, corpus_dir):
         .reset_index(drop=True)
     )
     n = 5 * 64
-    exp = _expected_counts(n).sort_values(["ftype", "lod_kept"]).reset_index(
-        drop=True
-    )
+    exp = _expected_counts(n, 5).sort_values(
+        ["ftype", "lod_kept"]
+    ).reset_index(drop=True)
     pd.testing.assert_frame_equal(
         got[exp.columns].astype({"lod_kept": np.int64}), exp,
         check_dtype=False,
@@ -152,7 +154,14 @@ def test_appearance_xml_two_phase(ray_session, corpus_dir):
     )
 
     df = appearance_resolve_xml_ds(corpus_dir).to_pandas()
-    assert len(df) == 5 * 64
+    assert len(df) == 5 * 65  # 64 typed members + 1 generic WaterBody/file
+    # the generic-fallback features' targets are NOT in any theme store:
+    # they must demote to the dummy texture / no-material sentinels
+    wtr = df[df["gml_id"].str.startswith("wtr_")]
+    assert len(wtr) == 5
+    assert (wtr["texture"] == DUMMY_TEXTURE).all()
+    assert (wtr["material"] == NO_MATERIAL).all()
+    df = df[~df["gml_id"].str.startswith("wtr_")].copy()
     f = df["file"].str.replace(".gml", "", regex=False).astype(int)
     idx = df["gml_id"].str.split("_").str[-1].astype(int)
     rgb = (f % 4 != 0).to_numpy()
