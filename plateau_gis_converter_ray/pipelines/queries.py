@@ -13881,6 +13881,214 @@ FROM s, p
 """
 
 
+# ---------------------------------------------------------------------------
+# Wave 32: chi-square independence cells, user set-similarity (Jaccard over
+# event-type bitmasks), discrete-Fréchet track join
+
+
+def q_chi_square_cells(sf_dir: str):
+    """Chi-square independence analysis of event_type x hour-of-day: for
+    every OBSERVED (type, hour) cell, its chi-square contribution
+    (O - E)^2 / E computed bit-exactly from integer marginals as
+    (n*O - R*C)^2 / (n*R*C) — one partial-count exchange; the marginal
+    table is <= |types| * 24 rows, bounded by the generator's type domain
+    (guarded) and the 24-hour domain, so the final fold is driver-side by
+    construction. The float expression is a single fixed-order IEEE chain
+    mirrored verbatim in the SQL twin, so values hash-match."""
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").cast(pa.int64()).to_numpy()
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "hr": pa.array((us // 3_600_000_000) % 24),
+            }
+        )
+
+    cells = tree_group_agg(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        ["event_type", "hr"],
+        {"obs": (None, "count")},
+    ).to_pandas()
+    n_types = cells["event_type"].nunique()
+    if n_types > 64:
+        raise ValueError(
+            f"chi_square_cells: {n_types} event types exceeds the bounded "
+            "type-domain contract (<=64); shard the contingency fold"
+        )
+    obs = cells["obs"].to_numpy().astype(np.int64)
+    n = int(obs.sum())
+    rt = cells.groupby("event_type")["obs"].transform("sum").to_numpy()
+    ct = cells.groupby("hr")["obs"].transform("sum").to_numpy()
+    # wrap-proof: the exact integer d = n*obs - rt*ct must fit int64
+    if n * int(obs.max()) >= (1 << 62) or int(rt.max()) * int(ct.max()) >= (
+        1 << 62
+    ):
+        raise OverflowError("chi_square_cells: marginal product would wrap")
+    d = n * obs - rt * ct
+    df = d.astype(np.float64)
+    chi2 = (df * df) / (
+        (np.float64(n) * rt.astype(np.float64)) * ct.astype(np.float64)
+    )
+    out = pd.DataFrame(
+        {
+            "event_type": cells["event_type"],
+            "hr": cells["hr"].astype(np.int64),
+            "obs": obs,
+            "chi2_cell": chi2,
+        }
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+_SQL_CHI_SQUARE_CELLS = """
+WITH c AS (
+  SELECT event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr,
+         CAST(COUNT(*) AS BIGINT) AS obs
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT event_type, CAST(SUM(obs) AS BIGINT) AS rt FROM c GROUP BY 1
+), h AS (
+  SELECT hr, CAST(SUM(obs) AS BIGINT) AS ct FROM c GROUP BY 1
+), n AS (
+  SELECT CAST(SUM(obs) AS BIGINT) AS nt FROM c
+)
+SELECT c.event_type, c.hr, c.obs,
+       (CAST(nt * obs - rt * ct AS DOUBLE) * CAST(nt * obs - rt * ct AS DOUBLE))
+         / ((CAST(nt AS DOUBLE) * CAST(rt AS DOUBLE)) * CAST(ct AS DOUBLE))
+         AS chi2_cell
+FROM c JOIN r USING (event_type) JOIN h USING (hr), n
+"""
+
+_POP8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(
+    axis=1
+)
+
+
+def _popcount64(v: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of an int64 array (byte-table lookup)."""
+    b = np.ascontiguousarray(v.astype(np.int64)).view(np.uint8)
+    return _POP8[b].reshape(len(v), 8).sum(axis=1).astype(np.int64)
+
+
+def q_user_set_jaccard(sf_dir: str):
+    """Exact set-similarity self-join over user event-type SETS at
+    Jaccard >= 0.5, counted in bulk: each user's set is a bitmask over the
+    (bounded, guarded <= 62) global type domain, users collapse BY MASK,
+    and the pair enumeration runs over distinct-mask groups — so the
+    quadratic step is O(#masks^2) <= 2^T, never O(#users^2). Integer-only
+    output (the Jaccard test 2*|A&B| >= |A|B| avoids floats entirely).
+    Exchanges: one distinct-(user,type) combiner, one per-user mask sum,
+    one per-mask count — all key-hashed, no all-pairs over rows."""
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def high(batch: pa.Table) -> pa.Table:
+        # the HIGH-VALUE type set (integer-cent threshold keeps the
+        # predicate exact); unfiltered sets saturate to the full domain
+        vc = np.round(batch.column("value").to_numpy() * 100).astype(np.int64)
+        keep = vc >= 15000
+        return pa.table(
+            {
+                "user_id": batch.column("user_id").filter(pa.array(keep)),
+                "event_type": batch.column("event_type").filter(pa.array(keep)),
+            }
+        )
+
+    distinct_ut = tree_group_agg(
+        ev.map_batches(high, batch_format="pyarrow"),
+        ["user_id", "event_type"],
+        {"n": (None, "count")},
+    )
+    types = tree_group_agg(
+        distinct_ut, ["event_type"], {"n": (None, "count")}
+    ).to_pandas()
+    names = sorted(types["event_type"].tolist())
+    if len(names) > 62:
+        raise ValueError(
+            f"user_set_jaccard: {len(names)} event types exceeds the "
+            "bitmask domain contract (<=62)"
+        )
+    code = {t: i for i, t in enumerate(names)}
+
+    def to_pow(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type").to_pandas()
+        pw = np.int64(1) << et.map(code).to_numpy().astype(np.int64)
+        return pa.table({"user_id": batch.column("user_id"), "pw": pa.array(pw)})
+
+    masks = tree_group_agg(
+        distinct_ut.map_batches(to_pow, batch_format="pyarrow"),
+        ["user_id"],
+        {"mask": ("pw", "sum")},  # distinct powers: sum == bitwise OR
+    )
+    groups = tree_group_agg(
+        masks, ["mask"], {"cnt": (None, "count")}
+    ).to_pandas()
+    if len(groups) > 4096:
+        raise ValueError(
+            f"user_set_jaccard: {len(groups)} distinct masks exceeds the "
+            "driver fold bound (4096); shard the mask-pair enumeration"
+        )
+    mv = groups["mask"].to_numpy().astype(np.int64)
+    cnt = groups["cnt"].to_numpy().astype(np.int64)
+    ai, bi = np.triu_indices(len(mv), k=0)
+    inter = _popcount64(mv[ai] & mv[bi])
+    uni = _popcount64(mv[ai] | mv[bi])
+    pairs = np.where(
+        ai == bi, cnt[ai] * (cnt[ai] - 1) // 2, cnt[ai] * cnt[bi]
+    )
+    lo = np.minimum(mv[ai], mv[bi])
+    hi = np.maximum(mv[ai], mv[bi])
+    keep = (2 * inter >= uni) & (uni > 0) & (pairs >= 1)
+    return pa.table(
+        {
+            "mask_a": pa.array(lo[keep]),
+            "mask_b": pa.array(hi[keep]),
+            "inter": pa.array(inter[keep]),
+            "uni": pa.array(uni[keep]),
+            "user_pairs": pa.array(pairs[keep]),
+        }
+    )
+
+
+_SQL_USER_SET_JACCARD = """
+WITH hv AS (
+  SELECT user_id, event_type FROM events
+  WHERE CAST(ROUND(value * 100) AS BIGINT) >= 15000
+), codes AS (
+  SELECT event_type,
+         CAST(ROW_NUMBER() OVER (ORDER BY event_type) - 1 AS BIGINT) AS code
+  FROM (SELECT DISTINCT event_type FROM hv)
+), m AS (
+  SELECT user_id,
+         CAST(SUM(DISTINCT (CAST(1 AS BIGINT) << code)) AS BIGINT) AS mask
+  FROM hv JOIN codes USING (event_type) GROUP BY user_id
+), g AS (
+  SELECT mask, CAST(COUNT(*) AS BIGINT) AS cnt FROM m GROUP BY 1
+)
+SELECT CAST(LEAST(a.mask, b.mask) AS BIGINT) AS mask_a,
+       CAST(GREATEST(a.mask, b.mask) AS BIGINT) AS mask_b,
+       CAST(bit_count(a.mask & b.mask) AS BIGINT) AS inter,
+       CAST(bit_count(a.mask | b.mask) AS BIGINT) AS uni,
+       CAST(CASE WHEN a.mask = b.mask THEN a.cnt * (a.cnt - 1) // 2
+                 ELSE a.cnt * b.cnt END AS BIGINT) AS user_pairs
+FROM g a JOIN g b ON a.mask <= b.mask
+WHERE 2 * bit_count(a.mask & b.mask) >= bit_count(a.mask | b.mask)
+  AND bit_count(a.mask | b.mask) > 0
+  AND (CASE WHEN a.mask = b.mask THEN a.cnt * (a.cnt - 1) // 2
+            ELSE a.cnt * b.cnt END) >= 1
+"""
+
+
+def q_frechet_pairs(sf_dir: str):
+    """Discrete-Fréchet track-similarity join (rows-only: minimax DP over
+    int64 squared distances, pytest-pinned bit-identical to the scalar
+    brute recurrence — tests/test_wave32.py)."""
+    from ..stages.trajectory import track_frechet_pairs
+
+    return track_frechet_pairs(sf_dir)
+
+
 QUERIES = {
     "tile_wm_z12": q_tile_wm_z12,
     "tile_3dt_z7": q_tile_3dt_z7,
@@ -14059,6 +14267,9 @@ QUERIES = {
     "seasonal_profile": q_seasonal_profile,
     "sssp_weighted": q_sssp_weighted,
     "track_dtw_pairs": q_track_dtw_pairs,
+    "chi_square_cells": q_chi_square_cells,
+    "user_set_jaccard": q_user_set_jaccard,
+    "frechet_pairs": q_frechet_pairs,
     "ab_test_stats": q_ab_test_stats,
     "csv_source_stats": q_csv_source_stats,
     "tile_dissolve_regions": q_tile_dissolve_regions,
@@ -14095,6 +14306,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "chi_square_cells": _SQL_CHI_SQUARE_CELLS,
+    "user_set_jaccard": _SQL_USER_SET_JACCARD,
     "tile_wm_z12": _sql_tile_wm_z12(),
     "tile_3dt_z7": _sql_tile_3dt_z7(),
     "pip_mesh": _sql_pip_mesh(),

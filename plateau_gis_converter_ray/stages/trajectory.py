@@ -330,6 +330,96 @@ def track_dtw_pairs(sf_dir: str):
     )
 
 
+def frechet_pairs_cell(g: pd.DataFrame, L: int = DTW_L) -> pa.Table:
+    """All (a < b) track pairs of one start cell with their exact discrete
+    Fréchet distance (squared-euclidean point cost). Same pair-wide
+    vectorized DP shape as :func:`dtw_pairs_cell`, different recurrence:
+    dp[i,j] = max(cost[i,j], min(dp[i-1,j], dp[i,j-1], dp[i-1,j-1])) —
+    the minimax "dog leash" coupling instead of DTW's additive warp."""
+    n = len(g)
+    if n < 2:
+        return pa.table(
+            {
+                "user_a": pa.array([], pa.int64()),
+                "user_b": pa.array([], pa.int64()),
+                "frechet_d2": pa.array([], pa.int64()),
+            }
+        )
+    g = g.sort_values("user_id", kind="stable")
+    uid = g["user_id"].to_numpy()
+    X = np.stack([g[f"x{j}"].to_numpy() for j in range(L)], axis=1)
+    Y = np.stack([g[f"y{j}"].to_numpy() for j in range(L)], axis=1)
+    ai, bi = np.triu_indices(n, k=1)
+    dx = X[ai][:, :, None] - X[bi][:, None, :]
+    dy = Y[ai][:, :, None] - Y[bi][:, None, :]
+    cost = dx * dx + dy * dy
+    P = len(ai)
+    INF = np.int64(1) << 60
+    dp = np.full((P, L + 1, L + 1), INF, dtype=np.int64)
+    dp[:, 0, 0] = 0
+    for i in range(1, L + 1):
+        for j in range(1, L + 1):
+            prev = np.minimum(
+                np.minimum(dp[:, i - 1, j], dp[:, i, j - 1]), dp[:, i - 1, j - 1]
+            )
+            dp[:, i, j] = np.maximum(cost[:, i - 1, j - 1], prev)
+    return pa.table(
+        {
+            "user_a": pa.array(uid[ai]),
+            "user_b": pa.array(uid[bi]),
+            "frechet_d2": pa.array(dp[:, L, L]),
+        }
+    )
+
+
+def frechet_brute(a: np.ndarray, b: np.ndarray) -> int:
+    """O(L^2) scalar reference discrete Fréchet (same recurrence) for the
+    pytest pin."""
+    L = len(a)
+    INF = 1 << 60
+    dp = [[INF] * (L + 1) for _ in range(L + 1)]
+    dp[0][0] = 0
+    for i in range(1, L + 1):
+        for j in range(1, L + 1):
+            c = (int(a[i - 1][0]) - int(b[j - 1][0])) ** 2 + (
+                int(a[i - 1][1]) - int(b[j - 1][1])
+            ) ** 2
+            dp[i][j] = max(c, min(dp[i - 1][j], dp[i][j - 1], dp[i - 1][j - 1]))
+    return dp[L][L]
+
+
+def track_frechet_pairs(sf_dir: str):
+    """Discrete-Fréchet similarity join over user tracks: identical plan
+    shape to :func:`track_dtw_pairs` (one bucketed exchange to build
+    fixed-width track rows, start-cell blocking, pair-wide vectorized DP
+    per cell) with the minimax coupling recurrence. Scale lever is the
+    same DTW_CELL blocking size; results are exact int64 (squared units)
+    so the pytest brute pin is bit-identical."""
+    from ..sources.tables import read_table
+
+    ev = read_table(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy()
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "event_id": batch.column("event_id"),
+                "ts_us": batch.column("ts").cast(pa.int64()),
+                "bk": pa.array(u % 64),
+            }
+        )
+
+    tracks = (
+        ev.map_batches(prep, batch_format="pyarrow")
+        .groupby("bk")
+        .map_groups(tracks_fixed, batch_format="pandas")
+    )
+    return tracks.groupby("cell").map_groups(
+        frechet_pairs_cell, batch_format="pandas"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Mobility wave: dwell detection, OD matrix, coverage gaps
 

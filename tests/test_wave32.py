@@ -1,0 +1,210 @@
+"""Wave 32 pins: discrete-Fréchet track join vs the scalar minimax DP,
+chi-square contingency contributions vs a single-machine recompute, and
+user set-Jaccard mask grouping vs a brute per-user-pair recompute.
+
+chi_square_cells and user_set_jaccard are also oracle-gated at three
+scales by tools/check_queries.py; frechet_pairs is rows-only (the DP is
+not SQL-expressible) so the brute pin here is its exactness authority.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+from tests.conftest import SF_SMALL
+
+
+def _to_pandas(res):
+    return res if isinstance(res, pd.DataFrame) else res.to_pandas()
+
+
+class TestFrechetPairs:
+    def test_matches_scalar_dp(self, ray_session):
+        from plateau_gis_converter_ray.stages.trajectory import (
+            DTW_CELL,
+            DTW_L,
+            _xy,
+            frechet_brute,
+            track_frechet_pairs,
+        )
+
+        out = track_frechet_pairs(SF_SMALL).to_pandas()
+        assert len(out) > 0
+
+        ev = pq.read_table(
+            f"{SF_SMALL}/events.parquet", columns=["event_id", "user_id", "ts"]
+        ).to_pandas()
+        ev["ts_us"] = ev["ts"].astype("datetime64[us]").astype(np.int64)
+        ev = ev.sort_values(["user_id", "ts_us", "event_id"], kind="stable")
+        tracks = {}
+        for uid, g in ev.groupby("user_id"):
+            if len(g) < DTW_L:
+                continue
+            eid = g["event_id"].to_numpy()[:DTW_L]
+            x, y = _xy(eid)
+            tracks[int(uid)] = np.stack([x, y], axis=1)
+        expected = {}
+        cells = {}
+        for uid, t in tracks.items():
+            cells.setdefault(
+                (t[0, 0] // DTW_CELL, t[0, 1] // DTW_CELL), []
+            ).append(uid)
+        for members in cells.values():
+            members = sorted(members)
+            for i in range(len(members)):
+                for j in range(i + 1, len(members)):
+                    a, b = members[i], members[j]
+                    expected[(a, b)] = frechet_brute(tracks[a], tracks[b])
+        got = {
+            (int(r.user_a), int(r.user_b)): int(r.frechet_d2)
+            for r in out.itertuples()
+        }
+        assert got == expected
+
+    def test_kernel_identity_offset_and_leq_dtw(self):
+        from plateau_gis_converter_ray.stages.trajectory import (
+            DTW_L,
+            dtw_pairs_cell,
+            frechet_brute,
+            frechet_pairs_cell,
+        )
+
+        base = np.arange(DTW_L, dtype=np.int64) * 10
+        rows = []
+        for uid, (dx, dy) in [(1, (0, 0)), (2, (0, 0)), (3, (3, 4))]:
+            row = {"user_id": uid}
+            for j in range(DTW_L):
+                row[f"x{j}"] = int(base[j] + dx)
+                row[f"y{j}"] = int(dy)
+            rows.append(row)
+        g = pd.DataFrame(rows)
+        fr = {
+            (int(r.user_a), int(r.user_b)): int(r.frechet_d2)
+            for r in frechet_pairs_cell(g).to_pandas().itertuples()
+        }
+        # identical tracks -> 0; constant (3,4) offset -> max single-step
+        # cost 25 (the leash never needs to span more than the offset)
+        assert fr[(1, 2)] == 0
+        assert fr[(1, 3)] == 25
+        a = np.stack([base, np.zeros(DTW_L, dtype=np.int64)], axis=1)
+        b = np.stack(
+            [base + 3, np.full(DTW_L, 4, dtype=np.int64)], axis=1
+        )
+        assert frechet_brute(a, b) == 25
+        # Fréchet (minimax) <= DTW (additive) on every pair
+        dt = {
+            (int(r.user_a), int(r.user_b)): int(r.dtw_d2)
+            for r in dtw_pairs_cell(g).to_pandas().itertuples()
+        }
+        for k, v in fr.items():
+            assert v <= dt[k]
+
+
+class TestChiSquareCells:
+    def test_matches_single_machine(self, ray_session):
+        import plateau_gis_converter_ray.pipelines.queries as q
+
+        got = (
+            _to_pandas(q.q_chi_square_cells(SF_SMALL))
+            .sort_values(["event_type", "hr"])
+            .reset_index(drop=True)
+        )
+        ev = pq.read_table(
+            f"{SF_SMALL}/events.parquet", columns=["event_type", "ts"]
+        ).to_pandas()
+        us = ev["ts"].astype("datetime64[us]").astype(np.int64)
+        ev["hr"] = (us // 3_600_000_000) % 24
+        key_got = list(zip(got["event_type"], got["hr"].astype(int)))
+        base = (
+            ev.groupby(["event_type", "hr"], as_index=False)
+            .size()
+            .rename(columns={"size": "obs"})
+        )
+        n2 = int(base["obs"].sum())
+        base["rt"] = base.groupby("event_type")["obs"].transform("sum")
+        base["ct"] = base.groupby("hr")["obs"].transform("sum")
+        exp = {}
+        for r in base.itertuples():
+            dd = float(n2 * r.obs - r.rt * r.ct)
+            exp[(r.event_type, int(r.hr))] = (
+                (dd * dd)
+                / ((float(n2) * float(r.rt)) * float(r.ct)),
+                int(r.obs),
+            )
+        assert len(key_got) == len(exp)
+        for k, chi2, o in zip(
+            key_got, got["chi2_cell"].to_numpy(), got["obs"].to_numpy()
+        ):
+            assert exp[k][1] == int(o)
+            assert exp[k][0] == float(chi2)  # bit-identical
+
+    def test_contributions_sum_is_chisq_statistic(self, ray_session):
+        """Sanity: summing the per-cell contributions reproduces the
+        textbook chi-square statistic sum((O-E)^2/E) within float noise."""
+        import plateau_gis_converter_ray.pipelines.queries as q
+
+        got = _to_pandas(q.q_chi_square_cells(SF_SMALL))
+        ev = pq.read_table(
+            f"{SF_SMALL}/events.parquet", columns=["event_type", "ts"]
+        ).to_pandas()
+        us = ev["ts"].astype("datetime64[us]").astype(np.int64)
+        ev["hr"] = (us // 3_600_000_000) % 24
+        base = (
+            ev.groupby(["event_type", "hr"], as_index=False)
+            .size()
+            .rename(columns={"size": "obs"})
+        )
+        n = base["obs"].sum()
+        base["rt"] = base.groupby("event_type")["obs"].transform("sum")
+        base["ct"] = base.groupby("hr")["obs"].transform("sum")
+        e = base["rt"] * base["ct"] / n
+        stat = (((base["obs"] - e) ** 2) / e).sum()
+        assert np.isclose(got["chi2_cell"].sum(), stat, rtol=1e-9)
+
+
+class TestUserSetJaccard:
+    def test_matches_brute_pairs(self, ray_session):
+        import plateau_gis_converter_ray.pipelines.queries as q
+
+        got = _to_pandas(q.q_user_set_jaccard(SF_SMALL))
+        ev = pq.read_table(
+            f"{SF_SMALL}/events.parquet",
+            columns=["user_id", "event_type", "value"],
+        ).to_pandas()
+        vc = np.round(ev["value"].to_numpy() * 100).astype(np.int64)
+        hv = ev[vc >= 15000]
+        sets = {
+            int(u): frozenset(g["event_type"])
+            for u, g in hv.groupby("user_id")
+        }
+        names = sorted({t for s in sets.values() for t in s})
+        code = {t: i for i, t in enumerate(names)}
+        masks = {}
+        for u, s in sets.items():
+            m = sum(1 << code[t] for t in s)
+            masks[m] = masks.get(m, 0) + 1
+        exp = {}
+        keys = sorted(masks)
+        for i, a in enumerate(keys):
+            for b in keys[i:]:
+                inter = bin(a & b).count("1")
+                uni = bin(a | b).count("1")
+                pairs = (
+                    masks[a] * (masks[a] - 1) // 2
+                    if a == b
+                    else masks[a] * masks[b]
+                )
+                if 2 * inter >= uni and uni > 0 and pairs >= 1:
+                    exp[(a, b)] = (inter, uni, pairs)
+        got_d = {
+            (int(r.mask_a), int(r.mask_b)): (
+                int(r.inter),
+                int(r.uni),
+                int(r.user_pairs),
+            )
+            for r in got.itertuples()
+        }
+        assert got_d == exp
+        assert len(exp) > 0
