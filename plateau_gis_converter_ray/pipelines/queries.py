@@ -14080,6 +14080,271 @@ WHERE 2 * bit_count(a.mask & b.mask) >= bit_count(a.mask | b.mask)
 """
 
 
+# ---------------------------------------------------------------------------
+# Wave 33: distributed statistics — exact Mann-Whitney rank-sum, Theil-Sen
+# robust trend, integer-exact autocorrelation
+
+
+def q_mann_whitney_u(sf_dir: str):
+    """Exact Mann-Whitney U (rank-sum with average-rank tie handling) for
+    EVERY unordered event-type pair, from per-(type, value-cent) histograms
+    — the value axis is winsorized at 50000 cents so the histogram is
+    bounded BY CONSTRUCTION (<= |types| * 50001 rows) regardless of row
+    count. Average ranks are carried 2x-scaled so everything stays integer:
+    2*R_a = sum_v ca(v) * (2*cum_before(v) + ca(v) + cb(v) + 1) and
+    2*U_a = 2*R_a - n_a*(n_a+1). One partial-count exchange; the pair fold
+    runs on the bounded driver histogram."""
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        vc = np.round(batch.column("value").to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "vb": pa.array(np.minimum(vc, 50000)),
+            }
+        )
+
+    hist = tree_group_agg(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        ["event_type", "vb"],
+        {"c": (None, "count")},
+    ).to_pandas()
+    types = sorted(hist["event_type"].unique().tolist())
+    if len(types) > 64:
+        raise ValueError(
+            f"mann_whitney_u: {len(types)} event types exceeds the bounded "
+            "pair-fold contract (<=64)"
+        )
+    n_tot = int(hist["c"].sum())
+    if n_tot >= (1 << 31):
+        raise OverflowError(
+            "mann_whitney_u: rank sums would exceed int64; shard the fold"
+        )
+    by_type = {
+        t: g.sort_values("vb")[["vb", "c"]].to_numpy(dtype=np.int64)
+        for t, g in hist.groupby("event_type")
+    }
+    rows = []
+    for i, ta in enumerate(types):
+        for tb in types[i + 1 :]:
+            a, b = by_type[ta], by_type[tb]
+            vals = np.union1d(a[:, 0], b[:, 0])
+            ca = np.zeros(len(vals), np.int64)
+            cb = np.zeros(len(vals), np.int64)
+            ca[np.searchsorted(vals, a[:, 0])] = a[:, 1]
+            cb[np.searchsorted(vals, b[:, 0])] = b[:, 1]
+            tot = ca + cb
+            cum = np.concatenate([[0], np.cumsum(tot)[:-1]])
+            r2a = int((ca * (2 * cum + tot + 1)).sum())
+            na, nb = int(ca.sum()), int(cb.sum())
+            rows.append((ta, tb, na, nb, r2a - na * (na + 1)))
+    out = pd.DataFrame(
+        rows, columns=["type_a", "type_b", "n_a", "n_b", "u2_a"]
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+_SQL_MANN_WHITNEY_U = """
+WITH h AS (
+  SELECT event_type AS t,
+         LEAST(CAST(ROUND(value * 100) AS BIGINT), 50000) AS vb,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), tp AS (
+  SELECT a.t AS ta, b.t AS tb
+  FROM (SELECT DISTINCT t FROM h) a JOIN (SELECT DISTINCT t FROM h) b
+    ON a.t < b.t
+), j AS (
+  SELECT ta, tb, vb,
+         SUM(CASE WHEN h.t = ta THEN c ELSE 0 END) AS ca,
+         SUM(CASE WHEN h.t = tb THEN c ELSE 0 END) AS cb
+  FROM tp JOIN h ON h.t = ta OR h.t = tb
+  GROUP BY 1, 2, 3
+), w AS (
+  SELECT ta, tb, ca, cb,
+         COALESCE(SUM(ca + cb) OVER (
+           PARTITION BY ta, tb ORDER BY vb
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM j
+), r AS (
+  SELECT ta, tb, SUM(ca) AS na, SUM(cb) AS nb,
+         SUM(ca * (2 * cum + ca + cb + 1)) AS r2a
+  FROM w GROUP BY 1, 2
+)
+SELECT ta AS type_a, tb AS type_b,
+       CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       CAST(r2a - na * (na + 1) AS BIGINT) AS u2_a
+FROM r
+"""
+
+
+def q_theil_sen_trend(sf_dir: str):
+    """Theil-Sen robust trend of the hourly event count per type: the
+    median over all pairwise slopes (cnt_b - cnt_a) / (hr_b - hr_a) of the
+    OBSERVED hourly buckets. The hourly series is bounded BY CONSTRUCTION
+    (the generator's fixed 30-day window -> <= ~720 observed hours per
+    type), so the O(H^2) pair fold is a constant-size driver step after
+    one partial-count exchange. To avoid any float-interpolation
+    divergence the output is the SELECTED order statistics around the
+    median — slope_lo (element (m-1)//2) and slope_hi (element m//2) of
+    the double-sorted slope list — pure selection, bit-exact vs SQL."""
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").cast(pa.int64()).to_numpy()
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "hr": pa.array(us // 3_600_000_000),
+            }
+        )
+
+    hourly = tree_group_agg(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        ["event_type", "hr"],
+        {"cnt": (None, "count")},
+    ).to_pandas()
+    rows = []
+    for t, g in hourly.groupby("event_type"):
+        g = g.sort_values("hr")
+        h = g["hr"].to_numpy().astype(np.int64)
+        c = g["cnt"].to_numpy().astype(np.int64)
+        if len(h) > 5000:
+            raise ValueError(
+                f"theil_sen_trend: {len(h)} hourly buckets exceeds the "
+                "bounded-window contract (<=5000); shard the pair fold"
+            )
+        ai, bi = np.triu_indices(len(h), k=1)
+        slopes = (c[bi] - c[ai]).astype(np.float64) / (
+            h[bi] - h[ai]
+        ).astype(np.float64)
+        slopes.sort()
+        m = len(slopes)
+        rows.append(
+            (t, m, float(slopes[(m - 1) // 2]), float(slopes[m // 2]))
+        )
+    out = pd.DataFrame(
+        rows, columns=["event_type", "n_pairs", "slope_lo", "slope_hi"]
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+_SQL_THEIL_SEN_TREND = """
+WITH e AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hr FROM events
+), c AS (
+  SELECT event_type, hr, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM e GROUP BY 1, 2
+), s AS (
+  SELECT a.event_type,
+         CAST(b.cnt - a.cnt AS DOUBLE) / CAST(b.hr - a.hr AS DOUBLE)
+           AS slope
+  FROM c a JOIN c b
+    ON a.event_type = b.event_type AND a.hr < b.hr
+), r AS (
+  SELECT event_type, slope,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY slope) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS m
+  FROM s
+)
+SELECT event_type, CAST(MAX(m) AS BIGINT) AS n_pairs,
+       MAX(CASE WHEN rn = (m - 1) // 2 + 1 THEN slope END) AS slope_lo,
+       MAX(CASE WHEN rn = m // 2 + 1 THEN slope END) AS slope_hi
+FROM r GROUP BY event_type
+"""
+
+
+def q_acf_hourly(sf_dir: str):
+    """Autocorrelation (lags 1..3) of the zero-densified hourly event-count
+    series per type, integer-exact: with H grid hours, S = sum(x) and
+    centered terms n*x_t - S carried as PYTHON ints (arbitrary precision —
+    wrap-proof at any scale), acf_k = num_k / den with exactly one double
+    division at the end, mirrored by the SQL twin's HUGEINT arithmetic.
+    The grid is the generator's fixed 30-day window (bounded by
+    construction); one partial-count exchange feeds the driver fold."""
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").cast(pa.int64()).to_numpy()
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "hr": pa.array(us // 3_600_000_000),
+            }
+        )
+
+    hourly = tree_group_agg(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        ["event_type", "hr"],
+        {"cnt": (None, "count")},
+    ).to_pandas()
+    h0 = int(hourly["hr"].min())
+    h1 = int(hourly["hr"].max())
+    H = h1 - h0 + 1
+    if H > 100_000:
+        raise ValueError(
+            f"acf_hourly: {H} grid hours exceeds the bounded-window "
+            "contract (<=100000); shard the series fold"
+        )
+    rows = []
+    for t, g in hourly.groupby("event_type"):
+        x = np.zeros(H, dtype=np.int64)
+        x[g["hr"].to_numpy().astype(np.int64) - h0] = g["cnt"].to_numpy()
+        xs = [int(v) for v in x]
+        S = sum(xs)
+        cent = [H * v - S for v in xs]
+        den = sum(c * c for c in cent)
+        for k in (1, 2, 3):
+            num = sum(cent[i] * cent[i + k] for i in range(H - k))
+            acf = float(num) / float(den) if den else 0.0
+            rows.append((t, k, H, acf))
+    out = pd.DataFrame(rows, columns=["event_type", "lag", "n_hours", "acf"])
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+_SQL_ACF_HOURLY = """
+WITH e AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hr FROM events
+), b AS (
+  SELECT MIN(hr) AS h0, MAX(hr) AS h1 FROM e
+), grid AS (
+  SELECT t.event_type, g.h
+  FROM (SELECT DISTINCT event_type FROM e) t,
+       b, (SELECT UNNEST(generate_series((SELECT h0 FROM b),
+                                         (SELECT h1 FROM b))) AS h) g
+), cnts AS (
+  SELECT event_type, hr, COUNT(*) AS c FROM e GROUP BY 1, 2
+), x AS (
+  SELECT grid.event_type, grid.h, COALESCE(cnts.c, 0) AS c
+  FROM grid LEFT JOIN cnts
+    ON cnts.event_type = grid.event_type AND cnts.hr = grid.h
+), m AS (
+  SELECT event_type, COUNT(*) AS hh, SUM(c) AS s FROM x GROUP BY 1
+), cent AS (
+  SELECT x.event_type, x.h, m.hh * x.c - m.s AS d, m.hh
+  FROM x JOIN m USING (event_type)
+), lagd AS (
+  SELECT event_type, h, d, hh,
+         LEAD(d, 1) OVER win AS d1,
+         LEAD(d, 2) OVER win AS d2,
+         LEAD(d, 3) OVER win AS d3
+  FROM cent WINDOW win AS (PARTITION BY event_type ORDER BY h)
+), agg AS (
+  SELECT event_type, MAX(hh) AS hh, SUM(d * d) AS den,
+         SUM(CASE WHEN d1 IS NOT NULL THEN d * d1 ELSE 0 END) AS n1,
+         SUM(CASE WHEN d2 IS NOT NULL THEN d * d2 ELSE 0 END) AS n2,
+         SUM(CASE WHEN d3 IS NOT NULL THEN d * d3 ELSE 0 END) AS n3
+  FROM lagd GROUP BY 1
+)
+SELECT event_type, CAST(lag AS BIGINT) AS lag, CAST(hh AS BIGINT) AS n_hours,
+       CASE WHEN den = 0 THEN 0.0
+            ELSE CAST(CASE lag WHEN 1 THEN n1 WHEN 2 THEN n2 ELSE n3 END
+                      AS DOUBLE) / CAST(den AS DOUBLE) END AS acf
+FROM agg, (SELECT UNNEST([1, 2, 3]) AS lag)
+"""
+
+
 def q_frechet_pairs(sf_dir: str):
     """Discrete-Fréchet track-similarity join (rows-only: minimax DP over
     int64 squared distances, pytest-pinned bit-identical to the scalar
@@ -14270,6 +14535,9 @@ QUERIES = {
     "chi_square_cells": q_chi_square_cells,
     "user_set_jaccard": q_user_set_jaccard,
     "frechet_pairs": q_frechet_pairs,
+    "mann_whitney_u": q_mann_whitney_u,
+    "theil_sen_trend": q_theil_sen_trend,
+    "acf_hourly": q_acf_hourly,
     "ab_test_stats": q_ab_test_stats,
     "csv_source_stats": q_csv_source_stats,
     "tile_dissolve_regions": q_tile_dissolve_regions,
@@ -14308,6 +14576,9 @@ QUERIES = {
 ORACLES = {
     "chi_square_cells": _SQL_CHI_SQUARE_CELLS,
     "user_set_jaccard": _SQL_USER_SET_JACCARD,
+    "mann_whitney_u": _SQL_MANN_WHITNEY_U,
+    "theil_sen_trend": _SQL_THEIL_SEN_TREND,
+    "acf_hourly": _SQL_ACF_HOURLY,
     "tile_wm_z12": _sql_tile_wm_z12(),
     "tile_3dt_z7": _sql_tile_3dt_z7(),
     "pip_mesh": _sql_pip_mesh(),

@@ -208,3 +208,128 @@ class TestUserSetJaccard:
         }
         assert got_d == exp
         assert len(exp) > 0
+
+
+class TestMannWhitneyU:
+    def test_matches_scipy_style_brute(self, ray_session):
+        import plateau_gis_converter_ray.pipelines.queries as q
+
+        got = _to_pandas(q.q_mann_whitney_u(SF_SMALL))
+        ev = pq.read_table(
+            f"{SF_SMALL}/events.parquet", columns=["event_type", "value"]
+        ).to_pandas()
+        vc = np.minimum(
+            np.round(ev["value"].to_numpy() * 100).astype(np.int64), 50000
+        )
+        ev["vb"] = vc
+        types = sorted(ev["event_type"].unique())
+        exp = {}
+        for i, ta in enumerate(types):
+            for tb in types[i + 1 :]:
+                a = ev.loc[ev["event_type"] == ta, "vb"].to_numpy()
+                b = ev.loc[ev["event_type"] == tb, "vb"].to_numpy()
+                allv = np.concatenate([a, b])
+                order = np.argsort(allv, kind="stable")
+                ranks = np.empty(len(allv), dtype=np.float64)
+                sv = allv[order]
+                # average ranks with ties (1-based)
+                r = np.arange(1, len(sv) + 1, dtype=np.float64)
+                uniq, start = np.unique(sv, return_index=True)
+                end = np.r_[start[1:], len(sv)]
+                for s, e in zip(start, end):
+                    r[s:e] = (s + 1 + e) / 2.0
+                ranks[order] = r
+                r_a = ranks[: len(a)].sum()
+                u_a = r_a - len(a) * (len(a) + 1) / 2.0
+                exp[(ta, tb)] = (len(a), len(b), int(round(2 * u_a)))
+        for row in got.itertuples():
+            e = exp[(row.type_a, row.type_b)]
+            assert (int(row.n_a), int(row.n_b), int(row.u2_a)) == e
+        assert len(got) == len(exp) > 0
+
+    def test_u_sums_to_product(self, ray_session):
+        """U_a + U_b = n_a * n_b (rank-sum identity) for every pair."""
+        import plateau_gis_converter_ray.pipelines.queries as q
+
+        got = _to_pandas(q.q_mann_whitney_u(SF_SMALL))
+        ev = pq.read_table(
+            f"{SF_SMALL}/events.parquet", columns=["event_type", "value"]
+        ).to_pandas()
+        vc = np.minimum(
+            np.round(ev["value"].to_numpy() * 100).astype(np.int64), 50000
+        )
+        ev["vb"] = vc
+        for row in got.itertuples():
+            a = ev.loc[ev["event_type"] == row.type_a, "vb"].to_numpy()
+            b = ev.loc[ev["event_type"] == row.type_b, "vb"].to_numpy()
+            # recompute 2*U_b symmetrically and check the identity
+            allv = np.concatenate([b, a])
+            sv = np.sort(allv)
+            cum = {}
+            vals, cnts = np.unique(sv, return_counts=True)
+            before = np.r_[0, np.cumsum(cnts)[:-1]]
+            cnt_map = dict(zip(vals, zip(before, cnts)))
+            r2b = 0
+            bv, bc = np.unique(b, return_counts=True)
+            av, ac = np.unique(a, return_counts=True)
+            amap = dict(zip(av, ac))
+            for v, c in zip(bv, bc):
+                cb4, ctot = cnt_map[v]
+                r2b += int(c) * (2 * int(cb4) + int(ctot) + 1)
+            u2b = r2b - len(b) * (len(b) + 1)
+            assert int(row.u2_a) + u2b == 2 * len(a) * len(b)
+
+
+class TestTheilSenTrend:
+    def test_matches_brute_median_selection(self, ray_session):
+        import plateau_gis_converter_ray.pipelines.queries as q
+
+        got = _to_pandas(q.q_theil_sen_trend(SF_SMALL))
+        ev = pq.read_table(
+            f"{SF_SMALL}/events.parquet", columns=["event_type", "ts"]
+        ).to_pandas()
+        us = ev["ts"].astype("datetime64[us]").astype(np.int64)
+        ev["hr"] = us // 3_600_000_000
+        for row in got.itertuples():
+            g = (
+                ev[ev["event_type"] == row.event_type]
+                .groupby("hr")
+                .size()
+                .sort_index()
+            )
+            h = g.index.to_numpy().astype(np.int64)
+            c = g.to_numpy().astype(np.int64)
+            slopes = []
+            for i in range(len(h)):
+                for j in range(i + 1, len(h)):
+                    slopes.append((c[j] - c[i]) / (h[j] - h[i]))
+            slopes.sort()
+            m = len(slopes)
+            assert int(row.n_pairs) == m
+            assert float(row.slope_lo) == slopes[(m - 1) // 2]
+            assert float(row.slope_hi) == slopes[m // 2]
+
+
+class TestAcfHourly:
+    def test_matches_numpy_float_recompute(self, ray_session):
+        import plateau_gis_converter_ray.pipelines.queries as q
+
+        got = _to_pandas(q.q_acf_hourly(SF_SMALL))
+        ev = pq.read_table(
+            f"{SF_SMALL}/events.parquet", columns=["event_type", "ts"]
+        ).to_pandas()
+        us = ev["ts"].astype("datetime64[us]").astype(np.int64)
+        ev["hr"] = us // 3_600_000_000
+        h0, h1 = int(ev["hr"].min()), int(ev["hr"].max())
+        H = h1 - h0 + 1
+        for row in got.itertuples():
+            g = ev[ev["event_type"] == row.event_type].groupby("hr").size()
+            x = np.zeros(H)
+            x[g.index.to_numpy() - h0] = g.to_numpy()
+            xc = x - x.mean()
+            k = int(row.lag)
+            want = (xc[:-k] * xc[k:]).sum() / (xc * xc).sum()
+            assert int(row.n_hours) == H
+            assert np.isclose(float(row.acf), want, rtol=1e-9)
+        # lag-1 autocorrelation of an hourly-seasonal series is positive
+        assert (got[got["lag"] == 1]["acf"] > -1).all()
