@@ -14345,6 +14345,143 @@ FROM agg, (SELECT UNNEST([1, 2, 3]) AS lag)
 """
 
 
+# ---------------------------------------------------------------------------
+# Wave 34: oracle-gated Hausdorff track join + exact Kolmogorov-Smirnov
+
+
+def q_hausdorff_pairs(sf_dir: str):
+    """Symmetric-Hausdorff track-similarity join (ORACLE — unlike
+    DTW/Fréchet the max-of-min point-set distance is order-free, so the
+    SQL twin rebuilds the fixed-length tracks with ROW_NUMBER and takes
+    the same GREATEST of directed max-of-mins). Start-cell blocking keeps
+    the quadratic step per-cell; int64-exact squared distances."""
+    from ..stages.trajectory import track_hausdorff_pairs
+
+    return track_hausdorff_pairs(sf_dir)
+
+
+_SQL_HAUSDORFF_PAIRS = """
+WITH e AS (
+  SELECT user_id, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+), p AS (
+  SELECT user_id, rn,
+         (event_id * 9973) % 240000 AS x,
+         (event_id * 7919) % 220000 AS y
+  FROM e WHERE rn <= 8 AND n >= 8
+), c AS (
+  SELECT user_id,
+         MAX(CASE WHEN rn = 1 THEN (x // 30000) * 16 + y // 30000 END)
+           AS cell
+  FROM p GROUP BY 1
+), d AS (
+  SELECT ca.user_id AS ua, cb.user_id AS ub, pa.rn AS ra, pb.rn AS rb,
+         (pa.x - pb.x) * (pa.x - pb.x) + (pa.y - pb.y) * (pa.y - pb.y)
+           AS d2
+  FROM c ca
+  JOIN c cb ON ca.cell = cb.cell AND ca.user_id < cb.user_id
+  JOIN p pa ON pa.user_id = ca.user_id
+  JOIN p pb ON pb.user_id = cb.user_id
+)
+SELECT ua AS user_a, ub AS user_b, CAST(MAX(m) AS BIGINT) AS hausdorff_d2
+FROM (
+  SELECT ua, ub, MIN(d2) AS m FROM d GROUP BY ua, ub, ra
+  UNION ALL
+  SELECT ua, ub, MIN(d2) AS m FROM d GROUP BY ua, ub, rb
+) GROUP BY 1, 2
+"""
+
+
+def q_ks_statistic(sf_dir: str):
+    """Exact two-sample Kolmogorov-Smirnov for every unordered event-type
+    pair, as the INTEGER rational D = ks_num / (n_a * n_b) with
+    ks_num = max_v |n_b * cumA(v) - n_a * cumB(v)| over the winsorized
+    cent histogram (same bounded-by-construction value axis as
+    mann_whitney_u). Zero float arithmetic anywhere."""
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        vc = np.round(batch.column("value").to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "vb": pa.array(np.minimum(vc, 50000)),
+            }
+        )
+
+    hist = tree_group_agg(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        ["event_type", "vb"],
+        {"c": (None, "count")},
+    ).to_pandas()
+    types = sorted(hist["event_type"].unique().tolist())
+    if len(types) > 64:
+        raise ValueError(
+            f"ks_statistic: {len(types)} event types exceeds the bounded "
+            "pair-fold contract (<=64)"
+        )
+    if int(hist["c"].sum()) >= (1 << 31):
+        raise OverflowError(
+            "ks_statistic: cum products would exceed int64; shard the fold"
+        )
+    by_type = {
+        t: g.sort_values("vb")[["vb", "c"]].to_numpy(dtype=np.int64)
+        for t, g in hist.groupby("event_type")
+    }
+    rows = []
+    for i, ta in enumerate(types):
+        for tb in types[i + 1 :]:
+            a, b = by_type[ta], by_type[tb]
+            vals = np.union1d(a[:, 0], b[:, 0])
+            ca = np.zeros(len(vals), np.int64)
+            cb = np.zeros(len(vals), np.int64)
+            ca[np.searchsorted(vals, a[:, 0])] = a[:, 1]
+            cb[np.searchsorted(vals, b[:, 0])] = b[:, 1]
+            na, nb = int(ca.sum()), int(cb.sum())
+            cca = np.cumsum(ca)
+            ccb = np.cumsum(cb)
+            ks = int(np.abs(nb * cca - na * ccb).max())
+            rows.append((ta, tb, na, nb, ks))
+    out = pd.DataFrame(
+        rows, columns=["type_a", "type_b", "n_a", "n_b", "ks_num"]
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+_SQL_KS_STATISTIC = """
+WITH h AS (
+  SELECT event_type AS t,
+         LEAST(CAST(ROUND(value * 100) AS BIGINT), 50000) AS vb,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), tp AS (
+  SELECT a.t AS ta, b.t AS tb
+  FROM (SELECT DISTINCT t FROM h) a JOIN (SELECT DISTINCT t FROM h) b
+    ON a.t < b.t
+), j AS (
+  SELECT ta, tb, vb,
+         SUM(CASE WHEN h.t = ta THEN c ELSE 0 END) AS ca,
+         SUM(CASE WHEN h.t = tb THEN c ELSE 0 END) AS cb
+  FROM tp JOIN h ON h.t = ta OR h.t = tb
+  GROUP BY 1, 2, 3
+), w AS (
+  SELECT ta, tb,
+         SUM(ca) OVER (PARTITION BY ta, tb ORDER BY vb) AS cca,
+         SUM(cb) OVER (PARTITION BY ta, tb ORDER BY vb) AS ccb,
+         SUM(ca) OVER (PARTITION BY ta, tb) AS na,
+         SUM(cb) OVER (PARTITION BY ta, tb) AS nb
+  FROM j
+)
+SELECT ta AS type_a, tb AS type_b,
+       CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b,
+       CAST(MAX(ABS(nb * cca - na * ccb)) AS BIGINT) AS ks_num
+FROM w GROUP BY 1, 2
+"""
+
+
 def q_frechet_pairs(sf_dir: str):
     """Discrete-Fréchet track-similarity join (rows-only: minimax DP over
     int64 squared distances, pytest-pinned bit-identical to the scalar
@@ -14538,6 +14675,8 @@ QUERIES = {
     "mann_whitney_u": q_mann_whitney_u,
     "theil_sen_trend": q_theil_sen_trend,
     "acf_hourly": q_acf_hourly,
+    "hausdorff_pairs": q_hausdorff_pairs,
+    "ks_statistic": q_ks_statistic,
     "ab_test_stats": q_ab_test_stats,
     "csv_source_stats": q_csv_source_stats,
     "tile_dissolve_regions": q_tile_dissolve_regions,
@@ -14579,6 +14718,8 @@ ORACLES = {
     "mann_whitney_u": _SQL_MANN_WHITNEY_U,
     "theil_sen_trend": _SQL_THEIL_SEN_TREND,
     "acf_hourly": _SQL_ACF_HOURLY,
+    "hausdorff_pairs": _SQL_HAUSDORFF_PAIRS,
+    "ks_statistic": _SQL_KS_STATISTIC,
     "tile_wm_z12": _sql_tile_wm_z12(),
     "tile_3dt_z7": _sql_tile_3dt_z7(),
     "pip_mesh": _sql_pip_mesh(),

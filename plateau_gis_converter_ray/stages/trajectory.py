@@ -372,6 +372,71 @@ def frechet_pairs_cell(g: pd.DataFrame, L: int = DTW_L) -> pa.Table:
     )
 
 
+def hausdorff_pairs_cell(g: pd.DataFrame, L: int = DTW_L) -> pa.Table:
+    """All (a < b) track pairs of one start cell with their exact SYMMETRIC
+    Hausdorff distance (squared-euclidean): max over the two directed
+    max-of-min point distances. No DP — one (pairs x L x L) cost tensor,
+    min over each axis, max of the two directed terms. Unlike DTW/Fréchet
+    this is order-free over the point sets, so it IS SQL-expressible and
+    the query is oracle-gated."""
+    n = len(g)
+    if n < 2:
+        return pa.table(
+            {
+                "user_a": pa.array([], pa.int64()),
+                "user_b": pa.array([], pa.int64()),
+                "hausdorff_d2": pa.array([], pa.int64()),
+            }
+        )
+    g = g.sort_values("user_id", kind="stable")
+    uid = g["user_id"].to_numpy()
+    X = np.stack([g[f"x{j}"].to_numpy() for j in range(L)], axis=1)
+    Y = np.stack([g[f"y{j}"].to_numpy() for j in range(L)], axis=1)
+    ai, bi = np.triu_indices(n, k=1)
+    dx = X[ai][:, :, None] - X[bi][:, None, :]
+    dy = Y[ai][:, :, None] - Y[bi][:, None, :]
+    cost = dx * dx + dy * dy
+    h_ab = cost.min(axis=2).max(axis=1)
+    h_ba = cost.min(axis=1).max(axis=1)
+    return pa.table(
+        {
+            "user_a": pa.array(uid[ai]),
+            "user_b": pa.array(uid[bi]),
+            "hausdorff_d2": pa.array(np.maximum(h_ab, h_ba)),
+        }
+    )
+
+
+def track_hausdorff_pairs(sf_dir: str):
+    """Symmetric-Hausdorff track-similarity join: same plan shape as
+    :func:`track_dtw_pairs` (fixed-width track rows, start-cell blocking),
+    minimax point-set distance per pair. Oracle-gated — the SQL twin
+    rebuilds the tracks with ROW_NUMBER and takes the same max-of-mins."""
+    from ..sources.tables import read_table
+
+    ev = read_table(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy()
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "event_id": batch.column("event_id"),
+                "ts_us": batch.column("ts").cast(pa.int64()),
+                "bk": pa.array(u % 64),
+            }
+        )
+
+    tracks = (
+        ev.map_batches(prep, batch_format="pyarrow")
+        .groupby("bk")
+        .map_groups(tracks_fixed, batch_format="pandas")
+    )
+    return tracks.groupby("cell").map_groups(
+        hausdorff_pairs_cell, batch_format="pandas"
+    )
+
+
 def frechet_brute(a: np.ndarray, b: np.ndarray) -> int:
     """O(L^2) scalar reference discrete Fréchet (same recurrence) for the
     pytest pin."""

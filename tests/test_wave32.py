@@ -1,10 +1,12 @@
-"""Wave 32 pins: discrete-Fréchet track join vs the scalar minimax DP,
-chi-square contingency contributions vs a single-machine recompute, and
-user set-Jaccard mask grouping vs a brute per-user-pair recompute.
+"""Waves 32-34 pins: discrete-Fréchet / symmetric-Hausdorff track joins
+vs scalar max-min / minimax-DP recomputes, chi-square contingency
+contributions, user set-Jaccard mask grouping, Mann-Whitney U rank sums,
+Theil-Sen median-slope selection, hourly autocorrelation, and the exact
+integer Kolmogorov-Smirnov statistic.
 
-chi_square_cells and user_set_jaccard are also oracle-gated at three
-scales by tools/check_queries.py; frechet_pairs is rows-only (the DP is
-not SQL-expressible) so the brute pin here is its exactness authority.
+All but frechet_pairs are also oracle-gated at three scales by
+tools/check_queries.py; frechet_pairs is rows-only (the DP is not
+SQL-expressible) so the brute pin here is its exactness authority.
 """
 
 from __future__ import annotations
@@ -333,3 +335,97 @@ class TestAcfHourly:
             assert np.isclose(float(row.acf), want, rtol=1e-9)
         # lag-1 autocorrelation of an hourly-seasonal series is positive
         assert (got[got["lag"] == 1]["acf"] > -1).all()
+
+
+class TestHausdorffPairs:
+    def test_matches_brute_max_of_mins(self, ray_session):
+        from plateau_gis_converter_ray.stages.trajectory import (
+            DTW_CELL,
+            DTW_L,
+            _xy,
+            track_hausdorff_pairs,
+        )
+
+        out = track_hausdorff_pairs(SF_SMALL).to_pandas()
+        assert len(out) > 0
+        ev = pq.read_table(
+            f"{SF_SMALL}/events.parquet", columns=["event_id", "user_id", "ts"]
+        ).to_pandas()
+        ev["ts_us"] = ev["ts"].astype("datetime64[us]").astype(np.int64)
+        ev = ev.sort_values(["user_id", "ts_us", "event_id"], kind="stable")
+        tracks = {}
+        for uid, g in ev.groupby("user_id"):
+            if len(g) < DTW_L:
+                continue
+            eid = g["event_id"].to_numpy()[:DTW_L]
+            x, y = _xy(eid)
+            tracks[int(uid)] = np.stack([x, y], axis=1)
+        cells = {}
+        for uid, t in tracks.items():
+            cells.setdefault(
+                (t[0, 0] // DTW_CELL, t[0, 1] // DTW_CELL), []
+            ).append(uid)
+        expected = {}
+        for members in cells.values():
+            members = sorted(members)
+            for i in range(len(members)):
+                for j in range(i + 1, len(members)):
+                    a, b = tracks[members[i]], tracks[members[j]]
+                    d2 = (
+                        (a[:, None, :] - b[None, :, :]).astype(np.int64) ** 2
+                    ).sum(axis=2)
+                    h = max(d2.min(axis=1).max(), d2.min(axis=0).max())
+                    expected[(members[i], members[j])] = int(h)
+        got = {
+            (int(r.user_a), int(r.user_b)): int(r.hausdorff_d2)
+            for r in out.itertuples()
+        }
+        assert got == expected
+
+    def test_hausdorff_leq_frechet(self, ray_session):
+        """Hausdorff <= discrete Fréchet on every co-celled pair (the
+        Fréchet coupling is one particular correspondence)."""
+        from plateau_gis_converter_ray.stages.trajectory import (
+            track_frechet_pairs,
+            track_hausdorff_pairs,
+        )
+
+        h = {
+            (int(r.user_a), int(r.user_b)): int(r.hausdorff_d2)
+            for r in track_hausdorff_pairs(SF_SMALL)
+            .to_pandas()
+            .itertuples()
+        }
+        f = {
+            (int(r.user_a), int(r.user_b)): int(r.frechet_d2)
+            for r in track_frechet_pairs(SF_SMALL).to_pandas().itertuples()
+        }
+        assert set(h) == set(f) and len(h) > 0
+        for k in h:
+            assert h[k] <= f[k]
+
+
+class TestKsStatistic:
+    def test_matches_brute_ecdf(self, ray_session):
+        import plateau_gis_converter_ray.pipelines.queries as q
+
+        got = _to_pandas(q.q_ks_statistic(SF_SMALL))
+        ev = pq.read_table(
+            f"{SF_SMALL}/events.parquet", columns=["event_type", "value"]
+        ).to_pandas()
+        ev["vb"] = np.minimum(
+            np.round(ev["value"].to_numpy() * 100).astype(np.int64), 50000
+        )
+        for row in got.itertuples():
+            a = np.sort(ev.loc[ev["event_type"] == row.type_a, "vb"])
+            b = np.sort(ev.loc[ev["event_type"] == row.type_b, "vb"])
+            vals = np.union1d(a, b)
+            cca = np.searchsorted(a, vals, side="right")
+            ccb = np.searchsorted(b, vals, side="right")
+            ks = np.abs(len(b) * cca - len(a) * ccb).max()
+            assert (int(row.n_a), int(row.n_b)) == (len(a), len(b))
+            assert int(row.ks_num) == int(ks)
+            # classic float KS D agrees
+            d = ks / (len(a) * len(b))
+            ecdf_d = np.abs(cca / len(a) - ccb / len(b)).max()
+            assert np.isclose(d, ecdf_d, rtol=1e-12)
