@@ -14482,6 +14482,321 @@ FROM w GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# Wave 35: 1-D Wasserstein distance, Wald-Wolfowitz runs test, STL-lite
+# seasonal decomposition — all integer-exact, all oracle-gated
+
+
+def q_wasserstein_1d(sf_dir: str):
+    """Exact 1-D Wasserstein (earth-mover) distance between every
+    unordered pair of event-type value distributions, as the integer
+    numerator W1_num = sum_v |n_b*cumA(v) - n_a*cumB(v)| * gap(v) over the
+    winsorized-cent histogram (denominator n_a*n_b implied). The fold runs
+    in PYTHON ints (wrap-proof); the SQL twin's HUGEINT sums mirror it.
+    Same bounded-by-construction value axis as mann_whitney_u."""
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        vc = np.round(batch.column("value").to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "vb": pa.array(np.minimum(vc, 50000)),
+            }
+        )
+
+    hist = tree_group_agg(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        ["event_type", "vb"],
+        {"c": (None, "count")},
+    ).to_pandas()
+    types = sorted(hist["event_type"].unique().tolist())
+    if len(types) > 64:
+        raise ValueError(
+            f"wasserstein_1d: {len(types)} event types exceeds the bounded "
+            "pair-fold contract (<=64)"
+        )
+    by_type = {
+        t: g.sort_values("vb")[["vb", "c"]].to_numpy(dtype=np.int64)
+        for t, g in hist.groupby("event_type")
+    }
+    rows = []
+    for i, ta in enumerate(types):
+        for tb in types[i + 1 :]:
+            a, b = by_type[ta], by_type[tb]
+            vals = np.union1d(a[:, 0], b[:, 0])
+            ca = np.zeros(len(vals), np.int64)
+            cb = np.zeros(len(vals), np.int64)
+            ca[np.searchsorted(vals, a[:, 0])] = a[:, 1]
+            cb[np.searchsorted(vals, b[:, 0])] = b[:, 1]
+            na, nb = int(ca.sum()), int(cb.sum())
+            cca = np.cumsum(ca)
+            ccb = np.cumsum(cb)
+            w1 = 0
+            for k in range(len(vals) - 1):
+                w1 += abs(
+                    nb * int(cca[k]) - na * int(ccb[k])
+                ) * int(vals[k + 1] - vals[k])
+            if w1 >= (1 << 63):
+                raise OverflowError(
+                    "wasserstein_1d: W1 numerator exceeds BIGINT"
+                )
+            rows.append((ta, tb, na, nb, w1))
+    out = pd.DataFrame(
+        rows, columns=["type_a", "type_b", "n_a", "n_b", "w1_num"]
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+_SQL_WASSERSTEIN_1D = """
+WITH h AS (
+  SELECT event_type AS t,
+         LEAST(CAST(ROUND(value * 100) AS BIGINT), 50000) AS vb,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), tp AS (
+  SELECT a.t AS ta, b.t AS tb
+  FROM (SELECT DISTINCT t FROM h) a JOIN (SELECT DISTINCT t FROM h) b
+    ON a.t < b.t
+), j AS (
+  SELECT ta, tb, vb,
+         SUM(CASE WHEN h.t = ta THEN c ELSE 0 END) AS ca,
+         SUM(CASE WHEN h.t = tb THEN c ELSE 0 END) AS cb
+  FROM tp JOIN h ON h.t = ta OR h.t = tb
+  GROUP BY 1, 2, 3
+), w AS (
+  SELECT ta, tb, vb,
+         SUM(ca) OVER (PARTITION BY ta, tb ORDER BY vb) AS cca,
+         SUM(cb) OVER (PARTITION BY ta, tb ORDER BY vb) AS ccb,
+         SUM(ca) OVER (PARTITION BY ta, tb) AS na,
+         SUM(cb) OVER (PARTITION BY ta, tb) AS nb,
+         LEAD(vb) OVER (PARTITION BY ta, tb ORDER BY vb) AS vn
+  FROM j
+)
+SELECT ta AS type_a, tb AS type_b,
+       CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b,
+       CAST(SUM(CASE WHEN vn IS NULL THEN 0
+                     ELSE ABS(nb * cca - na * ccb) * (vn - vb) END)
+            AS BIGINT) AS w1_num
+FROM w GROUP BY 1, 2
+"""
+
+
+def q_runs_test(sf_dir: str):
+    """Wald-Wolfowitz runs test per event type over the (ts, event_id)
+    time-ordered sign sequence vs the type's LOWER MEDIAN (order statistic
+    (n+1)//2 of the winsorized cents, from the bounded histogram —
+    median-tie rows drop, the classic convention). Adjacency across the
+    distributed order is stitched from per-(type, hour-bucket) partials
+    (in-bucket sign-change count + boundary signs), so no global sort:
+    one exchange, then a <= |types| * 720 driver stitch bounded by the
+    generator's fixed window. runs = 1 + sign changes; n_pos/n_neg
+    alongside for the z-score."""
+    from ..stages.treeagg import clean_arrow
+
+    ev = _read(sf_dir, "events", ["event_type", "event_id", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        vc = np.round(batch.column("value").to_numpy() * 100).astype(np.int64)
+        us = batch.column("ts").cast(pa.int64()).to_numpy()
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "vb": pa.array(np.minimum(vc, 50000)),
+                "us": pa.array(us),
+                "event_id": batch.column("event_id"),
+                "hr": pa.array(us // 3_600_000_000),
+            }
+        )
+
+    pts = ev.map_batches(prep, batch_format="pyarrow")
+    hist = tree_group_agg(
+        pts, ["event_type", "vb"], {"c": (None, "count")}
+    ).to_pandas()
+    med = {}
+    for t, g in hist.groupby("event_type"):
+        g = g.sort_values("vb")
+        cum = g["c"].cumsum().to_numpy()
+        n = int(cum[-1])
+        k = (n + 1) // 2
+        med[t] = int(g["vb"].to_numpy()[np.searchsorted(cum, k)])
+
+    def bucket_partial(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["us", "event_id"], kind="stable")
+        t = g["event_type"].iloc[0]
+        sg = np.sign(g["vb"].to_numpy() - med[t]).astype(np.int64)
+        sg = sg[sg != 0]
+        if not len(sg):
+            return clean_arrow(
+                pd.DataFrame(
+                    columns=[
+                        "event_type", "hr", "changes", "first_sg",
+                        "last_sg", "n_pos", "n_neg",
+                    ]
+                ).astype(
+                    {
+                        "event_type": str, "hr": np.int64,
+                        "changes": np.int64, "first_sg": np.int64,
+                        "last_sg": np.int64, "n_pos": np.int64,
+                        "n_neg": np.int64,
+                    }
+                )
+            )
+        return clean_arrow(
+            pd.DataFrame(
+                {
+                    "event_type": [t],
+                    "hr": [np.int64(g["hr"].iloc[0])],
+                    "changes": [np.int64((sg[1:] != sg[:-1]).sum())],
+                    "first_sg": [sg[0]],
+                    "last_sg": [sg[-1]],
+                    "n_pos": [np.int64((sg > 0).sum())],
+                    "n_neg": [np.int64((sg < 0).sum())],
+                }
+            )
+        )
+
+    parts = (
+        pts.groupby(["event_type", "hr"])
+        .map_groups(bucket_partial, batch_format="pandas")
+        .to_pandas()
+    )
+    rows = []
+    for t, g in parts.groupby("event_type"):
+        g = g.sort_values("hr")
+        changes = int(g["changes"].sum())
+        last = g["last_sg"].to_numpy()[:-1]
+        first = g["first_sg"].to_numpy()[1:]
+        changes += int((last != first).sum())
+        rows.append(
+            (
+                t,
+                changes + 1,
+                int(g["n_pos"].sum()),
+                int(g["n_neg"].sum()),
+            )
+        )
+    out = pd.DataFrame(rows, columns=["event_type", "runs", "n_pos", "n_neg"])
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+_SQL_RUNS_TEST = """
+WITH v AS (
+  SELECT event_type, epoch_us(ts) AS us, event_id,
+         LEAST(CAST(ROUND(value * 100) AS BIGINT), 50000) AS vc
+  FROM events
+), med AS (
+  SELECT event_type, vc AS m FROM (
+    SELECT event_type, vc,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY vc) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM v
+  ) WHERE rn = (n + 1) // 2
+), s AS (
+  SELECT v.event_type, us, event_id,
+         CASE WHEN vc > m THEN 1 WHEN vc < m THEN -1 ELSE 0 END AS sg
+  FROM v JOIN med USING (event_type)
+), nz AS (
+  SELECT event_type, sg,
+         LAG(sg) OVER (PARTITION BY event_type
+                       ORDER BY us, event_id) AS pg
+  FROM s WHERE sg != 0
+)
+SELECT event_type,
+       CAST(SUM(CASE WHEN pg IS NULL OR sg != pg THEN 1 ELSE 0 END)
+            AS BIGINT) AS runs,
+       CAST(SUM(CASE WHEN sg = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       CAST(SUM(CASE WHEN sg = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+FROM nz GROUP BY 1
+"""
+
+
+def q_stl_seasonal(sf_dir: str):
+    """STL-lite seasonal component of the hourly event-count series per
+    type: detrend with a centered 25-hour moving SUM (detr = 25*x_t -
+    window_sum, 25x-scaled so everything stays integer), then the seasonal
+    estimate per hour-of-day is the exact rational mean of detrended
+    values — emitted as (seas_num, n_obs) integer pairs. Zero-densified
+    grid bounded by the generator's fixed 30-day window; one
+    partial-count exchange feeds the driver fold."""
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").cast(pa.int64()).to_numpy()
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "hr": pa.array(us // 3_600_000_000),
+            }
+        )
+
+    hourly = tree_group_agg(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        ["event_type", "hr"],
+        {"cnt": (None, "count")},
+    ).to_pandas()
+    h0 = int(hourly["hr"].min())
+    h1 = int(hourly["hr"].max())
+    H = h1 - h0 + 1
+    if H > 100_000:
+        raise ValueError(
+            f"stl_seasonal: {H} grid hours exceeds the bounded-window "
+            "contract (<=100000); shard the series fold"
+        )
+    rows = []
+    for t, g in hourly.groupby("event_type"):
+        x = np.zeros(H, dtype=np.int64)
+        x[g["hr"].to_numpy().astype(np.int64) - h0] = g["cnt"].to_numpy()
+        cs = np.concatenate([[0], np.cumsum(x)])
+        # centered window sum over [t-12, t+12] for t in [12, H-13]
+        t_idx = np.arange(12, H - 12)
+        wsum = cs[t_idx + 13] - cs[t_idx - 12]
+        detr = 25 * x[t_idx] - wsum
+        hh = (t_idx + h0) % 24
+        for h in range(24):
+            m = hh == h
+            if m.any():
+                rows.append(
+                    (t, h, int(detr[m].sum()), int(m.sum()))
+                )
+    out = pd.DataFrame(
+        rows, columns=["event_type", "hh", "seas_num", "n_obs"]
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+_SQL_STL_SEASONAL = """
+WITH e AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hr FROM events
+), b AS (
+  SELECT MIN(hr) AS h0, MAX(hr) AS h1 FROM e
+), grid AS (
+  SELECT t.event_type, g.h
+  FROM (SELECT DISTINCT event_type FROM e) t,
+       (SELECT UNNEST(generate_series((SELECT h0 FROM b),
+                                      (SELECT h1 FROM b))) AS h) g
+), cnts AS (
+  SELECT event_type, hr, COUNT(*) AS c FROM e GROUP BY 1, 2
+), x AS (
+  SELECT grid.event_type, grid.h, COALESCE(cnts.c, 0) AS c
+  FROM grid LEFT JOIN cnts
+    ON cnts.event_type = grid.event_type AND cnts.hr = grid.h
+), w AS (
+  SELECT event_type, h, c,
+         SUM(c) OVER win AS wsum, COUNT(*) OVER win AS wn
+  FROM x WINDOW win AS (PARTITION BY event_type ORDER BY h
+                        ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+), d AS (
+  SELECT event_type, h % 24 AS hh, 25 * c - wsum AS detr
+  FROM w WHERE wn = 25
+)
+SELECT event_type, CAST(hh AS BIGINT) AS hh,
+       CAST(SUM(detr) AS BIGINT) AS seas_num,
+       CAST(COUNT(*) AS BIGINT) AS n_obs
+FROM d GROUP BY 1, 2
+"""
+
+
 def q_frechet_pairs(sf_dir: str):
     """Discrete-Fréchet track-similarity join (rows-only: minimax DP over
     int64 squared distances, pytest-pinned bit-identical to the scalar
@@ -14677,6 +14992,9 @@ QUERIES = {
     "acf_hourly": q_acf_hourly,
     "hausdorff_pairs": q_hausdorff_pairs,
     "ks_statistic": q_ks_statistic,
+    "wasserstein_1d": q_wasserstein_1d,
+    "runs_test": q_runs_test,
+    "stl_seasonal": q_stl_seasonal,
     "ab_test_stats": q_ab_test_stats,
     "csv_source_stats": q_csv_source_stats,
     "tile_dissolve_regions": q_tile_dissolve_regions,
@@ -14720,6 +15038,9 @@ ORACLES = {
     "acf_hourly": _SQL_ACF_HOURLY,
     "hausdorff_pairs": _SQL_HAUSDORFF_PAIRS,
     "ks_statistic": _SQL_KS_STATISTIC,
+    "wasserstein_1d": _SQL_WASSERSTEIN_1D,
+    "runs_test": _SQL_RUNS_TEST,
+    "stl_seasonal": _SQL_STL_SEASONAL,
     "tile_wm_z12": _sql_tile_wm_z12(),
     "tile_3dt_z7": _sql_tile_3dt_z7(),
     "pip_mesh": _sql_pip_mesh(),

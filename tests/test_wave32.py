@@ -1,4 +1,4 @@
-"""Waves 32-34 pins: discrete-Fréchet / symmetric-Hausdorff track joins
+"""Waves 32-35 pins: discrete-Fréchet / symmetric-Hausdorff track joins
 vs scalar max-min / minimax-DP recomputes, chi-square contingency
 contributions, user set-Jaccard mask grouping, Mann-Whitney U rank sums,
 Theil-Sen median-slope selection, hourly autocorrelation, and the exact
@@ -429,3 +429,105 @@ class TestKsStatistic:
             d = ks / (len(a) * len(b))
             ecdf_d = np.abs(cca / len(a) - ccb / len(b)).max()
             assert np.isclose(d, ecdf_d, rtol=1e-12)
+
+
+class TestWasserstein1d:
+    def test_matches_scipy_style_brute(self, ray_session):
+        import plateau_gis_converter_ray.pipelines.queries as q
+
+        got = _to_pandas(q.q_wasserstein_1d(SF_SMALL))
+        ev = pq.read_table(
+            f"{SF_SMALL}/events.parquet", columns=["event_type", "value"]
+        ).to_pandas()
+        ev["vb"] = np.minimum(
+            np.round(ev["value"].to_numpy() * 100).astype(np.int64), 50000
+        )
+        assert len(got) > 0
+        for row in got.itertuples():
+            a = np.sort(ev.loc[ev["event_type"] == row.type_a, "vb"])
+            b = np.sort(ev.loc[ev["event_type"] == row.type_b, "vb"])
+            # brute: integrate |ECDF_a - ECDF_b| over the value axis
+            vals = np.union1d(a, b)
+            cca = np.searchsorted(a, vals, side="right")
+            ccb = np.searchsorted(b, vals, side="right")
+            w1 = int(
+                (
+                    np.abs(
+                        len(b) * cca[:-1].astype(object)
+                        - len(a) * ccb[:-1].astype(object)
+                    )
+                    * np.diff(vals).astype(object)
+                ).sum()
+            )
+            assert int(row.w1_num) == w1
+            # float cross-check vs the classic mean-of-quantile-diffs form
+            # (valid when n_a == n_b)
+            if len(a) == len(b):
+                brute = np.abs(a - b).sum() * len(a)
+                assert w1 == int(brute)
+
+
+class TestRunsTest:
+    def test_matches_single_machine_sequence(self, ray_session):
+        import plateau_gis_converter_ray.pipelines.queries as q
+
+        got = _to_pandas(q.q_runs_test(SF_SMALL))
+        ev = pq.read_table(
+            f"{SF_SMALL}/events.parquet",
+            columns=["event_type", "event_id", "ts", "value"],
+        ).to_pandas()
+        ev["vb"] = np.minimum(
+            np.round(ev["value"].to_numpy() * 100).astype(np.int64), 50000
+        )
+        ev["us"] = ev["ts"].astype("datetime64[us]").astype(np.int64)
+        assert len(got) == ev["event_type"].nunique()
+        for row in got.itertuples():
+            g = ev[ev["event_type"] == row.event_type].sort_values(
+                ["us", "event_id"], kind="stable"
+            )
+            v = np.sort(g["vb"].to_numpy())
+            med = int(v[(len(v) + 1) // 2 - 1])
+            sg = np.sign(g["vb"].to_numpy() - med)
+            sg = sg[sg != 0]
+            runs = 1 + int((sg[1:] != sg[:-1]).sum())
+            assert int(row.runs) == runs
+            assert int(row.n_pos) == int((sg > 0).sum())
+            assert int(row.n_neg) == int((sg < 0).sum())
+
+
+class TestStlSeasonal:
+    def test_matches_numpy_recompute_and_zero_mean(self, ray_session):
+        import plateau_gis_converter_ray.pipelines.queries as q
+
+        got = _to_pandas(q.q_stl_seasonal(SF_SMALL))
+        ev = pq.read_table(
+            f"{SF_SMALL}/events.parquet", columns=["event_type", "ts"]
+        ).to_pandas()
+        us = ev["ts"].astype("datetime64[us]").astype(np.int64)
+        ev["hr"] = us // 3_600_000_000
+        h0, h1 = int(ev["hr"].min()), int(ev["hr"].max())
+        H = h1 - h0 + 1
+        for t, gg in ev.groupby("event_type"):
+            x = np.zeros(H, dtype=np.int64)
+            cnt = gg.groupby("hr").size()
+            x[cnt.index.to_numpy() - h0] = cnt.to_numpy()
+            sub = got[got["event_type"] == t]
+            total = 0
+            for row in sub.itertuples():
+                hh = int(row.hh)
+                want_num, want_n = 0, 0
+                for ti in range(12, H - 12):
+                    if (ti + h0) % 24 != hh:
+                        continue
+                    wsum = int(x[ti - 12 : ti + 13].sum())
+                    want_num += 25 * int(x[ti]) - wsum
+                    want_n += 1
+                assert (int(row.seas_num), int(row.n_obs)) == (
+                    want_num,
+                    want_n,
+                )
+                total += int(row.seas_num)
+            # detrended residuals roughly cancel across the 24 phases:
+            # the sum over ALL interior t of (25*x_t - wsum_t) is small
+            # relative to 25 * series mass
+            assert abs(total) <= 25 * int(x.sum())
