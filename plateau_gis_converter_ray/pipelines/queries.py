@@ -14797,6 +14797,259 @@ FROM d GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# Wave 36: local Moran's I (LISA) per tile, cross-correlation of type pairs
+
+
+def q_local_morans_i(sf_dir: str):
+    """LOCAL Moran's I (LISA) for every occupied z10 tile — the per-tile
+    hotspot/coldspot classification that complements the global
+    ``morans_i``. Same two-stage plan: per-tile counts (one fact-sized
+    combiner exchange), then the 8-neighbor scatter stencil (9x the TILE
+    table, never the facts) yields each tile's count c, occupied-neighbor
+    sum s and degree d. With exact integers z_p = nt*c_p - s1 and
+    lag_p = nt*s_p - d_p*s1, the output per tile is the integer numerator
+    li_num = z_p * lag_p plus li = (li_num * nt) / den as the ONE
+    fixed-order float expression (den = nt^2*s2 - nt*s1^2, global).
+    Globals fold via a second tiny tree agg; per-tile emission is a
+    streaming map with broadcast scalars — nothing driver-sized but the
+    3-row moment table."""
+    ds = _read(sf_dir, "events", ["event_id"])
+    ds = ds.map_batches(
+        lambda b: add_lnglat_arith(b, "event_id"), batch_format="pyarrow"
+    )
+    ds = ds.map_batches(
+        lambda b: assign_webmercator(b, 10), batch_format="pyarrow"
+    )
+
+    def pack(batch: pa.Table) -> pa.Table:
+        x = batch.column("tile_x").to_numpy()
+        y = batch.column("tile_y").to_numpy()
+        return pa.table({"k": pa.array(x * 1024 + y)})
+
+    counts = tree_group_agg(
+        ds.map_batches(pack, batch_format="pyarrow"),
+        ["k"], {"n": (None, "count")},
+    )
+
+    _DX = np.array([-1, -1, -1, 0, 0, 1, 1, 1], np.int64)
+    _DY = np.array([-1, 0, 1, -1, 1, -1, 0, 1], np.int64)
+
+    def scatter(batch: pa.Table) -> pa.Table:
+        k = batch.column("k").to_numpy()
+        n = batch.column("n").to_numpy()
+        x, y = k // 1024, k % 1024
+        m = len(k)
+        px = np.concatenate([np.tile(x, 8) + np.repeat(_DX, m), x]) + 1
+        py = np.concatenate([np.tile(y, 8) + np.repeat(_DY, m), y]) + 1
+        zeros = np.zeros(m, np.int64)
+        return pa.table(
+            {
+                "pk": pa.array(px * 2048 + py),
+                "c": pa.array(np.concatenate([np.zeros(8 * m, np.int64), n])),
+                "s": pa.array(np.concatenate([np.tile(n, 8), zeros])),
+                "d": pa.array(
+                    np.concatenate([np.ones(8 * m, np.int64), zeros])
+                ),
+            }
+        )
+
+    tiles = tree_group_agg(
+        counts.map_batches(scatter, batch_format="pyarrow"),
+        ["pk"], {"c": ("c", "sum"), "s": ("s", "sum"), "d": ("d", "sum")},
+    )
+
+    def moments(batch: pa.Table) -> pa.Table:
+        c = batch.column("c").to_numpy()
+        occ = c > 0
+        c = c[occ]
+        return pa.table(
+            {
+                "g": pa.array([0]),
+                "nt": pa.array([np.int64(occ.sum())]),
+                "s1": pa.array([c.sum()]),
+                "s2": pa.array([(c * c).sum()]),
+            }
+        )
+
+    mom = tree_group_agg(
+        tiles.map_batches(moments, batch_format="pyarrow"),
+        ["g"],
+        {"nt": ("nt", "sum"), "s1": ("s1", "sum"), "s2": ("s2", "sum")},
+    ).to_pandas()
+    nt, s1, s2 = int(mom["nt"][0]), int(mom["s1"][0]), int(mom["s2"][0])
+    den = nt * nt * s2 - nt * s1 * s1
+    # wrap-proofing: the largest |li_num| is bounded by (nt*cmax + s1) *
+    # (8*(nt*cmax + s1)); assert with Python ints before the int64 map
+    if den >= (1 << 63) or (nt * s2 + s1 * s1) * 9 * nt >= (1 << 62):
+        raise OverflowError("local_morans_i: moments would wrap int64")
+
+    def emit(batch: pa.Table) -> pa.Table:
+        c = batch.column("c").to_numpy()
+        s = batch.column("s").to_numpy()
+        d = batch.column("d").to_numpy()
+        pk = batch.column("pk").to_numpy()
+        occ = c > 0
+        c, s, d, pk = c[occ], s[occ], d[occ], pk[occ]
+        z = nt * c - s1
+        lag = nt * s - d * s1
+        num = z * lag
+        li = (num.astype(np.float64) * np.float64(nt)) / np.float64(den)
+        return pa.table(
+            {
+                "tile_x": pa.array(pk // 2048 - 1),
+                "tile_y": pa.array(pk % 2048 - 1),
+                "n": pa.array(c),
+                "deg": pa.array(d),
+                "li_num": pa.array(num),
+                "li": pa.array(li),
+            }
+        )
+
+    return tiles.map_batches(emit, batch_format="pyarrow")
+
+
+def _sql_local_morans_i() -> str:
+    lng, lat = _geo_sql("event_id")
+    return f"""
+WITH pts AS (
+  SELECT {lng} AS lng, {lat} AS lat FROM events
+), t AS (
+  SELECT CAST(FLOOR((lng + 180.0) / 360.0 * 1024) AS BIGINT) AS x,
+         CAST(FLOOR(((-(DEGREES(LN(TAN(RADIANS(90.0 + lat) / 2.0)))) + 180.0) / 360.0) * 1024) AS BIGINT) AS y,
+         COUNT(*) AS n
+  FROM pts GROUP BY 1, 2
+), e AS (
+  SELECT a.x, a.y, SUM(b.n) AS s, COUNT(*) AS d
+  FROM t a JOIN t b ON b.x BETWEEN a.x - 1 AND a.x + 1
+                   AND b.y BETWEEN a.y - 1 AND a.y + 1
+                   AND NOT (b.x = a.x AND b.y = a.y)
+  GROUP BY 1, 2
+), g AS (
+  SELECT COUNT(*) AS nt, SUM(n) AS s1, SUM(n * n) AS s2 FROM t
+)
+SELECT t.x AS tile_x, t.y AS tile_y,
+       CAST(t.n AS BIGINT) AS n,
+       CAST(COALESCE(e.d, 0) AS BIGINT) AS deg,
+       CAST((nt * t.n - s1) * (nt * COALESCE(e.s, 0) - COALESCE(e.d, 0) * s1)
+            AS BIGINT) AS li_num,
+       (CAST((nt * t.n - s1)
+             * (nt * COALESCE(e.s, 0) - COALESCE(e.d, 0) * s1) AS DOUBLE)
+        * CAST(nt AS DOUBLE))
+         / CAST(nt * nt * s2 - nt * s1 * s1 AS DOUBLE) AS li
+FROM t LEFT JOIN e ON e.x = t.x AND e.y = t.y, g
+"""
+
+
+def q_xcf_hourly(sf_dir: str):
+    """Cross-correlation (lags 0..3) between the zero-densified hourly
+    count series of every unordered event-type pair: with H grid hours,
+    zA_t = H*a_t - SA carried as Python ints, xcf_k = num_k /
+    sqrt(denA * denB) with the product exact and exactly one double
+    division + one correctly-rounded SQRT — bit-identical to the SQL
+    twin's HUGEINT arithmetic. Bounded by the generator's fixed window;
+    one partial-count exchange."""
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").cast(pa.int64()).to_numpy()
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "hr": pa.array(us // 3_600_000_000),
+            }
+        )
+
+    hourly = tree_group_agg(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        ["event_type", "hr"],
+        {"cnt": (None, "count")},
+    ).to_pandas()
+    h0 = int(hourly["hr"].min())
+    h1 = int(hourly["hr"].max())
+    H = h1 - h0 + 1
+    if H > 100_000:
+        raise ValueError(
+            f"xcf_hourly: {H} grid hours exceeds the bounded-window "
+            "contract (<=100000); shard the series fold"
+        )
+    cent = {}
+    dens = {}
+    for t, g in hourly.groupby("event_type"):
+        x = np.zeros(H, dtype=np.int64)
+        x[g["hr"].to_numpy().astype(np.int64) - h0] = g["cnt"].to_numpy()
+        xs = [int(v) for v in x]
+        S = sum(xs)
+        z = [H * v - S for v in xs]
+        cent[t] = z
+        dens[t] = sum(v * v for v in z)
+    types = sorted(cent)
+    rows = []
+    for i, ta in enumerate(types):
+        for tb in types[i + 1 :]:
+            za, zb = cent[ta], cent[tb]
+            dd = dens[ta] * dens[tb]
+            for k in (0, 1, 2, 3):
+                num = sum(za[t] * zb[t + k] for t in range(H - k))
+                # math.sqrt is the IEEE correctly-rounded sqrt, identical
+                # to DuckDB's SQRT (Python's ** 0.5 goes through pow and
+                # is NOT guaranteed bit-identical)
+                import math
+
+                xcf = float(num) / math.sqrt(float(dd)) if dd else 0.0
+                rows.append((ta, tb, k, H, xcf))
+    out = pd.DataFrame(
+        rows, columns=["type_a", "type_b", "lag", "n_hours", "xcf"]
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+_SQL_XCF_HOURLY = """
+WITH e AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hr FROM events
+), b AS (
+  SELECT MIN(hr) AS h0, MAX(hr) AS h1 FROM e
+), grid AS (
+  SELECT t.event_type, g.h
+  FROM (SELECT DISTINCT event_type FROM e) t,
+       (SELECT UNNEST(generate_series((SELECT h0 FROM b),
+                                      (SELECT h1 FROM b))) AS h) g
+), cnts AS (
+  SELECT event_type, hr, COUNT(*) AS c FROM e GROUP BY 1, 2
+), x AS (
+  SELECT grid.event_type, grid.h, COALESCE(cnts.c, 0) AS c
+  FROM grid LEFT JOIN cnts
+    ON cnts.event_type = grid.event_type AND cnts.hr = grid.h
+), m AS (
+  SELECT event_type, COUNT(*) AS hh, SUM(c) AS s FROM x GROUP BY 1
+), cent AS (
+  SELECT x.event_type, x.h, m.hh * x.c - m.s AS d, m.hh
+  FROM x JOIN m USING (event_type)
+), dens AS (
+  SELECT event_type, SUM(d * d) AS den, MAX(hh) AS hh
+  FROM cent GROUP BY 1
+), tp AS (
+  SELECT a.event_type AS ta, b.event_type AS tb,
+         a.den AS da, b.den AS db, a.hh AS hh
+  FROM dens a JOIN dens b ON a.event_type < b.event_type
+), num AS (
+  SELECT tp.ta, tp.tb, lg.lag, tp.hh, tp.da, tp.db,
+         SUM(ca.d * cb.d) AS num
+  FROM tp
+  CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS lag) lg
+  JOIN cent ca ON ca.event_type = tp.ta
+  JOIN cent cb ON cb.event_type = tp.tb AND cb.h = ca.h + lg.lag
+  GROUP BY 1, 2, 3, 4, 5, 6
+)
+SELECT ta AS type_a, tb AS type_b, CAST(lag AS BIGINT) AS lag,
+       CAST(hh AS BIGINT) AS n_hours,
+       CASE WHEN da * db = 0 THEN 0.0
+            ELSE CAST(num AS DOUBLE) / SQRT(CAST(da * db AS DOUBLE)) END
+         AS xcf
+FROM num
+"""
+
+
 def q_frechet_pairs(sf_dir: str):
     """Discrete-Fréchet track-similarity join (rows-only: minimax DP over
     int64 squared distances, pytest-pinned bit-identical to the scalar
@@ -14995,6 +15248,8 @@ QUERIES = {
     "wasserstein_1d": q_wasserstein_1d,
     "runs_test": q_runs_test,
     "stl_seasonal": q_stl_seasonal,
+    "local_morans_i": q_local_morans_i,
+    "xcf_hourly": q_xcf_hourly,
     "ab_test_stats": q_ab_test_stats,
     "csv_source_stats": q_csv_source_stats,
     "tile_dissolve_regions": q_tile_dissolve_regions,
@@ -15041,6 +15296,8 @@ ORACLES = {
     "wasserstein_1d": _SQL_WASSERSTEIN_1D,
     "runs_test": _SQL_RUNS_TEST,
     "stl_seasonal": _SQL_STL_SEASONAL,
+    "local_morans_i": _sql_local_morans_i(),
+    "xcf_hourly": _SQL_XCF_HOURLY,
     "tile_wm_z12": _sql_tile_wm_z12(),
     "tile_3dt_z7": _sql_tile_3dt_z7(),
     "pip_mesh": _sql_pip_mesh(),

@@ -1,4 +1,4 @@
-"""Waves 32-35 pins: discrete-Fréchet / symmetric-Hausdorff track joins
+"""Waves 32-36 pins: discrete-Fréchet / symmetric-Hausdorff track joins
 vs scalar max-min / minimax-DP recomputes, chi-square contingency
 contributions, user set-Jaccard mask grouping, Mann-Whitney U rank sums,
 Theil-Sen median-slope selection, hourly autocorrelation, and the exact
@@ -531,3 +531,86 @@ class TestStlSeasonal:
             # the sum over ALL interior t of (25*x_t - wsum_t) is small
             # relative to 25 * series mass
             assert abs(total) <= 25 * int(x.sum())
+
+
+class TestLocalMoransI:
+    def test_matches_single_machine_and_sums_to_global(self, ray_session):
+        import plateau_gis_converter_ray.pipelines.queries as q
+        from plateau_gis_converter_ray.stages.geocode import add_lnglat_arith
+        from plateau_gis_converter_ray.stages.tiles import assign_webmercator
+        import pyarrow as pa
+
+        got = _to_pandas(q.q_local_morans_i(SF_SMALL)).sort_values(
+            ["tile_x", "tile_y"]
+        )
+        ev = pq.read_table(f"{SF_SMALL}/events.parquet", columns=["event_id"])
+        t = assign_webmercator(add_lnglat_arith(ev, "event_id"), 10)
+        df = t.to_pandas()
+        cnt = (
+            df.groupby(["tile_x", "tile_y"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        pos = {
+            (int(r.tile_x), int(r.tile_y)): int(r.n) for r in cnt.itertuples()
+        }
+        nt = len(pos)
+        s1 = sum(pos.values())
+        s2 = sum(v * v for v in pos.values())
+        den = nt * nt * s2 - nt * s1 * s1
+        exp = {}
+        for (x, y), n in pos.items():
+            s = d = 0
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    if dx == dy == 0:
+                        continue
+                    v = pos.get((x + dx, y + dy))
+                    if v is not None:
+                        s += v
+                        d += 1
+            z = nt * n - s1
+            lag = nt * s - d * s1
+            exp[(x, y)] = (n, d, z * lag, (float(z * lag) * float(nt)) / float(den))
+        assert len(got) == len(exp)
+        for r in got.itertuples():
+            e = exp[(int(r.tile_x), int(r.tile_y))]
+            assert (int(r.n), int(r.deg), int(r.li_num)) == e[:3]
+            assert float(r.li) == e[3]
+        # LISA decomposition: sum of local Moran's == global I * W
+        gm = _to_pandas(q.q_morans_i(SF_SMALL))
+        w = int(gm["w_pairs"][0])
+        assert np.isclose(
+            got["li"].sum(), float(gm["morans_i"][0]) * w, rtol=1e-9
+        )
+
+
+class TestXcfHourly:
+    def test_matches_numpy_and_lag0_symmetry(self, ray_session):
+        import plateau_gis_converter_ray.pipelines.queries as q
+
+        got = _to_pandas(q.q_xcf_hourly(SF_SMALL))
+        ev = pq.read_table(
+            f"{SF_SMALL}/events.parquet", columns=["event_type", "ts"]
+        ).to_pandas()
+        us = ev["ts"].astype("datetime64[us]").astype(np.int64)
+        ev["hr"] = us // 3_600_000_000
+        h0, h1 = int(ev["hr"].min()), int(ev["hr"].max())
+        H = h1 - h0 + 1
+        series = {}
+        for t, g in ev.groupby("event_type"):
+            x = np.zeros(H)
+            cnt = g.groupby("hr").size()
+            x[cnt.index.to_numpy() - h0] = cnt.to_numpy()
+            series[t] = x - x.mean()
+        for row in got.itertuples():
+            za, zb = series[row.type_a], series[row.type_b]
+            k = int(row.lag)
+            want = (za[: H - k] * zb[k:]).sum() / np.sqrt(
+                (za * za).sum() * (zb * zb).sum()
+            )
+            assert np.isclose(float(row.xcf), want, rtol=1e-9)
+            assert -1.0001 <= float(row.xcf) <= 1.0001
+        # every unordered pair x 4 lags present
+        T = ev["event_type"].nunique()
+        assert len(got) == T * (T - 1) // 2 * 4
