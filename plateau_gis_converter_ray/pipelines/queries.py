@@ -15050,6 +15050,199 @@ FROM num
 """
 
 
+# ---------------------------------------------------------------------------
+# Wave 37: location quotient per mesh cell, Ripley's K pair counts
+
+
+def q_location_quotient(sf_dir: str):
+    """Location quotient per (mesh cell, event type): the classic
+    concentration index LQ = (n_mt/n_m) / (n_t/n), emitted as the exact
+    integer rational (lq_num = n_mt*n, lq_den = n_m*n_t) plus one
+    fixed-order double division. One partial-count exchange; the join of
+    marginals folds on the driver over a table bounded BY CONSTRUCTION
+    (24x22 mesh domain x guarded type domain)."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type"])
+    ds = ds.map_batches(
+        lambda b: add_lnglat_arith(b, "event_id"), batch_format="pyarrow"
+    )
+    ds = ds.map_batches(mesh_assign_arith, batch_format="pyarrow")
+    ds = ds.select_columns(["mesh_id", "event_type"])
+    cells = tree_group_agg(
+        ds, ["mesh_id", "event_type"], {"n_mt": (None, "count")}
+    ).to_pandas()
+    if cells["event_type"].nunique() > 64:
+        raise ValueError(
+            "location_quotient: type domain exceeds the bounded fold (<=64)"
+        )
+    n = int(cells["n_mt"].sum())
+    nm = cells.groupby("mesh_id")["n_mt"].transform("sum").to_numpy()
+    ntp = cells.groupby("event_type")["n_mt"].transform("sum").to_numpy()
+    nmt = cells["n_mt"].to_numpy().astype(np.int64)
+    if n * int(nmt.max()) >= (1 << 62):
+        raise OverflowError("location_quotient: lq_num would wrap int64")
+    lq_num = nmt * n
+    lq_den = nm * ntp
+    out = pd.DataFrame(
+        {
+            "mesh_id": cells["mesh_id"],
+            "event_type": cells["event_type"],
+            "n_mt": nmt,
+            "lq_num": lq_num,
+            "lq_den": lq_den,
+            "lq": lq_num.astype(np.float64) / lq_den.astype(np.float64),
+        }
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def _sql_location_quotient() -> str:
+    lng, lat = _geo_sql("event_id")
+    return f"""
+WITH pts AS (
+  SELECT event_type, {lng} AS lng, {lat} AS lat FROM events
+), c AS (
+  SELECT 'mesh_' ||
+         CAST(LEAST(CAST(FLOOR((lng - 122.0) / 24.0 * 24) AS BIGINT), 23)
+              AS VARCHAR)
+         || '_' ||
+         CAST(LEAST(CAST(FLOOR((lat - 24.0) / 22.0 * 22) AS BIGINT), 21)
+              AS VARCHAR) AS mesh_id,
+         event_type, CAST(COUNT(*) AS BIGINT) AS n_mt
+  FROM pts GROUP BY 1, 2
+), m AS (
+  SELECT mesh_id, SUM(n_mt) AS n_m FROM c GROUP BY 1
+), t AS (
+  SELECT event_type, SUM(n_mt) AS n_t FROM c GROUP BY 1
+), g AS (
+  SELECT SUM(n_mt) AS n FROM c
+)
+SELECT c.mesh_id, c.event_type, c.n_mt,
+       CAST(c.n_mt * n AS BIGINT) AS lq_num,
+       CAST(n_m * n_t AS BIGINT) AS lq_den,
+       CAST(c.n_mt * n AS DOUBLE) / CAST(n_m * n_t AS DOUBLE) AS lq
+FROM c JOIN m USING (mesh_id) JOIN t USING (event_type), g
+"""
+
+
+_RIPLEY_RADII = (2000, 5000, 10000)
+_RIPLEY_CELL = 10000
+
+
+def q_ripley_k_pairs(sf_dir: str):
+    """Ripley's K pair counts: the exact number of unordered point pairs
+    within squared distance r^2 for r in {2000, 5000, 10000} over the
+    integer synthetic geocode (plus n for the K normalization). Cell-ring
+    blocking at the max radius: every point scatters once as CENTER to
+    its home cell and as GHOST to the 8 neighbors; per cell the count is
+    #(center a, member b) with a.id < b.id and d2 <= r^2, which counts
+    each qualifying pair exactly once globally (in the smaller id's home
+    cell). One 9x exchange of the point table, vectorized per-cell
+    distance matrices, no all-pairs."""
+    from ..stages.treeagg import clean_arrow
+
+    ev = _read(sf_dir, "events", ["event_id"])
+
+    def scatter(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy()
+        x = (eid * 9973) % 240000
+        y = (eid * 7919) % 220000
+        cx, cy = x // _RIPLEY_CELL, y // _RIPLEY_CELL
+        outs = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                outs.append(
+                    {
+                        "ck": (cx + dx) * 64 + (cy + dy),
+                        "eid": eid,
+                        "x": x,
+                        "y": y,
+                        "ctr": np.full(
+                            len(eid), 1 if dx == dy == 0 else 0, np.int64
+                        ),
+                    }
+                )
+        return pa.table(
+            {
+                k: pa.array(np.concatenate([o[k] for o in outs]))
+                for k in ("ck", "eid", "x", "y", "ctr")
+            }
+        )
+
+    def cell_pairs(g: pd.DataFrame) -> pa.Table:
+        ctr = g["ctr"].to_numpy() == 1
+        if not ctr.any() or len(g) < 2:
+            return clean_arrow(
+                pd.DataFrame(
+                    {"r": pd.Series(dtype=np.int64),
+                     "pairs": pd.Series(dtype=np.int64)}
+                )
+            )
+        ax = g["x"].to_numpy()[ctr]
+        ay = g["y"].to_numpy()[ctr]
+        aid = g["eid"].to_numpy()[ctr]
+        bx, by, bid = g["x"].to_numpy(), g["y"].to_numpy(), g["eid"].to_numpy()
+        dx = ax[:, None] - bx[None, :]
+        dy = ay[:, None] - by[None, :]
+        d2 = dx * dx + dy * dy
+        lt = aid[:, None] < bid[None, :]
+        rows = {
+            "r": np.array(_RIPLEY_RADII, np.int64),
+            "pairs": np.array(
+                [
+                    int((lt & (d2 <= r * r)).sum())
+                    for r in _RIPLEY_RADII
+                ],
+                np.int64,
+            ),
+        }
+        return clean_arrow(pd.DataFrame(rows))
+
+    parts = (
+        ev.map_batches(scatter, batch_format="pyarrow")
+        .groupby("ck")
+        .map_groups(cell_pairs, batch_format="pandas")
+    )
+    tot = tree_group_agg(parts, ["r"], {"pairs": ("pairs", "sum")}).to_pandas()
+    n = ev.count()
+    tot["n"] = np.int64(n)
+    tot = tot.sort_values("r").reset_index(drop=True)
+    return pa.Table.from_pandas(tot, preserve_index=False)
+
+
+_SQL_RIPLEY_K_PAIRS = """
+WITH p AS (
+  SELECT event_id,
+         (event_id * 9973) % 240000 AS x,
+         (event_id * 7919) % 220000 AS y
+  FROM events
+), c AS (
+  SELECT event_id, x, y, x // 10000 AS cx, y // 10000 AS cy FROM p
+), d AS (
+  SELECT (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+  FROM c a JOIN c b
+    ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+   AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+   AND a.event_id < b.event_id
+), agg AS (
+  SELECT
+    SUM(CASE WHEN d2 <= 2000 * 2000 THEN 1 ELSE 0 END) AS p1,
+    SUM(CASE WHEN d2 <= 5000 * 5000 THEN 1 ELSE 0 END) AS p2,
+    SUM(CASE WHEN d2 <= 10000 * 10000 THEN 1 ELSE 0 END) AS p3
+  FROM d
+), nn AS (
+  SELECT COUNT(*) AS n FROM p
+)
+SELECT CAST(2000 AS BIGINT) AS r, CAST(COALESCE(p1, 0) AS BIGINT) AS pairs,
+       CAST(n AS BIGINT) AS n FROM agg, nn
+UNION ALL
+SELECT CAST(5000 AS BIGINT), CAST(COALESCE(p2, 0) AS BIGINT),
+       CAST(n AS BIGINT) FROM agg, nn
+UNION ALL
+SELECT CAST(10000 AS BIGINT), CAST(COALESCE(p3, 0) AS BIGINT),
+       CAST(n AS BIGINT) FROM agg, nn
+"""
+
+
 def q_frechet_pairs(sf_dir: str):
     """Discrete-Fréchet track-similarity join (rows-only: minimax DP over
     int64 squared distances, pytest-pinned bit-identical to the scalar
@@ -15250,6 +15443,8 @@ QUERIES = {
     "stl_seasonal": q_stl_seasonal,
     "local_morans_i": q_local_morans_i,
     "xcf_hourly": q_xcf_hourly,
+    "location_quotient": q_location_quotient,
+    "ripley_k_pairs": q_ripley_k_pairs,
     "ab_test_stats": q_ab_test_stats,
     "csv_source_stats": q_csv_source_stats,
     "tile_dissolve_regions": q_tile_dissolve_regions,
@@ -15298,6 +15493,8 @@ ORACLES = {
     "stl_seasonal": _SQL_STL_SEASONAL,
     "local_morans_i": _sql_local_morans_i(),
     "xcf_hourly": _SQL_XCF_HOURLY,
+    "location_quotient": _sql_location_quotient(),
+    "ripley_k_pairs": _SQL_RIPLEY_K_PAIRS,
     "tile_wm_z12": _sql_tile_wm_z12(),
     "tile_3dt_z7": _sql_tile_3dt_z7(),
     "pip_mesh": _sql_pip_mesh(),

@@ -1,4 +1,4 @@
-"""Waves 32-36 pins: discrete-Fréchet / symmetric-Hausdorff track joins
+"""Waves 32-37 pins: discrete-Fréchet / symmetric-Hausdorff track joins
 vs scalar max-min / minimax-DP recomputes, chi-square contingency
 contributions, user set-Jaccard mask grouping, Mann-Whitney U rank sums,
 Theil-Sen median-slope selection, hourly autocorrelation, and the exact
@@ -614,3 +614,76 @@ class TestXcfHourly:
         # every unordered pair x 4 lags present
         T = ev["event_type"].nunique()
         assert len(got) == T * (T - 1) // 2 * 4
+
+
+class TestLocationQuotient:
+    def test_matches_brute_recompute(self, ray_session):
+        import plateau_gis_converter_ray.pipelines.queries as q
+        from plateau_gis_converter_ray.stages.geocode import add_lnglat_arith
+        from plateau_gis_converter_ray.stages.spatial_join import (
+            mesh_assign_arith,
+        )
+
+        got = _to_pandas(q.q_location_quotient(SF_SMALL))
+        assert len(got) > 0
+        ev = pq.read_table(
+            f"{SF_SMALL}/events.parquet", columns=["event_id", "event_type"]
+        )
+        df = mesh_assign_arith(
+            add_lnglat_arith(ev, "event_id")
+        ).to_pandas()
+        cnt = (
+            df.groupby(["mesh_id", "event_type"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_mt"})
+        )
+        n = int(cnt["n_mt"].sum())
+        n_m = cnt.groupby("mesh_id")["n_mt"].transform("sum")
+        n_t = cnt.groupby("event_type")["n_mt"].transform("sum")
+        exp = {
+            (r.mesh_id, r.event_type): (
+                int(r.n_mt),
+                int(r.n_mt) * n,
+                int(nm) * int(ntp),
+            )
+            for r, nm, ntp in zip(cnt.itertuples(), n_m, n_t)
+        }
+        assert len(got) == len(exp)
+        for r in got.itertuples():
+            e = exp[(r.mesh_id, r.event_type)]
+            assert (int(r.n_mt), int(r.lq_num), int(r.lq_den)) == e
+            assert float(r.lq) == float(e[1]) / float(e[2])
+        # identity: within each mesh, sum_t n_mt/n_m == 1 exactly ->
+        # sum_t lq_num * n_t == n * n_m * ... reduced: sum of the exact
+        # fractions (n_t/n)*LQ equals 1; check in Fractions
+        from fractions import Fraction
+
+        for mesh, g in got.groupby("mesh_id"):
+            # (n_t/n) * LQ_mt reduces to n_mt/n_m, so the type-share
+            # weighted mean of LQ within every mesh is exactly 1
+            nm = int(g["n_mt"].sum())
+            tot = sum(Fraction(int(r.n_mt), nm) for r in g.itertuples())
+            assert tot == 1
+
+
+class TestRipleyKPairs:
+    def test_matches_brute_all_pairs(self, ray_session):
+        import plateau_gis_converter_ray.pipelines.queries as q
+
+        got = _to_pandas(q.q_ripley_k_pairs(SF_SMALL)).sort_values("r")
+        ev = pq.read_table(f"{SF_SMALL}/events.parquet", columns=["event_id"])
+        eid = ev.column("event_id").to_numpy()
+        x = (eid * 9973) % 240000
+        y = (eid * 7919) % 220000
+        dx = x[:, None] - x[None, :]
+        dy = y[:, None] - y[None, :]
+        d2 = dx * dx + dy * dy
+        iu = np.triu_indices(len(eid), k=1)
+        d2u = d2[iu]
+        for row in got.itertuples():
+            r = int(row.r)
+            assert int(row.pairs) == int((d2u <= r * r).sum())
+            assert int(row.n) == len(eid)
+        # monotone in r
+        p = got["pairs"].to_numpy()
+        assert (np.diff(p) >= 0).all()
