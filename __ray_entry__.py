@@ -460,6 +460,50 @@ def _q_texture_atlas(sf_dir: str):
     return atlas_summary(assemble_atlases(images, placements, grid=8))
 
 
+def _q_raster_integral_blocks(sf_dir: str):
+    """Summed-area-table quadrant sums per image
+    (stages/decode.py::ImageIntegralBlocks): exact int64 SAT corner
+    algebra, zero exchanges, then a per-fmt reduce of quadrant energies.
+    Rows-only; the corner algebra is pinned against direct per-quadrant
+    sums in tests/test_wave32.py."""
+    import ray.data
+
+    from plateau_gis_converter_ray.sources.images import ensure_image_table
+    from plateau_gis_converter_ray.stages.decode import ImageIntegralBlocks
+    from plateau_gis_converter_ray.stages.treeagg import tree_group_agg
+
+    path = ensure_image_table(_sf_of(sf_dir))
+    files = [
+        os.path.join(path, f)
+        for f in sorted(os.listdir(path))
+        if f.endswith(".parquet")
+    ]
+    ds = ray.data.read_parquet(
+        files, columns=["image_id", "bytes", "fmt", "w", "h"]
+    )
+    ds = ds.map_batches(
+        ImageIntegralBlocks(), batch_format="pyarrow", batch_size=1024
+    )
+
+    import pyarrow as pa
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return batch.select(["fmt", "q00", "q01", "q10", "q11", "total"])
+
+    return tree_group_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["fmt"],
+        {
+            "n": (None, "count"),
+            "q00": ("q00", "sum"),
+            "q01": ("q01", "sum"),
+            "q10": ("q10", "sum"),
+            "q11": ("q11", "sum"),
+            "total": ("total", "sum"),
+        },
+    )
+
+
 def _q_image_sharpness(sf_dir: str):
     """Variance-of-Laplacian blur filter (stages/decode.py::ImageSharpness):
     per-image exact int64 Laplacian sums, zero exchanges (bytes never leave
@@ -1368,6 +1412,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "raster_pyramid": _q_raster_pyramid,
             "texture_atlas": _q_texture_atlas,
             "image_sharpness": _q_image_sharpness,
+            "raster_integral_blocks": _q_raster_integral_blocks,
             "image_patches": _q_image_patches,
             "image_entropy": _q_image_entropy,
             "image_ssim": _q_image_ssim,

@@ -15243,6 +15243,88 @@ SELECT CAST(10000 AS BIGINT), CAST(COALESCE(p3, 0) AS BIGINT),
 """
 
 
+# ---------------------------------------------------------------------------
+# Wave 38: Tukey-fence outlier counts from the bounded histogram
+
+
+def q_tukey_outliers(sf_dir: str):
+    """Tukey-fence outlier counts per event type: quartiles are SELECTED
+    order statistics from the winsorized-cent histogram (q1 at position
+    max(1, (n+1)//4), q3 at min(n, 3*(n+1)//4) — pure selection, no
+    interpolation), fences carried 4x-scaled so the whole test stays
+    integer: outlier iff 4*v < 4*q1 - 6*iqr or 4*v > 4*q3 + 6*iqr
+    (i.e. the classic 1.5*IQR fences). One partial-count exchange; the
+    histogram fold is bounded BY CONSTRUCTION by the 50000-cent clamp."""
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        vc = np.round(batch.column("value").to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "vb": pa.array(np.minimum(vc, 50000)),
+            }
+        )
+
+    hist = tree_group_agg(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        ["event_type", "vb"],
+        {"c": (None, "count")},
+    ).to_pandas()
+    rows = []
+    for t, g in hist.groupby("event_type"):
+        g = g.sort_values("vb")
+        vb = g["vb"].to_numpy().astype(np.int64)
+        c = g["c"].to_numpy().astype(np.int64)
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        k1 = max(1, (n + 1) // 4)
+        k3 = min(n, (3 * (n + 1)) // 4)
+        q1 = int(vb[np.searchsorted(cum, k1)])
+        q3 = int(vb[np.searchsorted(cum, k3)])
+        iqr = q3 - q1
+        lo4 = 4 * q1 - 6 * iqr
+        hi4 = 4 * q3 + 6 * iqr
+        n_low = int(c[4 * vb < lo4].sum())
+        n_high = int(c[4 * vb > hi4].sum())
+        rows.append((t, n, q1, q3, n_low, n_high))
+    out = pd.DataFrame(
+        rows, columns=["event_type", "n", "q1", "q3", "n_low", "n_high"]
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+_SQL_TUKEY_OUTLIERS = """
+WITH v AS (
+  SELECT event_type,
+         LEAST(CAST(ROUND(value * 100) AS BIGINT), 50000) AS vb
+  FROM events
+), h AS (
+  SELECT event_type, vb, CAST(COUNT(*) AS BIGINT) AS c
+  FROM v GROUP BY 1, 2
+), o AS (
+  SELECT event_type, vb, c,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY vb) AS cum,
+         SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM h
+), q AS (
+  SELECT event_type, MAX(n) AS n,
+         MIN(CASE WHEN cum >= GREATEST(1, (n + 1) // 4) THEN vb END) AS q1,
+         MIN(CASE WHEN cum >= LEAST(n, (3 * (n + 1)) // 4) THEN vb END)
+           AS q3
+  FROM o GROUP BY 1
+)
+SELECT q.event_type, CAST(q.n AS BIGINT) AS n,
+       CAST(q1 AS BIGINT) AS q1, CAST(q3 AS BIGINT) AS q3,
+       CAST(SUM(CASE WHEN 4 * h.vb < 4 * q1 - 6 * (q3 - q1)
+                     THEN h.c ELSE 0 END) AS BIGINT) AS n_low,
+       CAST(SUM(CASE WHEN 4 * h.vb > 4 * q3 + 6 * (q3 - q1)
+                     THEN h.c ELSE 0 END) AS BIGINT) AS n_high
+FROM q JOIN h ON h.event_type = q.event_type
+GROUP BY 1, 2, 3, 4
+"""
+
+
 def q_frechet_pairs(sf_dir: str):
     """Discrete-Fréchet track-similarity join (rows-only: minimax DP over
     int64 squared distances, pytest-pinned bit-identical to the scalar
@@ -15445,6 +15527,7 @@ QUERIES = {
     "xcf_hourly": q_xcf_hourly,
     "location_quotient": q_location_quotient,
     "ripley_k_pairs": q_ripley_k_pairs,
+    "tukey_outliers": q_tukey_outliers,
     "ab_test_stats": q_ab_test_stats,
     "csv_source_stats": q_csv_source_stats,
     "tile_dissolve_regions": q_tile_dissolve_regions,
@@ -15495,6 +15578,7 @@ ORACLES = {
     "xcf_hourly": _SQL_XCF_HOURLY,
     "location_quotient": _sql_location_quotient(),
     "ripley_k_pairs": _SQL_RIPLEY_K_PAIRS,
+    "tukey_outliers": _SQL_TUKEY_OUTLIERS,
     "tile_wm_z12": _sql_tile_wm_z12(),
     "tile_3dt_z7": _sql_tile_3dt_z7(),
     "pip_mesh": _sql_pip_mesh(),

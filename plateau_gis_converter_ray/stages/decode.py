@@ -376,6 +376,68 @@ class ImageSharpness:
         )
 
 
+class ImageIntegralBlocks:
+    """Summed-area-table (integral image) block sums per image — the CV
+    primitive behind Haar features / box filters / adaptive thresholds.
+
+    Gray plane = channel sum (int64-safe, 0..765). The SAT builds with two
+    cumsums over the whole (fmt, w, h) stack; the four quadrant sums then
+    read off as ONE corner-algebra gather each (sum of rect = SAT[b2,r2] -
+    SAT[b2,r1] - SAT[b1,r2] + SAT[b1,r1]). Emitted stats are EXACT int64
+    (quadrant sums + total), pinned in pytest against direct per-quadrant
+    `.sum()` recomputes — the pin validates the corner algebra. Scale:
+    zero exchanges, payload bytes never leave the decode task; the SAT is
+    (h+1)(w+1) int64 per image, amortized across the stack.
+    """
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("image_id")
+        blobs = binary_views(batch.column("bytes"))
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        fmts = batch.column("fmt").to_pylist()
+        n = batch.num_rows
+        q = np.zeros((n, 4), dtype=np.int64)
+        tot = np.zeros(n, dtype=np.int64)
+
+        groups: dict[tuple, list[int]] = {}
+        for i in range(n):
+            groups.setdefault((fmts[i], int(ws[i]), int(hs[i])), []).append(i)
+        for (fmt, w, h), rows in groups.items():
+            stack = decode_group_stack(blobs, rows, fmt, w, h)
+            gray = stack.sum(axis=3, dtype=np.int64)  # (g, h, w)
+            sat = np.zeros((len(rows), h + 1, w + 1), dtype=np.int64)
+            sat[:, 1:, 1:] = gray.cumsum(axis=1).cumsum(axis=2)
+            hm, wm = h // 2, w // 2
+            rows_np = np.array(rows)
+
+            def rect(r1, c1, r2, c2):
+                return (
+                    sat[:, r2, c2]
+                    - sat[:, r1, c2]
+                    - sat[:, r2, c1]
+                    + sat[:, r1, c1]
+                )
+
+            q[rows_np, 0] = rect(0, 0, hm, wm)
+            q[rows_np, 1] = rect(0, wm, hm, w)
+            q[rows_np, 2] = rect(hm, 0, h, wm)
+            q[rows_np, 3] = rect(hm, wm, h, w)
+            tot[rows_np] = sat[:, h, w]
+
+        return pa.table(
+            {
+                "image_id": ids,
+                "fmt": batch.column("fmt"),
+                "q00": pa.array(q[:, 0]),
+                "q01": pa.array(q[:, 1]),
+                "q10": pa.array(q[:, 2]),
+                "q11": pa.array(q[:, 3]),
+                "total": pa.array(tot),
+            }
+        )
+
+
 class ImageEqualize:
     """Global histogram equalization per image (the classic contrast
     normalization): gray plane = channel sum (0..765), the 766-bin CDF

@@ -1,4 +1,4 @@
-"""Waves 32-37 pins: discrete-Fréchet / symmetric-Hausdorff track joins
+"""Waves 32-38 pins: discrete-Fréchet / symmetric-Hausdorff track joins
 vs scalar max-min / minimax-DP recomputes, chi-square contingency
 contributions, user set-Jaccard mask grouping, Mann-Whitney U rank sums,
 Theil-Sen median-slope selection, hourly autocorrelation, and the exact
@@ -687,3 +687,78 @@ class TestRipleyKPairs:
         # monotone in r
         p = got["pairs"].to_numpy()
         assert (np.diff(p) >= 0).all()
+
+
+class TestTukeyOutliers:
+    def test_matches_brute_selection(self, ray_session):
+        import plateau_gis_converter_ray.pipelines.queries as q
+
+        got = _to_pandas(q.q_tukey_outliers(SF_SMALL))
+        ev = pq.read_table(
+            f"{SF_SMALL}/events.parquet", columns=["event_type", "value"]
+        ).to_pandas()
+        ev["vb"] = np.minimum(
+            np.round(ev["value"].to_numpy() * 100).astype(np.int64), 50000
+        )
+        assert len(got) == ev["event_type"].nunique()
+        for row in got.itertuples():
+            v = np.sort(ev.loc[ev["event_type"] == row.event_type, "vb"])
+            n = len(v)
+            q1 = int(v[max(1, (n + 1) // 4) - 1])
+            q3 = int(v[min(n, 3 * (n + 1) // 4) - 1])
+            iqr = q3 - q1
+            n_low = int((4 * v < 4 * q1 - 6 * iqr).sum())
+            n_high = int((4 * v > 4 * q3 + 6 * iqr).sum())
+            assert (
+                int(row.n), int(row.q1), int(row.q3),
+                int(row.n_low), int(row.n_high),
+            ) == (n, q1, q3, n_low, n_high)
+            assert q1 <= q3
+
+
+class TestImageIntegralBlocks:
+    def test_sat_corner_algebra_matches_direct_sums(self, ray_session):
+        import os
+
+        import pyarrow.parquet as pq2
+
+        from plateau_gis_converter_ray.sources.images import (
+            ensure_image_table,
+        )
+        from plateau_gis_converter_ray.stages.decode import (
+            ImageIntegralBlocks,
+            binary_views,
+            decode_group_stack,
+        )
+
+        path = ensure_image_table(0.001)
+        f = sorted(
+            os.path.join(path, x)
+            for x in os.listdir(path)
+            if x.endswith(".parquet")
+        )[0]
+        batch = pq2.read_table(
+            f, columns=["image_id", "bytes", "fmt", "w", "h"]
+        ).slice(0, 64)
+        out = ImageIntegralBlocks()(batch).to_pandas()
+        blobs = binary_views(batch.column("bytes"))
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        fmts = batch.column("fmt").to_pylist()
+        for i in range(batch.num_rows):
+            w, h = int(ws[i]), int(hs[i])
+            stack = decode_group_stack(blobs, [i], fmts[i], w, h)
+            gray = stack[0].sum(axis=2, dtype=np.int64)
+            hm, wm = h // 2, w // 2
+            want = (
+                int(gray[:hm, :wm].sum()),
+                int(gray[:hm, wm:].sum()),
+                int(gray[hm:, :wm].sum()),
+                int(gray[hm:, wm:].sum()),
+                int(gray.sum()),
+            )
+            r = out.iloc[i]
+            assert (
+                int(r.q00), int(r.q01), int(r.q10), int(r.q11), int(r.total)
+            ) == want
+            assert want[0] + want[1] + want[2] + want[3] == want[4]
