@@ -15325,6 +15325,163 @@ GROUP BY 1, 2, 3, 4
 """
 
 
+# ---------------------------------------------------------------------------
+# Wave 39: lexical diversity estimators over the documents corpus
+
+
+def _lang_term_counts(sf_dir: str):
+    """(lang, term, n) token counts — whitespace tokenize inside
+    map_batches (vectorized split + repeat), one combiner-tree exchange.
+    The per-term table stays DISTRIBUTED: downstream reducers aggregate
+    it to per-lang scalars with a second tree agg, so no vocabulary-sized
+    driver fold exists at any corpus size."""
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def toks(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = pc.split_pattern(batch.column("text").cast(pa.string()), " ")
+        lens = pc.list_value_length(t).to_numpy()
+        langs = batch.column("lang").to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(t)
+        keep = pc.not_equal(flat, "")
+        return pa.table(
+            {"lang": pa.array(np.repeat(langs, lens)), "term": flat}
+        ).filter(keep)
+
+    from ..stages.treeagg import grouped_group_agg
+
+    return grouped_group_agg(
+        ds.map_batches(toks, batch_format="pyarrow"),
+        ["lang", "term"],
+        {"n": (None, "count")},
+        n_groups=32,
+    )
+
+
+def q_simpson_diversity(sf_dir: str):
+    """Simpson lexical diversity per language: the exact probability that
+    two tokens drawn without replacement are the same word, as the integer
+    rational (sum_w n_w*(n_w-1)) / (N*(N-1)) plus one fixed-order double.
+    Two combiner-tree exchanges ((lang, term) counts, then per-lang
+    moments); nothing vocabulary-sized ever reaches the driver."""
+    counts = _lang_term_counts(sf_dir)
+
+    def mom(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy()
+        return pa.table(
+            {
+                "lang": batch.column("lang"),
+                "rep": pa.array(n * (n - 1)),
+                "n_tok": pa.array(n),
+                "n_terms": pa.array(np.ones(len(n), np.int64)),
+            }
+        )
+
+    agg = tree_group_agg(
+        counts.map_batches(mom, batch_format="pyarrow"),
+        ["lang"],
+        {
+            "rep_num": ("rep", "sum"),
+            "n_tok": ("n_tok", "sum"),
+            "n_terms": ("n_terms", "sum"),
+        },
+    ).to_pandas()
+    nt = agg["n_tok"].to_numpy().astype(np.int64)
+    rep = agg["rep_num"].to_numpy().astype(np.int64)
+    den = nt * (nt - 1)
+    out = pd.DataFrame(
+        {
+            "lang": agg["lang"],
+            "n_tok": nt,
+            "n_terms": agg["n_terms"].astype(np.int64),
+            "rep_num": rep,
+            "simpson": rep.astype(np.float64) / den.astype(np.float64),
+        }
+    ).sort_values("lang")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+_SQL_SIMPSON_DIVERSITY = """
+WITH tok AS (
+  SELECT lang, UNNEST(string_split(text, ' ')) AS term FROM documents
+), c AS (
+  SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS n
+  FROM tok GROUP BY 1, 2
+)
+SELECT lang,
+       CAST(SUM(n) AS BIGINT) AS n_tok,
+       CAST(COUNT(*) AS BIGINT) AS n_terms,
+       CAST(SUM(n * (n - 1)) AS BIGINT) AS rep_num,
+       CAST(SUM(n * (n - 1)) AS DOUBLE)
+         / CAST(SUM(n) * (SUM(n) - 1) AS DOUBLE) AS simpson
+FROM c GROUP BY 1
+"""
+
+
+def q_chao1_richness(sf_dir: str):
+    """Bias-corrected Chao1 species-richness estimator per language —
+    the standard how-much-vocabulary-is-unseen diagnostic:
+    chao1 = S + f1*(f1-1)/(2*(f2+1)) with S = observed terms, f1/f2 =
+    singleton/doubleton counts (the bias-corrected form is defined even
+    when f2 = 0, which the bounded synthetic vocabulary hits). Emitted as
+    one fixed-order double from the exact integer moments. Same
+    two-exchange plan as simpson_diversity."""
+    counts = _lang_term_counts(sf_dir)
+
+    def fk(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy()
+        return pa.table(
+            {
+                "lang": batch.column("lang"),
+                "s_obs": pa.array(np.ones(len(n), np.int64)),
+                "f1": pa.array((n == 1).astype(np.int64)),
+                "f2": pa.array((n == 2).astype(np.int64)),
+            }
+        )
+
+    agg = tree_group_agg(
+        counts.map_batches(fk, batch_format="pyarrow"),
+        ["lang"],
+        {"s_obs": ("s_obs", "sum"), "f1": ("f1", "sum"), "f2": ("f2", "sum")},
+    ).to_pandas()
+    s = agg["s_obs"].to_numpy().astype(np.int64)
+    f1 = agg["f1"].to_numpy().astype(np.int64)
+    f2 = agg["f2"].to_numpy().astype(np.int64)
+    num = 2 * s * (f2 + 1) + f1 * (f1 - 1)
+    den = 2 * (f2 + 1)
+    out = pd.DataFrame(
+        {
+            "lang": agg["lang"],
+            "s_obs": s,
+            "f1": f1,
+            "f2": f2,
+            "chao1": num.astype(np.float64) / den.astype(np.float64),
+        }
+    ).sort_values("lang")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+_SQL_CHAO1_RICHNESS = """
+WITH tok AS (
+  SELECT lang, UNNEST(string_split(text, ' ')) AS term FROM documents
+), c AS (
+  SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS n
+  FROM tok GROUP BY 1, 2
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS s_obs,
+       CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+       CAST(SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+       CAST(2 * COUNT(*) * (SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) + 1)
+            + SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+              * (SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) - 1) AS DOUBLE)
+         / CAST(2 * (SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) + 1) AS DOUBLE)
+         AS chao1
+FROM c GROUP BY 1
+"""
+
+
 def q_frechet_pairs(sf_dir: str):
     """Discrete-Fréchet track-similarity join (rows-only: minimax DP over
     int64 squared distances, pytest-pinned bit-identical to the scalar
@@ -15528,6 +15685,8 @@ QUERIES = {
     "location_quotient": q_location_quotient,
     "ripley_k_pairs": q_ripley_k_pairs,
     "tukey_outliers": q_tukey_outliers,
+    "simpson_diversity": q_simpson_diversity,
+    "chao1_richness": q_chao1_richness,
     "ab_test_stats": q_ab_test_stats,
     "csv_source_stats": q_csv_source_stats,
     "tile_dissolve_regions": q_tile_dissolve_regions,
@@ -15579,6 +15738,8 @@ ORACLES = {
     "location_quotient": _sql_location_quotient(),
     "ripley_k_pairs": _SQL_RIPLEY_K_PAIRS,
     "tukey_outliers": _SQL_TUKEY_OUTLIERS,
+    "simpson_diversity": _SQL_SIMPSON_DIVERSITY,
+    "chao1_richness": _SQL_CHAO1_RICHNESS,
     "tile_wm_z12": _sql_tile_wm_z12(),
     "tile_3dt_z7": _sql_tile_3dt_z7(),
     "pip_mesh": _sql_pip_mesh(),

@@ -1,4 +1,4 @@
-"""Waves 32-38 pins: discrete-Fréchet / symmetric-Hausdorff track joins
+"""Waves 32-39 pins: discrete-Fréchet / symmetric-Hausdorff track joins
 vs scalar max-min / minimax-DP recomputes, chi-square contingency
 contributions, user set-Jaccard mask grouping, Mann-Whitney U rank sums,
 Theil-Sen median-slope selection, hourly autocorrelation, and the exact
@@ -762,3 +762,51 @@ class TestImageIntegralBlocks:
                 int(r.q00), int(r.q01), int(r.q10), int(r.q11), int(r.total)
             ) == want
             assert want[0] + want[1] + want[2] + want[3] == want[4]
+
+
+class TestLexicalDiversity:
+    def test_simpson_matches_brute(self, ray_session):
+        import plateau_gis_converter_ray.pipelines.queries as q
+
+        got = _to_pandas(q.q_simpson_diversity(SF_SMALL))
+        docs = pq.read_table(
+            f"{SF_SMALL}/documents.parquet", columns=["lang", "text"]
+        ).to_pandas()
+        assert len(got) == docs["lang"].nunique()
+        for row in got.itertuples():
+            toks = []
+            for t in docs.loc[docs["lang"] == row.lang, "text"]:
+                toks.extend(w for w in t.split(" ") if w)
+            from collections import Counter
+
+            c = Counter(toks)
+            n = len(toks)
+            rep = sum(v * (v - 1) for v in c.values())
+            assert (int(row.n_tok), int(row.n_terms), int(row.rep_num)) == (
+                n, len(c), rep,
+            )
+            assert float(row.simpson) == rep / (n * (n - 1))
+            assert 0.0 <= float(row.simpson) <= 1.0
+
+    def test_chao1_matches_brute_and_lower_bound(self, ray_session):
+        import plateau_gis_converter_ray.pipelines.queries as q
+
+        got = _to_pandas(q.q_chao1_richness(SF_SMALL))
+        docs = pq.read_table(
+            f"{SF_SMALL}/documents.parquet", columns=["lang", "text"]
+        ).to_pandas()
+        from collections import Counter
+
+        for row in got.itertuples():
+            toks = []
+            for t in docs.loc[docs["lang"] == row.lang, "text"]:
+                toks.extend(w for w in t.split(" ") if w)
+            c = Counter(toks)
+            s = len(c)
+            f1 = sum(1 for v in c.values() if v == 1)
+            f2 = sum(1 for v in c.values() if v == 2)
+            assert (int(row.s_obs), int(row.f1), int(row.f2)) == (s, f1, f2)
+            want = (2 * s * (f2 + 1) + f1 * (f1 - 1)) / (2 * (f2 + 1))
+            assert float(row.chao1) == want
+            # Chao1 never estimates fewer species than observed
+            assert float(row.chao1) >= s
