@@ -15482,6 +15482,112 @@ FROM c GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Wave 40: Herfindahl concentration per mesh, Benford first-digit audit
+
+
+def q_hhi_concentration(sf_dir: str):
+    """Herfindahl-Hirschman concentration of event types per mesh cell:
+    HHI = sum_t (n_mt/n_m)^2 as the exact integer rational
+    (sum_t n_mt^2) / n_m^2 plus one fixed-order double. Same bounded
+    (mesh x type) fold as location_quotient."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type"])
+    ds = ds.map_batches(
+        lambda b: add_lnglat_arith(b, "event_id"), batch_format="pyarrow"
+    )
+    ds = ds.map_batches(mesh_assign_arith, batch_format="pyarrow")
+    ds = ds.select_columns(["mesh_id", "event_type"])
+    cells = tree_group_agg(
+        ds, ["mesh_id", "event_type"], {"n_mt": (None, "count")}
+    ).to_pandas()
+    nmt = cells["n_mt"].to_numpy().astype(np.int64)
+    sq = cells.assign(sq=nmt * nmt).groupby("mesh_id", as_index=False).agg(
+        hhi_num=("sq", "sum"), n_m=("n_mt", "sum"), n_types=("n_mt", "size")
+    )
+    num = sq["hhi_num"].to_numpy().astype(np.int64)
+    nm = sq["n_m"].to_numpy().astype(np.int64)
+    out = pd.DataFrame(
+        {
+            "mesh_id": sq["mesh_id"],
+            "n_m": nm,
+            "n_types": sq["n_types"].astype(np.int64),
+            "hhi_num": num,
+            "hhi": num.astype(np.float64) / (nm * nm).astype(np.float64),
+        }
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def _sql_hhi_concentration() -> str:
+    lng, lat = _geo_sql("event_id")
+    return f"""
+WITH pts AS (
+  SELECT event_type, {lng} AS lng, {lat} AS lat FROM events
+), c AS (
+  SELECT 'mesh_' ||
+         CAST(LEAST(CAST(FLOOR((lng - 122.0) / 24.0 * 24) AS BIGINT), 23)
+              AS VARCHAR)
+         || '_' ||
+         CAST(LEAST(CAST(FLOOR((lat - 24.0) / 22.0 * 22) AS BIGINT), 21)
+              AS VARCHAR) AS mesh_id,
+         event_type, CAST(COUNT(*) AS BIGINT) AS n_mt
+  FROM pts GROUP BY 1, 2
+)
+SELECT mesh_id,
+       CAST(SUM(n_mt) AS BIGINT) AS n_m,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(n_mt * n_mt) AS BIGINT) AS hhi_num,
+       CAST(SUM(n_mt * n_mt) AS DOUBLE)
+         / CAST(SUM(n_mt) * SUM(n_mt) AS DOUBLE) AS hhi
+FROM c GROUP BY 1
+"""
+
+
+def q_benford_digits(sf_dir: str):
+    """Benford first-digit audit of order totals (cents): exact counts per
+    leading digit 1..9 — the classic fabricated-data screen. The leading
+    digit extracts with a pure integer magnitude-division loop (<= 19
+    vectorized passes; float log10 would misclassify exact powers of 10).
+    One partial-count exchange over a 9-row key domain."""
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        vc = np.round(batch.column("o_totalprice").to_numpy() * 100).astype(
+            np.int64
+        )
+        vc = np.abs(vc)
+        d = vc.copy()
+        for _ in range(19):
+            big = d >= 10
+            if not big.any():
+                break
+            d[big] //= 10
+        keep = d > 0
+        return pa.table({"digit": pa.array(d[keep])})
+
+    out = tree_group_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["digit"],
+        {"n": (None, "count")},
+    ).to_pandas()
+    out = out.sort_values("digit").reset_index(drop=True)
+    out["n_total"] = np.int64(out["n"].sum())
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+_SQL_BENFORD_DIGITS = """
+WITH v AS (
+  SELECT ABS(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS vc FROM orders
+), d AS (
+  SELECT CAST(SUBSTR(CAST(vc AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM v WHERE vc > 0
+), c AS (
+  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1
+)
+SELECT digit, n, CAST((SELECT SUM(n) FROM c) AS BIGINT) AS n_total FROM c
+"""
+
+
 def q_frechet_pairs(sf_dir: str):
     """Discrete-Fréchet track-similarity join (rows-only: minimax DP over
     int64 squared distances, pytest-pinned bit-identical to the scalar
@@ -15687,6 +15793,8 @@ QUERIES = {
     "tukey_outliers": q_tukey_outliers,
     "simpson_diversity": q_simpson_diversity,
     "chao1_richness": q_chao1_richness,
+    "hhi_concentration": q_hhi_concentration,
+    "benford_digits": q_benford_digits,
     "ab_test_stats": q_ab_test_stats,
     "csv_source_stats": q_csv_source_stats,
     "tile_dissolve_regions": q_tile_dissolve_regions,
@@ -15740,6 +15848,8 @@ ORACLES = {
     "tukey_outliers": _SQL_TUKEY_OUTLIERS,
     "simpson_diversity": _SQL_SIMPSON_DIVERSITY,
     "chao1_richness": _SQL_CHAO1_RICHNESS,
+    "hhi_concentration": _sql_hhi_concentration(),
+    "benford_digits": _SQL_BENFORD_DIGITS,
     "tile_wm_z12": _sql_tile_wm_z12(),
     "tile_3dt_z7": _sql_tile_3dt_z7(),
     "pip_mesh": _sql_pip_mesh(),

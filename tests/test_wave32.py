@@ -1,4 +1,4 @@
-"""Waves 32-39 pins: discrete-Fréchet / symmetric-Hausdorff track joins
+"""Waves 32-40 pins: discrete-Fréchet / symmetric-Hausdorff track joins
 vs scalar max-min / minimax-DP recomputes, chi-square contingency
 contributions, user set-Jaccard mask grouping, Mann-Whitney U rank sums,
 Theil-Sen median-slope selection, hourly autocorrelation, and the exact
@@ -810,3 +810,49 @@ class TestLexicalDiversity:
             assert float(row.chao1) == want
             # Chao1 never estimates fewer species than observed
             assert float(row.chao1) >= s
+
+
+class TestHhiBenford:
+    def test_hhi_matches_brute_and_bounds(self, ray_session):
+        import plateau_gis_converter_ray.pipelines.queries as q
+        from plateau_gis_converter_ray.stages.geocode import add_lnglat_arith
+        from plateau_gis_converter_ray.stages.spatial_join import (
+            mesh_assign_arith,
+        )
+
+        got = _to_pandas(q.q_hhi_concentration(SF_SMALL))
+        ev = pq.read_table(
+            f"{SF_SMALL}/events.parquet", columns=["event_id", "event_type"]
+        )
+        df = mesh_assign_arith(add_lnglat_arith(ev, "event_id")).to_pandas()
+        cnt = df.groupby(["mesh_id", "event_type"]).size()
+        for row in got.itertuples():
+            g = cnt[row.mesh_id]
+            num = int((g**2).sum())
+            nm = int(g.sum())
+            assert (int(row.n_m), int(row.n_types), int(row.hhi_num)) == (
+                nm, len(g), num,
+            )
+            assert float(row.hhi) == num / (nm * nm)
+            # 1/k <= HHI <= 1
+            assert 1.0 / len(g) - 1e-12 <= float(row.hhi) <= 1.0
+
+    def test_benford_matches_string_digits(self, ray_session):
+        import plateau_gis_converter_ray.pipelines.queries as q
+
+        got = _to_pandas(q.q_benford_digits(SF_SMALL))
+        o = pq.read_table(
+            f"{SF_SMALL}/orders.parquet", columns=["o_totalprice"]
+        ).to_pandas()
+        vc = np.abs(
+            np.round(o["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        )
+        vc = vc[vc > 0]
+        digs = np.array([int(str(v)[0]) for v in vc])
+        from collections import Counter
+
+        c = Counter(digs.tolist())
+        assert len(got) == len(c)
+        for row in got.itertuples():
+            assert int(row.n) == c[int(row.digit)]
+            assert int(row.n_total) == len(vc)
