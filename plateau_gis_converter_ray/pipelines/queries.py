@@ -15597,6 +15597,225 @@ def q_frechet_pairs(sf_dir: str):
     return track_frechet_pairs(sf_dir)
 
 
+# ---------------------------------------------------------------------------
+# Wave 41: Geary's C global spatial autocorrelation + quadrat variance/mean
+# ratio — the two classical point-pattern diagnostics missing next to
+# morans_i / local_morans_i / ripley_k_pairs / getis_ord_hotspots.
+
+
+def _tile_counts_z10(sf_dir: str):
+    """Shared stage-1 reduction for the tile-lattice statistics: events →
+    per-z10-tile counts keyed k = x*1024 + y (ONE fact-sized combiner
+    exchange; everything downstream operates on the reduced tile table)."""
+    ds = _read(sf_dir, "events", ["event_id"])
+    ds = ds.map_batches(
+        lambda b: add_lnglat_arith(b, "event_id"), batch_format="pyarrow"
+    )
+    ds = ds.map_batches(lambda b: assign_webmercator(b, 10), batch_format="pyarrow")
+
+    def pack(batch: pa.Table) -> pa.Table:
+        x = batch.column("tile_x").to_numpy()
+        y = batch.column("tile_y").to_numpy()
+        return pa.table({"k": pa.array(x * 1024 + y)})
+
+    return tree_group_agg(
+        ds.map_batches(pack, batch_format="pyarrow"),
+        ["k"], {"n": (None, "count")},
+    )
+
+
+def q_geary_c(sf_dir: str):
+    """Global Geary's C of z10 tile event counts (8-neighbor queen
+    weights) — the local-variance complement to ``morans_i``: C < 1 is
+    positive autocorrelation, C > 1 negative. Same two-stage plan as
+    Moran: the facts reduce once to the tile table, then the 8-neighbor
+    scatter stencil (9x the TILE table, never the facts) gives every
+    occupied tile p its count c_p, occupied-neighbor sum s_p, neighbor
+    sum-of-squares ss_p and degree d_p, so the directed pair sum
+    Σ_p Σ_{q∈N(p)} (c_p − n_q)² = Σ_p (d_p·c_p² − 2·c_p·s_p + ss_p) is an
+    exact integer without any pair join. With nt tiles, W directed
+    pairs and SS·nt = nt·s2 − s1², the single mirrored double division is
+
+        C = (nt−1)·nt·num / (2·W·(nt·s2 − s1²)).
+
+    Driver assembly is arbitrary-precision Python ints (the per-batch
+    int64 partials need the 128-bit split at 10^12 rows, exactly like
+    morans_i)."""
+    counts = _tile_counts_z10(sf_dir)
+
+    _DX = np.array([-1, -1, -1, 0, 0, 1, 1, 1], np.int64)
+    _DY = np.array([-1, 0, 1, -1, 1, -1, 0, 1], np.int64)
+
+    def scatter(batch: pa.Table) -> pa.Table:
+        k = batch.column("k").to_numpy()
+        n = batch.column("n").to_numpy()
+        x, y = k // 1024, k % 1024
+        m = len(k)
+        # 8 neighbor emissions (s, ss, d) + 1 center emission (c); the +1
+        # shift keeps edge positions non-negative, phantom positions never
+        # meet a center row and die at the c > 0 filter
+        px = np.concatenate([np.tile(x, 8) + np.repeat(_DX, m), x]) + 1
+        py = np.concatenate([np.tile(y, 8) + np.repeat(_DY, m), y]) + 1
+        zeros = np.zeros(m, np.int64)
+        tiled = np.tile(n, 8)
+        return pa.table(
+            {
+                "pk": pa.array(px * 2048 + py),
+                "c": pa.array(np.concatenate([np.zeros(8 * m, np.int64), n])),
+                "s": pa.array(np.concatenate([tiled, zeros])),
+                "ss": pa.array(np.concatenate([tiled * tiled, zeros])),
+                "d": pa.array(np.concatenate([np.ones(8 * m, np.int64), zeros])),
+            }
+        )
+
+    tiles = tree_group_agg(
+        counts.map_batches(scatter, batch_format="pyarrow"),
+        ["pk"],
+        {"c": ("c", "sum"), "s": ("s", "sum"), "ss": ("ss", "sum"),
+         "d": ("d", "sum")},
+    )
+
+    def moments(batch: pa.Table) -> pa.Table:
+        c = batch.column("c").to_numpy()
+        s = batch.column("s").to_numpy()
+        ss = batch.column("ss").to_numpy()
+        d = batch.column("d").to_numpy()
+        occ = c > 0
+        c, s, ss, d = c[occ], s[occ], ss[occ], d[occ]
+        return pa.table(
+            {
+                "g": pa.array([0]),
+                "nt": pa.array([np.int64(occ.sum())]),
+                "s1": pa.array([c.sum()]),
+                "s2": pa.array([(c * c).sum()]),
+                "num": pa.array([(d * c * c - 2 * c * s + ss).sum()]),
+                "w": pa.array([d.sum()]),
+            }
+        )
+
+    mom = tree_group_agg(
+        tiles.map_batches(moments, batch_format="pyarrow"),
+        ["g"],
+        {"nt": ("nt", "sum"), "s1": ("s1", "sum"), "s2": ("s2", "sum"),
+         "num": ("num", "sum"), "w": ("w", "sum")},
+    ).to_pandas()
+    nt, s1, s2 = int(mom["nt"][0]), int(mom["s1"][0]), int(mom["s2"][0])
+    num, w = int(mom["num"][0]), int(mom["w"][0])
+    return pd.DataFrame(
+        {
+            "n_tiles": np.array([nt], np.int64),
+            "w_pairs": np.array([w], np.int64),
+            "num_sq": np.array([num], np.int64),
+            "geary_c": np.array(
+                [float((nt - 1) * nt * num) / float(2 * w * (nt * s2 - s1 * s1))],
+                np.float64,
+            ),
+        }
+    )
+
+
+def _sql_geary_c() -> str:
+    lng, lat = _geo_sql("event_id")
+    return f"""
+WITH pts AS (
+  SELECT {lng} AS lng, {lat} AS lat FROM events
+), t AS (
+  SELECT CAST(FLOOR((lng + 180.0) / 360.0 * 1024) AS BIGINT) AS x,
+         CAST(FLOOR(((-(DEGREES(LN(TAN(RADIANS(90.0 + lat) / 2.0)))) + 180.0) / 360.0) * 1024) AS BIGINT) AS y,
+         COUNT(*) AS n
+  FROM pts GROUP BY 1, 2
+), e AS (
+  SELECT a.n AS xi, b.n AS xj
+  FROM t a JOIN t b ON b.x BETWEEN a.x - 1 AND a.x + 1
+                   AND b.y BETWEEN a.y - 1 AND a.y + 1
+                   AND NOT (b.x = a.x AND b.y = a.y)
+), s AS (
+  SELECT COUNT(*) AS nt, SUM(n) AS s1, SUM(n * n) AS s2 FROM t
+), p AS (
+  SELECT COUNT(*) AS w, SUM((xi - xj) * (xi - xj)) AS num FROM e
+)
+SELECT CAST(nt AS BIGINT) AS n_tiles, CAST(w AS BIGINT) AS w_pairs,
+       CAST(num AS BIGINT) AS num_sq,
+       CAST((nt - 1) * nt * num AS DOUBLE)
+         / CAST(2 * w * (nt * s2 - s1 * s1) AS DOUBLE) AS geary_c
+FROM s, p
+"""
+
+
+def q_quadrat_vmr(sf_dir: str):
+    """Quadrat-count variance/mean ratio over the z10 tile lattice — the
+    textbook complete-spatial-randomness screen (VMR ≈ 1 Poisson, > 1
+    clustered, < 1 dispersed). Quadrats are ALL lattice cells inside the
+    occupied-tile bounding box, so empty quadrats count: with Q cells, N
+    points and Σn² over occupied tiles, population variance/mean folds to
+    the exact integer ratio (Q·Σn² − N²) / (Q·N) — one fact-sized
+    combiner exchange, then a 5-integer driver fold (Python ints, so the
+    N² term can't wrap) and a single mirrored double division."""
+    counts = _tile_counts_z10(sf_dir)
+
+    def fold(batch: pa.Table) -> pa.Table:
+        k = batch.column("k").to_numpy()
+        n = batch.column("n").to_numpy()
+        x, y = k // 1024, k % 1024
+        return pa.table(
+            {
+                "g": pa.array([0]),
+                "occ": pa.array([np.int64(len(k))]),
+                "np_": pa.array([n.sum()]),
+                "ssq": pa.array([(n * n).sum()]),
+                "x0": pa.array([x.min() if len(x) else np.int64(1 << 40)]),
+                "x1": pa.array([x.max() if len(x) else np.int64(-1)]),
+                "y0": pa.array([y.min() if len(y) else np.int64(1 << 40)]),
+                "y1": pa.array([y.max() if len(y) else np.int64(-1)]),
+            }
+        )
+
+    mom = tree_group_agg(
+        counts.map_batches(fold, batch_format="pyarrow"),
+        ["g"],
+        {"occ": ("occ", "sum"), "np_": ("np_", "sum"), "ssq": ("ssq", "sum"),
+         "x0": ("x0", "min"), "x1": ("x1", "max"),
+         "y0": ("y0", "min"), "y1": ("y1", "max")},
+    ).to_pandas()
+    occ, n_pts, ssq = int(mom["occ"][0]), int(mom["np_"][0]), int(mom["ssq"][0])
+    q = (int(mom["x1"][0]) - int(mom["x0"][0]) + 1) * (
+        int(mom["y1"][0]) - int(mom["y0"][0]) + 1
+    )
+    return pd.DataFrame(
+        {
+            "n_points": np.array([n_pts], np.int64),
+            "n_quadrats": np.array([q], np.int64),
+            "occupied": np.array([occ], np.int64),
+            "sum_sq": np.array([ssq], np.int64),
+            "vmr": np.array(
+                [float(q * ssq - n_pts * n_pts) / float(q * n_pts)], np.float64
+            ),
+        }
+    )
+
+
+def _sql_quadrat_vmr() -> str:
+    lng, lat = _geo_sql("event_id")
+    return f"""
+WITH pts AS (
+  SELECT {lng} AS lng, {lat} AS lat FROM events
+), t AS (
+  SELECT CAST(FLOOR((lng + 180.0) / 360.0 * 1024) AS BIGINT) AS x,
+         CAST(FLOOR(((-(DEGREES(LN(TAN(RADIANS(90.0 + lat) / 2.0)))) + 180.0) / 360.0) * 1024) AS BIGINT) AS y,
+         COUNT(*) AS n
+  FROM pts GROUP BY 1, 2
+), s AS (
+  SELECT COUNT(*) AS occ, SUM(n) AS np_, SUM(n * n) AS ssq,
+         (MAX(x) - MIN(x) + 1) * (MAX(y) - MIN(y) + 1) AS q
+  FROM t
+)
+SELECT CAST(np_ AS BIGINT) AS n_points, CAST(q AS BIGINT) AS n_quadrats,
+       CAST(occ AS BIGINT) AS occupied, CAST(ssq AS BIGINT) AS sum_sq,
+       CAST(q * ssq - np_ * np_ AS DOUBLE) / CAST(q * np_ AS DOUBLE) AS vmr
+FROM s
+"""
+
+
 QUERIES = {
     "tile_wm_z12": q_tile_wm_z12,
     "tile_3dt_z7": q_tile_3dt_z7,
@@ -15795,6 +16014,8 @@ QUERIES = {
     "chao1_richness": q_chao1_richness,
     "hhi_concentration": q_hhi_concentration,
     "benford_digits": q_benford_digits,
+    "geary_c": q_geary_c,
+    "quadrat_vmr": q_quadrat_vmr,
     "ab_test_stats": q_ab_test_stats,
     "csv_source_stats": q_csv_source_stats,
     "tile_dissolve_regions": q_tile_dissolve_regions,
@@ -15850,6 +16071,8 @@ ORACLES = {
     "chao1_richness": _SQL_CHAO1_RICHNESS,
     "hhi_concentration": _sql_hhi_concentration(),
     "benford_digits": _SQL_BENFORD_DIGITS,
+    "geary_c": _sql_geary_c(),
+    "quadrat_vmr": _sql_quadrat_vmr(),
     "tile_wm_z12": _sql_tile_wm_z12(),
     "tile_3dt_z7": _sql_tile_3dt_z7(),
     "pip_mesh": _sql_pip_mesh(),
