@@ -15816,6 +15816,184 @@ FROM s
 """
 
 
+# ---------------------------------------------------------------------------
+# Wave 42: exact rank correlations on the daily order series — Kendall tau-b
+# and Spearman rho between daily order count and daily revenue, the two
+# monotone-dependence screens a drift monitor runs next to grouped_corr's
+# Pearson.
+
+
+def _daily_orders(sf_dir: str) -> pd.DataFrame:
+    """Shared stage-1 reduction: orders → per-day (count, revenue cents).
+    One fact-sized combiner exchange; the result is bounded by the
+    generator's date window (guarded), so the exact rank fold is
+    driver-side by construction — the same bounded-domain contract as
+    chi_square_cells' marginal table."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        day = batch.column("o_orderdate").cast(pa.int64()).to_numpy() // 86_400_000_000
+        cents = np.round(batch.column("o_totalprice").to_numpy() * 100).astype(
+            np.int64
+        )
+        return pa.table({"day": pa.array(day), "rev": pa.array(cents)})
+
+    daily = tree_group_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["day"],
+        {"cnt": (None, "count"), "rev": ("rev", "sum")},
+    ).to_pandas()
+    if len(daily) > 100_000:
+        raise ValueError(
+            "daily_orders: date domain exceeds the bounded-fold contract "
+            f"({len(daily)} days); switch the rank fold to the distributed "
+            "rank plan before raising the bound"
+        )
+    return daily.sort_values("day").reset_index(drop=True)
+
+
+def q_kendall_tau_daily(sf_dir: str):
+    """Exact Kendall tau-b between daily order count and daily revenue:
+    concordant / discordant / tie pair counts are exact integers (blocked
+    O(D²) numpy over the date-bounded daily table — D ≤ ~2.6k by the
+    generator's window, guarded), and tau_b is the single mirrored
+    expression (C−D) / sqrt((n0−Tx)·(n0−Ty)) with one product of two
+    exactly-converted doubles and one correctly-rounded sqrt."""
+    import math
+
+    daily = _daily_orders(sf_dir)
+    x = daily["cnt"].to_numpy().astype(np.int64)
+    y = daily["rev"].to_numpy().astype(np.int64)
+    n = len(x)
+    conc = disc = 0
+    blk = 512
+    for i0 in range(0, n, blk):
+        xi = x[i0 : i0 + blk, None]
+        yi = y[i0 : i0 + blk, None]
+        # only pairs (i, j) with j > i: mask the lower triangle per block
+        sx = np.sign(x[None, :] - xi)
+        sy = np.sign(y[None, :] - yi)
+        j = np.arange(n)[None, :]
+        upper = j > (np.arange(i0, min(i0 + blk, n))[:, None])
+        prod = sx * sy
+        conc += int(((prod == 1) & upper).sum())
+        disc += int(((prod == -1) & upper).sum())
+    n0 = n * (n - 1) // 2
+    _, cx = np.unique(x, return_counts=True)
+    _, cy = np.unique(y, return_counts=True)
+    tx = int((cx.astype(object) * (cx - 1) // 2).sum())
+    ty = int((cy.astype(object) * (cy - 1) // 2).sum())
+    tau = float(conc - disc) / math.sqrt(float(n0 - tx) * float(n0 - ty))
+    return pd.DataFrame(
+        {
+            "n_days": np.array([n], np.int64),
+            "concordant": np.array([conc], np.int64),
+            "discordant": np.array([disc], np.int64),
+            "ties_x": np.array([tx], np.int64),
+            "ties_y": np.array([ty], np.int64),
+            "tau_b": np.array([tau], np.float64),
+        }
+    )
+
+
+_SQL_KENDALL_TAU_DAILY = """
+WITH d AS (
+  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+         COUNT(*) AS x,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS y
+  FROM orders GROUP BY 1
+), p AS (
+  SELECT SUM(CASE WHEN (a.x < b.x AND a.y < b.y) OR (a.x > b.x AND a.y > b.y)
+                  THEN 1 ELSE 0 END) AS conc,
+         SUM(CASE WHEN (a.x < b.x AND a.y > b.y) OR (a.x > b.x AND a.y < b.y)
+                  THEN 1 ELSE 0 END) AS disc
+  FROM d a JOIN d b ON b.day > a.day
+), s AS (
+  SELECT COUNT(*) AS n FROM d
+), tx AS (
+  SELECT SUM(c * (c - 1) // 2) AS t FROM (SELECT COUNT(*) AS c FROM d GROUP BY x)
+), ty AS (
+  SELECT SUM(c * (c - 1) // 2) AS t FROM (SELECT COUNT(*) AS c FROM d GROUP BY y)
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       CAST(conc AS BIGINT) AS concordant,
+       CAST(disc AS BIGINT) AS discordant,
+       CAST(tx.t AS BIGINT) AS ties_x,
+       CAST(ty.t AS BIGINT) AS ties_y,
+       CAST(conc - disc AS DOUBLE)
+         / SQRT(CAST(n * (n - 1) // 2 - tx.t AS DOUBLE)
+                * CAST(n * (n - 1) // 2 - ty.t AS DOUBLE)) AS tau_b
+FROM p, s, tx, ty
+"""
+
+
+def q_spearman_daily(sf_dir: str):
+    """Exact Spearman rho (average-rank ties) between daily order count
+    and daily revenue: ranks are carried 2x-scaled so tied average ranks
+    stay integers (2·avgrank = 2·minrank + c − 1, the mann_whitney_u
+    trick); every moment sum is an exact Python int and rho is the single
+    mirrored double division + sqrt — the scale factors cancel."""
+    import math
+
+    daily = _daily_orders(sf_dir)
+    n = len(daily)
+
+    def ranks2(v: np.ndarray) -> np.ndarray:
+        # 2x-scaled average ranks: 2*minrank + (count-1)
+        order = np.argsort(v, kind="stable")
+        sv = v[order]
+        uniq, first, cnt = np.unique(sv, return_index=True, return_counts=True)
+        r2_sorted = np.repeat(2 * (first + 1) + (cnt - 1), cnt)
+        out = np.empty(n, np.int64)
+        out[order] = r2_sorted
+        return out
+
+    rx = ranks2(daily["cnt"].to_numpy().astype(np.int64))
+    ry = ranks2(daily["rev"].to_numpy().astype(np.int64))
+    sx, sy = int(rx.sum()), int(ry.sum())
+    sxx = int((rx.astype(object) * rx).sum())
+    syy = int((ry.astype(object) * ry).sum())
+    sxy = int((rx.astype(object) * ry).sum())
+    rho = float(n * sxy - sx * sy) / math.sqrt(
+        float(n * sxx - sx * sx) * float(n * syy - sy * sy)
+    )
+    return pd.DataFrame(
+        {
+            "n_days": np.array([n], np.int64),
+            "sum_rx2": np.array([sxx], np.int64),
+            "sum_ry2": np.array([syy], np.int64),
+            "sum_rxy": np.array([sxy], np.int64),
+            "spearman_rho": np.array([rho], np.float64),
+        }
+    )
+
+
+_SQL_SPEARMAN_DAILY = """
+WITH d AS (
+  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+         COUNT(*) AS x,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS y
+  FROM orders GROUP BY 1
+), r AS (
+  SELECT 2 * RANK() OVER (ORDER BY x) + COUNT(*) OVER (PARTITION BY x) - 1 AS rx,
+         2 * RANK() OVER (ORDER BY y) + COUNT(*) OVER (PARTITION BY y) - 1 AS ry
+  FROM d
+), s AS (
+  SELECT COUNT(*) AS n, SUM(rx) AS sx, SUM(ry) AS sy,
+         SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy, SUM(rx * ry) AS sxy
+  FROM r
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       CAST(sxx AS BIGINT) AS sum_rx2,
+       CAST(syy AS BIGINT) AS sum_ry2,
+       CAST(sxy AS BIGINT) AS sum_rxy,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                * CAST(n * syy - sy * sy AS DOUBLE)) AS spearman_rho
+FROM s
+"""
+
+
 QUERIES = {
     "tile_wm_z12": q_tile_wm_z12,
     "tile_3dt_z7": q_tile_3dt_z7,
@@ -16016,6 +16194,8 @@ QUERIES = {
     "benford_digits": q_benford_digits,
     "geary_c": q_geary_c,
     "quadrat_vmr": q_quadrat_vmr,
+    "kendall_tau_daily": q_kendall_tau_daily,
+    "spearman_daily": q_spearman_daily,
     "ab_test_stats": q_ab_test_stats,
     "csv_source_stats": q_csv_source_stats,
     "tile_dissolve_regions": q_tile_dissolve_regions,
@@ -16073,6 +16253,8 @@ ORACLES = {
     "benford_digits": _SQL_BENFORD_DIGITS,
     "geary_c": _sql_geary_c(),
     "quadrat_vmr": _sql_quadrat_vmr(),
+    "kendall_tau_daily": _SQL_KENDALL_TAU_DAILY,
+    "spearman_daily": _SQL_SPEARMAN_DAILY,
     "tile_wm_z12": _sql_tile_wm_z12(),
     "tile_3dt_z7": _sql_tile_3dt_z7(),
     "pip_mesh": _sql_pip_mesh(),
