@@ -15994,6 +15994,236 @@ FROM s
 """
 
 
+# ---------------------------------------------------------------------------
+# Wave 43: t-closeness (completing the k_anonymity / l_diversity privacy
+# triad) + two classical lexical-statistics screens (Yule's K, hapax ratio).
+
+
+def q_t_closeness(sf_dir: str):
+    """t-closeness audit over orders: for each quasi-identifier group
+    (o_orderpriority) the ordered-EMD distance between the group's
+    distribution of the sensitive attribute ($5000 price buckets) and the
+    global distribution. With group size n_g, total N, global bucket
+    counts nb_i and group counts n_{g,i} over the k ordered buckets, the
+    i-th cumulative difference cum_i = Σ_{j<=i} (N·n_{g,j} − n_g·nb_j) is
+    an exact integer and EMD = Σ|cum_i| / (n_g·N·(k−1)) — integer
+    numerator, single mirrored double division. One fact-sized combiner
+    exchange to the (qid, bucket) table, which is bounded by the priority
+    × price-bucket domain (guarded), so the cumulative fold is
+    driver-side by construction."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = np.round(batch.column("o_totalprice").to_numpy() * 100).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "qid": batch.column("o_orderpriority"),
+                "b": pa.array(cents // 500_000),
+            }
+        )
+
+    cells = tree_group_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["qid", "b"],
+        {"n": (None, "count")},
+    ).to_pandas()
+    if len(cells) > 100_000:
+        raise ValueError(
+            "t_closeness: qid x bucket domain exceeds the bounded-fold "
+            f"contract ({len(cells)} cells)"
+        )
+    buckets = np.sort(cells["b"].unique())
+    k = len(buckets)
+    nb = cells.groupby("b")["n"].sum()
+    n_total = int(nb.sum())
+    rows = []
+    for qid, g in cells.groupby("qid"):
+        ng = int(g["n"].sum())
+        gc = g.set_index("b")["n"]
+        cum = 0
+        t_num = 0
+        for b in buckets:
+            cum += n_total * int(gc.get(b, 0)) - ng * int(nb[b])
+            t_num += abs(cum)
+        rows.append((qid, ng, t_num))
+    out = pd.DataFrame(rows, columns=["o_orderpriority", "n_g", "t_num"])
+    out["k_buckets"] = np.int64(k)
+    out["t_close"] = out["t_num"].astype(np.float64) / (
+        out["n_g"].astype(np.float64) * float(n_total) * float(k - 1)
+    )
+    out["n_g"] = out["n_g"].astype(np.int64)
+    out["t_num"] = out["t_num"].astype(np.int64)
+    return pa.Table.from_pandas(
+        out.sort_values("o_orderpriority").reset_index(drop=True),
+        preserve_index=False,
+    )
+
+
+_SQL_T_CLOSENESS = """
+WITH v AS (
+  SELECT o_orderpriority AS qid,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) // 500000 AS b
+  FROM orders
+), c AS (
+  SELECT qid, b, COUNT(*) AS n FROM v GROUP BY 1, 2
+), gb AS (
+  SELECT b, SUM(n) AS nb FROM c GROUP BY 1
+), gq AS (
+  SELECT qid, SUM(n) AS ng FROM c GROUP BY 1
+), tot AS (
+  SELECT SUM(n) AS n_total, COUNT(DISTINCT b) AS k FROM c
+), grid AS (
+  SELECT gq.qid, gq.ng, gb.b, gb.nb, COALESCE(c.n, 0) AS n
+  FROM gq CROSS JOIN gb
+  LEFT JOIN c ON c.qid = gq.qid AND c.b = gb.b
+), cum AS (
+  SELECT qid, ng,
+         SUM((SELECT n_total FROM tot) * n - ng * nb)
+           OVER (PARTITION BY qid ORDER BY b) AS cd
+  FROM grid
+)
+SELECT qid AS o_orderpriority,
+       CAST(ng AS BIGINT) AS n_g,
+       CAST(SUM(ABS(cd)) AS BIGINT) AS t_num,
+       CAST((SELECT k FROM tot) AS BIGINT) AS k_buckets,
+       CAST(SUM(ABS(cd)) AS DOUBLE)
+         / (CAST(ng AS DOUBLE) * CAST((SELECT n_total FROM tot) AS DOUBLE)
+            * CAST((SELECT k FROM tot) - 1 AS DOUBLE)) AS t_close
+FROM cum GROUP BY qid, ng
+"""
+
+
+def q_yule_k(sf_dir: str):
+    """Yule's characteristic K per language — the repeat-rate lexical
+    constant (10^4·(Σ c_w² − N)/N²): Σ c_w² folds from the DISTRIBUTED
+    (lang, term) count table with a second tree agg (same plan as
+    simpson_diversity; nothing vocabulary-sized reaches the driver), and
+    K is the single mirrored double division over exact integers."""
+    counts = _lang_term_counts(sf_dir)
+
+    def mom(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy()
+        return pa.table(
+            {
+                "lang": batch.column("lang"),
+                "c2": pa.array(n * n),
+                "n_tok": pa.array(n),
+            }
+        )
+
+    agg = tree_group_agg(
+        counts.map_batches(mom, batch_format="pyarrow"),
+        ["lang"],
+        {"sum_c2": ("c2", "sum"), "n_tok": ("n_tok", "sum")},
+    ).to_pandas()
+    nt = agg["n_tok"].to_numpy().astype(np.int64)
+    c2 = agg["sum_c2"].to_numpy().astype(np.int64)
+    out = pd.DataFrame(
+        {
+            "lang": agg["lang"],
+            "n_tok": nt,
+            "sum_c2": c2,
+            "yule_k": (10_000.0 * (c2 - nt).astype(np.float64))
+            / (nt.astype(np.float64) * nt.astype(np.float64)),
+        }
+    ).sort_values("lang")
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+_SQL_YULE_K = """
+WITH tok AS (
+  SELECT lang, UNNEST(string_split(text, ' ')) AS term FROM documents
+), c AS (
+  SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS n
+  FROM tok WHERE term <> '' GROUP BY 1, 2
+)
+SELECT lang,
+       CAST(SUM(n) AS BIGINT) AS n_tok,
+       CAST(SUM(n * n) AS BIGINT) AS sum_c2,
+       (10000.0 * CAST(SUM(n * n) - SUM(n) AS DOUBLE))
+         / (CAST(SUM(n) AS DOUBLE) * CAST(SUM(n) AS DOUBLE)) AS yule_k
+FROM c GROUP BY lang
+"""
+
+
+def q_hapax_ratio(sf_dir: str):
+    """Hapax-legomenon ratio per source — the fraction of vocabulary
+    occurring exactly once, the cheap freshness/contamination screen a
+    corpus monitor tracks next to chao1_richness. (source, term) counts
+    stay distributed; the per-source fold emits vocab, hapax count and
+    token count as exact integers plus the one mirrored division."""
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def toks(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = pc.split_pattern(batch.column("text").cast(pa.string()), " ")
+        lens = pc.list_value_length(t).to_numpy()
+        src = batch.column("source").to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(t)
+        keep = pc.not_equal(flat, "")
+        return pa.table(
+            {"source": pa.array(np.repeat(src, lens)), "term": flat}
+        ).filter(keep)
+
+    from ..stages.treeagg import grouped_group_agg
+
+    counts = grouped_group_agg(
+        ds.map_batches(toks, batch_format="pyarrow"),
+        ["source", "term"],
+        {"n": (None, "count")},
+        n_groups=32,
+    )
+
+    def mom(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy()
+        return pa.table(
+            {
+                "source": batch.column("source"),
+                "vocab": pa.array(np.ones(len(n), np.int64)),
+                "hapax": pa.array((n == 1).astype(np.int64)),
+                "n_tok": pa.array(n),
+            }
+        )
+
+    agg = tree_group_agg(
+        counts.map_batches(mom, batch_format="pyarrow"),
+        ["source"],
+        {"vocab": ("vocab", "sum"), "hapax": ("hapax", "sum"),
+         "n_tok": ("n_tok", "sum")},
+    ).to_pandas()
+    out = pd.DataFrame(
+        {
+            "source": agg["source"],
+            "vocab": agg["vocab"].astype(np.int64),
+            "hapax": agg["hapax"].astype(np.int64),
+            "n_tok": agg["n_tok"].astype(np.int64),
+            "hapax_ratio": agg["hapax"].astype(np.float64)
+            / agg["vocab"].astype(np.float64),
+        }
+    ).sort_values("source")
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+_SQL_HAPAX_RATIO = """
+WITH tok AS (
+  SELECT source, UNNEST(string_split(text, ' ')) AS term FROM documents
+), c AS (
+  SELECT source, term, COUNT(*) AS n
+  FROM tok WHERE term <> '' GROUP BY 1, 2
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS vocab,
+       CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+       CAST(SUM(n) AS BIGINT) AS n_tok,
+       CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS hapax_ratio
+FROM c GROUP BY source
+"""
+
+
 QUERIES = {
     "tile_wm_z12": q_tile_wm_z12,
     "tile_3dt_z7": q_tile_3dt_z7,
@@ -16196,6 +16426,9 @@ QUERIES = {
     "quadrat_vmr": q_quadrat_vmr,
     "kendall_tau_daily": q_kendall_tau_daily,
     "spearman_daily": q_spearman_daily,
+    "t_closeness": q_t_closeness,
+    "yule_k": q_yule_k,
+    "hapax_ratio": q_hapax_ratio,
     "ab_test_stats": q_ab_test_stats,
     "csv_source_stats": q_csv_source_stats,
     "tile_dissolve_regions": q_tile_dissolve_regions,
@@ -16255,6 +16488,9 @@ ORACLES = {
     "quadrat_vmr": _sql_quadrat_vmr(),
     "kendall_tau_daily": _SQL_KENDALL_TAU_DAILY,
     "spearman_daily": _SQL_SPEARMAN_DAILY,
+    "t_closeness": _SQL_T_CLOSENESS,
+    "yule_k": _SQL_YULE_K,
+    "hapax_ratio": _SQL_HAPAX_RATIO,
     "tile_wm_z12": _sql_tile_wm_z12(),
     "tile_3dt_z7": _sql_tile_3dt_z7(),
     "pip_mesh": _sql_pip_mesh(),
