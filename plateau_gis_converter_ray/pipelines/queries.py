@@ -16224,6 +16224,176 @@ FROM c GROUP BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# Wave 44: storage-engine layout operators — rendezvous (highest-random-
+# weight) shard assignment and Z-order (Morton) data layout buckets. Both
+# are pure vectorized integer kernels mirrored bit-exactly in SQL.
+
+_XS_MUL13 = 8192        # 1 << 13
+_XS_MUL17 = 131072      # 1 << 17
+_U64 = 18446744073709551616
+
+
+def _xorshift64(v: np.ndarray) -> np.ndarray:
+    """Marsaglia xorshift64 over uint64 (wrapping shifts) — the mixer both
+    sides share; the SQL twin runs the same three steps in HUGEINT-mod-2^64
+    arithmetic (verified bit-identical)."""
+    v = v.astype(np.uint64)
+    v ^= (v << np.uint64(13)) & np.uint64(_U64 - 1)
+    v ^= v >> np.uint64(7)
+    v ^= (v << np.uint64(17)) & np.uint64(_U64 - 1)
+    return v
+
+
+_XS_SQL_STEPS = """
+, xs1 AS (
+  SELECT {keep}, xor(v, CAST((CAST(v AS HUGEINT) * 8192) % 18446744073709551616 AS UBIGINT)) AS v FROM xs0
+), xs2 AS (
+  SELECT {keep}, xor(v, v >> 7) AS v FROM xs1
+), xs3 AS (
+  SELECT {keep}, xor(v, CAST((CAST(v AS HUGEINT) * 131072) % 18446744073709551616 AS UBIGINT)) AS v FROM xs2
+)
+"""
+
+N_SHARDS = 8
+
+
+def q_rendezvous_shards(sf_dir: str):
+    """Rendezvous (highest-random-weight) shard assignment of customer
+    keys across 8 shards — the consistent-placement primitive a
+    distributed store uses so that adding a shard only moves 1/(n+1) of
+    the keys. score(key, s) = xorshift64(key·2654435761 + s·40503 +
+    12345 mod 2^64); each key goes to its max-score shard (ties → lowest
+    shard id, matching numpy argmax-first). Fully vectorized: one
+    (rows × 8) uint64 broadcast per batch, then a shard-keyed combiner
+    to per-shard count/min/max — no exchange carries anything
+    key-payload-sized."""
+    ds = _read(sf_dir, "customer", ["c_custkey"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        key = batch.column("c_custkey").to_numpy().astype(np.uint64)
+        s = np.arange(N_SHARDS, dtype=np.uint64)[None, :]
+        seed = (
+            key[:, None] * np.uint64(2654435761)
+            + s * np.uint64(40503)
+            + np.uint64(12345)
+        )
+        score = _xorshift64(seed)
+        shard = np.argmax(score, axis=1).astype(np.int64)
+        k = key.astype(np.int64)
+        return pa.table(
+            {
+                "shard": pa.array(shard),
+                "n_keys": pa.array(np.ones(len(k), np.int64)),
+                "kmin": pa.array(k),
+                "kmax": pa.array(k),
+            }
+        )
+
+    return tree_group_agg(
+        ds.map_batches(assign, batch_format="pyarrow"),
+        ["shard"],
+        {"n_keys": ("n_keys", "sum"), "key_min": ("kmin", "min"),
+         "key_max": ("kmax", "max")},
+    )
+
+
+_SQL_RENDEZVOUS_SHARDS = (
+    """
+WITH ks AS (
+  SELECT c_custkey AS key, s
+  FROM customer CROSS JOIN (SELECT UNNEST(range(8)) AS s)
+), xs0 AS (
+  SELECT key, s,
+         CAST((CAST(key AS HUGEINT) * 2654435761 + s * 40503 + 12345)
+              % 18446744073709551616 AS UBIGINT) AS v
+  FROM ks
+)"""
+    + _XS_SQL_STEPS.format(keep="key, s")
+    + """
+, best AS (
+  SELECT key, s,
+         ROW_NUMBER() OVER (PARTITION BY key ORDER BY v DESC, s ASC) AS rn
+  FROM xs3
+)
+SELECT CAST(s AS BIGINT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(MIN(key) AS BIGINT) AS key_min,
+       CAST(MAX(key) AS BIGINT) AS key_max
+FROM best WHERE rn = 1 GROUP BY s
+"""
+)
+
+
+def _part1by1(v: np.ndarray) -> np.ndarray:
+    """Spread the low 16 bits of v to even bit positions (Morton helper),
+    classic mask-shift ladder — vectorized uint64."""
+    v = v.astype(np.uint64) & np.uint64(0xFFFF)
+    v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF)
+    v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F)
+    v = (v | (v << np.uint64(2))) & np.uint64(0x33333333)
+    v = (v | (v << np.uint64(1))) & np.uint64(0x55555555)
+    return v
+
+
+def q_zorder_layout(sf_dir: str):
+    """Z-order (Morton) data-layout audit — the multi-column clustering
+    key a lakehouse writer uses so range predicates on EITHER column prune
+    files: events map to z10 tiles, each tile's (x, y) interleaves to a
+    20-bit Morton code, and rows group into 256-code layout buckets
+    (morton >> 8 — one file per bucket in the real writer). Output per
+    bucket: row count and the exact Morton min/max the file footer would
+    carry as its zone map. The interleave is the mask-shift ladder,
+    vectorized; the SQL twin unrolls the 10 bit positions per axis."""
+    ds = _read(sf_dir, "events", ["event_id"])
+    ds = ds.map_batches(
+        lambda b: add_lnglat_arith(b, "event_id"), batch_format="pyarrow"
+    )
+    ds = ds.map_batches(lambda b: assign_webmercator(b, 10), batch_format="pyarrow")
+
+    def pack(batch: pa.Table) -> pa.Table:
+        x = batch.column("tile_x").to_numpy().astype(np.uint64)
+        y = batch.column("tile_y").to_numpy().astype(np.uint64)
+        morton = (_part1by1(x) | (_part1by1(y) << np.uint64(1))).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(morton >> 8),
+                "n_rows": pa.array(np.ones(len(morton), np.int64)),
+                "mmin": pa.array(morton),
+                "mmax": pa.array(morton),
+            }
+        )
+
+    return tree_group_agg(
+        ds.map_batches(pack, batch_format="pyarrow"),
+        ["bucket"],
+        {"n_rows": ("n_rows", "sum"), "morton_min": ("mmin", "min"),
+         "morton_max": ("mmax", "max")},
+    )
+
+
+def _sql_zorder_layout() -> str:
+    lng, lat = _geo_sql("event_id")
+    ix = " + ".join(f"(((x >> {b}) & 1) << {2 * b})" for b in range(10))
+    iy = " + ".join(f"(((y >> {b}) & 1) << {2 * b + 1})" for b in range(10))
+    return f"""
+WITH pts AS (
+  SELECT {lng} AS lng, {lat} AS lat FROM events
+), t AS (
+  SELECT CAST(FLOOR((lng + 180.0) / 360.0 * 1024) AS BIGINT) AS x,
+         CAST(FLOOR(((-(DEGREES(LN(TAN(RADIANS(90.0 + lat) / 2.0)))) + 180.0) / 360.0) * 1024) AS BIGINT) AS y
+  FROM pts
+), m AS (
+  SELECT ({ix}) + ({iy}) AS morton FROM t
+)
+SELECT morton >> 8 AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(morton) AS BIGINT) AS morton_min,
+       CAST(MAX(morton) AS BIGINT) AS morton_max
+FROM m GROUP BY 1
+"""
+
+
 QUERIES = {
     "tile_wm_z12": q_tile_wm_z12,
     "tile_3dt_z7": q_tile_3dt_z7,
@@ -16429,6 +16599,8 @@ QUERIES = {
     "t_closeness": q_t_closeness,
     "yule_k": q_yule_k,
     "hapax_ratio": q_hapax_ratio,
+    "rendezvous_shards": q_rendezvous_shards,
+    "zorder_layout": q_zorder_layout,
     "ab_test_stats": q_ab_test_stats,
     "csv_source_stats": q_csv_source_stats,
     "tile_dissolve_regions": q_tile_dissolve_regions,
@@ -16491,6 +16663,8 @@ ORACLES = {
     "t_closeness": _SQL_T_CLOSENESS,
     "yule_k": _SQL_YULE_K,
     "hapax_ratio": _SQL_HAPAX_RATIO,
+    "rendezvous_shards": _SQL_RENDEZVOUS_SHARDS,
+    "zorder_layout": _sql_zorder_layout(),
     "tile_wm_z12": _sql_tile_wm_z12(),
     "tile_3dt_z7": _sql_tile_3dt_z7(),
     "pip_mesh": _sql_pip_mesh(),
