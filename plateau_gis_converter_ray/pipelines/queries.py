@@ -16394,6 +16394,242 @@ FROM m GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Wave 45: edit-distance similarity join via FastSS deletion neighborhoods
+# (the exact small-radius string-join primitive next to the token-level
+# fuzzy_token_join) and the Heaps-law vocabulary-growth curve via the
+# token-first-seen operator.
+
+
+def q_edit_distance_pairs(sf_dir: str):
+    """Levenshtein-distance ≤ 1 name-pair join over customers using FastSS
+    deletion neighborhoods: every string emits its |s|+1 single-deletion
+    variants plus itself; two strings at distance ≤ 1 MUST share a variant
+    (substitution: delete the differing position from both; indel: the
+    shorter string IS a variant of the longer), so the candidate set is
+    exact — no all-pairs. Within a variant bucket the verify is fully
+    vectorized: equal-length candidates need exactly a hamming ≤ 1 check
+    (byte-matrix mismatch count); length±1 candidates are distance 1 by
+    construction. Pairs dedup across buckets with a combiner tree. The SQL
+    twin builds the same neighborhoods with SUBSTR/UNNEST and verifies
+    with DuckDB's levenshtein — same exact semantics, independent code."""
+    from ..kernels.segments import segmented_arange
+    from ..stages.treeagg import clean_arrow
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def variants(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keys = batch.column("c_custkey").to_numpy()
+        names = batch.column("c_name").to_numpy(zero_copy_only=False)
+        lens = pc.binary_length(batch.column("c_name")).to_numpy()
+        out_v: list[np.ndarray] = []
+        out_k: list[np.ndarray] = []
+        out_s: list[np.ndarray] = []
+        for L in np.unique(lens):
+            sel = lens == L
+            sub = names[sel]
+            ksub = keys[sel]
+            mat = np.frombuffer(
+                "".join(sub).encode("utf-8"), dtype=np.uint8
+            ).reshape(len(sub), L)
+            # identity variant (covers the insertion case)
+            out_v.append(sub)
+            out_k.append(ksub)
+            out_s.append(sub)
+            for i in range(L):
+                dele = np.delete(mat, i, axis=1)
+                vs = dele.reshape(-1).view(f"S{L - 1}").astype(str)
+                out_v.append(vs)
+                out_k.append(ksub)
+                out_s.append(sub)
+        return pa.table(
+            {
+                "v": pa.array(np.concatenate(out_v)),
+                "key": pa.array(np.concatenate(out_k)),
+                "s": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+    exploded = ds.map_batches(variants, batch_format="pyarrow")
+
+    def add_grp(batch: pa.Table) -> pa.Table:
+        # coarse 256-way fan-out key over the variant string (vectorized
+        # C-level siphash); only a de-fanning key — bucket membership is
+        # still decided by the exact variant inside `pairs`
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        g = (pd.util.hash_array(v.astype(object)) % 256).astype(np.int64)
+        return batch.append_column("g", pa.array(g))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["v", "key"], kind="stable")
+        v = g["v"].to_numpy()
+        keys = g["key"].to_numpy()
+        names = g["s"].to_numpy()
+        n = len(g)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = v[1:] != v[:-1]
+        start = np.maximum.accumulate(np.where(new, np.arange(n), 0))
+        w = np.arange(n) - start
+        if not int(w.sum()):
+            return clean_arrow(
+                pd.DataFrame(
+                    {"key_a": [], "key_b": [], "dist": []}
+                ).astype("int64")
+            )
+        b_idx = np.repeat(np.arange(n), w)
+        a_idx = np.repeat(start, w) + segmented_arange(w)
+        ka, kb = keys[a_idx], keys[b_idx]
+        sa, sb = names[a_idx], names[b_idx]
+        la = np.char.str_len(sa.astype(str))
+        lb = np.char.str_len(sb.astype(str))
+        dist = np.full(len(ka), -1, np.int64)
+        # length differs by exactly 1 within a shared-variant bucket →
+        # the shorter IS the deletion of the longer: distance exactly 1
+        dist[np.abs(la - lb) == 1] = 1
+        for L in np.unique(la):
+            sel = (la == L) & (lb == L)
+            if not sel.any():
+                continue
+            ma = np.frombuffer(
+                "".join(sa[sel]).encode("utf-8"), dtype=np.uint8
+            ).reshape(-1, L)
+            mb = np.frombuffer(
+                "".join(sb[sel]).encode("utf-8"), dtype=np.uint8
+            ).reshape(-1, L)
+            ham = (ma != mb).sum(axis=1)
+            d = np.where(ham <= 1, ham, -1)
+            dist[sel] = d
+        keep = dist >= 0
+        ka, kb, dist = ka[keep], kb[keep], dist[keep]
+        lo = np.minimum(ka, kb)
+        hi = np.maximum(ka, kb)
+        keep2 = lo != hi
+        return clean_arrow(
+            pd.DataFrame(
+                {
+                    "key_a": lo[keep2].astype(np.int64),
+                    "key_b": hi[keep2].astype(np.int64),
+                    "dist": dist[keep2].astype(np.int64),
+                }
+            )
+        )
+
+    cand = exploded.map_batches(add_grp, batch_format="pyarrow").groupby(
+        "g"
+    ).map_groups(pairs, batch_format="pandas")
+    return tree_group_agg(
+        cand, ["key_a", "key_b"], {"dist": ("dist", "min")}, levels=(8, 1)
+    )
+
+
+_SQL_EDIT_DISTANCE_PAIRS = """
+WITH names AS (
+  SELECT c_custkey AS k, c_name AS s FROM customer
+), var AS (
+  SELECT k, s, SUBSTR(s, 1, i - 1) || SUBSTR(s, i + 1) AS v
+  FROM names CROSS JOIN (SELECT UNNEST(range(1, 64)) AS i)
+  WHERE i <= LENGTH(s)
+  UNION ALL
+  SELECT k, s, s FROM names
+), cand AS (
+  SELECT DISTINCT a.k AS ka, b.k AS kb, a.s AS sa, b.s AS sb
+  FROM var a JOIN var b ON a.v = b.v AND a.k < b.k
+)
+SELECT ka AS key_a, kb AS key_b,
+       CAST(levenshtein(sa, sb) AS BIGINT) AS dist
+FROM cand WHERE levenshtein(sa, sb) <= 1
+"""
+
+
+def q_vocab_growth(sf_dir: str):
+    """Heaps-law vocabulary-growth curve: for every token its FIRST doc
+    (distributed min over the (term, doc_id) table — the token-first-seen
+    operator), then new-type counts per log2-spaced doc-id checkpoint
+    (bucket = ilog2(fd − dmin + 1), computed EXACTLY via frexp /
+    LENGTH(bin()) — float log2 would misbucket exact powers of two; type
+    growth concentrates at the corpus head, so log spacing is the Heaps-
+    appropriate grid) plus the cumulative vocabulary — the curve a corpus
+    monitor fits Heaps' V = K·nᵝ against. Nothing vocabulary-sized
+    reaches the driver; the bucket fold is ≤ 53 rows by construction."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def toks(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = pc.split_pattern(batch.column("text").cast(pa.string()), " ")
+        lens = pc.list_value_length(t).to_numpy()
+        ids = batch.column("doc_id").to_numpy()
+        flat = pc.list_flatten(t)
+        keep = pc.not_equal(flat, "")
+        return pa.table(
+            {"term": flat, "doc_id": pa.array(np.repeat(ids, lens))}
+        ).filter(keep)
+
+    from ..stages.treeagg import grouped_group_agg
+
+    first = grouped_group_agg(
+        ds.map_batches(toks, batch_format="pyarrow"),
+        ["term"],
+        {"fd": ("doc_id", "min")},
+        n_groups=32,
+    )
+
+    bounds = tree_group_agg(
+        ds.select_columns(["doc_id"]).map_batches(
+            lambda b: pa.table(
+                {
+                    "g": pa.array([0]),
+                    "dmin": pa.array([b.column("doc_id").to_numpy().min()]),
+                    "dmax": pa.array([b.column("doc_id").to_numpy().max()]),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        ["g"],
+        {"dmin": ("dmin", "min"), "dmax": ("dmax", "max")},
+    ).to_pandas()
+    dmin = int(bounds["dmin"][0])
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        fd = batch.column("fd").to_numpy()
+        # exact integer log2: frexp's exponent is exact for ints < 2^53
+        _, e = np.frexp((fd - dmin + 1).astype(np.float64))
+        return pa.table({"bucket": pa.array((e - 1).astype(np.int64))})
+
+    out = tree_group_agg(
+        first.map_batches(bucketize, batch_format="pyarrow"),
+        ["bucket"],
+        {"new_terms": (None, "count")},
+    ).to_pandas()
+    out = out.sort_values("bucket").reset_index(drop=True)
+    out["cum_vocab"] = out["new_terms"].cumsum().astype(np.int64)
+    out["bucket"] = out["bucket"].astype(np.int64)
+    out["new_terms"] = out["new_terms"].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+_SQL_VOCAB_GROWTH = """
+WITH tok AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+), f AS (
+  SELECT term, MIN(doc_id) AS fd FROM tok WHERE term <> '' GROUP BY 1
+), bounds AS (
+  SELECT MIN(doc_id) AS dmin FROM documents
+), b AS (
+  SELECT LENGTH(bin(fd - (SELECT dmin FROM bounds) + 1)) - 1 AS bucket
+  FROM f
+), c AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS new_terms FROM b GROUP BY 1
+)
+SELECT CAST(bucket AS BIGINT) AS bucket, new_terms,
+       CAST(SUM(new_terms) OVER (ORDER BY bucket) AS BIGINT) AS cum_vocab
+FROM c
+"""
+
+
 QUERIES = {
     "tile_wm_z12": q_tile_wm_z12,
     "tile_3dt_z7": q_tile_3dt_z7,
@@ -16601,6 +16837,8 @@ QUERIES = {
     "hapax_ratio": q_hapax_ratio,
     "rendezvous_shards": q_rendezvous_shards,
     "zorder_layout": q_zorder_layout,
+    "edit_distance_pairs": q_edit_distance_pairs,
+    "vocab_growth": q_vocab_growth,
     "ab_test_stats": q_ab_test_stats,
     "csv_source_stats": q_csv_source_stats,
     "tile_dissolve_regions": q_tile_dissolve_regions,
@@ -16665,6 +16903,8 @@ ORACLES = {
     "hapax_ratio": _SQL_HAPAX_RATIO,
     "rendezvous_shards": _SQL_RENDEZVOUS_SHARDS,
     "zorder_layout": _sql_zorder_layout(),
+    "edit_distance_pairs": _SQL_EDIT_DISTANCE_PAIRS,
+    "vocab_growth": _SQL_VOCAB_GROWTH,
     "tile_wm_z12": _sql_tile_wm_z12(),
     "tile_3dt_z7": _sql_tile_3dt_z7(),
     "pip_mesh": _sql_pip_mesh(),
