@@ -16630,6 +16630,261 @@ FROM c
 """
 
 
+# ---------------------------------------------------------------------------
+# Wave 46: local clustering coefficients and common-neighbor / Jaccard link
+# prediction over the basket co-purchase graph — the per-node / per-pair
+# structure scores next to the global triangle_count and k_core.
+
+
+def _basket_graph(sf_dir: str, max_edges: int = 2_000_000):
+    """Shared graph prep: canonical min-support-2 co-purchase edges
+    (u < v) as a sorted packed-key array + per-node degrees. The edge
+    list is support-pruned and part-domain-bounded — same size-gated
+    driver contract as triangle_count's local_max_edges; the guard trips
+    loudly instead of materializing past it."""
+    pairs = q_basket_pairs(sf_dir, min_support=2)
+    pdf = pairs.select_columns(["part_a", "part_b"]).to_pandas()
+    if len(pdf) > max_edges:
+        raise ValueError(
+            f"_basket_graph: {len(pdf)} edges exceeds the driver gate "
+            f"({max_edges}); raise the gate only with a distributed "
+            "membership plan"
+        )
+    a = pdf["part_a"].to_numpy().astype(np.int64)
+    b = pdf["part_b"].to_numpy().astype(np.int64)
+    keys = np.sort(a * (1 << 32) + b)
+    deg_nodes, deg = np.unique(np.concatenate([a, b]), return_counts=True)
+    return a, b, keys, deg_nodes, deg.astype(np.int64)
+
+
+def _wedge_groups(sf_dir: str):
+    """Symmetric (center, neighbor) edge Dataset bucketed by center — the
+    distributed wedge-enumeration input both wave-46 queries share."""
+    import ray.data
+
+    pairs = q_basket_pairs(sf_dir, min_support=2)
+
+    def sym(batch: pa.Table) -> pa.Table:
+        a = batch.column("part_a").to_numpy()
+        b = batch.column("part_b").to_numpy()
+        c = np.concatenate([a, b])
+        return pa.table(
+            {
+                "c": pa.array(c),
+                "n": pa.array(np.concatenate([b, a])),
+                "bk": pa.array(c % 64),
+            }
+        )
+
+    return pairs.map_batches(sym, batch_format="pyarrow")
+
+
+def q_clustering_coefficient(sf_dir: str):
+    """Local clustering coefficient per node of the co-purchase graph:
+    wedges enumerate DISTRIBUTED (groupby on a 64-way center bucket, one
+    segmented vectorized self-merge per group — the basket_pairs
+    de-fanning shape; hot centers are the documented lever, same as every
+    wedge plan); each wedge closes against the broadcast sorted edge-key
+    array (ray.put once, searchsorted per batch — never reshipped). The
+    per-node fold (deg, wedges, closed triangles) is exact integers and
+    clust = tri/wedges is the single mirrored division. Nodes with
+    deg < 2 are excluded (coefficient undefined)."""
+    import ray as _ray
+
+    from ..kernels.segments import segmented_arange
+    from ..stages.treeagg import clean_arrow
+
+    _, _, keys, deg_nodes, deg = _basket_graph(sf_dir)
+    kref = _ray.put(keys)
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        ks = _ray.get(kref)
+        g = g.sort_values(["c", "n"], kind="stable")
+        c = g["c"].to_numpy()
+        n = g["n"].to_numpy()
+        m = len(g)
+        new = np.empty(m, dtype=bool)
+        new[0] = True
+        new[1:] = c[1:] != c[:-1]
+        start = np.maximum.accumulate(np.where(new, np.arange(m), 0))
+        w = np.arange(m) - start
+        if not int(w.sum()):
+            return clean_arrow(
+                pd.DataFrame(
+                    {"node": [], "wedges": [], "tri": []}
+                ).astype("int64")
+            )
+        b_idx = np.repeat(np.arange(m), w)
+        a_idx = np.repeat(start, w) + segmented_arange(w)
+        pk = n[a_idx] * (1 << 32) + n[b_idx]
+        pos = np.searchsorted(ks, pk)
+        closed = (pos < len(ks)) & (ks[np.minimum(pos, len(ks) - 1)] == pk)
+        out = pd.DataFrame({"node": c[b_idx], "closed": closed})
+        agg = out.groupby("node", as_index=False).agg(
+            wedges=("closed", "size"), tri=("closed", "sum")
+        )
+        agg["wedges"] = agg["wedges"].astype(np.int64)
+        agg["tri"] = agg["tri"].astype(np.int64)
+        return clean_arrow(agg)
+
+    per_node = tree_group_agg(
+        _wedge_groups(sf_dir).groupby("bk").map_groups(
+            wedges, batch_format="pandas"
+        ),
+        ["node"],
+        {"wedges": ("wedges", "sum"), "tri": ("tri", "sum")},
+    ).to_pandas()
+    dmap = pd.Series(deg, index=deg_nodes)
+    per_node["deg"] = dmap.reindex(per_node["node"]).to_numpy()
+    per_node = per_node[per_node["deg"] >= 2].copy()
+    per_node["clust"] = per_node["tri"].astype(np.float64) / per_node[
+        "wedges"
+    ].astype(np.float64)
+    out = per_node[["node", "deg", "wedges", "tri", "clust"]].sort_values(
+        "node"
+    )
+    out["deg"] = out["deg"].astype(np.int64)
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+_SQL_GRAPH_CTE = """
+WITH b AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+), e0 AS (
+  SELECT a.pk AS u, c.pk AS v
+  FROM b a JOIN b c ON a.ok = c.ok AND a.pk < c.pk
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+), e AS (
+  SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0
+), deg AS (
+  SELECT u AS node, COUNT(*) AS d FROM e GROUP BY 1
+), w AS (
+  SELECT a.u AS ctr, a.v AS x, b.v AS y
+  FROM e a JOIN e b ON a.u = b.u AND a.v < b.v
+)
+"""
+
+_SQL_CLUSTERING_COEFFICIENT = (
+    _SQL_GRAPH_CTE
+    + """
+, t AS (
+  SELECT ctr, COUNT(*) AS wedges,
+         SUM(CASE WHEN e0.u IS NULL THEN 0 ELSE 1 END) AS tri
+  FROM w LEFT JOIN e0 ON e0.u = w.x AND e0.v = w.y
+  GROUP BY ctr
+)
+SELECT t.ctr AS node, CAST(deg.d AS BIGINT) AS deg,
+       CAST(t.wedges AS BIGINT) AS wedges, CAST(t.tri AS BIGINT) AS tri,
+       CAST(t.tri AS DOUBLE) / CAST(t.wedges AS DOUBLE) AS clust
+FROM t JOIN deg ON deg.node = t.ctr
+WHERE deg.d >= 2
+"""
+)
+
+
+def q_link_pred_scores(sf_dir: str):
+    """Common-neighbor / Jaccard link prediction: every NON-adjacent node
+    pair sharing ≥ 2 neighbors in the co-purchase graph, scored with the
+    exact integers cn, deg_a, deg_b and the one mirrored division
+    jaccard = cn / (deg_a + deg_b − cn) — the candidate-edge ranking a
+    recommender runs over the product graph. Wedge pairs enumerate
+    distributed (same bucketed segmented self-merge as the clustering
+    pass), fold to cn with a combiner tree, then a vectorized
+    searchsorted against the broadcast edge keys drops existing edges and
+    the broadcast degree arrays attach in-stream — no join exchange
+    anywhere past the wedge fold."""
+    import ray as _ray
+
+    from ..kernels.segments import segmented_arange
+    from ..stages.treeagg import clean_arrow
+
+    _, _, keys, deg_nodes, deg = _basket_graph(sf_dir)
+    kref = _ray.put(keys)
+
+    def wedge_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["c", "n"], kind="stable")
+        c = g["c"].to_numpy()
+        n = g["n"].to_numpy()
+        m = len(g)
+        new = np.empty(m, dtype=bool)
+        new[0] = True
+        new[1:] = c[1:] != c[:-1]
+        start = np.maximum.accumulate(np.where(new, np.arange(m), 0))
+        w = np.arange(m) - start
+        if not int(w.sum()):
+            return clean_arrow(
+                pd.DataFrame({"a": [], "b": [], "cn": []}).astype("int64")
+            )
+        b_idx = np.repeat(np.arange(m), w)
+        a_idx = np.repeat(start, w) + segmented_arange(w)
+        out = (
+            pd.DataFrame({"a": n[a_idx], "b": n[b_idx]})
+            .groupby(["a", "b"], as_index=False)
+            .size()
+            .rename(columns={"size": "cn"})
+        )
+        out["cn"] = out["cn"].astype(np.int64)
+        return clean_arrow(out)
+
+    cn = tree_group_agg(
+        _wedge_groups(sf_dir).groupby("bk").map_groups(
+            wedge_pairs, batch_format="pandas"
+        ),
+        ["a", "b"],
+        {"cn": ("cn", "sum")},
+    )
+
+    dn_ref = _ray.put(deg_nodes)
+    dg_ref = _ray.put(deg)
+
+    def score(batch: pa.Table) -> pa.Table:
+        ks = _ray.get(kref)
+        nodes = _ray.get(dn_ref)
+        degs = _ray.get(dg_ref)
+        a = batch.column("a").to_numpy()
+        b = batch.column("b").to_numpy()
+        c = batch.column("cn").to_numpy()
+        pk = a * (1 << 32) + b
+        pos = np.searchsorted(ks, pk)
+        member = (pos < len(ks)) & (ks[np.minimum(pos, len(ks) - 1)] == pk)
+        keep = (~member) & (c >= 2)
+        a, b, c = a[keep], b[keep], c[keep]
+        da = degs[np.searchsorted(nodes, a)]
+        db = degs[np.searchsorted(nodes, b)]
+        return pa.table(
+            {
+                "node_a": pa.array(a),
+                "node_b": pa.array(b),
+                "cn": pa.array(c),
+                "deg_a": pa.array(da),
+                "deg_b": pa.array(db),
+                "jaccard": pa.array(
+                    c.astype(np.float64) / (da + db - c).astype(np.float64)
+                ),
+            }
+        )
+
+    return cn.map_batches(score, batch_format="pyarrow")
+
+
+_SQL_LINK_PRED_SCORES = (
+    _SQL_GRAPH_CTE
+    + """
+, cn AS (
+  SELECT x AS a, y AS b, COUNT(*) AS cn FROM w GROUP BY 1, 2
+), nonadj AS (
+  SELECT cn.a, cn.b, cn.cn
+  FROM cn LEFT JOIN e0 ON e0.u = cn.a AND e0.v = cn.b
+  WHERE e0.u IS NULL AND cn.cn >= 2
+)
+SELECT n.a AS node_a, n.b AS node_b, CAST(n.cn AS BIGINT) AS cn,
+       CAST(da.d AS BIGINT) AS deg_a, CAST(db.d AS BIGINT) AS deg_b,
+       CAST(n.cn AS DOUBLE) / CAST(da.d + db.d - n.cn AS DOUBLE) AS jaccard
+FROM nonadj n JOIN deg da ON da.node = n.a JOIN deg db ON db.node = n.b
+"""
+)
+
+
 QUERIES = {
     "tile_wm_z12": q_tile_wm_z12,
     "tile_3dt_z7": q_tile_3dt_z7,
@@ -16839,6 +17094,8 @@ QUERIES = {
     "zorder_layout": q_zorder_layout,
     "edit_distance_pairs": q_edit_distance_pairs,
     "vocab_growth": q_vocab_growth,
+    "clustering_coefficient": q_clustering_coefficient,
+    "link_pred_scores": q_link_pred_scores,
     "ab_test_stats": q_ab_test_stats,
     "csv_source_stats": q_csv_source_stats,
     "tile_dissolve_regions": q_tile_dissolve_regions,
@@ -16905,6 +17162,8 @@ ORACLES = {
     "zorder_layout": _sql_zorder_layout(),
     "edit_distance_pairs": _SQL_EDIT_DISTANCE_PAIRS,
     "vocab_growth": _SQL_VOCAB_GROWTH,
+    "clustering_coefficient": _SQL_CLUSTERING_COEFFICIENT,
+    "link_pred_scores": _SQL_LINK_PRED_SCORES,
     "tile_wm_z12": _sql_tile_wm_z12(),
     "tile_3dt_z7": _sql_tile_3dt_z7(),
     "pip_mesh": _sql_pip_mesh(),
